@@ -1,0 +1,90 @@
+"""Flagship word-count queries over the `documents` fixture.
+
+These re-express the reference's single fixed query (SURVEY.md §3)
+over the fixture table (documents.text stands in for the corpus
+directory — FIXTURES.md F3) plus its natural extensions (top-k,
+per-document lineage counts, document frequency).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mpi_word_count_spark.operators.wordcount import top_k_words, word_count_df
+from mpi_word_count_spark.registry import register, sql_regex
+from mpi_word_count_spark.tables import table
+from mpi_word_count_spark.tokenizer import tokenize
+
+_TOKS = f"""
+    SELECT lower(unnest(regexp_split_to_array(text, '{sql_regex()}'))) AS word
+    FROM documents
+"""
+
+_TOKS_DOC = f"""
+    SELECT doc_id,
+           lower(unnest(regexp_split_to_array(text, '{sql_regex()}'))) AS word
+    FROM documents
+"""
+
+
+@register(
+    "wordcount",
+    oracle=f"""
+    SELECT word, count(*) AS count
+    FROM ({_TOKS}) WHERE word <> ''
+    GROUP BY word ORDER BY word
+    """,
+)
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-S4: the reference's fixed query (word_count_mpi.c pipeline)."""
+    return word_count_df(table(spark, "documents", sf_dir), col="text")
+
+
+@register(
+    "wordcount_topk",
+    oracle=f"""
+    SELECT word, count(*) AS count
+    FROM ({_TOKS}) WHERE word <> ''
+    GROUP BY word ORDER BY count DESC, word ASC LIMIT 100
+    """,
+)
+def wordcount_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 words: TakeOrderedAndProject, no global sort (M1)."""
+    return top_k_words(table(spark, "documents", sf_dir), col="text", k=100)
+
+
+@register(
+    "wordcount_per_doc",
+    oracle=f"""
+    SELECT doc_id, word, count(*) AS count
+    FROM ({_TOKS_DOC}) WHERE word <> ''
+    GROUP BY doc_id, word
+    """,
+)
+def wordcount_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document counts — the per-file lineage the reference keeps
+    via its sorted dirent array (word_count_mpi.c:88-97)."""
+    docs = table(spark, "documents", sf_dir)
+    toks = tokenize(docs, col="text", keep=["doc_id"])
+    return toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("count"))
+
+
+@register(
+    "word_doc_frequency",
+    oracle=f"""
+    SELECT word,
+           count(DISTINCT doc_id) AS doc_freq,
+           count(*) AS total_count
+    FROM ({_TOKS_DOC}) WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def word_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document frequency (distinct-agg exemplar; feeds TF-IDF)."""
+    docs = table(spark, "documents", sf_dir)
+    toks = tokenize(docs, col="text", keep=["doc_id"])
+    return toks.groupBy("word").agg(
+        F.countDistinct("doc_id").alias("doc_freq"),
+        F.count(F.lit(1)).alias("total_count"),
+    )

@@ -1,0 +1,43 @@
+"""Fixture-table catalog: load the driver's parquet star schema.
+
+Tables (TESTDATA.md): region nation customer supplier part orders
+lineitem events documents embeddings — one parquet file per table
+under /root/testdata/sf{0.001,0.01,0.1}/.
+
+At 100 TB these would be multi-file partitioned datasets; the same
+`spark.read.parquet` call handles both (file listing, split planning,
+predicate pushdown and column pruning are source-level features).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every fixture table as a temp view for spark.sql()."""
+    for name in TABLES:
+        table(spark, name, sf_dir).createOrReplaceTempView(name)

@@ -1,0 +1,32 @@
+"""Mimics the driver's t2 correctness gate locally at sf0.001:
+every registered query vs its DuckDB oracle (row count + columns +
+order-insensitive values)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from mpi_word_count_spark.oracle import compare
+
+SF_DIR = "/root/testdata/sf0.001"
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_oracle_parity(spark, name):
+    if name not in ORACLES:
+        # weaker check (driver records rows-only): must run, schema stable
+        df = QUERIES[name](spark, SF_DIR)
+        assert df.columns and df.count() >= 0
+        return
+    ok, msg = compare(spark, QUERIES[name], ORACLES[name], SF_DIR)
+    assert ok, f"{name}: {msg}"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert df.columns == ["word", "count"]
