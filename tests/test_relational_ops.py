@@ -1,0 +1,86 @@
+"""Unit tests for composite relational operators (operators/relational.py)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from mpi_word_count_spark.operators.relational import (
+    asof_join,
+    range_join,
+    sessionize,
+    topk_per_group,
+)
+
+
+def ts(s: str) -> datetime.datetime:
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_topk_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 3), ("a", 2), ("b", 5)], "k string, v long"
+    )
+    got = topk_per_group(df, ["k"], [F.desc("v")], k=2)
+    assert sorted((r["k"], r["v"], r["rn"]) for r in got.collect()) == [
+        ("a", 2, 2),
+        ("a", 3, 1),
+        ("b", 5, 1),
+    ]
+
+
+def test_sessionize_gap(spark):
+    rows = [
+        (1, ts("2024-01-01T00:00:00"), 1),
+        (1, ts("2024-01-01T00:10:00"), 2),   # same session (gap 600s)
+        (1, ts("2024-01-01T02:00:00"), 3),   # new session (gap > 1800s)
+        (2, ts("2024-01-01T00:00:00"), 4),   # separate user
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    got = sessionize(df, gap_seconds=1800, tiebreak="event_id")
+    sessions = {r["event_id"]: r["session_id"] for r in got.collect()}
+    assert sessions == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_asof_join_backward(spark):
+    trades = spark.createDataFrame(
+        [("A", ts("2024-01-01T00:00:05"), 10.0),
+         ("A", ts("2024-01-01T00:00:01"), 9.0),
+         ("B", ts("2024-01-01T00:00:03"), 7.0)],
+        "sym string, ts timestamp, px double",
+    )
+    quotes = spark.createDataFrame(
+        [("A", ts("2024-01-01T00:00:00"), 8.5),
+         ("A", ts("2024-01-01T00:00:04"), 9.5),
+         ("B", ts("2024-01-01T00:00:09"), 7.5)],
+        "sym string, ts timestamp, bid double",
+    )
+    got = asof_join(trades, quotes, on="sym", left_ts="ts", right_ts="ts")
+    by_key = {(r["sym"], r["px"]): r["bid"] for r in got.collect()}
+    # each trade picks the latest quote at-or-before its ts
+    assert by_key == {("A", 9.0): 8.5, ("A", 10.0): 9.5, ("B", 7.0): None}
+
+
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame(
+        [("A", ts("2024-01-01T00:00:02"), 1)], "k string, ts timestamp, i long"
+    )
+    right = spark.createDataFrame(
+        [("A", ts("2024-01-01T00:00:01"), 100),
+         ("A", ts("2024-01-01T00:00:03"), 300)],
+        "k string, ts timestamp, v long",
+    )
+    got = asof_join(left, right, on="k", direction="forward").collect()
+    assert got[0]["v"] == 300  # earliest right row at-or-after
+
+
+def test_range_join(spark):
+    points = spark.createDataFrame([(1, 5.0), (2, 15.0), (3, 25.0)], "id long, x double")
+    ranges = spark.createDataFrame(
+        [("lo", 0.0, 10.0), ("mid", 10.0, 20.0), ("wide", 0.0, 30.0)],
+        "name string, lo double, hi double",
+    )
+    got = range_join(points, ranges, "x", "lo", "hi", bucket_width=10.0)
+    pairs = sorted((r["id"], r["name"]) for r in got.collect())
+    assert pairs == [(1, "lo"), (1, "wide"), (2, "mid"), (2, "wide"), (3, "wide")]
