@@ -1,0 +1,372 @@
+"""Deduplication operators for LLM-training-data pipelines.
+
+Five flavors (BASELINE.json north star), all designed shuffle-lean:
+
+  exact_dedup          hash-groupBy on md5(text) — one shuffle on a
+                       16-byte key regardless of document size
+  ngram_jaccard_pairs  exact near-dup via inverted shingle index —
+                       the join fans out only on SHARED shingles
+  minhash_lsh_pairs    MinHash signatures + banded LSH — candidate
+                       generation cost is O(docs · bands), verification
+                       only on bucket collisions (the 100 TB path)
+  simhash              64-bit-style (60-bit) SimHash fingerprints +
+                       hamming-distance pairing
+  embedding_dup_pairs  cosine near-dup over embedding vectors
+
+Every hash is md5-derived (functions/hashing.py) so the DuckDB oracle
+reproduces the exact same candidate sets and signatures — the
+approximate pipelines are value-hash-verifiable end to end.
+
+Scale notes: at 100 TB the all-pairs verification stays tractable
+because it only runs on LSH-candidate pairs; the shingle inverted
+index should additionally drop ultra-common shingles (stop-shingles)
+to bound fan-out — exposed via `max_shingle_freq`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mpi_word_count_spark.functions.hashing import hash32, hash60
+from mpi_word_count_spark.tokenizer import DEFAULT_DELIMITERS, delimiter_regex
+
+# MinHash/LSH default geometry: 16 hash functions, 8 bands × 2 rows.
+# S-curve threshold (1/b)^(1/r) ≈ 0.35 — catches jaccard ≥ 0.5 pairs
+# with high probability while keeping bucket fan-out tiny.
+NUM_HASHES = 16
+NUM_BANDS = 8
+ROWS_PER_BAND = 2
+
+
+def tokens_col(col: Column | str, delimiters: str = DEFAULT_DELIMITERS) -> Column:
+    """Ordered token array (empties removed) — the array-valued twin
+    of tokenizer.tokenize for per-document operators."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), delimiter_regex(delimiters)), lambda x: x != "")
+
+
+def shingles_col(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (array<string>).
+    Documents with fewer than n tokens yield an empty set."""
+    toks = tokens_col(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    guarded = F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    return F.array_distinct(guarded)
+
+
+def doc_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingle) exploded distinct-shingle table — the inverted
+    index input. One narrow pass, no shuffle."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_col(text_col, n)).alias("shingle"),
+    )
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup by content hash: one row per distinct text with the
+    minimum id as canonical plus the duplicate count.
+
+    groupBy(md5) shuffles 16-byte keys, never documents — at 100 TB
+    the exchange is ~32 bytes/doc independent of document size.
+    """
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs (d1 < d2, jaccard ≥
+    threshold), via inverted-index self-join:
+
+      shingles → (shingle → docs) join → shared counts → |A∩B| /
+      (|A|+|B|-|A∩B|)
+
+    The self-join shuffles on the shingle key; only documents sharing
+    a shingle ever meet, so cost tracks true similarity structure
+    rather than |docs|². `max_shingle_freq` drops shingles appearing
+    in more than that many docs (stop-shingle guard for web-scale
+    corpora where boilerplate would otherwise explode the join).
+    """
+    sh = doc_shingles(df, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = (
+            sh.join(freq.filter(F.col("df") <= max_shingle_freq), "shingle")
+            .drop("df")
+        )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        shared.join(sa, F.col("d1") == F.col("sa.doc_id"))
+        .join(sb, F.col("d2") == F.col("sb.doc_id"))
+        .select(
+            "d1",
+            "d2",
+            F.round(
+                F.col("inter")
+                / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = NUM_HASHES,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash signature per document: h0..h{k-1} columns.
+
+    Computed as k simultaneous MIN aggregates over the exploded
+    shingle table — ONE shuffle on doc_id, no row explosion by k
+    (the naive seed-explode plan multiplies the shuffle by k).
+    Documents with no shingles are dropped (no signature).
+    """
+    sh = doc_shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(hash32(F.col("shingle"), seed=f"mh{i}")).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash + banded LSH near-duplicate pairs, verified with exact
+    Jaccard ≥ threshold. Deterministic end to end (md5-derived hash
+    family) — the oracle replicates the identical pipeline.
+
+    Plan shape: signatures (1 shuffle) → band keys (narrow) →
+    self-join on (band, key) (1 shuffle on 16-byte md5 band keys) →
+    exact verification only for bucket-colliding pairs.
+    """
+    rows_per_band = num_hashes // num_bands
+    sig = minhash_signatures(df, num_hashes, n, id_col, text_col)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"h{b * rows_per_band + r}")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("key"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    candidates = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    sh = doc_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sa_ = sh.alias("sa")
+    sb_ = sh.alias("sb")
+    inter = (
+        candidates.join(sa_, F.col("d1") == F.col("sa.doc_id"))
+        .join(
+            sb_,
+            (F.col("d2") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
+    return (
+        inter.join(za, F.col("d1") == F.col("za.doc_id"))
+        .join(zb, F.col("d2") == F.col("zb.doc_id"))
+        .select(
+            "d1",
+            "d2",
+            F.round(
+                F.col("inter")
+                / (F.col("za.n_shingles") + F.col("zb.n_shingles") - F.col("inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 — fits signed int64 in every engine
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """SimHash fingerprint per document (term-frequency weighted).
+
+    For each bit j: sum over distinct terms of ±tf (sign from bit j of
+    the term hash); fingerprint bit j is 1 iff the sum is positive.
+
+    Implemented by exploding bit positions (docs × terms × bits rows).
+    Fine for fixture scale; the 100 TB path replaces the bit explosion
+    with a batched Pandas UDF that folds all 60 bits per term in numpy
+    (same result, 60× fewer rows) — see multimodal.py for the pattern.
+    """
+    terms = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens_col(text_col)).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("th", hash60(F.col("term")))
+    )
+    per_bit = (
+        terms.select(
+            "doc_id",
+            "tf",
+            "th",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+        )
+        .withColumn(
+            "contrib",
+            # shiftright() the function needs a literal shift; expr form
+            # accepts a column shift amount
+            F.when(
+                F.expr("shiftright(th, cast(j as int)) & 1") == 1, F.col("tf")
+            ).otherwise(-F.col("tf")),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0,
+                F.expr("shiftleft(cast(1 as bigint), cast(j as int))"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Fixture-scale implementation is the all-pairs comparison (500²);
+    at scale you'd band the fingerprint into (max_hamming+1) chunks —
+    pigeonhole: any pair within distance d shares at least one exact
+    chunk — and equi-join on chunks exactly like MinHash LSH.
+    """
+    s = simhash(df, id_col, text_col)
+    a = s.alias("a")
+    b = s.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            ham.cast("bigint").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id1 < id2, cos ≥ τ).
+
+    Fixture-scale: all-pairs via self-join (the verification kernel).
+    At 100 TB, candidate generation goes through the random-hyperplane
+    LSH bucketing in operators/similarity.py and this kernel runs only
+    within buckets.
+    """
+    from mpi_word_count_spark.functions.vector import cosine
+
+    a = df.alias("a")
+    b = df.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id1"),
+            F.col(f"b.{id_col}").alias("id2"),
+            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

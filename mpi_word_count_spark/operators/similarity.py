@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns (BASELINE.json north star).
+
+Two paths:
+
+  ann_bruteforce_topk  exact top-k by cosine — the correctness
+                       baseline. Query side broadcasts; the big side
+                       streams. O(|queries| · |corpus|) but never
+                       shuffles the corpus.
+  ann_lsh_topk         random-hyperplane LSH bucketing — the scale
+                       path. Vectors hash to a 2^P bucket space via
+                       sign bits against P fixed hyperplanes;
+                       candidates are same-bucket vectors only. At
+                       100 TB the corpus is bucketed once (write-time
+                       partitioning by bucket) and each query touches
+                       one partition.
+
+Hyperplanes are generated in Python from md5 (functions/hashing.py)
+— deterministic and reproducible in the DuckDB oracle, which makes
+the approximate path value-hash-verifiable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mpi_word_count_spark.functions.hashing import py_hash32
+from mpi_word_count_spark.functions.vector import cosine, dot
+from mpi_word_count_spark.operators.relational import topk_per_group
+
+NUM_PLANES = 8
+EMBED_DIM = 64
+
+
+def lsh_planes(num_planes: int = NUM_PLANES, dim: int = EMBED_DIM) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1)^dim.
+
+    Component (p, d) = md5-hash32("p{p}d{d}") scaled — identical in
+    Python, Spark literals, and oracle SQL literals (binary64 repr
+    round-trips through all three).
+    """
+    return [
+        [py_hash32(f"p{p}d{d}") / 2147483648.0 - 1.0 for d in range(dim)]
+        for p in range(num_planes)
+    ]
+
+
+def _plane_lit(plane: list[float]) -> Column:
+    return F.array(*[F.lit(x) for x in plane])
+
+
+def lsh_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
+    """Bucket id = Σ_p (dot(v, plane_p) >= 0) << p, as a long."""
+    acc = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        bit = F.when(dot(vec, _plane_lit(plane)) >= 0, F.lit(1 << p)).otherwise(0)
+        acc = acc + bit.cast("long")
+    return acc
+
+
+def ann_bruteforce_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: for each query vector, the k nearest corpus
+    vectors (self excluded). Cosine rounded to 4 before ranking so the
+    rank order is reproducible across engines; ties break on id."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 4).alias("cosine"),
+        )
+    )
+    return topk_per_group(
+        scored,
+        ["q_id"],
+        [F.desc("cosine"), F.asc("neighbor_id")],
+        k=k,
+        rank_col="rank",
+    )
+
+
+def ann_lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = NUM_PLANES,
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """LSH-bucketed ANN top-k: rank only same-bucket candidates.
+
+    Recall < 1 by design (a query returns up to k of its bucket
+    peers); the win is that candidate generation is an equi-join on
+    the bucket id instead of a cross join — the joinable shape that
+    scales. Bucket skew is handled by AQE; for adversarial skew,
+    multi-probe (flip one sign bit) is the standard extension.
+    """
+    planes = lsh_planes(num_planes, dim)
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("n_vec"),
+        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        v.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 4).alias("cosine"),
+        )
+    )
+    return topk_per_group(
+        scored,
+        ["q_id"],
+        [F.desc("cosine"), F.asc("neighbor_id")],
+        k=k,
+        rank_col="rank",
+    )

@@ -1,0 +1,174 @@
+"""Text-analysis operators for training-data curation (north star):
+language ID, quality scoring, token counting, document fingerprints,
+TF-IDF. All built from JVM-side columnar expressions — no Python in
+the row path — so they run at scan speed over any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mpi_word_count_spark.operators.dedup import tokens_col
+from mpi_word_count_spark.operators.relational import topk_per_group
+
+# Function-word marker lists for the n-gram-free language-ID
+# heuristic: score = |tokens ∩ markers(lang)|, argmax wins.
+# Deliberately tiny — the operator's shape (token ⋈ broadcast vocab →
+# per-doc argmax) is what scales, the lists are swappable config.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "for", "it"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "los", "las"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"),
+    "fr": ("le", "la", "les", "de", "des", "et", "un", "une", "est", "dans"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "就", "不", "人"),
+}
+
+# English stopwords for the quality heuristic (subset; swappable).
+STOPWORDS = LANG_MARKERS["en"] + ("a", "an", "on", "with", "as", "at", "by")
+
+# BPE-ish pre-tokenizer: letter runs | single digits | single symbols.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def token_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document token statistics: whitespace/delimiter tokens,
+    distinct tokens, mean token length, BPE-ish token count."""
+    toks = tokens_col(text_col)
+    total_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n = F.size(toks)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique"),
+        F.when(n > 0, F.round(total_len / n, 4)).alias("mean_token_len"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+    )
+
+
+def language_id(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    markers: dict[str, tuple[str, ...]] = LANG_MARKERS,
+) -> DataFrame:
+    """Heuristic language ID: tokens ⋈ broadcast(marker vocab) →
+    per-doc score per language → argmax (ties break on language code,
+    zero matches → 'unknown').
+
+    The vocab join broadcasts (vocab is tiny by construction); the
+    only shuffle is the per-doc aggregation."""
+    spark = df.sparkSession
+    vocab = spark.createDataFrame(
+        [(lang, w) for lang, words in sorted(markers.items()) for w in words],
+        "lang string, marker string",
+    )
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("tok")
+    )
+    scores = (
+        toks.join(F.broadcast(vocab), toks.tok == vocab.marker)
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    best = topk_per_group(
+        scores, ["doc_id"], [F.desc("score"), F.asc("lang")], k=1
+    ).select("doc_id", "lang", F.col("score").cast("bigint").alias("score"))
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    return ids.join(best, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("lang"), F.lit("unknown")).alias("pred_lang"),
+        F.coalesce(F.col("score"), F.lit(0).cast("bigint")).alias("score"),
+    )
+
+
+def quality_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Document quality heuristics: length, stopword ratio, alphabetic
+    ratio, mean token length → one [0,1] score.
+
+      score = 0.4·stopword_ratio + 0.3·min(mean_len/8, 1) + 0.3·alpha_ratio
+
+    (the C4/Gopher-style cheap filters; the formula is config, the
+    plan shape — single narrow projection, no shuffle — is the point)."""
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(w) for w in sorted(set(STOPWORDS))])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    total_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_chars = F.length(F.col(text_col))
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
+    stop_ratio = F.when(n > 0, n_stop / n).otherwise(F.lit(0.0))
+    mean_len_norm = F.when(n > 0, F.least(total_len / n / F.lit(8.0), F.lit(1.0))).otherwise(
+        F.lit(0.0)
+    )
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    from mpi_word_count_spark.functions.parity import portable_round
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.cast("bigint").alias("n_chars"),
+        n.cast("bigint").alias("n_tokens"),
+        portable_round(stop_ratio, 4).alias("stopword_ratio"),
+        portable_round(alpha_ratio, 4).alias("alpha_ratio"),
+        portable_round(
+            0.4 * stop_ratio + 0.3 * mean_len_norm + 0.3 * alpha_ratio, 4
+        ).alias("quality_score"),
+    )
+
+
+def doc_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Content-defined fingerprint: md5 over the sorted distinct token
+    set (order-insensitive bag signature — robust to shuffling, the
+    cheap companion to MinHash for exact set identity)."""
+    toks = tokens_col(text_col)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias(
+            "fingerprint"
+        ),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: tf·ln(N/df), ties on term.
+
+    df (document frequency) aggregates once over (term, doc) pairs
+    and joins back — both shuffles are on the term key. N is bound as
+    a literal (one count job) rather than a cross join."""
+    n_docs = df.count()
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(docfreq, "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias(
+            "tfidf"
+        ),
+    )
+    return topk_per_group(
+        scored, ["doc_id"], [F.desc("tfidf"), F.asc("term")], k=k, rank_col="rank"
+    )

@@ -1,1 +1,211 @@
-"""Placeholder — filled in by later milestone."""
+"""Dedup queries over `documents`/`embeddings` (SURVEY.md §7 M3).
+
+Every pipeline — including the approximate ones — is deterministic
+via md5-derived hashes, so each has a full DuckDB oracle replicating
+the identical algorithm (signatures, banding, verification). The
+oracle SQL is assembled from the same geometry constants as the Spark
+operators; change one and both sides move together.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mpi_word_count_spark.functions.hashing import sql_hash32, sql_hash60
+from mpi_word_count_spark.operators.dedup import (
+    NUM_BANDS,
+    NUM_HASHES,
+    SIMHASH_BITS,
+    embedding_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_dup_pairs,
+)
+from mpi_word_count_spark.registry import register, sql_regex
+from mpi_word_count_spark.tables import table
+
+JACCARD_THRESHOLD = 0.5
+SIMHASH_MAX_HAMMING = 8
+COSINE_DUP_THRESHOLD = 0.4
+
+# Shared oracle fragments: tokenization + distinct 3-gram shingles,
+# identical to operators/dedup.py tokens_col/shingles_col.
+_SQL_SHINGLES = f"""
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '{sql_regex()}'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+        FROM toks
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id)
+"""
+
+
+@register(
+    "exact_dedup",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(table(spark, "documents", sf_dir))
+
+
+@register(
+    "ngram_jaccard_dups",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    shared AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           round(inter * 1.0 / (sa.n_shingles + sb.n_shingles - inter), 4) AS jaccard
+    FROM shared
+    JOIN sizes sa ON d1 = sa.doc_id
+    JOIN sizes sb ON d2 = sb.doc_id
+    WHERE round(inter * 1.0 / (sa.n_shingles + sb.n_shingles - inter), 4)
+          >= {JACCARD_THRESHOLD}
+    """,
+)
+def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        table(spark, "documents", sf_dir), threshold=JACCARD_THRESHOLD
+    )
+
+
+def _minhash_oracle() -> str:
+    rows_per_band = NUM_HASHES // NUM_BANDS
+    mins = ",\n               ".join(
+        f"min({sql_hash32('shingle', f'mh{i}')}) AS h{i}" for i in range(NUM_HASHES)
+    )
+    band_selects = "\n        UNION ALL\n".join(
+        "        SELECT doc_id, {b} AS band, md5({expr}) AS key FROM sig".format(
+            b=b,
+            expr=" || ',' || ".join(
+                f"h{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(NUM_BANDS)
+    )
+    return f"""
+    WITH {_SQL_SHINGLES},
+    sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+{band_selects}
+    ),
+    candidates AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT c.d1, c.d2, count(*) AS inter
+        FROM candidates c
+        JOIN sh sa ON sa.doc_id = c.d1
+        JOIN sh sb ON sb.doc_id = c.d2 AND sa.shingle = sb.shingle
+        GROUP BY 1, 2
+    )
+    SELECT v.d1, v.d2,
+           round(inter * 1.0 / (za.n_shingles + zb.n_shingles - inter), 4) AS jaccard
+    FROM verified v
+    JOIN sizes za ON v.d1 = za.doc_id
+    JOIN sizes zb ON v.d2 = zb.doc_id
+    WHERE round(inter * 1.0 / (za.n_shingles + zb.n_shingles - inter), 4)
+          >= {JACCARD_THRESHOLD}
+    """
+
+
+@register("minhash_lsh_dups", oracle=_minhash_oracle())
+def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        table(spark, "documents", sf_dir), threshold=JACCARD_THRESHOLD
+    )
+
+
+def _simhash_cte() -> str:
+    return f"""
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '{sql_regex()}'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    terms AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+        GROUP BY 1, 2
+    ),
+    hashed AS (SELECT doc_id, tf, {sql_hash60('term')} AS th FROM terms),
+    bits AS (
+        SELECT doc_id, j,
+               sum(CASE WHEN (th >> j) & 1 = 1 THEN tf ELSE -tf END) AS s
+        FROM hashed CROSS JOIN (SELECT unnest(range(0, {SIMHASH_BITS})) AS j)
+        GROUP BY 1, 2
+    ),
+    sim AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)
+                    AS BIGINT) AS simhash
+        FROM bits GROUP BY 1
+    )
+"""
+
+
+@register(
+    "simhash_fingerprints",
+    oracle=f"WITH {_simhash_cte()} SELECT doc_id, simhash FROM sim",
+)
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(table(spark, "documents", sf_dir))
+
+
+@register(
+    "simhash_dups",
+    oracle=f"""
+    WITH {_simhash_cte()}
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """,
+)
+def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_dup_pairs(
+        table(spark, "documents", sf_dir), max_hamming=SIMHASH_MAX_HAMMING
+    )
+
+
+@register(
+    "embedding_dups",
+    oracle=f"""
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 4) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]), 4)
+          >= {COSINE_DUP_THRESHOLD}
+    """,
+)
+def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_dup_pairs(
+        table(spark, "embeddings", sf_dir), threshold=COSINE_DUP_THRESHOLD
+    )

@@ -1,1 +1,163 @@
-"""Placeholder — filled in by later milestone."""
+"""Text-analysis queries over `documents` (SURVEY.md §7 M3).
+
+Oracles share tokenization fragments with the Spark operators via
+the same regex and marker/stopword constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mpi_word_count_spark.operators.textanalysis import (
+    BPE_ISH_PATTERN,
+    LANG_MARKERS,
+    STOPWORDS,
+    doc_fingerprints,
+    language_id,
+    quality_scores,
+    tfidf_top_terms,
+    token_stats,
+)
+from mpi_word_count_spark.registry import register, sql_regex
+from mpi_word_count_spark.tables import table
+
+_TOKS_CTE = f"""
+    toks AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(lower(text), '{sql_regex()}'),
+                           x -> x <> '') AS t
+        FROM documents
+    )
+"""
+
+
+@register(
+    "token_stats",
+    oracle=f"""
+    WITH {_TOKS_CTE}
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_unique,
+           CASE WHEN len(t) > 0 THEN
+               round(CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum')
+                     AS DOUBLE) / len(t), 4)
+           END AS mean_token_len,
+           CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT)
+               AS n_bpe_tokens
+    FROM toks
+    """,
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(table(spark, "documents", sf_dir))
+
+
+def _lang_oracle() -> str:
+    vocab_rows = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang, words in sorted(LANG_MARKERS.items())
+        for w in words
+    )
+    return f"""
+    WITH {_TOKS_CTE},
+    tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    vocab(lang, marker) AS (VALUES {vocab_rows}),
+    scores AS (
+        SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS score
+        FROM tok JOIN vocab ON tok = marker
+        GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT doc_id, lang, score FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, lang ASC
+            ) AS rn FROM scores
+        ) WHERE rn = 1
+    )
+    SELECT d.doc_id,
+           coalesce(b.lang, 'unknown') AS pred_lang,
+           coalesce(b.score, 0) AS score
+    FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+    """
+
+
+@register("lang_id", oracle=_lang_oracle())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(table(spark, "documents", sf_dir))
+
+
+def _quality_oracle() -> str:
+    from mpi_word_count_spark.functions.parity import sql_portable_round
+
+    stop_list = ", ".join(f"'{w}'" for w in sorted(set(STOPWORDS)))
+    sr = "(CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0 END)"
+    ml = (
+        "(CASE WHEN n_tokens > 0 THEN least(total_len / n_tokens / 8.0, 1.0) "
+        "ELSE 0 END)"
+    )
+    ar = "(CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0 END)"
+    return f"""
+    WITH {_TOKS_CTE},
+    m AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(t, x -> list_contains([{stop_list}], x)))
+                    AS DOUBLE) AS n_stop,
+               CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum')
+                    AS DOUBLE) AS total_len,
+               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                    AS DOUBLE) AS n_alpha
+        FROM toks
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           {sql_portable_round(sr, 4)} AS stopword_ratio,
+           {sql_portable_round(ar, 4)} AS alpha_ratio,
+           {sql_portable_round(f"0.4 * {sr} + 0.3 * {ml} + 0.3 * {ar}", 4)}
+               AS quality_score
+    FROM m
+    """
+
+
+@register("quality_scores", oracle=_quality_oracle())
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_scores(table(spark, "documents", sf_dir))
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+    WITH {_TOKS_CTE}
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fingerprint
+    FROM toks
+    """,
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_fingerprints(table(spark, "documents", sf_dir))
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+    docfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, tf.term,
+               round(tf * ln(n.n_docs / df), 4) AS tfidf
+        FROM tf JOIN docfreq ON tf.term = docfreq.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+        ) AS INT) AS rank FROM scored
+    ) WHERE rank <= 1
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_top_terms(table(spark, "documents", sf_dir), k=1).select(
+        "doc_id", "term", "tfidf", "rank"
+    )

@@ -62,6 +62,7 @@ def _load_all() -> None:
         return
     from mpi_word_count_spark.queries import (  # noqa: F401
         dedup_queries,
+        multimodal_queries,
         relational_queries,
         similarity_queries,
         text_queries,

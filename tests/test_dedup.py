@@ -1,0 +1,89 @@
+"""Unit tests for dedup operators on hand-built corpora."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mpi_word_count_spark.operators.dedup import (
+    embedding_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingles_col,
+    simhash,
+    simhash_dup_pairs,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog near the river bend today"),  # near dup of 1
+    (4, "completely different content about spark query engines and shuffles"),
+    (5, "ab"),  # fewer than 3 tokens → no shingles
+]
+
+
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    got = df.select(shingles_col("text").alias("s")).collect()[0]["s"]
+    assert sorted(got) == ["a b c", "b c d"]
+    short = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    assert short.select(shingles_col("text").alias("s")).collect()[0]["s"] == []
+
+
+def test_exact_dedup(spark):
+    got = exact_dedup(docs_df(spark)).collect()
+    by_canon = {r["canonical_id"]: r["n_copies"] for r in got}
+    assert by_canon[1] == 2          # docs 1,2 identical
+    assert by_canon[3] == 1
+    assert len(got) == 4             # 4 distinct texts
+
+
+def test_ngram_jaccard_pairs(spark):
+    got = ngram_jaccard_pairs(docs_df(spark), threshold=0.5)
+    pairs = {(r["d1"], r["d2"]): r["jaccard"] for r in got.collect()}
+    assert pairs[(1, 2)] == 1.0      # identical
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_minhash_matches_exact_on_high_sim(spark):
+    exact = {
+        (r["d1"], r["d2"])
+        for r in ngram_jaccard_pairs(docs_df(spark), threshold=0.5).collect()
+    }
+    lsh = {
+        (r["d1"], r["d2"])
+        for r in minhash_lsh_pairs(docs_df(spark), threshold=0.5).collect()
+    }
+    # banded LSH verified with exact jaccard → subset of exact pairs;
+    # identical texts always collide in every band
+    assert lsh <= exact
+    assert (1, 2) in lsh
+
+
+def test_simhash_identical_and_near(spark):
+    s = {r["doc_id"]: r["simhash"] for r in simhash(docs_df(spark)).collect()}
+    assert s[1] == s[2]              # identical docs → identical fingerprints
+    pairs = {
+        (r["d1"], r["d2"]): r["hamming"]
+        for r in simhash_dup_pairs(docs_df(spark), max_hamming=8).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs           # near dup within hamming budget
+
+
+def test_embedding_dup_pairs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # near dup of 1
+        (3, [0.0, 1.0, 0.0]),      # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = embedding_dup_pairs(df, threshold=0.95)
+    pairs = [(r["id1"], r["id2"]) for r in got.collect()]
+    assert pairs == [(1, 2)]

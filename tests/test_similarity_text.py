@@ -1,0 +1,118 @@
+"""Unit tests: similarity search, text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+
+from mpi_word_count_spark.operators.multimodal import (
+    decode_media,
+    extract_features,
+    media_from_documents,
+    resize_stub,
+    sample_frames,
+)
+from mpi_word_count_spark.operators.similarity import (
+    ann_bruteforce_topk,
+    ann_lsh_topk,
+    lsh_planes,
+)
+from mpi_word_count_spark.operators.textanalysis import (
+    language_id,
+    quality_scores,
+    token_stats,
+)
+
+
+def vecs_df(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+        (3, [-1.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_bruteforce_topk(spark):
+    df = vecs_df(spark)
+    q = df.filter("vec_id = 0")
+    got = ann_bruteforce_topk(df, q, k=2, vec_col="embedding").collect()
+    assert [(r["neighbor_id"], r["rank"]) for r in got] == [(1, 1), (2, 2)]
+
+
+def test_lsh_planes_deterministic(spark):
+    assert lsh_planes(2, 4) == lsh_planes(2, 4)
+    assert all(-1.0 <= x < 1.0 for p in lsh_planes(4, 8) for x in p)
+
+
+def test_lsh_topk_subset_of_bruteforce(spark):
+    df = vecs_df(spark)
+    q = df.filter("vec_id = 0")
+    bf = {r["neighbor_id"] for r in
+          ann_bruteforce_topk(df, q, k=3, vec_col="embedding").collect()}
+    lsh = {r["neighbor_id"] for r in
+           ann_lsh_topk(df, q, k=3, vec_col="embedding", dim=2).collect()}
+    assert lsh <= bf | {1, 2, 3}
+
+
+def test_token_stats(spark):
+    df = spark.createDataFrame([(1, "Hello, world! hello")], "doc_id long, text string")
+    r = token_stats(df).collect()[0]
+    assert r["n_tokens"] == 3 and r["n_unique"] == 2
+    assert r["n_bpe_tokens"] == 5  # Hello , world ! hello
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat is in the house"), (2, "el gato en la casa es que"), (3, "xyzzy plugh")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in language_id(df).collect()}
+    assert got == {1: "en", 2: "es", 3: "unknown"}
+
+
+def test_quality_scores_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, "the of and to in it is that for with good text here"),
+         (2, "!!! ??? ###")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_scores(df).collect()}
+    assert rows[1]["quality_score"] > rows[2]["quality_score"]
+    for r in rows.values():
+        assert 0.0 <= r["quality_score"] <= 1.0
+
+
+def test_decode_media_stub_contract():
+    with pytest.raises(NotImplementedError):
+        decode_media(b"abc", "image/png", fake=False)
+    img = decode_media(b"abc", "image/png", fake=True)
+    assert img.shape == (16, 16) and img.sum() == 3
+
+
+def docs_media(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world", "en", "s1", 11), (2, "spark", "en", "s2", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    return media_from_documents(df)
+
+
+def test_media_feature_pipeline(spark):
+    media = docs_media(spark)
+    feats = extract_features(media, fake=True).collect()
+    by_id = {r["media_id"]: r for r in feats}
+    assert by_id[1]["n_bytes"] == 11
+    assert len(by_id[1]["feature"]) == 16
+    # deterministic: same input bytes → same features
+    feats2 = extract_features(media, fake=True).collect()
+    assert sorted(map(repr, feats)) == sorted(map(repr, feats2))
+
+
+def test_media_resize_and_frames(spark):
+    media = docs_media(spark)
+    resized = resize_stub(media, 4, 4).collect()
+    assert all(len(r["media"]) == 4 * 4 * 4 for r in resized)  # float32 4x4
+    frames = sample_frames(media, frame_bytes=4, stride=1).collect()
+    assert {r["media_id"] for r in frames} == {1, 2}
+    assert max(r["frame_no"] for r in frames if r["media_id"] == 1) == 2
