@@ -1,0 +1,104 @@
+"""Streaming queries registered for the driver gate: each runs a
+Structured Streaming job over the fixture files to completion and is
+verified against a BATCH SQL oracle — batch/stream parity is the
+correctness claim (same logical query, incremental execution).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mpi_word_count_spark.registry import register, sql_regex
+from mpi_word_count_spark.streaming.core import run_to_completion, stream_table
+from mpi_word_count_spark.streaming.queries import (
+    session_event_counts,
+    streaming_dedup,
+    streaming_word_count,
+    tumbling_event_counts,
+)
+
+
+@register(
+    "streaming_wordcount",
+    oracle=f"""
+    SELECT word, count(*) AS count
+    FROM (
+        SELECT lower(unnest(regexp_split_to_array(text, '{sql_regex()}'))) AS word
+        FROM documents
+    ) WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def q_streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship query, streaming execution (complete mode)."""
+    lines = stream_table(spark, "documents", sf_dir)
+    return run_to_completion(streaming_word_count(lines), "complete")
+
+
+@register(
+    "streaming_tumbling_counts",
+    oracle="""
+    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event_type, streaming execution."""
+    ev = stream_table(spark, "events", sf_dir)
+    res = run_to_completion(
+        tumbling_event_counts(ev, window="1 hour", watermark=None), "complete"
+    )
+    return res.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+@register(
+    "streaming_session_counts",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM g
+    )
+    SELECT epoch_us(min(ts)) AS session_start_us,
+           user_id,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q_streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window (30-min gap) per user, streaming execution —
+    must equal the batch sessionize operator (same gap semantics)."""
+    ev = stream_table(spark, "events", sf_dir)
+    return run_to_completion(
+        session_event_counts(ev, gap="30 minutes", watermark=None), "complete"
+    )
+
+
+@register(
+    "streaming_dedup",
+    oracle="SELECT DISTINCT md5(text) AS content_hash FROM documents",
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-seen dedup by content hash (append mode)."""
+    docs = stream_table(spark, "documents", sf_dir)
+    return run_to_completion(streaming_dedup(docs), "append")

@@ -65,6 +65,7 @@ def _load_all() -> None:
         multimodal_queries,
         relational_queries,
         similarity_queries,
+        streaming_queries,
         text_queries,
         wordcount_queries,
     )

@@ -1,0 +1,69 @@
+"""Streaming sources and the run-to-completion harness.
+
+At production scale the sources become Kafka/Kinesis and the sinks
+exactly-once `foreachBatch` writers with RocksDB state store
+(spark.sql.streaming.stateStore.providerClass) — the session-window
+and dedup state here is the only design surface that needs sizing at
+100 TB (watermarks bound it; see SURVEY.md §7 hard-parts #5).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mpi_word_count_spark.tables import TABLES, table
+
+
+def stream_table(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
+    """File-source streaming read of a fixture table (schema pinned
+    from the batch catalog — streaming reads never infer)."""
+    if name not in TABLES:
+        raise KeyError(name)
+    batch = table(spark, name, sf_dir)
+    if name == "events":
+        # match tables.py: raw int64-nanos schema, then truncate to µs
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        import os
+
+        raw_schema = spark.read.parquet(
+            os.path.join(sf_dir, "events.parquet")
+        ).schema
+        sdf = (
+            spark.readStream.schema(raw_schema)
+            # file stream sources take a directory; glob-filter the table
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        # integer div, not /1000: the float path rounds at this magnitude
+        return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def run_to_completion(
+    sdf: DataFrame, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a streaming DataFrame over a finite file source until all
+    input is processed; return the final result as a batch DataFrame.
+
+    Memory sink + processAllAvailable: the local test harness for
+    batch/stream parity (the production sink is foreachBatch)."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return sdf.sparkSession.table(name)

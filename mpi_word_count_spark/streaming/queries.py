@@ -1,0 +1,113 @@
+"""Streaming query builders: the engine's streaming operator surface.
+
+Each builder returns a STREAMING DataFrame (caller picks the sink);
+`run_to_completion` drives it for tests and the driver registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mpi_word_count_spark.tokenizer import DEFAULT_DELIMITERS, tokenize
+
+
+def streaming_word_count(
+    lines: DataFrame, col: str = "text", delimiters: str = DEFAULT_DELIMITERS
+) -> DataFrame:
+    """The flagship query in streaming form — the reference's
+    partition-then-merge pipeline as incremental state (complete
+    mode). Same tokenize → lower → filter → count plan; Spark keeps
+    the running counts in the state store instead of a per-rank hash
+    map (hash_map.c:69-79)."""
+    return (
+        tokenize(lines, col=col, delimiters=delimiters)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def tumbling_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts per event_type with a watermark bounding
+    late data (and therefore state size — the 100 TB knob).
+    watermark=None → complete-mode variant (finite backfill runs)."""
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Sliding-window (overlapping) counts — each event lands in
+    window/slide buckets. watermark=None → complete-mode variant."""
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def session_event_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Session windows (gap-merged) per user — the streaming twin of
+    operators/relational.sessionize. watermark=None → complete mode
+    for finite backfills."""
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(docs: DataFrame) -> DataFrame:
+    """Streaming exact dedup: first-seen wins per content hash.
+    With event-time bounds use dropDuplicatesWithinWatermark so state
+    is evicted; the unbounded variant is for finite backfills."""
+    hashed = docs.select(F.md5(F.col("text")).alias("content_hash"))
+    return hashed.dropDuplicates(["content_hash"])
+
+
+def streaming_dedup_within_watermark(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Keyed dedup with bounded state: duplicates of (user_id,
+    event_type) within the watermark horizon are dropped, state
+    evicted as the watermark advances — the only dedup shape that
+    runs forever at scale."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )

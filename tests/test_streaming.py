@@ -1,0 +1,99 @@
+"""Streaming semantics: batch/stream parity, watermarked dedup,
+sliding windows. The registry-level parity for streaming queries is
+covered by test_oracle_parity; these test the streaming-only shapes.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from mpi_word_count_spark.streaming.core import run_to_completion, stream_table
+from mpi_word_count_spark.streaming.queries import (
+    sliding_event_counts,
+    streaming_dedup_within_watermark,
+    streaming_word_count,
+)
+from tests.conftest import SF_DIR
+
+
+def test_stream_equals_batch_wordcount(spark):
+    from mpi_word_count_spark.operators.wordcount import word_count_df
+    from mpi_word_count_spark.tables import table
+
+    stream_res = run_to_completion(
+        streaming_word_count(stream_table(spark, "documents", SF_DIR)), "complete"
+    )
+    batch_res = word_count_df(table(spark, "documents", SF_DIR), ordered=False)
+    assert sorted(map(tuple, stream_res.collect())) == sorted(
+        map(tuple, batch_res.collect())
+    )
+
+
+def test_sliding_windows_overlap(spark):
+    ev = stream_table(spark, "events", SF_DIR)
+    slid = run_to_completion(
+        sliding_event_counts(ev, "1 hour", "30 minutes", watermark=None),
+        "complete",
+    )
+    tumb_n = (
+        run_to_completion(
+            sliding_event_counts(ev, "1 hour", "1 hour", watermark=None),
+            "complete",
+        )
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    # each event falls into exactly window/slide = 2 sliding buckets
+    assert slid.agg(F.sum("n")).collect()[0][0] == 2 * tumb_n
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 0, 0, 0), 10, "click", 1.0, "{}"),
+        (2, datetime.datetime(2024, 1, 1, 0, 5, 0), 10, "click", 1.0, "{}"),  # dup inside horizon
+        (3, datetime.datetime(2024, 1, 1, 0, 10, 0), 10, "view", 1.0, "{}"),
+    ]
+    src = tmp_path / "events_src"
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.parquet(str(src))
+    sdf = spark.readStream.schema(df.schema).parquet(str(src))
+    got = run_to_completion(
+        streaming_dedup_within_watermark(sdf, watermark="1 hour"), "append"
+    )
+    rows_out = got.collect()
+    # one row per (user_id, event_type) key within the watermark horizon;
+    # which duplicate survives is arrival-order-defined, not asserted
+    assert sorted((r["user_id"], r["event_type"]) for r in rows_out) == [
+        (10, "click"),
+        (10, "view"),
+    ]
+
+
+def test_watermarked_append_window(spark, tmp_path):
+    # append-mode windowed agg emits only watermark-closed windows
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 0, 10, 0), 1, "click", 1.0, "{}"),
+        (2, datetime.datetime(2024, 1, 1, 5, 0, 0), 1, "click", 1.0, "{}"),
+    ]
+    src = tmp_path / "ev2"
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.parquet(str(src))
+    sdf = spark.readStream.schema(df.schema).parquet(str(src))
+    agg = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = run_to_completion(agg, "append").collect()
+    # the 00:00 window closed (watermark 04:00); the 05:00 window did not
+    assert [(r["w"]["start"].hour, r["n"]) for r in got] == [(0, 1)]
