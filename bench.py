@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query executes fully via the noop sink (no driver collect — we
+measure the distributed plan, not result transfer, mirroring how the
+reference times compute + reduce but not stdout, word_count_mpi.c:406).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mpi_word_count_spark import registry  # noqa: E402
+from mpi_word_count_spark.session import get_spark  # noqa: E402
+
+# Representative slice of SURVEY.md §2 coverage: scan+agg+sort (the
+# reference's own query), joins, windows, approximate dedup, ANN,
+# text analysis, streaming execution.
+HEADLINE = [
+    "wordcount",
+    "wordcount_topk",
+    "word_doc_frequency",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_regional_revenue",
+    "top3_orders_per_customer",
+    "user_session_counts",
+    "exact_dedup",
+    "minhash_lsh_dups",
+    "simhash_fingerprints",
+    "ann_bruteforce",
+    "ann_lsh",
+    "token_stats",
+    "quality_scores",
+    "streaming_wordcount",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or 0.1)
+    spark = get_spark(app_name="bench")
+
+    # absorb one-time JVM/codegen/catalog init so per-query numbers
+    # measure the plan, not session bring-up (the reference likewise
+    # starts its clock after MPI_Init, word_count_mpi.c:406): compile
+    # the flagship pipeline once on a one-row input
+    from mpi_word_count_spark.operators.wordcount import word_count_df
+
+    tiny = spark.createDataFrame([("warm up the codegen cache",)], "text string")
+    word_count_df(tiny).write.format("noop").mode("overwrite").save()
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    queries = registry.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        start = time.monotonic()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

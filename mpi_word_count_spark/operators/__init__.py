@@ -1,1 +1,25 @@
 """Operator library: each module groups one family from SURVEY.md §2."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure CPU-heavy per-row operators get full parallelism.
+
+    Small parquet inputs scan as 1-2 tasks (row-group granularity), so
+    a compute-bound stage (16 md5s per shingle, 60 bit-rows per term)
+    would run on 1-2 of the available cores. Repartition ONLY when the
+    scan is narrower than the cluster — at real scale inputs already
+    have thousands of splits and this is a no-op (no shuffle added).
+
+    This is the moral twin of the reference's byte-balanced partition
+    planner (word_count_mpi.c:246-255): equalize work across workers
+    before the expensive scan loop.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

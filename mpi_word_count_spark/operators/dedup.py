@@ -46,10 +46,16 @@ def tokens_col(col: Column | str, delimiters: str = DEFAULT_DELIMITERS) -> Colum
     return F.filter(F.split(F.lower(c), delimiter_regex(delimiters)), lambda x: x != "")
 
 
-def shingles_col(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (array<string>).
-    Documents with fewer than n tokens yield an empty set."""
-    toks = tokens_col(col)
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a BOUND token-array column.
+
+    Callers must materialize the token array in its own projection
+    first (`.select(..., tokens_col(text).alias("t"))`): Spark does
+    not CSE the tokenize expression through higher-order-function
+    lambdas, so building shingles directly over tokens_col(text)
+    re-tokenizes the document per element access — O(n²) (measured
+    11s → 0.9s at sf0.1 for the fix).
+    """
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
@@ -60,14 +66,26 @@ def shingles_col(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(guarded)
 
 
+def shingles_col(col: Column | str, n: int = 3) -> Column:
+    """Shingles directly from a text column — convenience for small
+    inputs/tests; hot paths go through shingles_from_tokens."""
+    return shingles_from_tokens(tokens_col(col), n)
+
+
 def doc_shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
     """(id, shingle) exploded distinct-shingle table — the inverted
-    index input. One narrow pass, no shuffle."""
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles_col(text_col, n)).alias("shingle"),
+    index input. One narrow two-phase pass (tokenize, then shingle),
+    no shuffle."""
+    from mpi_word_count_spark.operators import widen
+
+    toks = widen(df).select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("_toks")
+    )
+    return toks.select(
+        "doc_id",
+        F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle"),
     )
 
 
@@ -275,8 +293,11 @@ def simhash(
     with a batched Pandas UDF that folds all 60 bits per term in numpy
     (same result, 60× fewer rows) — see multimodal.py for the pattern.
     """
+    from mpi_word_count_spark.operators import widen
+
     terms = (
-        df.select(
+        widen(df)
+        .select(
             F.col(id_col).alias("doc_id"),
             F.explode(tokens_col(text_col)).alias("term"),
         )

@@ -35,20 +35,31 @@ def token_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Per-document token statistics: whitespace/delimiter tokens,
-    distinct tokens, mean token length, BPE-ish token count."""
-    toks = tokens_col(text_col)
+    distinct tokens, mean token length, BPE-ish token count.
+
+    Two-phase projection: the token array materializes once, stats
+    read the bound column (see shingles_from_tokens on why)."""
+    from mpi_word_count_spark.operators import widen
+
+    df = widen(df)
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        tokens_col(text_col).alias("_toks"),
+    )
+    toks = F.col("_toks")
     total_len = F.aggregate(
         F.transform(toks, lambda x: F.length(x).cast("long")),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
     n = F.size(toks)
-    return df.select(
-        F.col(id_col).alias("doc_id"),
+    return staged.select(
+        "doc_id",
         n.cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique"),
         F.when(n > 0, F.round(total_len / n, 4)).alias("mean_token_len"),
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0))
+        F.size(F.regexp_extract_all(F.col("_text"), F.lit(BPE_ISH_PATTERN), 0))
         .cast("bigint")
         .alias("n_bpe_tokens"),
     )
@@ -100,7 +111,15 @@ def quality_scores(
 
     (the C4/Gopher-style cheap filters; the formula is config, the
     plan shape — single narrow projection, no shuffle — is the point)."""
-    toks = tokens_col(text_col)
+    from mpi_word_count_spark.operators import widen
+
+    df = widen(df)
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        tokens_col(text_col).alias("_toks"),
+    )
+    toks = F.col("_toks")
     n = F.size(toks)
     stop_arr = F.array(*[F.lit(w) for w in sorted(set(STOPWORDS))])
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
@@ -109,8 +128,8 @@ def quality_scores(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    n_chars = F.length(F.col(text_col))
-    n_alpha = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
+    n_chars = F.length(F.col("_text"))
+    n_alpha = F.length(F.regexp_replace(F.col("_text"), "[^A-Za-z]", ""))
     stop_ratio = F.when(n > 0, n_stop / n).otherwise(F.lit(0.0))
     mean_len_norm = F.when(n > 0, F.least(total_len / n / F.lit(8.0), F.lit(1.0))).otherwise(
         F.lit(0.0)
@@ -118,8 +137,8 @@ def quality_scores(
     alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
     from mpi_word_count_spark.functions.parity import portable_round
 
-    return df.select(
-        F.col(id_col).alias("doc_id"),
+    return staged.select(
+        "doc_id",
         n_chars.cast("bigint").alias("n_chars"),
         n.cast("bigint").alias("n_tokens"),
         portable_round(stop_ratio, 4).alias("stopword_ratio"),

@@ -66,8 +66,10 @@ def word_count_df(
     Implements S1 (tokenize), S2 (lowercase), S3 (sum), S4 (bytewise
     ascending order when `ordered`).
     """
+    from mpi_word_count_spark.operators import widen
+
     counts = (
-        tokenize(df, col=col, delimiters=delimiters)
+        tokenize(widen(df), col=col, delimiters=delimiters)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("count"))
     )
