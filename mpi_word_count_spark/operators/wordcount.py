@@ -107,6 +107,71 @@ def word_count_per_file(
     return tokens.groupBy("file", "word").agg(F.count(F.lit(1)).alias("count"))
 
 
+def word_count_compat(
+    df: DataFrame,
+    col: str = "text",
+    delimiters: str = DEFAULT_DELIMITERS,
+    max_word_len: int | None = 29,
+    ascii_fold: bool = True,
+    ordered: bool = True,
+) -> DataFrame:
+    """Strict reference-compat word count (SURVEY.md §7 hard parts).
+
+    The reference silently truncates words to 29 chars (char key[30],
+    cell.h:1-4 — longer words are buffer-overflow UB we replicate as
+    clean truncation) and case-folds ASCII-only (C tolower,
+    hash_map.c:27-28). Defaults in word_count_df are the sane modern
+    ones (unbounded, Unicode); this variant exists for byte-exact
+    parity runs against reference output.
+    """
+    from mpi_word_count_spark.tokenizer import tokenize
+
+    toks = tokenize(df, col=col, delimiters=delimiters, lowercase=False)
+    word = F.col("word")
+    if max_word_len is not None:
+        word = F.substring(word, 1, max_word_len)
+    if ascii_fold:
+        # ASCII-only folding: translate A-Z only, leave Unicode alone
+        word = F.translate(
+            word,
+            "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+            "abcdefghijklmnopqrstuvwxyz",
+        )
+    else:
+        word = F.lower(word)
+    counts = (
+        toks.select(word.alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    return counts.orderBy("word") if ordered else counts
+
+
+def word_count_rdd(
+    spark: SparkSession, path: str, delimiters: str = DEFAULT_DELIMITERS
+) -> DataFrame:
+    """RDD demonstration path (SURVEY.md §1.3): the canonical
+    flatMap → map → reduceByKey word count. Kept as the educational
+    twin of the reference's explicit map/reduce phases
+    (word_count_mpi.c:346-384 scan, :147-209 reduce); the DataFrame
+    path is strictly better (codegen, AQE) and is the engine default.
+    """
+    import re
+
+    from mpi_word_count_spark.tokenizer import delimiter_regex
+
+    _check_corpus(path)
+    rx = re.compile(delimiter_regex(delimiters))
+    counts = (
+        spark.sparkContext.textFile(path)
+        .flatMap(rx.split)
+        .filter(lambda w: w != "")
+        .map(lambda w: (w.lower(), 1))
+        .reduceByKey(lambda a, b: a + b)  # map-side combine, like O15/O18
+    )
+    return spark.createDataFrame(counts, "word string, count long").orderBy("word")
+
+
 def top_k_words(
     df: DataFrame,
     col: str = "text",

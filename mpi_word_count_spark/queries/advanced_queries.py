@@ -1,0 +1,165 @@
+"""Advanced coverage queries: strict reference-compat mode, exact
+percentiles, GROUPING SETS (SQL API), scalar-function surface, and a
+grouped-map Pandas UDAF — each oracle-checked.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mpi_word_count_spark.functions.parity import sql_portable_round
+from mpi_word_count_spark.operators.wordcount import word_count_compat
+from mpi_word_count_spark.registry import register, sql_regex
+from mpi_word_count_spark.tables import table
+
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+@register(
+    "wordcount_compat",
+    oracle=f"""
+    SELECT word, count(*) AS count
+    FROM (
+        SELECT translate(substr(
+                   unnest(regexp_split_to_array(text, '{sql_regex()}')),
+                   1, 29), '{_UPPER}', '{_LOWER}') AS word
+        FROM documents
+    ) WHERE word <> ''
+    GROUP BY word ORDER BY word
+    """,
+)
+def q_wordcount_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-exact reference parity mode: 29-char key truncation
+    (cell.h:1-4) + ASCII-only case folding (hash_map.c:27-28)."""
+    return word_count_compat(table(spark, "documents", sf_dir), col="text")
+
+
+@register(
+    "order_price_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5)::DOUBLE, 2) AS p50,
+           round(quantile_cont(o_totalprice, 0.9)::DOUBLE, 2) AS p90,
+           round(quantile_cont(o_totalprice, 0.99)::DOUBLE, 2) AS p99
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    quantile_cont). At 100 TB switch to approx_percentile — noted as
+    the approximate twin, not oracle-comparable across engines."""
+    o = table(spark, "orders", sf_dir)
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99"),
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL API (same Catalyst plan
+    as the DataFrame cube/rollup entries — exercised via spark.sql to
+    cover the engine's SQL front door)."""
+    table(spark, "lineitem", sf_dir).createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               round(sum(l_extendedprice), 2) AS revenue
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@register(
+    "scalar_function_sampler",
+    oracle="""
+    SELECT p_partkey,
+           upper(substr(p_name, 1, 5)) AS s_upper,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS s_pad,
+           replace(p_type, ' ', '_') AS s_replace,
+           round(sqrt(p_retailprice), 4) AS n_sqrt,
+           round(ln(p_retailprice + 1), 4) AS n_ln,
+           CAST(mod(p_partkey, 7) AS BIGINT) AS n_mod,
+           CAST(greatest(p_size, 25) AS BIGINT) AS n_greatest,
+           coalesce(nullif(p_brand, 'Brand#1'), 'OTHER') AS s_branch
+    FROM part
+    """,
+)
+def q_scalar_function_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function surface in one projection (string/math/
+    conditional — SURVEY.md §2.6 'absent in reference, free in
+    Spark'). All JVM expressions, single codegen stage."""
+    p = table(spark, "part", sf_dir)
+    return p.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 5)).alias("s_upper"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("s_pad"),
+        F.regexp_replace("p_type", " ", "_").alias("s_replace"),
+        F.round(F.sqrt("p_retailprice"), 4).alias("n_sqrt"),
+        F.round(F.log(F.col("p_retailprice") + 1), 4).alias("n_ln"),
+        (F.col("p_partkey") % 7).cast("bigint").alias("n_mod"),
+        F.greatest(F.col("p_size"), F.lit(25)).cast("bigint").alias("n_greatest"),
+        F.coalesce(F.nullif(F.col("p_brand"), F.lit("Brand#1")), F.lit("OTHER")).alias(
+            "s_branch"
+        ),
+    )
+
+
+@register(
+    "customer_order_zscores",
+    oracle=f"""
+    WITH s AS (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               avg(o_totalprice) OVER w AS mu,
+               stddev_samp(o_totalprice) OVER w AS sigma
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey)
+    )
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN sigma > 0
+                THEN {sql_portable_round('(o_totalprice - mu) / sigma', 4)}
+           END AS z
+    FROM s
+    """,
+)
+def q_customer_order_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Pandas UDAF (applyInPandas): per-customer z-score
+    of order totals — the engine's user-defined-aggregation surface
+    (SURVEY.md §2.8; the reference's compile-time `item` interface,
+    item.h:1-8, becomes a runtime pandas kernel). Arrow-batched; one
+    shuffle on the group key."""
+    o = table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["o_totalprice"].to_numpy()
+        mu = x.mean()
+        sigma = x.std(ddof=1) if len(x) > 1 else 0.0
+        if sigma > 0:
+            z = np.floor((x - mu) / sigma * 1e4 + 0.5) / 1e4  # portable round
+        else:
+            z = np.full(len(x), np.nan)
+        return pd.DataFrame(
+            {"o_orderkey": pdf["o_orderkey"], "o_custkey": pdf["o_custkey"], "z": z}
+        )
+
+    return o.groupBy("o_custkey").applyInPandas(
+        zscore, schema="o_orderkey long, o_custkey long, z double"
+    )

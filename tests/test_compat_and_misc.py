@@ -1,0 +1,52 @@
+"""Strict-compat mode, RDD demo path, timing sink."""
+
+from __future__ import annotations
+
+import os
+
+from mpi_word_count_spark.operators.wordcount import (
+    word_count_compat,
+    word_count_dir,
+    word_count_rdd,
+)
+from mpi_word_count_spark.sinks import timing_log
+
+
+def test_compat_truncation_and_ascii_fold(spark):
+    # 29-char truncation (cell.h:1-4) merges long words sharing a prefix;
+    # ASCII-only folding leaves Unicode uppercase alone (C tolower)
+    long_a = "x" * 29 + "aaa"
+    long_b = "x" * 29 + "bbb"
+    df = spark.createDataFrame(
+        [(f"{long_a} {long_b} ÉCOLE école Mixed",)], "text string"
+    )
+    got = {r["word"]: r["count"] for r in word_count_compat(df).collect()}
+    assert got["x" * 29] == 2          # truncated to same key
+    assert got["École".replace("E", "É")] == 1  # É NOT folded (ASCII-only)
+    assert got["école"] == 1
+    assert got["mixed"] == 1
+
+
+def test_compat_default_differs(spark):
+    df = spark.createDataFrame([("ÉCOLE école",)], "text string")
+    from mpi_word_count_spark.operators.wordcount import word_count_df
+
+    unicode_fold = {r["word"]: r["count"] for r in word_count_df(df).collect()}
+    assert unicode_fold == {"école": 2}  # default mode: Unicode folding
+
+
+def test_rdd_path_matches_dataframe(spark, tmp_path):
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("Roma roma[b] c-c\n")
+    df_res = [(r["word"], r["count"]) for r in word_count_dir(spark, str(d)).collect()]
+    rdd_res = [(r["word"], r["count"]) for r in word_count_rdd(spark, str(d)).collect()]
+    assert df_res == rdd_res == [("b", 1), ("c", 2), ("roma", 2)]
+
+
+def test_timing_log(tmp_path):
+    path = os.path.join(tmp_path, "timing.log")
+    with timing_log(path, label="unit"):
+        pass
+    content = open(path).read()
+    assert content.startswith("unit: ") and content.endswith(" s\n")
