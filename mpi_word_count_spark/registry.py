@@ -62,6 +62,7 @@ def _load_all() -> None:
         return
     from mpi_word_count_spark.queries import (  # noqa: F401
         advanced_queries,
+        approx_queries,
         dedup_queries,
         multimodal_queries,
         relational_queries,

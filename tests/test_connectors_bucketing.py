@@ -1,0 +1,85 @@
+"""Source/sink connector roundtrips + bucketed-join shuffle
+elimination (SCALE.md evidence)."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from mpi_word_count_spark.tables import table
+from tests.conftest import SF_DIR
+
+
+def _roundtrip(spark, df, tmp_path, fmt, **read_opts):
+    path = str(tmp_path / f"rt_{fmt}")
+    df.write.mode("overwrite").format(fmt).save(path)
+    return spark.read.format(fmt).options(**read_opts).schema(df.schema).load(path)
+
+
+def test_csv_json_orc_parquet_roundtrip(spark, tmp_path):
+    src = table(spark, "nation", SF_DIR)
+    want = sorted(map(tuple, src.collect()))
+    for fmt, opts in [
+        ("parquet", {}),
+        ("orc", {}),
+        ("json", {}),
+        ("csv", {"header": "true"}),
+    ]:
+        if fmt == "csv":
+            path = str(tmp_path / "rt_csv")
+            src.write.mode("overwrite").option("header", True).csv(path)
+            got = spark.read.schema(src.schema).option("header", True).csv(path)
+        else:
+            got = _roundtrip(spark, src, tmp_path, fmt)
+        assert sorted(map(tuple, got.collect())) == want, fmt
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    orders = table(spark, "orders", SF_DIR)
+    lineitem = table(spark, "lineitem", SF_DIR)
+    # external tables: warehouse.dir is static, so give each an explicit path
+    orders.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).option("path", str(tmp_path / "orders_b")).saveAsTable("orders_b")
+    lineitem.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).option("path", str(tmp_path / "lineitem_b")).saveAsTable("lineitem_b")
+    ob, lb = spark.table("orders_b"), spark.table("lineitem_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey).groupBy(
+            "o_orderstatus"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain()
+        plan = buf.getvalue()
+        # co-located bucketed join: no exchange feeds the SortMergeJoin
+        assert "SortMergeJoin" in plan
+        join_part = plan[: plan.index("SortMergeJoin")]
+        assert "Exchange hashpartitioning(l_orderkey" not in plan.replace(join_part, "")
+        n_exchanges = plan.count("Exchange")
+        assert n_exchanges <= 1, plan  # only the final groupBy exchange
+        assert joined.count() > 0
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_salted_agg_matches_plain(spark):
+    from mpi_word_count_spark.operators.skew import salted_count, salted_sum
+
+    df = spark.createDataFrame(
+        [("a", 1.0)] * 50 + [("b", 2.0)] * 3, "k string, v double"
+    )
+    plain = {(r["k"], r["count"]) for r in
+             df.groupBy("k").agg(F.count(F.lit(1)).alias("count")).collect()}
+    salted = {(r["k"], r["count"]) for r in salted_count(df, ["k"]).collect()}
+    assert salted == plain == {("a", 50), ("b", 3)}
+    sums = {(r["k"], r["sum"]) for r in salted_sum(df, ["k"], "v").collect()}
+    assert sums == {("a", 50.0), ("b", 6.0)}
