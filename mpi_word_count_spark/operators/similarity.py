@@ -92,6 +92,140 @@ def ann_bruteforce_topk(
     )
 
 
+def kmeans_centroids(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means over an embedding column.
+
+    Init = the k vectors with smallest ids (reproducible, no RNG).
+    Each iteration is one distributed pass: assignment is a pure
+    codegen'd expression (min over k literal-centroid distances — no
+    shuffle), mean recomputation is posexplode → groupBy(cluster, pos)
+    → avg (one shuffle of n·dim skinny rows). Only k·dim floats ever
+    reach the driver, so iterating is cheap at any corpus size.
+    """
+    init = (
+        vectors.orderBy(id_col)
+        .limit(k)
+        .select(_as_double_list(vec_col))
+        .collect()
+    )
+    centroids = [row[0] for row in init]
+    v = vectors.select(F.col(vec_col).alias("_vec"))
+    for _ in range(iters):
+        assigned = v.withColumn("_cluster", nearest_centroid_col(F.col("_vec"), centroids))
+        means = (
+            assigned.select("_cluster", F.posexplode("_vec").alias("_pos", "_x"))
+            .groupBy("_cluster", "_pos")
+            .agg(F.avg("_x").alias("_m"))
+            .groupBy("_cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("_pos", "_m"))).alias("_ms"))
+            .select("_cluster", F.transform("_ms", lambda s: s["_m"]).alias("_mean"))
+            .collect()
+        )
+        by_cluster = {row["_cluster"]: list(row["_mean"]) for row in means}
+        # empty clusters keep their previous centroid
+        centroids = [by_cluster.get(c, centroids[c]) for c in range(k)]
+    return centroids
+
+
+def _as_double_list(vec_col: str):
+    return F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
+
+
+def _sq_l2(vec: Column, centroid: list[float]) -> Column:
+    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, lit, lambda a, b: (a.cast("double") - b) ** 2),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def nearest_centroid_col(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmin over literal centroids — array_min on (dist, id) structs,
+    pure expression, no shuffle, ids break ties deterministically."""
+    pairs = F.array(
+        *[
+            F.struct(_sq_l2(vec, c).alias("d"), F.lit(i).alias("c"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.array_min(pairs)["c"]
+
+
+def probe_centroids_col(
+    vec: Column, centroids: list[list[float]], nprobe: int
+) -> Column:
+    """The `nprobe` nearest cluster ids, as an array (for explode)."""
+    pairs = F.array(
+        *[
+            F.struct(_sq_l2(vec, c).alias("d"), F.lit(i).alias("c"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.transform(
+        F.slice(F.array_sort(pairs), 1, nprobe), lambda s: s["c"]
+    )
+
+
+def ann_ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    kmeans_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN: k-means coarse quantizer, queries probe the
+    `nprobe` nearest inverted lists, exact cosine rank within them.
+
+    The scale path beyond LSH: candidate generation is an equi-join on
+    cluster id, and at 100 TB the corpus is written partitioned (or
+    bucketed) by cluster so a query scans nprobe/n_clusters of the
+    data. Centroids are driver-side k·dim floats — broadcast-trivial.
+    Not SQL-expressible (iterative k-means) → rows-only driver check;
+    recall vs. ann_bruteforce_topk is asserted in tests instead.
+    """
+    centroids = kmeans_centroids(
+        vectors, k=n_clusters, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("n_vec"),
+        nearest_centroid_col(F.col(vec_col), centroids).alias("_cluster"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(
+            probe_centroids_col(F.col(vec_col), centroids, nprobe)
+        ).alias("_cluster"),
+    )
+    scored = (
+        v.join(F.broadcast(q), "_cluster")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 4).alias("cosine"),
+        )
+    )
+    return topk_per_group(
+        scored,
+        ["q_id"],
+        [F.desc("cosine"), F.asc("neighbor_id")],
+        k=k,
+        rank_col="rank",
+    )
+
+
 def ann_lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -1,0 +1,77 @@
+"""As-of and range joins registered for the driver gate (SURVEY.md
+§2.4: the reference has no joins; these are the two flavors Spark
+itself lacks as primitives, built as compositions in
+operators/relational.py and oracle-checked against plain ANSI SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mpi_word_count_spark.operators.relational import asof_join, range_join
+from mpi_word_count_spark.registry import register
+from mpi_word_count_spark.tables import table
+
+
+@register(
+    "events_last_order_asof",
+    oracle="""
+    SELECT e.event_id, e.user_id, epoch_us(max(o.o_orderdate)) AS last_order_us
+    FROM events e LEFT JOIN orders o
+      ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    GROUP BY e.event_id, e.user_id
+    """,
+)
+def q_events_last_order_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every event, the timestamp of that user's most
+    recent order at event time (NULL if none yet). The operator is the
+    union + last-value-carry-forward composition — one shuffle on
+    (user, ts), never the O(n·m) inequality join the oracle runs."""
+    e = table(spark, "events", sf_dir).select("event_id", "user_id", "ts")
+    o = table(spark, "orders", sf_dir).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("o_ts"),
+        F.col("o_orderdate").alias("last_order_ts"),
+    )
+    joined = asof_join(e, o, on="user_id", left_ts="ts", right_ts="o_ts")
+    return joined.select(
+        "event_id",
+        "user_id",
+        # o_orderdate arrives as TIMESTAMP_NTZ; session TZ is UTC so the
+        # cast is value-preserving
+        F.unix_micros(F.col("last_order_ts").cast("timestamp")).alias(
+            "last_order_us"
+        ),
+    )
+
+
+@register(
+    "lineitem_part_price_band",
+    oracle="""
+    SELECT p.p_partkey, count(*) AS n_lineitems,
+           round(avg(l.l_quantity), 2) AS avg_qty
+    FROM part p JOIN lineitem l
+      ON l.l_extendedprice >= p.p_retailprice - 50
+     AND l.l_extendedprice <  p.p_retailprice + 50
+    GROUP BY p.p_partkey
+    """,
+)
+def q_lineitem_part_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: lineitems whose extended price falls within ±50 of
+    a part's retail price. The operator bucketizes both sides to
+    width-100 bins and equi-joins on bin id — a shuffle hash join
+    instead of the planner's broadcast-nested-loop for theta joins."""
+    li = table(spark, "lineitem", sf_dir).select("l_extendedprice", "l_quantity")
+    p = (
+        table(spark, "part", sf_dir)
+        .select("p_partkey", "p_retailprice")
+        .withColumn("lo", F.col("p_retailprice") - 50)
+        .withColumn("hi", F.col("p_retailprice") + 50)
+        .drop("p_retailprice")
+    )
+    joined = range_join(li, p, "l_extendedprice", "lo", "hi", bucket_width=100.0)
+    return joined.groupBy("p_partkey").agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+    )

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from mpi_word_count_spark.operators.similarity import (
     ann_bruteforce_topk,
+    ann_ivf_topk,
     ann_lsh_topk,
     lsh_planes,
 )
@@ -88,3 +89,14 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     restricted to the query's hyperplane-sign bucket)."""
     emb = table(spark, "embeddings", sf_dir)
     return ann_lsh_topk(emb, _queries_df(spark, sf_dir), k=TOP_K)
+
+
+@register("ann_ivf")  # no oracle: iterative k-means isn't SQL-expressible;
+# recall vs ann_bruteforce is asserted in tests/test_similarity_text.py
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate top-5: k-means inverted lists, queries
+    probe the 2 nearest lists. Deterministic (id-ordered init, no RNG)."""
+    emb = table(spark, "embeddings", sf_dir)
+    return ann_ivf_topk(
+        emb, _queries_df(spark, sf_dir), k=TOP_K, n_clusters=8, nprobe=2
+    )

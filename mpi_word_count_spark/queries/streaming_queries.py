@@ -13,6 +13,7 @@ from mpi_word_count_spark.registry import register, sql_regex
 from mpi_word_count_spark.streaming.core import run_to_completion, stream_table
 from mpi_word_count_spark.streaming.queries import (
     session_event_counts,
+    stateful_user_totals,
     streaming_dedup,
     streaming_word_count,
     tumbling_event_counts,
@@ -92,6 +93,21 @@ def q_streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(
         session_event_counts(ev, gap="30 minutes", watermark=None), "complete"
     )
+
+
+@register(
+    "streaming_stateful_totals",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running totals. The finite fixture arrives as one batch, so each
+    user emits exactly one update row — equal to the batch aggregate."""
+    ev = stream_table(spark, "events", sf_dir)
+    return run_to_completion(stateful_user_totals(ev), "update")
 
 
 @register(

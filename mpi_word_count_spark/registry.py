@@ -64,6 +64,7 @@ def _load_all() -> None:
         advanced_queries,
         approx_queries,
         dedup_queries,
+        join_queries,
         multimodal_queries,
         relational_queries,
         similarity_queries,

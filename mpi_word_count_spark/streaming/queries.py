@@ -93,6 +93,42 @@ def session_event_counts(
     )
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState (SURVEY.md
+    §2.8 — the runtime twin of the reference's compile-time `item`
+    aggregation interface, item.h:1-8): per-user running event count
+    and value sum kept in explicit state, re-emitted on every update.
+
+    At scale: state is (2 numbers × |users|) in the state store
+    (RocksDB provider at 100 TB); Arrow-batched per group. Output mode
+    must be `update`.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, v = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            v += float(pdf["value"].sum())
+        state.update((n, v))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(v, 2)],
+            }
+        )
+
+    return events.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, v double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_dedup(docs: DataFrame) -> DataFrame:
     """Streaming exact dedup: first-seen wins per content hash.
     With event-time bounds use dropDuplicatesWithinWatermark so state

@@ -13,7 +13,9 @@ from mpi_word_count_spark.operators.multimodal import (
 )
 from mpi_word_count_spark.operators.similarity import (
     ann_bruteforce_topk,
+    ann_ivf_topk,
     ann_lsh_topk,
+    kmeans_centroids,
     lsh_planes,
 )
 from mpi_word_count_spark.operators.textanalysis import (
@@ -53,6 +55,37 @@ def test_lsh_topk_subset_of_bruteforce(spark):
     lsh = {r["neighbor_id"] for r in
            ann_lsh_topk(df, q, k=3, vec_col="embedding", dim=2).collect()}
     assert lsh <= bf | {1, 2, 3}
+
+
+def test_kmeans_deterministic_and_separating(spark):
+    # two tight clusters far apart: k-means must recover them exactly
+    rows = [(i, [10.0 + i * 0.01, 0.0]) for i in range(5)] + [
+        (i + 5, [-10.0 - i * 0.01, 0.0]) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    c1 = kmeans_centroids(df, k=2, iters=3)
+    c2 = kmeans_centroids(df, k=2, iters=3)
+    assert c1 == c2
+    signs = sorted(c[0] > 0 for c in c1)
+    assert signs == [False, True]
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    from tests.conftest import SF_DIR
+    from mpi_word_count_spark.tables import table
+    from pyspark.sql import functions as F
+
+    emb = table(spark, "embeddings", SF_DIR)
+    q = emb.filter(F.col("vec_id") < 10)
+    bf = ann_bruteforce_topk(emb, q, k=5).collect()
+    ivf = ann_ivf_topk(emb, q, k=5, n_clusters=8, nprobe=2).collect()
+    bf_pairs = {(r["q_id"], r["neighbor_id"]) for r in bf}
+    ivf_pairs = {(r["q_id"], r["neighbor_id"]) for r in ivf}
+    recall = len(bf_pairs & ivf_pairs) / len(bf_pairs)
+    assert recall >= 0.5, recall
+    # determinism: second run bit-identical
+    ivf2 = ann_ivf_topk(emb, q, k=5, n_clusters=8, nprobe=2).collect()
+    assert sorted(map(tuple, ivf)) == sorted(map(tuple, ivf2))
 
 
 def test_token_stats(spark):

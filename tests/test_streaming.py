@@ -12,10 +12,28 @@ from pyspark.sql import functions as F
 from mpi_word_count_spark.streaming.core import run_to_completion, stream_table
 from mpi_word_count_spark.streaming.queries import (
     sliding_event_counts,
+    stateful_user_totals,
     streaming_dedup_within_watermark,
     streaming_word_count,
 )
 from tests.conftest import SF_DIR
+
+
+def test_stateful_totals_equal_batch(spark):
+    from mpi_word_count_spark.tables import table
+
+    got = run_to_completion(
+        stateful_user_totals(stream_table(spark, "events", SF_DIR)), "update"
+    )
+    want = (
+        table(spark, "events", SF_DIR)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
 def test_stream_equals_batch_wordcount(spark):
