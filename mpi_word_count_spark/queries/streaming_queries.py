@@ -13,6 +13,7 @@ from mpi_word_count_spark.registry import register, sql_regex
 from mpi_word_count_spark.streaming.core import run_to_completion, stream_table
 from mpi_word_count_spark.streaming.queries import (
     session_event_counts,
+    sliding_event_counts,
     stateful_user_totals,
     streaming_dedup,
     streaming_word_count,
@@ -58,6 +59,32 @@ def q_streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
         "total_value",
+    )
+
+
+@register(
+    "streaming_sliding_counts",
+    oracle="""
+    SELECT CAST((CAST(floor(epoch(e.ts) / 1800) AS BIGINT) - s.off) * 1800000000
+                AS BIGINT) AS window_start_us,
+           e.event_type,
+           count(*) AS n
+    FROM events e
+    CROSS JOIN (SELECT 0 AS off UNION ALL SELECT 1) s
+    GROUP BY 1, 2
+    """,
+)
+def q_streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 min: every event lands in exactly
+    2 overlapping epoch-aligned windows (starts floor(t/30m)*30m and
+    that minus 30m) — the oracle materializes both per event."""
+    ev = stream_table(spark, "events", sf_dir)
+    res = run_to_completion(
+        sliding_event_counts(ev, window="1 hour", slide="30 minutes", watermark=None),
+        "complete",
+    )
+    return res.select(
+        F.unix_micros("window_start").alias("window_start_us"), "event_type", "n"
     )
 
 

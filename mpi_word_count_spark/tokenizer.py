@@ -46,9 +46,11 @@ _CLASS_ESCAPES = {
 def load_delimiters(path: str) -> str:
     """Read a delimiter alphabet file the way the reference does
     (define_delimiters, tokenizer.c:11-35): every byte in the file is
-    a literal delimiter character. Never interpreted as a regex."""
+    a literal delimiter character, never interpreted as a regex, and
+    the 4 whitespace chars are ALWAYS prepended (memcpy of end_lines
+    at tokenizer.c:21) — whitespace delimits under any alphabet."""
     with open(path, encoding="latin-1") as fh:
-        return "".join(dict.fromkeys(fh.read()))
+        return "".join(dict.fromkeys(WHITESPACE_DELIMITERS + fh.read()))
 
 
 def delimiter_regex(delimiters: str = DEFAULT_DELIMITERS) -> str:

@@ -55,13 +55,16 @@ def test_brackets_and_dash_are_delimiters():
 
 
 def test_custom_alphabet(tmp_path):
+    # whitespace is ALWAYS part of the alphabet, even with a custom
+    # file (end_lines memcpy'd ahead of the file bytes, tokenizer.c:21)
     p = tmp_path / "delims.txt"
     p.write_text(";")
     delims = load_delimiters(str(p))
-    assert delims == ";"
-    assert [t for t in re.split(delimiter_regex(delims), "a b;c") if t] == [
-        "a b",
-        "c",
+    assert delims == "\n\t\r ;"
+    assert [t for t in re.split(delimiter_regex(delims), "a b;c_d") if t] == [
+        "a",
+        "b",
+        "c_d",
     ]
 
 
