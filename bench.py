@@ -33,6 +33,7 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_regional_revenue",
+    "q4_late_order_priority",
     "top3_orders_per_customer",
     "user_session_counts",
     "exact_dedup",
@@ -42,6 +43,7 @@ HEADLINE = [
     "ann_lsh",
     "token_stats",
     "quality_scores",
+    "clean_corpus_summary",
     "streaming_wordcount",
 ]
 

@@ -1,0 +1,116 @@
+"""End-to-end training-data curation pipeline (north star flagship):
+
+    quality filter (Gopher-style alpha/length gates)
+    → language-agreement filter (predicted == recorded lang)
+    → exact dedup (min doc_id canonical per content hash)
+    → per-source corpus summary (docs kept, BPE-ish token budget)
+
+One registered query composes the text-analysis and dedup operator
+families — the shape of a real 100 TB curation job. Each stage is a
+narrow projection or a hash-key shuffle (quality/lang are per-doc
+projections + one tiny broadcast join; dedup shuffles 16-byte md5
+keys; the summary shuffles |sources| rows), so the composition adds
+no operator-level scale risk beyond its parts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mpi_word_count_spark.operators.textanalysis import (
+    LANG_MARKERS,
+    language_id,
+    quality_scores,
+    token_stats,
+)
+from mpi_word_count_spark.registry import register, sql_regex
+from mpi_word_count_spark.tables import table
+
+MIN_ALPHA_RATIO = 0.5
+MIN_TOKENS = 50
+
+
+def clean_corpus_summary(docs: DataFrame) -> DataFrame:
+    """documents → per-source summary of the cleaned corpus."""
+    q = quality_scores(docs).select("doc_id", "n_tokens", "alpha_ratio")
+    lid = language_id(docs).select("doc_id", "pred_lang")
+    kept = (
+        docs.select("doc_id", "lang", "source", "text")
+        .join(q, "doc_id")
+        .join(lid, "doc_id")
+        .filter(
+            (F.col("alpha_ratio") >= MIN_ALPHA_RATIO)
+            & (F.col("n_tokens") >= MIN_TOKENS)
+            & (F.col("pred_lang") == F.col("lang"))
+        )
+        .withColumn("content_hash", F.md5("text"))
+    )
+    winners = kept.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+    canon = kept.join(winners.select("doc_id"), "doc_id", "left_semi")
+    stats = token_stats(docs).select("doc_id", "n_bpe_tokens")
+    return (
+        canon.join(stats, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+        )
+    )
+
+
+def _oracle() -> str:
+    from mpi_word_count_spark.functions.parity import sql_portable_round
+    from mpi_word_count_spark.operators.textanalysis import BPE_ISH_PATTERN
+
+    vocab_rows = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang, words in sorted(LANG_MARKERS.items())
+        for w in words
+    )
+    ar = "(CASE WHEN length(text) > 0 THEN "
+    ar += "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text) "
+    ar += "ELSE 0 END)"
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, lang, source, text,
+               list_filter(string_split_regex(lower(text), '{sql_regex()}'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    vocab(vl, marker) AS (VALUES {vocab_rows}),
+    best AS (
+        SELECT doc_id, vl AS pred_lang FROM (
+            SELECT doc_id, vl,
+                   row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY count(*) DESC, vl ASC
+                   ) AS rn
+            FROM tok JOIN vocab ON tok = marker GROUP BY doc_id, vl
+        ) WHERE rn = 1
+    ),
+    kept AS (
+        SELECT x.doc_id, x.source, x.text, md5(x.text) AS content_hash
+        FROM toks x JOIN best b ON x.doc_id = b.doc_id AND b.pred_lang = x.lang
+        WHERE {sql_portable_round(ar, 4)} >= {MIN_ALPHA_RATIO}
+          AND len(t) >= {MIN_TOKENS}
+    ),
+    canon AS (
+        SELECT * FROM kept
+        WHERE doc_id IN (
+            SELECT min(doc_id) FROM kept GROUP BY content_hash
+        )
+    )
+    SELECT c.source,
+           count(*) AS n_docs,
+           sum(CAST(len(regexp_extract_all(c.text, '{BPE_ISH_PATTERN}'))
+               AS BIGINT)) AS total_bpe_tokens
+    FROM canon c
+    GROUP BY c.source
+    """
+
+
+@register("clean_corpus_summary", oracle=_oracle())
+def q_clean_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clean_corpus_summary(table(spark, "documents", sf_dir))

@@ -66,9 +66,11 @@ def _load_all() -> None:
         dedup_queries,
         join_queries,
         multimodal_queries,
+        pipeline_queries,
         relational_queries,
         similarity_queries,
         streaming_queries,
+        subquery_queries,
         text_queries,
         wordcount_queries,
     )

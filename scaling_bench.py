@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Scaling study: reproduce the reference's benchmark shape locally.
+
+The reference's published result (BASELINE.md) is (a) near-linear
+strong-scaling speedup of the word-count query up to physical cores
+and (b) ~0.90-0.95 weak-scaling efficiency with input replicated per
+rank (resources/Documentation.md:425,482). This harness measures the
+same two curves for our engine on local[n]:
+
+The sf0.1 corpus is only ~1.5 MB of text — far too small to occupy 32
+cores — so the worker amplifies it by replication (explode over a
+sequence), the same trick as the reference's replicated 1 GB files:
+
+- strong: fixed total work (STRONG_COPIES × corpus), n ∈ CORES,
+  speedup_n = T_1 / T_n.
+- weak: work ∝ cores (WEAK_COPIES_PER_CORE × n × corpus),
+  efficiency_n = T_1 / T_n.
+
+Each point runs in a fresh subprocess (own JVM) so parallelism is set
+by spark.master alone. Prints ONE JSON line; also appended to
+SCALING.json history.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+CORES = [1, 2, 4, 8, 16, 32]
+STRONG_COPIES = 512          # ≈ 768 MB of text at sf0.1
+WEAK_COPIES_PER_CORE = 64    # ≈ 96 MB of text per core
+
+_WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, os.getcwd())   # run_point sets cwd to the repo root
+from pyspark.sql import SparkSession, functions as F
+from mpi_word_count_spark.operators.wordcount import word_count_df
+
+n = int(sys.argv[1])
+mode = sys.argv[2]          # strong | weak
+sf_dir = sys.argv[3]
+copies = int(sys.argv[4])
+
+spark = (
+    SparkSession.builder.master(f"local[{n}]")
+    .appName(f"scaling-{mode}-{n}")
+    .config("spark.sql.shuffle.partitions", str(max(n, 1)))
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.driver.memory", "16g")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select("text")
+base = base.cache()
+base.count()                # warm: base corpus resident in memory
+
+# Replicate AFTER an explicit n-way repartition: the 584 KB parquet is
+# one row group (one scan split), so without this every copy would land
+# in a single partition and n cores would idle.
+def corpus():
+    return (
+        base.repartition(max(2 * n, 8))
+        .withColumn("__r", F.explode(F.sequence(F.lit(1), F.lit(copies))))
+        .drop("__r")
+    )
+
+word_count_df(base.limit(50)).write.format("noop").mode("overwrite").save()
+
+# best of 2: the first run pays JIT/codegen warmup, which would
+# otherwise read as (noisy) anti-scaling at high core counts
+best = float("inf")
+for _ in range(2):
+    t0 = time.monotonic()
+    word_count_df(corpus()).write.format("noop").mode("overwrite").save()
+    best = min(best, time.monotonic() - t0)
+print(json.dumps({"n": n, "sec": round(best, 3)}))
+spark.stop()
+"""
+
+
+def run_point(n: int, mode: str, sf_dir: str, copies: int) -> float:
+    out = subprocess.run(
+        [sys.executable, "-c", _WORKER, str(n), mode, sf_dir, str(copies)],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        timeout=1800,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("{"):
+            return json.loads(line)["sec"]
+    raise RuntimeError(f"no result for n={n} {mode}: {out.stderr[-2000:]}")
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = [
+        int(c)
+        for c in os.environ.get(
+            "SPARK_GRAFT_SCALE_CORES", ",".join(map(str, CORES))
+        ).split(",")
+    ]
+    strong = {n: run_point(n, "strong", sf_dir, STRONG_COPIES) for n in cores}
+    weak = {
+        n: run_point(n, "weak", sf_dir, WEAK_COPIES_PER_CORE * n) for n in cores
+    }
+    t1s, t1w = strong[cores[0]], weak[cores[0]]
+    result = {
+        "metric": "wordcount_scaling",
+        "sf_dir": sf_dir,
+        "strong_sec": strong,
+        "strong_speedup": {n: round(t1s / t, 2) for n, t in strong.items()},
+        "weak_sec": weak,
+        "weak_efficiency": {n: round(t1w / t, 2) for n, t in weak.items()},
+    }
+    print(json.dumps(result))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json"), "a") as fh:
+        fh.write(json.dumps(result) + "\n")
+
+
+if __name__ == "__main__":
+    main()
