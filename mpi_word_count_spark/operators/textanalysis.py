@@ -31,52 +31,88 @@ STOPWORDS = LANG_MARKERS["en"] + ("a", "an", "on", "with", "as", "at", "by")
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 
 
-def token_stats(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+def doc_metrics(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: list[str] | None = None,
 ) -> DataFrame:
-    """Per-document token statistics: whitespace/delimiter tokens,
-    distinct tokens, mean token length, BPE-ish token count.
+    """ALL narrow per-document metrics in ONE projection pass — token
+    stats, quality ratios, content hash. `token_stats`/`quality_scores`
+    are selections of this; pipeline compositions should use it
+    directly so N metric families cost one scan and zero joins (the
+    per-doc equi-joins of the naive composition are pure waste: every
+    metric here is computable row-locally).
 
-    Two-phase projection: the token array materializes once, stats
+    Two-phase projection: the token array materializes once, metrics
     read the bound column (see shingles_from_tokens on why)."""
+    from mpi_word_count_spark.functions.parity import portable_round
     from mpi_word_count_spark.operators import widen
 
-    df = widen(df)
-    staged = df.select(
+    keep = keep or []
+    staged = widen(df).select(
         F.col(id_col).alias("doc_id"),
+        *[F.col(k) for k in keep],
         F.col(text_col).alias("_text"),
         tokens_col(text_col).alias("_toks"),
     )
     toks = F.col("_toks")
+    n = F.size(toks)
     total_len = F.aggregate(
         F.transform(toks, lambda x: F.length(x).cast("long")),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(w) for w in sorted(set(STOPWORDS))])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    n_chars = F.length(F.col("_text"))
+    n_alpha = F.length(F.regexp_replace(F.col("_text"), "[^A-Za-z]", ""))
+    stop_ratio = F.when(n > 0, n_stop / n).otherwise(F.lit(0.0))
+    mean_len_norm = F.when(
+        n > 0, F.least(total_len / n / F.lit(8.0), F.lit(1.0))
+    ).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
     return staged.select(
         "doc_id",
+        *keep,
+        "_text",
+        n_chars.cast("bigint").alias("n_chars"),
         n.cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique"),
         F.when(n > 0, F.round(total_len / n, 4)).alias("mean_token_len"),
         F.size(F.regexp_extract_all(F.col("_text"), F.lit(BPE_ISH_PATTERN), 0))
         .cast("bigint")
         .alias("n_bpe_tokens"),
+        portable_round(stop_ratio, 4).alias("stopword_ratio"),
+        portable_round(alpha_ratio, 4).alias("alpha_ratio"),
+        portable_round(
+            0.4 * stop_ratio + 0.3 * mean_len_norm + 0.3 * alpha_ratio, 4
+        ).alias("quality_score"),
     )
 
 
-def language_id(
+def token_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document token statistics: whitespace/delimiter tokens,
+    distinct tokens, mean token length, BPE-ish token count."""
+    return doc_metrics(df, id_col, text_col).select(
+        "doc_id", "n_tokens", "n_unique", "mean_token_len", "n_bpe_tokens"
+    )
+
+
+def predicted_language(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     markers: dict[str, tuple[str, ...]] = LANG_MARKERS,
 ) -> DataFrame:
-    """Heuristic language ID: tokens ⋈ broadcast(marker vocab) →
-    per-doc score per language → argmax (ties break on language code,
-    zero matches → 'unknown').
-
-    The vocab join broadcasts (vocab is tiny by construction); the
-    only shuffle is the per-doc aggregation."""
+    """Language prediction for docs with ≥1 marker match: tokens ⋈
+    broadcast(marker vocab) → per-doc score per language → argmax
+    (ties break on language code). Docs with no match are ABSENT —
+    callers that filter on a concrete language should use this
+    directly (no docs-side join needed); language_id adds the
+    'unknown' completion."""
     spark = df.sparkSession
     vocab = spark.createDataFrame(
         [(lang, w) for lang, words in sorted(markers.items()) for w in words],
@@ -90,13 +126,31 @@ def language_id(
         .groupBy("doc_id", "lang")
         .agg(F.count(F.lit(1)).alias("score"))
     )
-    best = topk_per_group(
+    return topk_per_group(
         scores, ["doc_id"], [F.desc("score"), F.asc("lang")], k=1
-    ).select("doc_id", "lang", F.col("score").cast("bigint").alias("score"))
+    ).select(
+        "doc_id",
+        F.col("lang").alias("pred_lang"),
+        F.col("score").cast("bigint").alias("score"),
+    )
+
+
+def language_id(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    markers: dict[str, tuple[str, ...]] = LANG_MARKERS,
+) -> DataFrame:
+    """Heuristic language ID over ALL docs (zero matches → 'unknown').
+
+    The vocab join broadcasts (vocab is tiny by construction); the
+    only shuffles are the per-doc aggregation and the completion join
+    back to the id spine."""
+    best = predicted_language(df, id_col, text_col, markers)
     ids = df.select(F.col(id_col).alias("doc_id"))
     return ids.join(best, "doc_id", "left").select(
         "doc_id",
-        F.coalesce(F.col("lang"), F.lit("unknown")).alias("pred_lang"),
+        F.coalesce(F.col("pred_lang"), F.lit("unknown")).alias("pred_lang"),
         F.coalesce(F.col("score"), F.lit(0).cast("bigint")).alias("score"),
     )
 
@@ -111,41 +165,13 @@ def quality_scores(
 
     (the C4/Gopher-style cheap filters; the formula is config, the
     plan shape — single narrow projection, no shuffle — is the point)."""
-    from mpi_word_count_spark.operators import widen
-
-    df = widen(df)
-    staged = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(text_col).alias("_text"),
-        tokens_col(text_col).alias("_toks"),
-    )
-    toks = F.col("_toks")
-    n = F.size(toks)
-    stop_arr = F.array(*[F.lit(w) for w in sorted(set(STOPWORDS))])
-    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
-    total_len = F.aggregate(
-        F.transform(toks, lambda x: F.length(x).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    n_chars = F.length(F.col("_text"))
-    n_alpha = F.length(F.regexp_replace(F.col("_text"), "[^A-Za-z]", ""))
-    stop_ratio = F.when(n > 0, n_stop / n).otherwise(F.lit(0.0))
-    mean_len_norm = F.when(n > 0, F.least(total_len / n / F.lit(8.0), F.lit(1.0))).otherwise(
-        F.lit(0.0)
-    )
-    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
-    from mpi_word_count_spark.functions.parity import portable_round
-
-    return staged.select(
+    return doc_metrics(df, id_col, text_col).select(
         "doc_id",
-        n_chars.cast("bigint").alias("n_chars"),
-        n.cast("bigint").alias("n_tokens"),
-        portable_round(stop_ratio, 4).alias("stopword_ratio"),
-        portable_round(alpha_ratio, 4).alias("alpha_ratio"),
-        portable_round(
-            0.4 * stop_ratio + 0.3 * mean_len_norm + 0.3 * alpha_ratio, 4
-        ).alias("quality_score"),
+        "n_chars",
+        "n_tokens",
+        "stopword_ratio",
+        "alpha_ratio",
+        "quality_score",
     )
 
 
@@ -161,6 +187,49 @@ def doc_fingerprints(
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias(
             "fingerprint"
         ),
+    )
+
+
+def doc_chunks(
+    df: DataFrame,
+    chunk_size: int = 120,
+    stride: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunks per document — the standard
+    LLM-training preprocessing step (context-window packing input).
+
+    Chunk c covers tokens [c·stride, c·stride + chunk_size); starts
+    are generated while < n_tokens, so the final chunk may be short;
+    empty documents produce no chunks. Emits the chunk's md5 (content
+    identity for downstream chunk-level dedup) rather than the text.
+
+    All native: sequence → transform → explode. One narrow stage, no
+    shuffle, no UDF — chunking 100 TB is scan-speed work.
+    """
+    from mpi_word_count_spark.operators import widen
+
+    staged = widen(df).select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("_toks")
+    )
+    toks = F.col("_toks")
+    n = F.size(toks)
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / stride).cast("bigint").alias("chunk_id"),
+            F.least(F.lit(chunk_size), n - s).cast("bigint").alias("n_chunk_tokens"),
+            F.md5(F.array_join(F.slice(toks, s + 1, chunk_size), " ")).alias(
+                "chunk_hash"
+            ),
+        ),
+    )
+    return staged.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", "c.chunk_id", "c.n_chunk_tokens", "c.chunk_hash"
     )
 
 

@@ -20,9 +20,8 @@ from pyspark.sql import functions as F
 
 from mpi_word_count_spark.operators.textanalysis import (
     LANG_MARKERS,
-    language_id,
-    quality_scores,
-    token_stats,
+    doc_metrics,
+    predicted_language,
 )
 from mpi_word_count_spark.registry import register, sql_regex
 from mpi_word_count_spark.tables import table
@@ -32,30 +31,41 @@ MIN_TOKENS = 50
 
 
 def clean_corpus_summary(docs: DataFrame) -> DataFrame:
-    """documents → per-source summary of the cleaned corpus."""
-    q = quality_scores(docs).select("doc_id", "n_tokens", "alpha_ratio")
-    lid = language_id(docs).select("doc_id", "pred_lang")
-    kept = (
-        docs.select("doc_id", "lang", "source", "text")
-        .join(q, "doc_id")
-        .join(lid, "doc_id")
-        .filter(
-            (F.col("alpha_ratio") >= MIN_ALPHA_RATIO)
-            & (F.col("n_tokens") >= MIN_TOKENS)
-            & (F.col("pred_lang") == F.col("lang"))
-        )
-        .withColumn("content_hash", F.md5("text"))
+    """documents → per-source summary of the cleaned corpus.
+
+    Plan shape (audited via .explain, see git history for the naive
+    versions): ONE doc_metrics projection carries every narrow metric
+    (quality gates, BPE token count, content hash) — no per-doc metric
+    joins; the only doc_id join is with predicted_language, which
+    genuinely needs its own shuffle (token ⋈ broadcast vocab → per-doc
+    argmax); dedup is a row_number window, not a groupBy+self-join
+    (the self-join re-executed the entire upstream pipeline — incl.
+    language scoring — twice). Naive compose-by-join: 44 exchanges /
+    10 SMJ. This: every exchange load-bearing (lang score agg, argmax,
+    metrics⋈lang join, dedup window, summary agg)."""
+    from pyspark.sql.window import Window
+
+    m = doc_metrics(docs, keep=["lang", "source"]).filter(
+        (F.col("alpha_ratio") >= MIN_ALPHA_RATIO)
+        & (F.col("n_tokens") >= MIN_TOKENS)
     )
-    winners = kept.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
-    canon = kept.join(winners.select("doc_id"), "doc_id", "left_semi")
-    stats = token_stats(docs).select("doc_id", "n_bpe_tokens")
-    return (
-        canon.join(stats, "doc_id")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+    lid = predicted_language(docs).select("doc_id", "pred_lang")
+    kept = (
+        m.join(lid, "doc_id")
+        .filter(F.col("pred_lang") == F.col("lang"))
+        .select(
+            "doc_id", "source", "n_bpe_tokens", F.md5("_text").alias("content_hash")
         )
+    )
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    canon = (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return canon.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
     )
 
 

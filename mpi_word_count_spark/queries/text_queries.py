@@ -8,10 +8,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
+from mpi_word_count_spark.functions.hashing import hash32, sql_hash32
 from mpi_word_count_spark.operators.textanalysis import (
     BPE_ISH_PATTERN,
     LANG_MARKERS,
     STOPWORDS,
+    doc_chunks,
     doc_fingerprints,
     language_id,
     quality_scores,
@@ -161,3 +165,43 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(table(spark, "documents", sf_dir), k=1).select(
         "doc_id", "term", "tfidf", "rank"
     )
+
+
+@register(
+    "doc_chunks",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    starts AS (
+        SELECT doc_id, t, len(t) AS n, unnest(generate_series(0, len(t) - 1, 60)) AS s
+        FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id,
+           CAST(s / 60 AS BIGINT) AS chunk_id,
+           CAST(least(120, n - s) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(t[s + 1 : s + 120], ' ')) AS chunk_hash
+    FROM starts
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 120-token chunks, stride 60 — context-window packing
+    for LLM training; chunk md5 enables chunk-level dedup downstream."""
+    return doc_chunks(table(spark, "documents", sf_dir), chunk_size=120, stride=60)
+
+
+@register(
+    "hash_sample_documents",
+    oracle=f"""
+    SELECT doc_id, source, lang
+    FROM documents
+    WHERE {sql_hash32("CAST(doc_id AS VARCHAR)", "sample")} % 10 = 0
+    """,
+)
+def q_hash_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample by key hash: reproducible across
+    engines, runs, and partitionings (unlike TABLESAMPLE, whose RNG is
+    engine-private) — the right sampling primitive for auditable data
+    pipelines. The predicate pushes down to the scan; no shuffle."""
+    docs = table(spark, "documents", sf_dir)
+    return docs.filter(
+        hash32(F.col("doc_id").cast("string"), seed="sample") % 10 == 0
+    ).select("doc_id", "source", "lang")
