@@ -72,3 +72,38 @@ def test_long_words_not_truncated():
     # reference UB at >=30 chars (cell.h:2); we keep unbounded strings
     w = "x" * 80
     assert py_split(f"{w},{w}") == [w, w]
+
+
+# --- property-based S1 parity -----------------------------------------
+# An independent model of the reference scan loop (tokenizer.c:47-79):
+# walk chars, delimiters end the current word, runs yield nothing.
+# The engine's regex must agree on arbitrary input.
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_ALPHABET = (
+    "ab z09é漢"  # letters/digits/unicode/space
+    + "[]!\"#$%&'()*+,./:;<=>?@\\^_`|{}~-"
+    + "\n\t\r"
+)
+
+
+def c_model_tokenize(text: str) -> list[str]:
+    words, cur = [], []
+    for ch in text:
+        if ch in DEFAULT_DELIMITERS:
+            if cur:
+                words.append("".join(cur))
+                cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        words.append("".join(cur))
+    return words
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet=_ALPHABET, max_size=200))
+def test_split_matches_c_model(text):
+    assert py_split(text) == c_model_tokenize(text)
