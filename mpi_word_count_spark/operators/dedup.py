@@ -204,15 +204,21 @@ def minhash_lsh_pairs(
 
     Plan shape: signatures (1 shuffle) → band keys (narrow) →
     self-join on (band, key) (1 shuffle on 16-byte md5 band keys) →
-    exact verification only for bucket-colliding pairs. Shingle-set
-    sizes ride along in the signature aggregation (same groupBy), so
-    the corpus is tokenized 3×, not 5× (sizes via separate passes
-    measured +1.4 s at sf0.1; persisting the shingle table instead
-    measured slower still — cache materialization cost exceeds the
-    recomputes it saves at this shape).
+    exact verification only for bucket-colliding pairs, shingling
+    ONLY candidate docs (broadcast semi join on the candidate ids).
+
+    The signature table is cached: it is tiny (17 longs/doc — at
+    100 TB corpus scale it is GBs, well inside cluster cache) and it
+    feeds four consumers (bands, candidate ids, sizes, and the band
+    self-join's other side); without the cache each consumer
+    re-instantiates the full corpus tokenization. Caching the
+    exploded SHINGLE table instead was measured slower (it is ~the
+    corpus size re-materialized); caching signatures costs almost
+    nothing and leaves exactly ONE full-corpus tokenization in the
+    whole pipeline.
     """
     rows_per_band = num_hashes // num_bands
-    sig = minhash_signatures(df, num_hashes, n, id_col, text_col)
+    sig = minhash_signatures(df, num_hashes, n, id_col, text_col).cache()
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -247,7 +253,19 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    sh = doc_shingles(df, id_col, text_col, n)
+    # Verification shingles: re-tokenize ONLY candidate docs. The
+    # candidate-id semi join is broadcast-sized (LSH keeps candidates
+    # sparse by design), so the second/third corpus tokenizations the
+    # naive plan pays become |candidates| docs, not |corpus|. The
+    # signature/banding subtree is recomputed for the id list, but it
+    # shuffles ~17 longs/doc — orders cheaper than tokenizing text.
+    cand_ids = (
+        candidates.select(F.col("d1").alias(id_col))
+        .union(candidates.select(F.col("d2").alias(id_col)))
+        .distinct()
+    )
+    pruned = df.join(F.broadcast(cand_ids), id_col, "left_semi")
+    sh = doc_shingles(pruned, id_col, text_col, n)
     sizes = sig.select("doc_id", "n_shingles")
     sa_ = sh.alias("sa")
     sb_ = sh.alias("sb")
