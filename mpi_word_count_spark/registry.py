@@ -72,6 +72,7 @@ def _load_all() -> None:
         streaming_queries,
         subquery_queries,
         text_queries,
+        tpch_more_queries,
         wordcount_queries,
     )
 
