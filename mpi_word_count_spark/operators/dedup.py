@@ -180,13 +180,25 @@ def minhash_signatures(
     shingle table — ONE shuffle on doc_id, no row explosion by k
     (the naive seed-explode plan multiplies the shuffle by k).
     Documents with no shingles are dropped (no signature).
+
+    The k permutations are a universal-hash family over ONE md5 base
+    hash per shingle — h_i = (a_i·x + b_i) mod (2^61−1) — instead of
+    k independent md5s: same cross-engine determinism, k× less
+    hashing on the corpus-sized shingle table (the signature stage's
+    measured hot spot).
     """
+    from mpi_word_count_spark.functions.hashing import MINHASH_PRIME, universal_coeffs
+
     sh = doc_shingles(df, id_col, text_col, n)
+    # bind the base hash once in its own projection so the md5 isn't
+    # re-evaluated per aggregate (same CSE caveat as shingles)
+    based = sh.select("doc_id", hash32(F.col("shingle"), seed="mh").alias("_x"))
+    x = F.col("_x")
     aggs = [
-        F.min(hash32(F.col("shingle"), seed=f"mh{i}")).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{i}")
+        for i, (a, b) in enumerate(universal_coeffs(num_hashes))
     ] + [F.count(F.lit(1)).alias("n_shingles")]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return based.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -399,18 +411,25 @@ def embedding_dup_pairs(
     LSH bucketing in operators/similarity.py and this kernel runs only
     within buckets.
     """
-    from mpi_word_count_spark.functions.vector import cosine
+    from mpi_word_count_spark.functions.vector import dot, norm
 
-    a = df.alias("a")
-    b = df.alias("b")
+    normed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        norm(F.col(vec_col)).alias("_norm"),
+    )
+    a = normed.alias("a")
+    b = normed.alias("b")
     return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        a.join(b, F.col("a._id") < F.col("b._id"))
         .select(
-            F.col(f"a.{id_col}").alias("id1"),
-            F.col(f"b.{id_col}").alias("id2"),
-            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4).alias(
-                "cosine"
-            ),
+            F.col("a._id").alias("id1"),
+            F.col("b._id").alias("id2"),
+            F.round(
+                dot(F.col("a._vec"), F.col("b._vec"))
+                / (F.col("a._norm") * F.col("b._norm")),
+                4,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

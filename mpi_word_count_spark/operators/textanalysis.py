@@ -233,6 +233,77 @@ def doc_chunks(
     )
 
 
+# PII/noise scrub patterns — portable across Java regex (Spark) and
+# RE2 (DuckDB oracle): no backrefs, no lookaround.
+URL_PATTERN = r"https?://\S+"
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def scrub_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """URL/email redaction + whitespace normalization — the standard
+    first pass of an LLM training-data cleaning pipeline (the reference
+    has no scalar functions beyond lower, SURVEY.md §2.6; this is the
+    curation-era analog).
+
+    Emits match counts and the md5 of the scrubbed text (content
+    identity for downstream dedup) rather than shipping the full text
+    through the plan. Pure narrow projection of JVM regex expressions:
+    no shuffle, no UDF — scan-speed at any corpus size."""
+    text = F.col(text_col)
+    clean = F.regexp_replace(text, URL_PATTERN, "<URL>")
+    clean = F.regexp_replace(clean, EMAIL_PATTERN, "<EMAIL>")
+    clean = F.trim(F.regexp_replace(clean, r"\s+", " "))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.regexp_extract_all(text, F.lit(URL_PATTERN), 0))
+        .cast("bigint")
+        .alias("n_urls"),
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_PATTERN), 0))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.md5(clean).alias("clean_hash"),
+    )
+
+
+def ngram_counts(
+    df: DataFrame,
+    n: int = 2,
+    k: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level word n-gram frequencies (top-k when k is set) —
+    the n>1 generalization of the reference's flagship word count
+    (word_count_mpi.c:346-384 counts exactly the n=1 case).
+
+    Grams build inside the token array (sequence → slice → join): the
+    explode emits n-grams directly, so the shuffle carries |distinct
+    grams| after partial aggregation — same map-side-combine asymptotics
+    as word count. Top-k runs as TakeOrderedAndProject, not a sort."""
+    from mpi_word_count_spark.operators import widen
+
+    staged = widen(df).select(tokens_col(text_col).alias("_toks"))
+    toks = F.col("_toks")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        staged.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    if k is not None:
+        counts = counts.orderBy(
+            F.desc("n_occurrences"), F.asc("ngram")
+        ).limit(k)
+    return counts
+
+
 def tfidf_top_terms(
     df: DataFrame,
     k: int = 1,

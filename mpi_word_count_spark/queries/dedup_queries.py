@@ -88,9 +88,13 @@ def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
+    from mpi_word_count_spark.functions.hashing import MINHASH_PRIME, universal_coeffs
+
     rows_per_band = NUM_HASHES // NUM_BANDS
+    base = sql_hash32("shingle", "mh")
     mins = ",\n               ".join(
-        f"min({sql_hash32('shingle', f'mh{i}')}) AS h{i}" for i in range(NUM_HASHES)
+        f"min(({a} * {base} + {b}) % {MINHASH_PRIME}) AS h{i}"
+        for i, (a, b) in enumerate(universal_coeffs(NUM_HASHES))
     )
     band_selects = "\n        UNION ALL\n".join(
         "        SELECT doc_id, {b} AS band, md5({expr}) AS key FROM sig".format(

@@ -13,12 +13,16 @@ from pyspark.sql import functions as F
 from mpi_word_count_spark.functions.hashing import hash32, sql_hash32
 from mpi_word_count_spark.operators.textanalysis import (
     BPE_ISH_PATTERN,
+    EMAIL_PATTERN,
     LANG_MARKERS,
     STOPWORDS,
+    URL_PATTERN,
     doc_chunks,
     doc_fingerprints,
     language_id,
+    ngram_counts,
     quality_scores,
+    scrub_text,
     tfidf_top_terms,
     token_stats,
 )
@@ -186,6 +190,52 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping 120-token chunks, stride 60 — context-window packing
     for LLM training; chunk md5 enables chunk-level dedup downstream."""
     return doc_chunks(table(spark, "documents", sf_dir), chunk_size=120, stride=60)
+
+
+@register(
+    "bigram_counts",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    grams AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i + 1])) AS ngram
+        FROM toks WHERE len(t) >= 2
+    )
+    SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM grams GROUP BY 1
+    ORDER BY n_occurrences DESC, ngram ASC
+    LIMIT 50
+    """,
+)
+def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus bigrams — the n=2 generalization of the flagship
+    word count (language-model n-gram statistics)."""
+    return ngram_counts(table(spark, "documents", sf_dir), n=2, k=50)
+
+
+@register(
+    "scrubbed_docs",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{URL_PATTERN}')) AS BIGINT)
+               AS n_urls,
+           CAST(len(regexp_extract_all(text, '{EMAIL_PATTERN}')) AS BIGINT)
+               AS n_emails,
+           md5(trim(regexp_replace(
+               regexp_replace(
+                   regexp_replace(text, '{URL_PATTERN}', '<URL>', 'g'),
+                   '{EMAIL_PATTERN}', '<EMAIL>', 'g'),
+               '\\s+', ' ', 'g'))) AS clean_hash
+    FROM documents
+    """,
+)
+def q_scrubbed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/email scrub + whitespace normalization over the corpus
+    (fixture text is URL-free, so counts are zero here — the regex
+    behavior itself is unit-tested on synthetic text with matches,
+    tests/test_similarity_text.py)."""
+    return scrub_text(table(spark, "documents", sf_dir))
 
 
 @register(

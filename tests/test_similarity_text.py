@@ -149,3 +149,36 @@ def test_media_resize_and_frames(spark):
     frames = sample_frames(media, frame_bytes=4, stride=1).collect()
     assert {r["media_id"] for r in frames} == {1, 2}
     assert max(r["frame_no"] for r in frames if r["media_id"] == 1) == 2
+
+
+def test_scrub_text_redacts_urls_and_emails(spark):
+    from mpi_word_count_spark.operators.textanalysis import scrub_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "see https://example.com/a?b=1 and mail bob@example.org now"),
+            (2, "no   noise \t here"),
+            (3, "x@y.io https://a.b c@d.com"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in scrub_text(df).collect()}
+    assert rows[1]["n_urls"] == 1 and rows[1]["n_emails"] == 1
+    assert rows[2]["n_urls"] == 0 and rows[2]["n_emails"] == 0
+    assert rows[3]["n_urls"] == 1 and rows[3]["n_emails"] == 2
+    # whitespace-normalized scrub is deterministic: doc 2 hash equals
+    # md5 of its collapsed text
+    import hashlib
+
+    assert rows[2]["clean_hash"] == hashlib.md5(b"no noise here").hexdigest()
+
+
+def test_ngram_counts_bigrams(spark):
+    from mpi_word_count_spark.operators.textanalysis import ngram_counts
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r["ngram"]: r["n_occurrences"] for r in ngram_counts(df, n=2).collect()}
+    assert out == {"a b": 3, "b a": 1, "b c": 1}
