@@ -309,6 +309,72 @@ def minhash_lsh_pairs(
     )
 
 
+def dup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over duplicate pairs → (doc_id, cluster_id)
+    with cluster_id = min doc id of the component; docs in no pair are
+    their own singleton cluster. This is the step that turns pairwise
+    near-dup evidence into the canonical-document assignment an actual
+    dedup pipeline keeps (keep cluster_id == doc_id, drop the rest).
+
+    Min-label propagation: labels start as self, each round every node
+    takes min(own, neighbors' labels); converges in ≤ diameter rounds
+    (dup components are short chains/cliques in practice, so a handful).
+    Each round is ONE shuffle of the edge list; the driver only sees a
+    changed-row count. Per-round results are cached and the previous
+    round unpersisted, so lineage stays flat. At extreme scale the
+    large-star/small-star variant halves round count; same join shape.
+    """
+    e = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().cache()
+    labels = (
+        edges.select(F.col("src").alias("v"))
+        .distinct()
+        .withColumn("label", F.col("v"))
+        .cache()
+    )
+    for _ in range(max_iters):
+        prop = (
+            edges.join(labels, edges.src == labels.v)
+            .select(F.col("dst").alias("v"), "label")
+            .groupBy("v")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(prop, "v", "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.select("v", F.col("label").alias("old")), "v")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    return ids.join(
+        labels.select(F.col("v").alias("doc_id"), "label"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("label", F.col("doc_id")).alias("cluster_id")
+    )
+
+
 SIMHASH_BITS = 60  # 15 hex chars of md5 — fits signed int64 in every engine
 
 
@@ -395,6 +461,65 @@ def simhash_dup_pairs(
             ham.cast("bigint").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_chunk_bounds(
+    bits: int = SIMHASH_BITS, max_hamming: int = 8
+) -> list[tuple[int, int]]:
+    """(shift, width) per chunk, splitting `bits` into max_hamming+1
+    near-equal chunks. Pigeonhole: any pair within hamming distance
+    max_hamming agrees exactly on ≥1 chunk."""
+    chunks = max_hamming + 1
+    bounds = [bits * j // chunks for j in range(chunks + 1)]
+    return [(bounds[j], bounds[j + 1] - bounds[j]) for j in range(chunks)]
+
+
+def simhash_banded_pairs(
+    df: DataFrame,
+    max_hamming: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming ≤ max_hamming — the SCALE
+    path: equi-join on fingerprint chunks instead of the all-pairs
+    comparison. Produces IDENTICAL output to simhash_dup_pairs (the
+    pigeonhole guarantee is exact, not probabilistic), but candidate
+    generation is a hash join on (chunk_no, chunk_value) whose cost
+    tracks collision structure, not |docs|² — the same banding idea
+    as MinHash LSH, with zero recall loss.
+    """
+    s = simhash(df, id_col, text_col, bits).cache()
+    chunks = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.expr(f"shiftright(simhash, {shift}) & {(1 << width) - 1}").alias(
+                "chunk"
+            ),
+        )
+        for j, (shift, width) in enumerate(simhash_chunk_bounds(bits, max_hamming))
+    ]
+    bands = s.select(
+        "doc_id", "simhash", F.explode(F.array(*chunks)).alias("bk")
+    ).select("doc_id", "simhash", "bk.band", "bk.chunk")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            ham.cast("bigint").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

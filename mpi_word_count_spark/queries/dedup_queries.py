@@ -16,11 +16,13 @@ from mpi_word_count_spark.operators.dedup import (
     NUM_BANDS,
     NUM_HASHES,
     SIMHASH_BITS,
+    dup_clusters,
     embedding_dup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
+    simhash_banded_pairs,
     simhash_dup_pairs,
 )
 from mpi_word_count_spark.registry import register, sql_regex
@@ -87,7 +89,10 @@ def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_parts() -> tuple[str, str]:
+    """(CTE list, final SELECT) of the MinHash-LSH oracle — split so
+    downstream oracles (dedup_clusters) can compose with the pair
+    pipeline as a CTE."""
     from mpi_word_count_spark.functions.hashing import MINHASH_PRIME, universal_coeffs
 
     rows_per_band = NUM_HASHES // NUM_BANDS
@@ -105,8 +110,7 @@ def _minhash_oracle() -> str:
         )
         for b in range(NUM_BANDS)
     )
-    return f"""
-    WITH {_SQL_SHINGLES},
+    ctes = f"""{_SQL_SHINGLES},
     sig AS (
         SELECT doc_id,
                {mins}
@@ -126,7 +130,8 @@ def _minhash_oracle() -> str:
         JOIN sh sa ON sa.doc_id = c.d1
         JOIN sh sb ON sb.doc_id = c.d2 AND sa.shingle = sb.shingle
         GROUP BY 1, 2
-    )
+    )"""
+    final = f"""
     SELECT v.d1, v.d2,
            round(inter * 1.0 / (za.n_shingles + zb.n_shingles - inter), 4) AS jaccard
     FROM verified v
@@ -135,6 +140,12 @@ def _minhash_oracle() -> str:
     WHERE round(inter * 1.0 / (za.n_shingles + zb.n_shingles - inter), 4)
           >= {JACCARD_THRESHOLD}
     """
+    return ctes, final
+
+
+def _minhash_oracle() -> str:
+    ctes, final = _minhash_parts()
+    return f"WITH {ctes}\n{final}"
 
 
 @register("minhash_lsh_dups", oracle=_minhash_oracle())
@@ -142,6 +153,38 @@ def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
         table(spark, "documents", sf_dir), threshold=JACCARD_THRESHOLD
     )
+
+
+def _clusters_oracle() -> str:
+    ctes, final = _minhash_parts()
+    return f"""
+    WITH RECURSIVE {ctes},
+    pairs AS ({final}),
+    edges AS (
+        SELECT d1 AS src, d2 AS dst FROM pairs
+        UNION
+        SELECT d2, d1 FROM pairs
+    ),
+    reach(v, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.v = e.src
+    ),
+    labels AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v)
+    SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+    """
+
+
+@register("dedup_clusters", oracle=_clusters_oracle())
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash pairs → connected components → canonical cluster per
+    document (keep cluster_id == doc_id, drop the rest). The oracle
+    computes the same components via a recursive transitive closure —
+    the iterative Spark algorithm is value-hash-verified end to end."""
+    docs = table(spark, "documents", sf_dir)
+    pairs = minhash_lsh_pairs(docs, threshold=JACCARD_THRESHOLD)
+    return dup_clusters(docs, pairs)
 
 
 def _simhash_cte() -> str:
@@ -193,6 +236,40 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dup_pairs(
+        table(spark, "documents", sf_dir), max_hamming=SIMHASH_MAX_HAMMING
+    )
+
+
+def _simhash_banded_oracle() -> str:
+    from mpi_word_count_spark.operators.dedup import simhash_chunk_bounds
+
+    chunk_selects = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, simhash, {j} AS band,"
+        f" (simhash >> {shift}) & {(1 << width) - 1} AS chunk FROM sim"
+        for j, (shift, width) in enumerate(
+            simhash_chunk_bounds(SIMHASH_BITS, SIMHASH_MAX_HAMMING)
+        )
+    )
+    return f"""
+    WITH {_simhash_cte()},
+    bands AS (
+{chunk_selects}
+    )
+    SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """
+
+
+@register("simhash_banded_dups", oracle=_simhash_banded_oracle())
+def q_simhash_banded_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pigeonhole-banded SimHash pairing — identical output to
+    simhash_dups (exact guarantee), equi-join candidate generation
+    (the shape that scales). Both registered so the driver verifies
+    the equivalence."""
+    return simhash_banded_pairs(
         table(spark, "documents", sf_dir), max_hamming=SIMHASH_MAX_HAMMING
     )
 

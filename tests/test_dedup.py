@@ -87,3 +87,32 @@ def test_embedding_dup_pairs(spark):
     got = embedding_dup_pairs(df, threshold=0.95)
     pairs = [(r["id1"], r["id2"]) for r in got.collect()]
     assert pairs == [(1, 2)]
+
+
+def test_simhash_banded_equals_allpairs(spark):
+    from mpi_word_count_spark.operators.dedup import simhash_banded_pairs
+
+    allp = {
+        (r["d1"], r["d2"], r["hamming"])
+        for r in simhash_dup_pairs(docs_df(spark), max_hamming=8).collect()
+    }
+    banded = {
+        (r["d1"], r["d2"], r["hamming"])
+        for r in simhash_banded_pairs(docs_df(spark), max_hamming=8).collect()
+    }
+    # pigeonhole banding is exact, not probabilistic
+    assert banded == allp
+
+
+def test_dup_clusters_components(spark):
+    from mpi_word_count_spark.operators.dedup import dup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(1, 8)], "doc_id long, text string"
+    )
+    # components: {1,2,3} via chain, {5,6}; 4 and 7 singletons
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (5, 6)], "d1 long, d2 long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(docs, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
