@@ -104,6 +104,85 @@ def ann_bruteforce_topk(
     )
 
 
+def ann_lsh_multiprobe_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = NUM_PLANES,
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """Multi-probe LSH ANN: each query probes its own bucket plus the
+    buckets reached by flipping its (nprobes−1) lowest-|margin| sign
+    bits — the hyperplanes it sits closest to, i.e. the flips most
+    likely to hide true neighbors. Standard recall recovery for
+    bucketed LSH (recall strictly ≥ single-probe at ~nprobes× the
+    candidate cost, still an equi-join, never a cross join).
+
+    Probe buckets are distinct by construction (distinct bit flips)
+    and every corpus vector lives in exactly one bucket, so no
+    candidate pair duplicates. Deterministic margins (md5 planes) —
+    fully oracle-verifiable.
+    """
+    planes = lsh_planes(num_planes, dim)
+    margins = F.array(
+        *[
+            F.struct(
+                F.abs(dot(F.col(vec_col), _plane_lit(p))).alias("m"),
+                F.lit(i).alias("p"),
+            )
+            for i, p in enumerate(planes)
+        ]
+    )
+    staged = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+        lsh_bucket_col(F.col(vec_col), planes).alias("_b0"),
+        F.array_sort(margins).alias("_margins"),
+    )
+    flips = F.transform(
+        F.slice(F.col("_margins"), 1, nprobes - 1),
+        lambda s: F.col("_b0").bitwiseXOR(
+            F.pow(F.lit(2.0), s["p"]).cast("long")
+        ),
+    )
+    q = staged.select(
+        "q_id",
+        "q_vec",
+        "q_norm",
+        F.explode(F.concat(F.array(F.col("_b0")), flips)).alias("bucket"),
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("n_vec"),
+        norm(F.col(vec_col)).alias("n_norm"),
+        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        v.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("q_norm") * F.col("n_norm")),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    return topk_per_group(
+        scored,
+        ["q_id"],
+        [F.desc("cosine"), F.asc("neighbor_id")],
+        k=k,
+        rank_col="rank",
+    )
+
+
 def kmeans_centroids(
     vectors: DataFrame,
     k: int = 8,

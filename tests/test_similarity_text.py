@@ -182,3 +182,22 @@ def test_ngram_counts_bigrams(spark):
     )
     out = {r["ngram"]: r["n_occurrences"] for r in ngram_counts(df, n=2).collect()}
     assert out == {"a b": 3, "b a": 1, "b c": 1}
+
+
+def test_multiprobe_recall_at_least_single_probe(spark):
+    from tests.conftest import SF_DIR
+    from mpi_word_count_spark.operators.similarity import ann_lsh_multiprobe_topk
+    from mpi_word_count_spark.tables import table
+    from pyspark.sql import functions as F
+
+    emb = table(spark, "embeddings", SF_DIR)
+    q = emb.filter(F.col("vec_id") < 10)
+    bf = {(r["q_id"], r["neighbor_id"]) for r in ann_bruteforce_topk(emb, q, k=5).collect()}
+    single = {(r["q_id"], r["neighbor_id"]) for r in ann_lsh_topk(emb, q, k=5).collect()}
+    multi = {
+        (r["q_id"], r["neighbor_id"])
+        for r in ann_lsh_multiprobe_topk(emb, q, k=5, nprobes=2).collect()
+    }
+    # the single-probe bucket is always among the probes → candidate
+    # superset → per-query top-k can only improve vs ground truth
+    assert len(multi & bf) >= len(single & bf)
