@@ -115,3 +115,26 @@ def test_watermarked_append_window(spark, tmp_path):
     got = run_to_completion(agg, "append").collect()
     # the 00:00 window closed (watermark 04:00); the 05:00 window did not
     assert [(r["w"]["start"].hour, r["n"]) for r in got] == [(0, 1)]
+
+
+def test_foreach_batch_parquet_sink(spark, tmp_path):
+    from mpi_word_count_spark.streaming.core import run_foreach_batch_parquet
+    from mpi_word_count_spark.operators.wordcount import word_count_df
+    from mpi_word_count_spark.tables import table
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    sdf = streaming_word_count(stream_table(spark, "documents", SF_DIR))
+    run_foreach_batch_parquet(sdf, out, ckpt, output_mode="complete")
+    written = spark.read.parquet(out)
+    # complete mode: take the newest batch's full result
+    last = written.agg(F.max("batch_id")).first()[0]
+    got = {
+        (r["word"], r["count"])
+        for r in written.filter(F.col("batch_id") == last).collect()
+    }
+    want = {
+        (r["word"], r["count"])
+        for r in word_count_df(table(spark, "documents", SF_DIR), "text").collect()
+    }
+    assert got == want
