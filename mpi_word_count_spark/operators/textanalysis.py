@@ -6,7 +6,7 @@ the row path — so they run at scan speed over any corpus size.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from mpi_word_count_spark.operators.dedup import tokens_col
@@ -230,6 +230,42 @@ def doc_chunks(
     )
     return staged.select("doc_id", F.explode(chunks).alias("c")).select(
         "doc_id", "c.chunk_id", "c.n_chunk_tokens", "c.chunk_hash"
+    )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    budget: int = 2048,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Pack doc_chunks output into fixed token-budget training
+    sequences — the step after chunking in an LLM data pipeline.
+
+    Offset packing: within a bucket, chunks are laid end-to-end in
+    (doc_id, chunk_id) order and sequence s covers token offsets
+    [s·budget, (s+1)·budget) — a chunk straddling a boundary joins the
+    sequence where it starts (production packers split the straddler;
+    the assignment below is the deterministic skeleton both share).
+
+    Packing is order-free across sequences, so it runs PER BUCKET
+    (doc_id mod n_buckets): the window sort is partition-parallel —
+    never a global single-partition sort, which is what makes this
+    shape survive 100 TB. At cluster scale n_buckets ≈ 2-3× executor
+    count."""
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.asc("doc_id"), F.asc("chunk_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = chunks.withColumn("bucket", (F.col("doc_id") % n_buckets).cast("bigint"))
+    start = F.coalesce(F.sum("n_chunk_tokens").over(w), F.lit(0).cast("bigint"))
+    return (
+        staged.withColumn("seq_no", F.floor(start / budget).cast("bigint"))
+        .groupBy("bucket", "seq_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_chunk_tokens").cast("bigint").alias("n_tokens"),
+        )
     )
 
 

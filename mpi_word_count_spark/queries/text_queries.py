@@ -21,6 +21,7 @@ from mpi_word_count_spark.operators.textanalysis import (
     doc_fingerprints,
     language_id,
     ngram_counts,
+    pack_chunks,
     quality_scores,
     scrub_text,
     tfidf_top_terms,
@@ -190,6 +191,43 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping 120-token chunks, stride 60 — context-window packing
     for LLM training; chunk md5 enables chunk-level dedup downstream."""
     return doc_chunks(table(spark, "documents", sf_dir), chunk_size=120, stride=60)
+
+
+@register(
+    "packed_sequences",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    starts AS (
+        SELECT doc_id, t, len(t) AS n, unnest(generate_series(0, len(t) - 1, 60)) AS s
+        FROM toks WHERE len(t) > 0
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST(s / 60 AS BIGINT) AS chunk_id,
+               CAST(least(120, n - s) AS BIGINT) AS n_chunk_tokens,
+               doc_id % 16 AS bucket
+        FROM starts
+    ),
+    placed AS (
+        SELECT bucket,
+               CAST(floor(coalesce(sum(n_chunk_tokens) OVER (
+                   PARTITION BY bucket ORDER BY doc_id ASC, chunk_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / 2048.0) AS BIGINT) AS seq_no,
+               n_chunk_tokens
+        FROM chunks
+    )
+    SELECT bucket, seq_no,
+           count(*) AS n_chunks,
+           CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens
+    FROM placed GROUP BY 1, 2
+    """,
+)
+def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk → fixed 2048-token training sequences (offset packing,
+    16-way bucket-parallel — see operators/textanalysis.pack_chunks)."""
+    chunks = doc_chunks(table(spark, "documents", sf_dir), chunk_size=120, stride=60)
+    return pack_chunks(chunks, budget=2048, n_buckets=16)
 
 
 @register(
