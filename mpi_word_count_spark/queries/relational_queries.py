@@ -228,6 +228,35 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name")
 
 
+@register(
+    "customer_order_counts_outer",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+def customer_order_counts_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join exemplar: every customer appears, zero-order
+    customers with n_orders = 0 (count over the nullable key counts
+    only matches). The outer join preserves the small side's rows, so
+    the broadcast hint stays valid — only the probe side streams."""
+    c = table(spark, "customer", sf_dir)
+    o = table(spark, "orders", sf_dir)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
 # --- window functions -----------------------------------------------------
 @register(
     "top3_orders_per_customer",

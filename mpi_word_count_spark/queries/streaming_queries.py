@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from mpi_word_count_spark.registry import register, sql_regex
 from mpi_word_count_spark.streaming.core import run_to_completion, stream_table
 from mpi_word_count_spark.streaming.queries import (
+    enriched_event_counts,
     session_event_counts,
     sliding_event_counts,
     stateful_user_totals,
@@ -36,6 +37,30 @@ def q_streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query, streaming execution (complete mode)."""
     lines = stream_table(spark, "documents", sf_dir)
     return run_to_completion(streaming_word_count(lines), "complete")
+
+
+@register(
+    "streaming_enriched_counts",
+    oracle="""
+    SELECT n_name,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join (streaming enrichment), verified
+    against the identical batch join."""
+    from mpi_word_count_spark.tables import table
+
+    ev = stream_table(spark, "events", sf_dir)
+    res = enriched_event_counts(
+        ev, table(spark, "customer", sf_dir), table(spark, "nation", sf_dir)
+    )
+    return run_to_completion(res, "complete")
 
 
 @register(

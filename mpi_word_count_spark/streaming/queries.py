@@ -27,6 +27,29 @@ def streaming_word_count(
     )
 
 
+def enriched_event_counts(
+    events: DataFrame, customers: DataFrame, nations: DataFrame
+) -> DataFrame:
+    """Stream-static join: the event stream enriched with the
+    customer→nation dimension, aggregated per nation. The static side
+    broadcasts into every micro-batch (no stream-side shuffle for the
+    join) — the standard streaming-enrichment shape; at scale the
+    dimension is a periodically-refreshed broadcast or a Delta table
+    the batch planner re-resolves per batch."""
+    dim = customers.join(
+        F.broadcast(nations),
+        customers.c_nationkey == nations.n_nationkey,
+    ).select(F.col("c_custkey").alias("user_id"), "n_name")
+    return (
+        events.join(F.broadcast(dim), "user_id")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
 def tumbling_event_counts(
     events: DataFrame,
     window: str = "1 hour",
