@@ -1,0 +1,81 @@
+"""Physical-plan audits: lock in the optimizer properties SCALE.md
+claims, so a refactor that silently loses pushdown / broadcast / the
+top-k heap / map-side partial aggregation fails CI, not the 100 TB
+run. Driver-side only (explain, no execution)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_DIR
+
+QUERIES = entrymod.queries()
+
+
+def plan_of(spark, name: str) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QUERIES[name](spark, SF_DIR).explain("formatted")
+    return buf.getvalue()
+
+
+def pushed_filters(plan: str) -> list[str]:
+    return [
+        line.strip()
+        for line in plan.splitlines()
+        if "PushedFilters" in line and "PushedFilters: []" not in line.strip()
+    ]
+
+
+def test_q1_filter_pushdown_and_column_pruning(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert any("l_shipdate" in f for f in pushed_filters(plan))
+    # column pruning: the scan schema must not include unused columns
+    read_schema = next(
+        line for line in plan.splitlines() if "ReadSchema" in line
+    )
+    assert "l_orderkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_q6_all_predicates_reach_scan(spark):
+    plan = plan_of(spark, "q6_forecast_revenue")
+    pushed = " ".join(pushed_filters(plan))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_star_joins_broadcast(spark):
+    for name in ("q3_top_revenue_orders", "q5_regional_revenue"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        # the fact-fact join must NOT broadcast the fact table: at
+        # fixture scale AQE may pick broadcast, so assert only that no
+        # cartesian appears
+        assert "CartesianProduct" not in plan, name
+
+
+def test_topk_uses_heap_not_global_sort(spark):
+    plan = plan_of(spark, "wordcount_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_wordcount_partial_aggregation(spark):
+    # map-side combine (the reference's hash_map.c:69-79): a partial
+    # HashAggregate must appear BEFORE the exchange, and the exchange
+    # must carry the aggregated (word) key, not raw tokens
+    plan = plan_of(spark, "wordcount")
+    partial = plan.find("partial_count")
+    word_exchange = plan.find("hashpartitioning(word")
+    assert 0 < partial, "no partial aggregate in plan"
+    assert 0 < word_exchange, "no word-keyed exchange in plan"
+    assert partial < word_exchange, "no map-side partial aggregation"
+
+
+def test_hash_sample_pushes_filter(spark):
+    plan = plan_of(spark, "hash_sample_documents")
+    # the deterministic-sample predicate is a scan-level filter: no
+    # shuffle anywhere in the plan
+    assert "Exchange" not in plan
