@@ -340,6 +340,62 @@ def ngram_counts(
     return counts
 
 
+def bigram_pmi(
+    df: DataFrame,
+    min_count: int = 5,
+    k: int | None = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Pointwise mutual information of corpus bigrams — collocation
+    detection (the signal behind phrase merging in LM tokenizers):
+
+      pmi(w1,w2) = ln( (c12/N2) / ((c1/N1)·(c2/N1)) )
+
+    Rare bigrams below min_count are dropped (PMI is unstable there).
+    Unigram and bigram tables are the word-count plan twice (partial
+    agg → one shuffle each); totals are single-row aggregates joined
+    by broadcast — nothing here shuffles more than |vocab| rows.
+    """
+    uni = ngram_counts(df, n=1, text_col=text_col).select(
+        F.col("ngram").alias("w"), F.col("n_occurrences").alias("c")
+    )
+    big = ngram_counts(df, n=2, text_col=text_col).filter(
+        F.col("n_occurrences") >= min_count
+    )
+    n1 = uni.agg(F.sum("c").alias("n1_total"))
+    n2 = ngram_counts(df, n=2, text_col=text_col).agg(
+        F.sum("n_occurrences").alias("n2_total")
+    )
+    w1 = F.split(F.col("ngram"), " ").getItem(0)
+    w2 = F.split(F.col("ngram"), " ").getItem(1)
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        big.select("ngram", "n_occurrences", w1.alias("w1"), w2.alias("w2"))
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "ngram",
+            "n_occurrences",
+            F.round(
+                F.log(
+                    (F.col("n_occurrences") / F.col("n2_total"))
+                    / (
+                        (F.col("c1") / F.col("n1_total"))
+                        * (F.col("c2") / F.col("n1_total"))
+                    )
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    if k is not None:
+        scored = scored.orderBy(F.desc("pmi"), F.asc("ngram")).limit(k)
+    return scored
+
+
 def tfidf_top_terms(
     df: DataFrame,
     k: int = 1,

@@ -17,6 +17,7 @@ from mpi_word_count_spark.operators.textanalysis import (
     LANG_MARKERS,
     STOPWORDS,
     URL_PATTERN,
+    bigram_pmi,
     doc_chunks,
     doc_fingerprints,
     language_id,
@@ -250,6 +251,47 @@ def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 corpus bigrams — the n=2 generalization of the flagship
     word count (language-model n-gram statistics)."""
     return ngram_counts(table(spark, "documents", sf_dir), n=2, k=50)
+
+
+@register(
+    "bigram_pmi",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    uc AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1
+    ),
+    bc AS (
+        SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM (
+            SELECT unnest(list_transform(
+                       generate_series(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i + 1])) AS ngram
+            FROM toks WHERE len(t) >= 2
+        ) GROUP BY 1
+    ),
+    n1 AS (SELECT sum(c) AS n1_total FROM uc),
+    n2 AS (SELECT sum(n_occurrences) AS n2_total FROM bc)
+    SELECT ngram, n_occurrences,
+           round(ln((n_occurrences / n2_total)
+                    / ((a1.c / n1_total) * (a2.c / n1_total))), 4) AS pmi
+    FROM (
+        SELECT ngram, n_occurrences,
+               split_part(ngram, ' ', 1) AS w1,
+               split_part(ngram, ' ', 2) AS w2
+        FROM bc WHERE n_occurrences >= 5
+    ) b
+    JOIN uc a1 ON b.w1 = a1.w
+    JOIN uc a2 ON b.w2 = a2.w
+    CROSS JOIN n1 CROSS JOIN n2
+    ORDER BY pmi DESC, ngram ASC
+    LIMIT 50
+    """,
+)
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations by pointwise mutual information (min
+    bigram count 5) — the phrase-merging signal of LM tokenizers."""
+    return bigram_pmi(table(spark, "documents", sf_dir), min_count=5, k=50)
 
 
 @register(
