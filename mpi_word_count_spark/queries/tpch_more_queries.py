@@ -319,6 +319,36 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Q13: customer order-count distribution -------------------------------
+@register(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+    FROM (
+        SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    )
+    GROUP BY n_orders
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of customers by order count (zero-order customers
+    included via the outer join) — two cascaded aggregations; the
+    second groups on the tiny distinct-count domain, so its exchange
+    is negligible at any scale."""
+    c = table(spark, "customer", sf_dir)
+    o = table(spark, "orders", sf_dir)
+    per_customer = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_customer.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
 # --- Q19: discounted revenue, OR-of-ANDs predicate ------------------------
 @register(
     "q19_bracket_revenue",

@@ -201,3 +201,20 @@ def test_multiprobe_recall_at_least_single_probe(spark):
     # the single-probe bucket is always among the probes → candidate
     # superset → per-query top-k can only improve vs ground truth
     assert len(multi & bf) >= len(single & bf)
+
+
+def test_pack_chunks_preserves_tokens(spark):
+    from mpi_word_count_spark.operators.textanalysis import doc_chunks, pack_chunks
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, "tok " * (30 * (i % 7 + 1))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    chunks = doc_chunks(df, chunk_size=120, stride=60)
+    packed = pack_chunks(chunks, budget=256, n_buckets=4)
+    total_chunk_tokens = chunks.agg(F.sum("n_chunk_tokens")).first()[0]
+    total_packed = packed.agg(F.sum("n_tokens")).first()[0]
+    # packing reassigns, never drops or duplicates tokens
+    assert total_packed == total_chunk_tokens
+    assert packed.filter(F.col("n_tokens") <= 0).count() == 0
