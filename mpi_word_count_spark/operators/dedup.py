@@ -255,6 +255,8 @@ def minhash_lsh_pairs(
     ).select("doc_id", "bk.band", "bk.key")
     a = bands.alias("a")
     b_ = bands.alias("b")
+    # cached: consumed twice (candidate-id broadcast + verification
+    # join) and tiny by LSH design — one bands self-join instead of two
     candidates = (
         a.join(
             b_,
@@ -264,6 +266,7 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
+        .cache()
     )
     # Verification shingles: re-tokenize ONLY candidate docs. The
     # candidate-id semi join is broadcast-sized (LSH keeps candidates
