@@ -40,6 +40,33 @@ def q_streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_click_attribution",
+    oracle="""
+    SELECT c.user_id, count(*) AS n_pairs
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    GROUP BY c.user_id
+    """,
+)
+def q_streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click→purchase attribution within
+    1 hour), verified against the identical batch join. The pair
+    stream runs in append mode; the per-user rollup aggregates the
+    completed stream output (one batch agg over the sink)."""
+    from mpi_word_count_spark.streaming.queries import click_to_purchase_pairs
+
+    clicks = stream_table(spark, "events", sf_dir)
+    purchases = stream_table(spark, "events", sf_dir)
+    pairs = click_to_purchase_pairs(clicks, purchases, aggregate=False)
+    done = run_to_completion(pairs, "append")
+    return done.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+@register(
     "streaming_enriched_counts",
     oracle="""
     SELECT n_name,

@@ -27,6 +27,50 @@ def streaming_word_count(
     )
 
 
+def click_to_purchase_pairs(
+    clicks: DataFrame, purchases: DataFrame, aggregate: bool = True
+) -> DataFrame:
+    """Stream-stream inner join: purchases within 1 hour after a click
+    by the same user — the attribution-window shape; per-user counts
+    when `aggregate` (chained stateful operators), raw pairs otherwise.
+
+    Both sides carry watermarks and the join has a two-sided time
+    constraint, so Spark can expire buffered rows once the watermark
+    passes (state stays bounded at any input rate; without the time
+    bound an inner stream-stream join buffers forever). Inner-join
+    matches emit as they arrive — no watermark latency on results.
+    """
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_event"),
+        )
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_event"),
+        )
+    )
+    joined = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    if not aggregate:
+        return joined
+    return joined.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
 def enriched_event_counts(
     events: DataFrame, customers: DataFrame, nations: DataFrame
 ) -> DataFrame:
