@@ -344,6 +344,36 @@ def event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "order_price_deciles",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ntile(10) OVER w AS INT) AS decile,
+           round(percent_rank() OVER w, 4) AS pct_rank,
+           round(cume_dist() OVER w, 4) AS cume
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+)
+def order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows (ntile / percent_rank / cume_dist) over a
+    total order. The empty partition spec means ONE sort partition —
+    correct here because the output is per-row ranks over the whole
+    table; at 100 TB you'd bucket first (approx percentiles via
+    percentile_approx, already covered by order_price_percentiles) or
+    range-partition the sort."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    o = table(spark, "orders", sf_dir)
+    return o.select(
+        "o_orderkey",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    )
+
+
 # --- rollup / cube --------------------------------------------------------
 @register(
     "orders_rollup",

@@ -349,6 +349,49 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Q15: top supplier(s) by quarterly revenue ----------------------------
+@register(
+    "q15_top_suppliers",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) achieving the maximum quarterly revenue: the
+    revenue CTE aggregates once and feeds both the scalar-max subquery
+    and the final join — in Spark, a window max over an empty
+    partition spec computes the global max WITHOUT a second scan or a
+    driver round-trip, and stays a single shuffle pipeline."""
+    from pyspark.sql import Window
+
+    li = table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    best = revenue.withColumn(
+        "_max", F.max("total_revenue").over(Window.partitionBy())
+    ).filter(F.col("total_revenue") == F.col("_max"))
+    s = table(spark, "supplier", sf_dir)
+    return best.join(s, best.supplier_no == s.s_suppkey).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
 # --- Q19: discounted revenue, OR-of-ANDs predicate ------------------------
 @register(
     "q19_bracket_revenue",
