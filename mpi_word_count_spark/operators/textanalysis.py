@@ -340,6 +340,43 @@ def ngram_counts(
     return counts
 
 
+def compression_ratios(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document zlib compression ratio (compressed/raw bytes) —
+    the classic repetition/boilerplate quality signal (highly
+    repetitive machine-generated text compresses far below natural
+    prose; Gopher-style pipelines threshold on it).
+
+    zlib isn't expressible in SQL or Catalyst, so this is the repo's
+    canonical VECTORIZED pandas_udf: one Python call per Arrow batch
+    (thousands of docs), C-speed zlib per row inside — not a
+    row-at-a-time Python UDF. Narrow projection, no shuffle; the UDF
+    cost is linear in corpus bytes at any scale. Rows-only driver
+    check (no zlib in the oracle engine); behavior unit-tested on
+    synthetic compressible vs high-entropy text."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _zratio(texts):  # pd.Series -> pd.Series (Arrow batch)
+        import zlib
+
+        def one(t):
+            if t is None or len(t) == 0:
+                return None
+            raw = t.encode("utf-8")
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return texts.map(one)
+
+    zratio = pandas_udf(_zratio, "double")
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text_col).cast("bigint").alias("n_chars"),
+        F.round(zratio(F.col(text_col)), 4).alias("compression_ratio"),
+    )
+
+
 def bigram_pmi(
     df: DataFrame,
     min_count: int = 5,

@@ -18,6 +18,7 @@ from mpi_word_count_spark.operators.textanalysis import (
     STOPWORDS,
     URL_PATTERN,
     bigram_pmi,
+    compression_ratios,
     doc_chunks,
     doc_fingerprints,
     language_id,
@@ -316,6 +317,15 @@ def q_scrubbed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     behavior itself is unit-tested on synthetic text with matches,
     tests/test_similarity_text.py)."""
     return scrub_text(table(spark, "documents", sf_dir))
+
+
+@register("compression_ratios")  # rows-only: zlib has no oracle-engine
+# equivalent; thresholds unit-tested on synthetic compressible vs
+# high-entropy text (tests/test_similarity_text.py)
+def q_compression_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression ratio per document — repetition/boilerplate
+    quality signal, vectorized pandas_udf over Arrow batches."""
+    return compression_ratios(table(spark, "documents", sf_dir))
 
 
 @register(

@@ -218,3 +218,20 @@ def test_pack_chunks_preserves_tokens(spark):
     # packing reassigns, never drops or duplicates tokens
     assert total_packed == total_chunk_tokens
     assert packed.filter(F.col("n_tokens") <= 0).count() == 0
+
+
+def test_compression_ratio_separates_repetition(spark):
+    from mpi_word_count_spark.operators.textanalysis import compression_ratios
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam " * 50),                       # repetitive
+            (2, "9f2a7c41be05d8e6 3kq8zx0vwy1mjn7u " * 5),     # high entropy
+            (3, ""),                                            # empty → NULL
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in compression_ratios(df).collect()}
+    assert rows[1]["compression_ratio"] < rows[2]["compression_ratio"]
+    assert rows[1]["compression_ratio"] < 0.1
+    assert rows[3]["compression_ratio"] is None
