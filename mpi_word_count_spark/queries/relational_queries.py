@@ -345,6 +345,32 @@ def event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "priority_status_sets",
+    oracle="""
+    SELECT o_orderpriority,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+               AS statuses,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def priority_status_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-valued aggregation (collect_set ≈ LISTAGG DISTINCT): the
+    collected set is sorted before joining because collect order is
+    partition-nondeterministic — the mandatory determinism discipline
+    for any array/list aggregate. Plus count(DISTINCT), which Spark
+    plans as a two-stage expand without a separate distinct job."""
+    o = table(spark, "orders", sf_dir)
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+@register(
     "order_price_deciles",
     oracle="""
     SELECT o_orderkey,
