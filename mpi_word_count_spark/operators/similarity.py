@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mpi_word_count_spark.functions.hashing import py_hash32
-from mpi_word_count_spark.functions.vector import cosine, dot, norm
+from mpi_word_count_spark.functions.vector import dot, norm
 from mpi_word_count_spark.operators.relational import topk_per_group
 
 NUM_PLANES = 8

@@ -6,7 +6,7 @@ the row path — so they run at scan speed over any corpus size.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mpi_word_count_spark.operators.dedup import tokens_col
