@@ -114,8 +114,11 @@ def _oracle() -> str:
     )
     SELECT c.source,
            count(*) AS n_docs,
-           sum(CAST(len(regexp_extract_all(c.text, '{BPE_ISH_PATTERN}'))
-               AS BIGINT)) AS total_bpe_tokens
+           -- CAST must wrap the aggregate: DuckDB sum(BIGINT) yields
+           -- HUGEINT, which pandas canonicalizes as float64 and the
+           -- value hash diverges from Spark's int64
+           CAST(sum(len(regexp_extract_all(c.text, '{BPE_ISH_PATTERN}')))
+               AS BIGINT) AS total_bpe_tokens
     FROM canon c
     GROUP BY c.source
     """

@@ -54,9 +54,62 @@ def sql_regex() -> str:
 
 _LOADED = False
 
+# Driver-verification priority: the per-round correctness harness checks
+# registry entries in insertion order with a bounded budget, so queries
+# that have never had a CORRECTNESS row (dark through round 2) and queries
+# whose defects were fixed this round come FIRST; long-green queries take
+# the later slots and rotate back in on subsequent rounds.
+_PRIORITY = [
+    # flagship + never-verified wordcount family
+    "wordcount",
+    "sql_wordcount",
+    "wordcount_topk",
+    "wordcount_per_doc",
+    "word_doc_frequency",
+    "csv_roundtrip",
+    # fixed this round (need fresh rows to confirm)
+    "clean_corpus_summary",
+    "media_features",
+    "media_frames",
+    "simhash_dups",
+    "embedding_dups",
+    "ann_ivf",
+    # never-verified text-analysis family
+    "token_stats",
+    "lang_id",
+    "quality_scores",
+    "doc_fingerprints",
+    "tfidf_top_terms",
+    "doc_chunks",
+    "packed_sequences",
+    "bigram_counts",
+    "bigram_pmi",
+    "scrubbed_docs",
+    "compression_ratios",
+    "hash_sample_documents",
+    # never-verified TPC-H analogs
+    "q4_late_order_priority",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_suppliers",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_bracket_revenue",
+    "q22_dormant_rich_customers",
+    # never-verified streaming queries
+    "streaming_session_counts",
+    "streaming_stateful_totals",
+    "streaming_dedup",
+]
+
 
 def _load_all() -> None:
-    """Import every query module so its @register calls run."""
+    """Import every query module so its @register calls run, then
+    apply the driver-verification priority order."""
     global _LOADED
     if _LOADED:
         return
@@ -76,4 +129,8 @@ def _load_all() -> None:
         wordcount_queries,
     )
 
+    ordered = {n: _REGISTRY[n] for n in _PRIORITY if n in _REGISTRY}
+    ordered.update((n, v) for n, v in _REGISTRY.items() if n not in ordered)
+    _REGISTRY.clear()
+    _REGISTRY.update(ordered)
     _LOADED = True
