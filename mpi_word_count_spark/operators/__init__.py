@@ -4,6 +4,32 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# Cached DataFrames created inside operators (MinHash signatures, LSH
+# candidate sets, connected-component labels). A lazily returned result
+# can't unpersist its own inputs — the operator doesn't know when the
+# caller is done — so operators register caches here and long-lived
+# callers (bench loops, test sessions) call release_caches() between
+# queries. Forgetting to release is bounded leak, not wrong results:
+# Spark evicts LRU under memory pressure; this keeps long sessions from
+# accumulating dead cache entries at all.
+_TRACKED_CACHES: list[DataFrame] = []
+
+
+def track_cache(df: DataFrame) -> DataFrame:
+    """cache() a DataFrame and register it for later release_caches()."""
+    cached = df.cache()
+    _TRACKED_CACHES.append(cached)
+    return cached
+
+
+def release_caches() -> int:
+    """Unpersist every tracked cache; returns how many were released."""
+    n = 0
+    while _TRACKED_CACHES:
+        _TRACKED_CACHES.pop().unpersist()
+        n += 1
+    return n
+
 
 def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Ensure CPU-heavy per-row operators get full parallelism.

@@ -229,8 +229,10 @@ def minhash_lsh_pairs(
     nothing and leaves exactly ONE full-corpus tokenization in the
     whole pipeline.
     """
+    from mpi_word_count_spark.operators import track_cache
+
     rows_per_band = num_hashes // num_bands
-    sig = minhash_signatures(df, num_hashes, n, id_col, text_col).cache()
+    sig = track_cache(minhash_signatures(df, num_hashes, n, id_col, text_col))
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -257,7 +259,7 @@ def minhash_lsh_pairs(
     b_ = bands.alias("b")
     # cached: consumed twice (candidate-id broadcast + verification
     # join) and tiny by LSH design — one bands self-join instead of two
-    candidates = (
+    candidates = track_cache(
         a.join(
             b_,
             (F.col("a.band") == F.col("b.band"))
@@ -266,7 +268,6 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
-        .cache()
     )
     # Verification shingles: re-tokenize ONLY candidate docs. The
     # candidate-id semi join is broadcast-sized (LSH keeps candidates
@@ -332,6 +333,8 @@ def dup_clusters(
     round unpersisted, so lineage stays flat. At extreme scale the
     large-star/small-star variant halves round count; same join shape.
     """
+    from mpi_word_count_spark.operators import track_cache
+
     e = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
     edges = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -342,6 +345,7 @@ def dup_clusters(
         .withColumn("label", F.col("v"))
         .cache()
     )
+    converged = False
     for _ in range(max_iters):
         prop = (
             edges.join(labels, edges.src == labels.v)
@@ -368,8 +372,22 @@ def dup_clusters(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # silent non-convergence would hand back labels that are only
+        # PART-WAY merged — wrong clusters that look plausible. Raise:
+        # the caller either raises max_iters (component diameter bound)
+        # or switches to large-star/small-star for pathological graphs.
+        labels.unpersist()
+        raise RuntimeError(
+            f"dup_clusters did not converge within max_iters={max_iters}; "
+            "raise max_iters (labels need >= component-diameter rounds)"
+        )
+    # the final labels feed the returned join lazily; register for
+    # release_caches() once the caller has consumed the result
+    track_cache(labels)
     ids = df.select(F.col(id_col).alias("doc_id"))
     return ids.join(
         labels.select(F.col("v").alias("doc_id"), "label"), "doc_id", "left"
@@ -420,11 +438,14 @@ def simhash_arrow(
     # DataFrame per GROUP, so thousands of tiny doc-groups drown in
     # framing overhead (measured 5× slower than the expression path).
     # One group per bucket keeps the kernel amortized; the per-doc
-    # fold inside is a vectorized pandas groupby.
+    # fold inside is a vectorized pandas groupby. Bucket on hash(id),
+    # not the id itself — ids can be strings, and raw numeric ids can
+    # carry patterns (all-even ids would leave half the buckets empty).
     n_buckets = 64
     terms = _simhash_terms(df, id_col, text_col).withColumn(
-        "_bucket", F.pmod(F.col("doc_id"), F.lit(n_buckets))
+        "_bucket", F.pmod(F.hash(F.col("doc_id")), F.lit(n_buckets))
     )
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -440,7 +461,7 @@ def simhash_arrow(
         return pd.DataFrame({"doc_id": sums.index.to_numpy(), "simhash": fp})
 
     return terms.groupBy("_bucket").applyInPandas(
-        fold, "doc_id long, simhash long"
+        fold, f"doc_id {id_type}, simhash long"
     )
 
 
@@ -551,7 +572,9 @@ def simhash_banded_pairs(
     tracks collision structure, not |docs|² — the same banding idea
     as MinHash LSH, with zero recall loss.
     """
-    s = simhash(df, id_col, text_col, bits).cache()
+    from mpi_word_count_spark.operators import track_cache
+
+    s = track_cache(simhash(df, id_col, text_col, bits))
     chunks = [
         F.struct(
             F.lit(j).alias("band"),

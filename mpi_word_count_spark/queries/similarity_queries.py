@@ -148,12 +148,112 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf")  # no oracle: iterative k-means isn't SQL-expressible;
-# recall vs ann_bruteforce is asserted in tests/test_similarity_text.py
+IVF_CLUSTERS = 8
+IVF_NPROBE = 2
+IVF_ITERS = 5
+IVF_DIM = 64
+
+
+def _ivf_oracle() -> str:
+    """Lloyd's k-means is deterministic here (init = the k smallest-id
+    vectors, fixed iteration count, ties break on cluster id), so the
+    'iterative' part unrolls into one CTE pair per iteration:
+    assignment (argmin distance over the previous centroids) and mean
+    recomputation (per-dimension avg, empty clusters keep their old
+    centroid). The final SELECT replicates the IVF probe: corpus
+    vectors live in their nearest list, queries probe the 2 nearest
+    lists, exact cosine rank within them. Distance ordering uses
+    list_distance (sqrt of the same sum of squares — monotonic, so the
+    argmin is identical up to float summation drift, which the fixture
+    geometry keeps far from any tie)."""
+    steps = []
+    for t in range(IVF_ITERS):
+        prev, cur = f"c{t}", f"c{t + 1}"
+        steps.append(f"""
+    a{t + 1} AS (
+        SELECT vec_id, embedding, c FROM (
+            SELECT e.vec_id, e.embedding, t.c,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding::DOUBLE[], t.vec) ASC,
+                                t.c ASC
+                   ) AS rn
+            FROM embeddings e CROSS JOIN {prev} t
+        ) WHERE rn = 1
+    ),
+    m{t + 1} AS (
+        SELECT c, i, avg(embedding[i]) AS m
+        FROM a{t + 1} CROSS JOIN dims
+        GROUP BY c, i
+    ),
+    g{t + 1} AS (
+        SELECT c, list(m ORDER BY i) AS vec FROM m{t + 1} GROUP BY c
+    ),
+    {cur} AS (
+        SELECT t.c, coalesce(g.vec, t.vec) AS vec
+        FROM {prev} t LEFT JOIN g{t + 1} g ON t.c = g.c
+    )""")
+    last = f"c{IVF_ITERS}"
+    return f"""
+    WITH c0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+               embedding::DOUBLE[] AS vec
+        FROM embeddings ORDER BY vec_id LIMIT {IVF_CLUSTERS}
+    ),
+    dims AS (SELECT unnest(range(1, {IVF_DIM + 1})) AS i),
+    {",".join(steps)},
+    corpus AS (
+        SELECT vec_id, embedding, c AS cluster FROM (
+            SELECT e.vec_id, e.embedding, t.c,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding::DOUBLE[], t.vec) ASC,
+                                t.c ASC
+                   ) AS rn
+            FROM embeddings e CROSS JOIN {last} t
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id, embedding, c AS cluster FROM (
+            SELECT e.vec_id, e.embedding, t.c,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding::DOUBLE[], t.vec) ASC,
+                                t.c ASC
+                   ) AS rn
+            FROM embeddings e CROSS JOIN {last} t
+            WHERE e.vec_id < {N_QUERIES}
+        ) WHERE rn <= {IVF_NPROBE}
+    ),
+    scored AS (
+        SELECT q.vec_id AS q_id, v.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                            v.embedding::DOUBLE[]), 4) AS cosine
+        FROM probes q JOIN corpus v
+          ON q.cluster = v.cluster AND q.vec_id <> v.vec_id
+    )
+    SELECT q_id, neighbor_id, cosine, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@register("ann_ivf", oracle=_ivf_oracle())
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat approximate top-5: k-means inverted lists, queries
-    probe the 2 nearest lists. Deterministic (id-ordered init, no RNG)."""
+    probe the 2 nearest lists. Deterministic (id-ordered init, no RNG)
+    — the oracle unrolls the same 5 Lloyd iterations as SQL CTEs.
+    Recall vs ann_bruteforce is additionally asserted in
+    tests/test_similarity_text.py."""
     emb = table(spark, "embeddings", sf_dir)
     return ann_ivf_topk(
-        emb, _queries_df(spark, sf_dir), k=TOP_K, n_clusters=8, nprobe=2
+        emb,
+        _queries_df(spark, sf_dir),
+        k=TOP_K,
+        n_clusters=IVF_CLUSTERS,
+        nprobe=IVF_NPROBE,
+        kmeans_iters=IVF_ITERS,
     )

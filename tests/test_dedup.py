@@ -127,3 +127,45 @@ def test_simhash_arrow_equals_expression(spark):
     }
     arrow = {r["doc_id"]: r["simhash"] for r in simhash_arrow(docs_df(spark)).collect()}
     assert expr == arrow
+
+
+def test_simhash_arrow_string_ids(spark):
+    # string ids must survive the bucketing (hash(id), not pmod(id))
+    # and come back with their original type
+    from mpi_word_count_spark.operators.dedup import simhash_arrow
+
+    df = spark.createDataFrame(
+        [(f"doc-{i}", t) for i, t in DOCS], "doc_id string, text string"
+    )
+    expr = {
+        r["doc_id"]: r["simhash"] for r in simhash(df, kernel="expr").collect()
+    }
+    arrow = {r["doc_id"]: r["simhash"] for r in simhash_arrow(df).collect()}
+    assert expr == arrow
+    assert expr["doc-1"] == expr["doc-2"]
+
+
+def test_dup_clusters_nonconvergence_raises(spark):
+    import pytest
+
+    from mpi_word_count_spark.operators.dedup import dup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(12)], "doc_id long, text string"
+    )
+    # an 11-edge path needs ~diameter rounds; 2 iterations cannot finish
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "d1 long, d2 long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(docs, chain, max_iters=2)
+
+
+def test_release_caches_unpersists_tracked(spark):
+    from mpi_word_count_spark.operators import release_caches
+
+    released_before = release_caches()  # drain anything from other tests
+    minhash_lsh_pairs(docs_df(spark), threshold=0.5).collect()
+    assert release_caches() >= 2  # signatures + candidate pairs
+    assert release_caches() == 0
+    del released_before
