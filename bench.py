@@ -51,6 +51,7 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or 0.1)
+    load1_at_start = os.getloadavg()[0]
     spark = get_spark(app_name="bench")
 
     # absorb one-time JVM/codegen/catalog init so per-query numbers
@@ -63,21 +64,35 @@ def main() -> None:
     word_count_df(tiny).write.format("noop").mode("overwrite").save()
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()
 
+    from mpi_word_count_spark import operators
+
     queries = registry.queries()
     timings: dict[str, float] = {}
+    runs_meta: dict[str, dict] = {}
     for name in HEADLINE:
         fn = queries[name]
-        # best of 2: the host is shared and single runs show up to 6x
+        # best of 3: the host is shared and single runs show up to 6x
         # noisy-neighbor variance; min is the standard steady-state
         # estimator (the reference likewise reports curve fits over
         # repeated runs, resources/Documentation.md:405-449)
-        best = float("inf")
-        for _ in range(2):
+        runs: list[float] = []
+        for _ in range(3):
+            load_before = os.getloadavg()[0]
             start = time.monotonic()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.monotonic() - start)
-        timings[name] = round(best, 3)
+            runs.append(round(time.monotonic() - start, 3))
+            # drop any caches the operator tracked (e.g. MinHash
+            # signatures) so executor memory pressure from one query
+            # can't tax the next — regressions must be attributable
+            operators.release_caches()
+        timings[name] = min(runs)
+        runs_meta[name] = {
+            "runs": runs,
+            "load1_before": round(load_before, 2),
+            "load1_after": round(os.getloadavg()[0], 2),
+            "t_wall": round(time.time(), 1),
+        }
 
     total = round(sum(timings.values()), 3)
     print(
@@ -88,6 +103,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "meta": {
+                    "best_of": 3,
+                    "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+                    "load1_at_start": round(load1_at_start, 2),
+                    "runs": runs_meta,
+                },
             }
         )
     )

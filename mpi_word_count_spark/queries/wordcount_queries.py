@@ -8,6 +8,8 @@ per-document lineage counts, document frequency).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -103,6 +105,39 @@ def wordcount_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, "documents", sf_dir)
     toks = tokenize(docs, col="text", keep=["doc_id"])
     return toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("count"))
+
+
+@register(
+    "csv_roundtrip",
+    oracle=f"""
+    SELECT word, count(*) AS count
+    FROM ({_TOKS}) WHERE word <> ''
+    GROUP BY word ORDER BY word
+    """,
+)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4/O5 sink parity: flagship result → `write_word_count_csv`
+    (single file, `Word,Count` header — word_count_mpi.c:132-142) →
+    read back with an explicit schema → same rows as the in-memory
+    result. Exercises the full write/read sink path the reference's
+    csv_results.csv consumer sees; the roundtrip must be lossless so
+    the oracle is the flagship wordcount SQL itself.
+    """
+    import tempfile
+
+    from mpi_word_count_spark.sinks import write_word_count_csv
+
+    out = word_count_df(table(spark, "documents", sf_dir), col="text")
+    path = os.path.join(tempfile.mkdtemp(prefix="csv_roundtrip_"), "csv_results.csv")
+    write_word_count_csv(out, path)
+    return (
+        spark.read.option("header", True)
+        .schema("Word STRING, Count BIGINT")
+        .csv(path)
+        .withColumnRenamed("Word", "word")
+        .withColumnRenamed("Count", "count")
+        .orderBy("word")
+    )
 
 
 @register(

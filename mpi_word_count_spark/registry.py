@@ -60,50 +60,67 @@ _LOADED = False
 # whose defects were fixed this round come FIRST; long-green queries take
 # the later slots and rotate back in on subsequent rounds.
 _PRIORITY = [
-    # flagship + never-verified wordcount family
-    "wordcount",
-    "sql_wordcount",
-    "wordcount_topk",
-    "wordcount_per_doc",
-    "word_doc_frequency",
-    "csv_roundtrip",
-    # fixed this round (need fresh rows to confirm)
-    "clean_corpus_summary",
-    "media_features",
-    "media_frames",
-    "simhash_dups",
-    "embedding_dups",
-    "ann_ivf",
-    # never-verified text-analysis family
-    "token_stats",
-    "lang_id",
-    "quality_scores",
-    "doc_fingerprints",
-    "tfidf_top_terms",
-    "doc_chunks",
-    "packed_sequences",
-    "bigram_counts",
-    "bigram_pmi",
-    "scrubbed_docs",
-    "compression_ratios",
-    "hash_sample_documents",
-    # never-verified TPC-H analogs
-    "q4_late_order_priority",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q10_returned_items",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_suppliers",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_bracket_revenue",
-    "q22_dormant_rich_customers",
-    # never-verified streaming queries
+    # events family: broken by the TIMESTAMP_NTZ regression, fixed in
+    # round 4 (tables.normalize_events_ts) — every one needs a fresh
+    # row on the current engine
     "streaming_session_counts",
     "streaming_stateful_totals",
+    "event_gaps",
+    "streaming_wordcount",
+    "streaming_tumbling_counts",
+    "streaming_sliding_counts",
+    "streaming_enriched_counts",
+    "streaming_click_attribution",
+    "events_last_order_asof",
+    "user_session_counts",
+    "events_json_buckets",
     "streaming_dedup",
+    # newly registered this round (O4/O5 sink coverage)
+    "csv_roundtrip",
+    # r1/r2-only greens: never re-verified on the current Spark
+    "ann_bruteforce",
+    "ann_lsh",
+    "ann_lsh_multiprobe",
+    "simhash_fingerprints",
+    "simhash_banded_dups",
+    "brand_revenue",
+    "churned_customers_9596",
+    "customer_order_counts_outer",
+    "customers_with_urgent_orders",
+    "customers_without_orders",
+    "lineitem_cube",
+    "lineitem_part_price_band",
+    "order_price_deciles",
+    "orders_by_month",
+    "orders_rollup",
+    "orders_status_pivot",
+    "priority_status_sets",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_regional_revenue",
+    "repeat_customers_9596",
+    "running_revenue_per_supplier",
+    "top3_orders_per_customer",
+    # no-oracle trio: rows-only driver record (tolerance-tested vs
+    # exact twins in tests/test_approx_tolerance.py)
+    "compression_ratios",
+    "approx_distinct_words",
+    "approx_value_quantiles",
+    # flagship family: keep a fresh row every round
+    "wordcount",
+    "sql_wordcount",
+    "wordcount_compat",
+    "wordcount_per_doc",
+    "salted_wordcount",
+    "exact_dedup",
+    "minhash_lsh_dups",
+    "simhash_dups",
+    "embedding_dups",
+    "dedup_clusters",
+    "clean_corpus_summary",
+    "ann_ivf",
+    "word_doc_frequency",
+    "wordcount_topk",
 ]
 
 

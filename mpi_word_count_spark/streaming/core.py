@@ -9,41 +9,32 @@ and dedup state here is the only design surface that needs sizing at
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from mpi_word_count_spark.tables import TABLES, table
+from mpi_word_count_spark.tables import TABLES, normalize_events_ts
 
 
 def stream_table(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
     """File-source streaming read of a fixture table (schema pinned
-    from the batch catalog — streaming reads never infer)."""
+    from the parquet footer — streaming reads never infer)."""
     if name not in TABLES:
         raise KeyError(name)
-    batch = table(spark, name, sf_dir)
-    if name == "events":
-        # match tables.py: raw int64-nanos schema, then truncate to µs
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        import os
-
-        raw_schema = spark.read.parquet(
-            os.path.join(sf_dir, "events.parquet")
-        ).schema
-        sdf = (
-            spark.readStream.schema(raw_schema)
-            # file stream sources take a directory; glob-filter the table
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
-        # integer div, not /1000: the float path rounds at this magnitude
-        return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return (
-        spark.readStream.schema(batch.schema)
+    # Pin the RAW on-disk schema (one footer read, no full batch scan),
+    # then apply the same ts normalization as the batch catalog so
+    # batch and stream plans see identical column types.
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        # file stream sources take a directory; glob-filter the table
         .option("pathGlobFilter", f"{name}.parquet")
         .parquet(sf_dir)
     )
+    if name == "events":
+        sdf = normalize_events_ts(sdf)
+    return sdf
 
 
 def run_foreach_batch_parquet(

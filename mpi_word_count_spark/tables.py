@@ -31,20 +31,37 @@ TABLES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events `ts` column to a plain UTC TIMESTAMP.
+
+    events.ts is parquet TIMESTAMP(NANOS). Depending on the Spark
+    version/confs in play it surfaces as one of:
+      - bigint        (legacy nanosAsLong readers): int64 nanos —
+        truncate with integer div (the float path rounds at this
+        magnitude), then timestamp_micros;
+      - timestamp_ntz (Spark 4.x default): already micro-truncated —
+        reinterpret in the session zone (UTC, session.py) so it equals
+        DuckDB's naive-UTC reading bit-for-bit;
+      - timestamp     : already normalized, pass through.
+    Works identically on batch and streaming DataFrames; downstream
+    code never sees TIMESTAMP_NTZ or raw nanos.
+    """
+    from pyspark.sql import functions as F
+
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read it as int64 nanos and truncate to the
-        # engine's microsecond timestamps (same truncation DuckDB applies).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
-
-        # integer div, not /1000: the float path rounds at this magnitude
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_events_ts(df)
     return df
 
 

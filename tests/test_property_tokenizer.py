@@ -1,0 +1,102 @@
+"""Property-based lock on the tokenizer semantics (S1-S3) and the
+widen() partition planner.
+
+The C reference tokenizer (tokenizer.c:47-79) emits maximal runs of
+non-delimiter characters; the alphabet is LITERAL BYTES (tokenizer.c:
+22-27), never regex, and whitespace always delimits. Our Spark mapping
+compiles the alphabet into a regex character class — the escaping in
+`delimiter_regex` is the one hand-written piece that could silently
+diverge (e.g. `-` forming a range, `[`/`]`/`^`/`\\` leaking syntax,
+Java's `&&` class intersection). Hypothesis drives random alphabets
+(biased toward those metacharacters) and random texts against a
+10-line pure-Python model of the C loop.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mpi_word_count_spark.tokenizer import (
+    WHITESPACE_DELIMITERS,
+    split_words,
+    tokenize,
+)
+
+# Metacharacter-heavy pool: every char that needs escaping in a Java
+# regex class, Java's class-intersection `&`, plus ordinary bytes.
+DELIM_POOL = "[]^-\\&|().*+?{}$!\"#%',/:;<=>@_`~az0 \t\n\r"
+TEXT_ALPHABET = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    "[]^-\\&|().*+?{}$!\"#%',/:;<=>@_`~ \t\n\r"
+)
+
+
+def model_tokenize(text: str, alphabet: str) -> list[str]:
+    """The C loop (tokenizer.c:47-79): maximal non-delimiter runs,
+    lowered (S2), empties impossible by construction (S3)."""
+    delims = set(alphabet)
+    words: list[str] = []
+    cur: list[str] = []
+    for ch in text:
+        if ch in delims:
+            if cur:
+                words.append("".join(cur))
+                cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        words.append("".join(cur))
+    return [w.lower() for w in words]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    delims=st.sets(st.sampled_from(DELIM_POOL), min_size=0, max_size=12),
+    texts=st.lists(
+        st.text(alphabet=TEXT_ALPHABET, max_size=80), min_size=1, max_size=6
+    ),
+)
+def test_tokenizer_matches_c_model(spark, delims, texts):
+    # whitespace is ALWAYS prepended (tokenizer.c:21), any alphabet
+    alphabet = "".join(dict.fromkeys(WHITESPACE_DELIMITERS + "".join(delims)))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, text string"
+    )
+    rows = df.select("i", split_words("text", alphabet).alias("toks")).collect()
+    got = {r["i"]: [w.lower() for w in r["toks"] if w] for r in rows}
+    want = {i: model_tokenize(t, alphabet) for i, t in enumerate(texts)}
+    assert got == want
+
+    # tokenize() (the wrapper: explode + lower + drop-empty) agrees as
+    # a per-doc multiset
+    tok_rows = tokenize(df, delimiters=alphabet, keep=["i"]).collect()
+    got_ms: dict[int, list[str]] = {i: [] for i in want}
+    for r in tok_rows:
+        got_ms[r["i"]].append(r["word"])
+    assert {i: sorted(v) for i, v in got_ms.items()} == {
+        i: sorted(v) for i, v in want.items()
+    }
+
+
+def test_widen_is_noop_on_wide_input(spark):
+    """widen() must add NO shuffle when the scan already has >= default
+    parallelism splits — the property that makes it safe at 100 TB
+    (operators/__init__.py)."""
+    from mpi_word_count_spark.operators import widen
+
+    target = spark.sparkContext.defaultParallelism
+    wide = spark.range(10_000).repartition(target)
+    assert widen(wide) is wide  # identity: no new plan node at all
+    wider = spark.range(10_000).repartition(target + 4)
+    assert widen(wider) is wider
+    assert widen(wider).rdd.getNumPartitions() == target + 4
+
+
+def test_widen_widens_narrow_input(spark):
+    from mpi_word_count_spark.operators import widen
+
+    narrow = spark.range(10_000).coalesce(1)
+    assert widen(narrow).rdd.getNumPartitions() == (
+        spark.sparkContext.defaultParallelism
+    )

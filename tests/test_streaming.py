@@ -117,6 +117,67 @@ def test_watermarked_append_window(spark, tmp_path):
     assert [(r["w"]["start"].hour, r["n"]) for r in got] == [(0, 1)]
 
 
+def test_foreach_batch_checkpoint_resume(spark, tmp_path):
+    """Kill-and-resume: a foreachBatch sink that dies AFTER writing its
+    batch but BEFORE the checkpoint WAL commit must not duplicate rows
+    when Spark replays the batch on restart — the replay overwrites the
+    same batch_id partition (streaming/core.py idempotence claim)."""
+    import pytest
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    rows = [
+        (i, datetime.datetime(2024, 1, 1, 0, i % 60, 0), i % 3, "click", float(i), "{}")
+        for i in range(30)
+    ]
+    src = tmp_path / "src"
+    full = spark.createDataFrame(rows, schema)
+    # three files -> three micro-batches under maxFilesPerTrigger=1
+    for i in range(3):
+        full.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def make_stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+            .select("event_id", "user_id", "value")
+        )
+
+    def crashing(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
+        if batch_id == 1:
+            raise RuntimeError("injected crash after sink write, before WAL commit")
+
+    q = (
+        make_stream()
+        .writeStream.foreachBatch(crashing)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    with pytest.raises(Exception):
+        q.processAllAvailable()
+    q.stop()
+    assert q.exception() is not None  # the query really died mid-stream
+
+    # resume from the same checkpoint with the normal idempotent writer:
+    # batch 1 (written but uncommitted) replays onto the same partition
+    from mpi_word_count_spark.streaming.core import run_foreach_batch_parquet
+
+    run_foreach_batch_parquet(make_stream(), out, ckpt, output_mode="append")
+
+    written = spark.read.parquet(out)
+    got = sorted(r["event_id"] for r in written.collect())
+    assert got == list(range(30))  # exactly once: no dupes, no gaps
+
+
 def test_foreach_batch_parquet_sink(spark, tmp_path):
     from mpi_word_count_spark.streaming.core import run_foreach_batch_parquet
     from mpi_word_count_spark.operators.wordcount import word_count_df
