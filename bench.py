@@ -76,8 +76,8 @@ def main() -> None:
         # estimator (the reference likewise reports curve fits over
         # repeated runs, resources/Documentation.md:405-449)
         runs: list[float] = []
+        load_before = os.getloadavg()[0]
         for _ in range(3):
-            load_before = os.getloadavg()[0]
             start = time.monotonic()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
