@@ -1,0 +1,155 @@
+"""Corpus-curation operators for LLM-training-data pipelines:
+benchmark decontamination, deterministic corpus mixing, shard
+assignment, and dedup-aware train/validation splitting.
+
+These are the steps between "deduplicated corpus" and "training
+shards" in a production data pipeline. All randomness is md5-derived
+(functions/hashing.py) so every operator is bit-reproducible across
+engines — resampling a 100 TB corpus must not change with partition
+count, task retries, or engine version, and the DuckDB oracle can
+verify each pipeline end to end.
+
+Scale notes per operator:
+- contamination: the benchmark side is SMALL by nature (an eval set,
+  thousands of docs) — its distinct shingles broadcast; the corpus is
+  touched in ONE narrow pass (tokenize → shingle → hash-join against
+  the broadcast). No corpus self-join, no shuffle of text.
+- mixture/sampling: pure per-row hash predicates — no shuffle at all
+  before the tiny per-group count aggregation.
+- shards: the per-shard ordering sorts WITHIN hash partitions
+  (repartition(shard) + sortWithinPartitions ≡ window per shard) —
+  never a global sort; 100 TB shuffles once on the shard key, which
+  is the write partitioning you want anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from mpi_word_count_spark.functions.hashing import hash32
+from mpi_word_count_spark.operators.dedup import doc_shingles
+
+# 8-gram shingles: the published decontamination granularity range
+# (PaLM used 8-grams, GPT-3 13-grams); 3-grams flag ~everything.
+CONTAMINATION_NGRAM = 8
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    bench_filter: Column,
+    n: int = CONTAMINATION_NGRAM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flag corpus documents sharing any word n-gram with a benchmark
+    set (train/test contamination scan).
+
+    Returns one row per CONTAMINATED corpus doc: (doc_id, n_shared,
+    n_shingles, contamination) where contamination = shared distinct
+    shingles / doc's distinct shingles.
+    """
+    bench_shingles = (
+        doc_shingles(docs.filter(bench_filter), id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    corpus_sh = doc_shingles(docs.filter(~bench_filter), id_col, text_col, n)
+    sizes = corpus_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    shared = (
+        corpus_sh.join(F.broadcast(bench_shingles), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return shared.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_shared",
+        "n_shingles",
+        F.round(F.col("n_shared") / F.col("n_shingles"), 4).alias("contamination"),
+    )
+
+
+def sample_hash(id_col: Column | str, seed: str) -> Column:
+    """Deterministic per-row sampling hash in [0, 10000): md5-derived,
+    so sampling decisions survive retries/repartitioning and replicate
+    in the oracle. 10000 buckets → rate granularity 0.01%."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return hash32(c.cast("string"), seed) % 10000
+
+
+def corpus_mixture(
+    docs: DataFrame,
+    weights: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_weight: float = 1.0,
+    seed: str = "mix",
+) -> DataFrame:
+    """Deterministic domain/language re-weighting: keep each doc with
+    its stratum's probability, by hash threshold (doc-stable, not
+    partition-random like df.sample). Returns the per-stratum audit:
+    (stratum, n_docs, n_kept, achieved_rate).
+
+    This is the training-mixture step (e.g. downweight overrepresented
+    English) — and the audit output is what you actually stare at
+    before committing a 100 TB job.
+    """
+    w = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )
+    thresh = F.coalesce(w[F.col(stratum_col)], F.lit(default_weight)) * 10000
+    kept = (sample_hash(id_col, seed) < thresh).cast("int")
+    return (
+        docs.select(F.col(stratum_col).alias("stratum"), kept.alias("_kept"))
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_kept").alias("n_kept"),
+            F.round(F.sum("_kept") / F.count(F.lit(1)), 4).alias("achieved_rate"),
+        )
+    )
+
+
+def shuffled_shards(
+    df: DataFrame,
+    num_shards: int = 64,
+    id_col: str = "doc_id",
+    seed: str = "shard",
+) -> DataFrame:
+    """Deterministic global shuffle into training shards: each row gets
+    (shard, pos) — shard by hash, position by hash order WITHIN the
+    shard. Reading shards 0..N-1 sequentially replays a uniform random
+    permutation of the corpus, yet no global sort ever runs: the
+    window partitions by shard (one shuffle on the shard key), and
+    each shard sorts independently — the exact layout a sharded
+    parquet/WebDataset write wants at 100 TB.
+    """
+    h = hash32(F.col(id_col).cast("string"), seed)  # full 32-bit order key
+    win = Window.partitionBy("shard").orderBy("h", id_col)
+    return (
+        df.select(F.col(id_col), h.alias("h"), (h % num_shards).alias("shard"))
+        .withColumn("pos", F.row_number().over(win))
+        .select(id_col, "shard", "pos")
+    )
+
+
+def cluster_aware_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    train_pct: int = 90,
+    id_col: str = "doc_id",
+    seed: str = "split",
+) -> DataFrame:
+    """Train/validation split that never separates near-duplicates:
+    the split hash is computed on the dedup CLUSTER id, not the doc
+    id, so every member of a near-dup cluster lands on the same side
+    (the leakage a doc-level split silently creates). `clusters` is
+    dup_clusters() output (doc_id, cluster_id)."""
+    split = F.when(
+        sample_hash(F.col("cluster_id"), seed) % 100 < train_pct, F.lit("train")
+    ).otherwise(F.lit("val"))
+    return (
+        docs.select(id_col)
+        .join(clusters, id_col)
+        .select(id_col, "cluster_id", split.alias("split"))
+    )

@@ -1,0 +1,152 @@
+"""Corpus-curation queries: decontamination, mixing, sharding,
+dedup-aware splitting (operators/curation.py) — each with a full
+DuckDB oracle via the shared md5 hash family, so the driver
+value-hash-verifies the complete curation pipeline.
+
+The "benchmark set" stands in for an external eval table (fixture has
+no second corpus): docs with doc_id % 7 == 0. Weights downweight the
+overrepresented language — the canonical mixture adjustment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mpi_word_count_spark.functions.hashing import sql_hash32
+from mpi_word_count_spark.operators.curation import (
+    CONTAMINATION_NGRAM,
+    benchmark_contamination,
+    cluster_aware_split,
+    corpus_mixture,
+    shuffled_shards,
+)
+from mpi_word_count_spark.operators.dedup import dup_clusters, minhash_lsh_pairs
+from mpi_word_count_spark.queries.dedup_queries import (
+    JACCARD_THRESHOLD,
+    _clusters_oracle,
+)
+from mpi_word_count_spark.registry import register, sql_regex
+from mpi_word_count_spark.tables import table
+
+BENCH_MOD = 7  # "benchmark set" = doc_id % 7 == 0
+MIXTURE_WEIGHTS = {"en": 0.5, "zh": 0.8}  # others default 1.0
+NUM_SHARDS = 64
+TRAIN_PCT = 90
+
+
+def _sql_ngram_shingles(n: int) -> str:
+    """DuckDB CTEs: distinct word n-gram shingles per doc — the n-ary
+    generalization of dedup_queries._SQL_SHINGLES (same tokenizer)."""
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return f"""
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '{sql_regex()}'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, len(t) - {n - 2}),
+                   i -> {gram}))) AS shingle
+        FROM toks
+    )"""
+
+
+@register(
+    "benchmark_contamination",
+    oracle=f"""
+    WITH {_sql_ngram_shingles(CONTAMINATION_NGRAM)},
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+    corpus AS (SELECT * FROM sh WHERE doc_id % {BENCH_MOD} <> 0),
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY 1),
+    shared AS (
+        SELECT c.doc_id, count(*) AS n_shared
+        FROM corpus c JOIN bench b ON c.shingle = b.shingle
+        GROUP BY 1
+    )
+    SELECT s.doc_id, n_shared, n_shingles,
+           round(n_shared * 1.0 / n_shingles, 4) AS contamination
+    FROM shared s JOIN sizes z ON s.doc_id = z.doc_id
+    """,
+)
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination scan: corpus docs sharing any 8-gram
+    with the benchmark set. Benchmark shingles broadcast; the corpus
+    is read once, never self-joined."""
+    docs = table(spark, "documents", sf_dir)
+    return benchmark_contamination(docs, F.col("doc_id") % BENCH_MOD == 0)
+
+
+def _mixture_threshold_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN {int(v * 10000)}" for k, v in MIXTURE_WEIGHTS.items()
+    )
+    return f"CASE lang {cases} ELSE 10000 END"
+
+
+@register(
+    "corpus_mixture",
+    oracle=f"""
+    SELECT lang AS stratum,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN {sql_hash32("CAST(doc_id AS VARCHAR)", "mix")}
+                              % 10000 < {_mixture_threshold_sql()}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(sum(CASE WHEN {sql_hash32("CAST(doc_id AS VARCHAR)", "mix")}
+                               % 10000 < {_mixture_threshold_sql()}
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS achieved_rate
+    FROM documents GROUP BY lang
+    """,
+)
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic language re-weighting audit (hash-threshold
+    sampling — stable under retries and repartitioning, unlike
+    df.sample)."""
+    docs = table(spark, "documents", sf_dir)
+    return corpus_mixture(docs, MIXTURE_WEIGHTS, stratum_col="lang")
+
+
+@register(
+    "shuffled_shards",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id,
+               {sql_hash32("CAST(doc_id AS VARCHAR)", "shard")} AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           h % {NUM_SHARDS} AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY h % {NUM_SHARDS} ORDER BY h, doc_id
+           ) AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def q_shuffled_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training shards — per-shard
+    hash order, no global sort (the window partitions on the shard
+    key, which is also the write partitioning)."""
+    docs = table(spark, "documents", sf_dir)
+    return shuffled_shards(docs, num_shards=NUM_SHARDS)
+
+
+@register(
+    "cluster_aware_split",
+    oracle=f"""
+    SELECT doc_id, cluster_id,
+           CASE WHEN ({sql_hash32("CAST(cluster_id AS VARCHAR)", "split")}
+                      % 10000) % 100 < {TRAIN_PCT}
+                THEN 'train' ELSE 'val' END AS split
+    FROM ({_clusters_oracle()})
+    """,
+)
+def q_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val split hashed on the near-dup CLUSTER id, so near
+    duplicates never straddle the split (the leakage a doc-level
+    split silently creates). Composes the full MinHash-LSH → connected
+    components pipeline with the split assignment."""
+    docs = table(spark, "documents", sf_dir)
+    pairs = minhash_lsh_pairs(docs, threshold=JACCARD_THRESHOLD)
+    return cluster_aware_split(docs, dup_clusters(docs, pairs), train_pct=TRAIN_PCT)

@@ -75,8 +75,12 @@ _PRIORITY = [
     "user_session_counts",
     "events_json_buckets",
     "streaming_dedup",
-    # newly registered this round (O4/O5 sink coverage)
+    # newly registered this round (O4/O5 sink coverage + curation ops)
     "csv_roundtrip",
+    "benchmark_contamination",
+    "corpus_mixture",
+    "shuffled_shards",
+    "cluster_aware_split",
     # r1/r2-only greens: never re-verified on the current Spark
     "ann_bruteforce",
     "ann_lsh",
@@ -133,6 +137,7 @@ def _load_all() -> None:
     from mpi_word_count_spark.queries import (  # noqa: F401
         advanced_queries,
         approx_queries,
+        curation_queries,
         dedup_queries,
         join_queries,
         multimodal_queries,

@@ -81,6 +81,24 @@ def test_hash_sample_pushes_filter(spark):
     assert "Exchange" not in plan
 
 
+def test_curation_plan_shapes(spark):
+    # contamination: benchmark shingles broadcast, corpus never
+    # self-joined (no cartesian / nested-loop anywhere)
+    plan = plan_of(spark, "benchmark_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # shuffled shards: the permutation must sort WITHIN hash
+    # partitions (global=false), never range-partition globally
+    plan = plan_of(spark, "shuffled_shards")
+    assert "rangepartitioning" not in plan.lower()
+    # mixture audit: pure per-row hash predicate + one tiny group agg
+    plan = plan_of(spark, "corpus_mixture")
+    # formatted explain lists each node once in the tree ("+- Exchange")
+    # and once in the details ("(4) Exchange") — count tree entries
+    assert plan.count("+- Exchange") == 1
+
+
 def test_no_quadratic_joins_in_registered_dedup_plans(spark):
     # every registered dedup pipeline must generate candidates via a
     # hash equi-join (banded/bucketed keys) — an O(n²) theta join over
