@@ -141,6 +141,35 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jsonl_roundtrip",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source/sink roundtrip — the interchange format of LLM
+    training corpora. documents → df.write.json (one JSON object per
+    line, multi-line text escaped) → read back with an explicit schema
+    (never infer at scale: inference is a full extra pass over 100 TB)
+    → per-lang summary. Lossless roundtrip means the summary equals
+    the same aggregate computed directly on the parquet table.
+    """
+    import tempfile
+
+    docs = table(spark, "documents", sf_dir).select("doc_id", "lang", "text")
+    path = os.path.join(tempfile.mkdtemp(prefix="jsonl_rt_"), "docs.jsonl")
+    docs.write.mode("overwrite").json(path)
+    back = spark.read.schema("doc_id BIGINT, lang STRING, text STRING").json(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
+@register(
     "word_doc_frequency",
     oracle=f"""
     SELECT word,

@@ -77,6 +77,7 @@ _PRIORITY = [
     "streaming_dedup",
     # newly registered this round (O4/O5 sink coverage + curation ops)
     "csv_roundtrip",
+    "jsonl_roundtrip",
     "benchmark_contamination",
     "corpus_mixture",
     "shuffled_shards",

@@ -1,0 +1,82 @@
+"""Semantic properties of the curation operators beyond oracle parity:
+split consistency within clusters, shard position contiguity, mixture
+determinism, empty-benchmark behavior."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mpi_word_count_spark.operators.curation import (
+    benchmark_contamination,
+    cluster_aware_split,
+    corpus_mixture,
+    shuffled_shards,
+)
+from mpi_word_count_spark.tables import table
+from tests.conftest import SF_DIR
+
+
+def test_contamination_empty_benchmark_flags_nothing(spark):
+    docs = table(spark, "documents", SF_DIR)
+    out = benchmark_contamination(docs, F.lit(False))
+    assert out.count() == 0
+
+
+def test_contamination_self_overlap_is_total(spark):
+    # a doc IS the benchmark → every long-enough doc sharing its text
+    # n-grams gets contamination 1.0; here: duplicate texts
+    rows = [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j"),
+            (3, "completely different words one two three four five six seven")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = benchmark_contamination(docs, F.col("doc_id") == 1, n=8).collect()
+    assert [(r["doc_id"], r["contamination"]) for r in out] == [(2, 1.0)]
+
+
+def test_shard_positions_contiguous(spark):
+    docs = table(spark, "documents", SF_DIR)
+    out = shuffled_shards(docs, num_shards=8)
+    per_shard = (
+        out.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("pos").alias("lo"),
+             F.max("pos").alias("hi"), F.countDistinct("pos").alias("d"))
+        .collect()
+    )
+    assert len(per_shard) > 1  # hash actually spreads docs
+    for r in per_shard:
+        # positions are exactly 1..n within every shard
+        assert (r["lo"], r["hi"], r["d"]) == (1, r["n"], r["n"])
+    # the permutation is total and disjoint
+    assert out.count() == docs.count()
+    assert out.select("doc_id").distinct().count() == docs.count()
+
+
+def test_cluster_members_never_straddle_split(spark):
+    docs = table(spark, "documents", SF_DIR)
+    # synthetic clusters: bucket doc_ids so clusters have >1 member
+    clusters = docs.select(
+        "doc_id", (F.col("doc_id") % 50).alias("cluster_id")
+    )
+    out = cluster_aware_split(docs, clusters)
+    distinct_splits = (
+        out.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .agg(F.max("k"))
+        .first()[0]
+    )
+    assert distinct_splits == 1  # every cluster lands on one side
+    sides = {r["split"] for r in out.select("split").distinct().collect()}
+    assert sides == {"train", "val"}
+
+
+def test_mixture_is_deterministic_and_bounded(spark):
+    docs = table(spark, "documents", SF_DIR)
+    w = {"en": 0.5}
+    a = {(r["stratum"], r["n_kept"]) for r in corpus_mixture(docs, w).collect()}
+    b = {(r["stratum"], r["n_kept"]) for r in corpus_mixture(docs, w).collect()}
+    assert a == b  # hash sampling: bit-identical across runs
+    rates = {r["stratum"]: r for r in corpus_mixture(docs, w).collect()}
+    # en downweighted to ~0.5, everything else kept at 1.0 exactly
+    assert rates["en"]["n_kept"] < rates["en"]["n_docs"]
+    for lang, r in rates.items():
+        if lang != "en":
+            assert r["n_kept"] == r["n_docs"]
