@@ -143,3 +143,79 @@ def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
         )
     )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH late AS (
+        SELECT l.l_orderkey, l.l_suppkey
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q21 analog (reduced schema: late := shipped >90 days after
+    order date on a finalized order): suppliers who were the SOLE late
+    supplier on multi-supplier orders.
+
+    The oracle keeps the textbook double-correlated form (EXISTS other
+    supplier, NOT EXISTS other LATE supplier). The Spark plan uses the
+    aggregation decorrelation instead of two self-joins:
+      EXISTS other supplier       ⟺ countDistinct(supplier) per order ≥ 2
+      NOT EXISTS other late supp  ⟺ exactly 1 distinct late supplier
+    so the late fact is derived once, grouped to (order, supplier)
+    granularity (tiny), and never self-joined — at 100 TB this is two
+    shuffles of key-only rows instead of three fact-vs-fact joins. The
+    hash match against the EXISTS oracle proves the rewrite.
+    """
+    lineitem = table(spark, "lineitem", sf_dir)
+    orders = table(spark, "orders", sf_dir)
+    supplier = table(spark, "supplier", sf_dir)
+    late = (
+        lineitem.join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_late_lines"))
+    )
+    sole_late_orders = (
+        late.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_late_supps"))
+        .filter(F.col("n_late_supps") == 1)
+        .select("l_orderkey")
+    )
+    multi_supp_orders = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_supps"))
+        .filter(F.col("n_supps") >= 2)
+        .select("l_orderkey")
+    )
+    return (
+        late.join(sole_late_orders, "l_orderkey")
+        .join(multi_supp_orders, "l_orderkey")
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.sum("n_late_lines").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )

@@ -78,6 +78,7 @@ _PRIORITY = [
     # newly registered this round (O4/O5 sink coverage + curation ops)
     "csv_roundtrip",
     "jsonl_roundtrip",
+    "q21_waiting_suppliers",
     "benchmark_contamination",
     "corpus_mixture",
     "shuffled_shards",
