@@ -117,6 +117,36 @@ def test_watermarked_append_window(spark, tmp_path):
     assert [(r["w"]["start"].hour, r["n"]) for r in got] == [(0, 1)]
 
 
+def test_transform_with_state_totals(spark):
+    """transformWithStateInPandas twin of the stateful-totals query
+    (RocksDB provider). Skipped where the API's python driver worker
+    can't start (it imports google.protobuf, absent in this
+    container) — the guard probes the import the worker performs."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable: transformWithState "
+                    "python runner cannot start in this environment")
+
+    from mpi_word_count_spark.queries.streaming_queries import (
+        q_streaming_stateful_totals_tws,
+    )
+    from mpi_word_count_spark.tables import table
+
+    got = q_streaming_stateful_totals_tws(spark, SF_DIR)
+    want = (
+        table(spark, "events", SF_DIR)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
 def test_foreach_batch_checkpoint_resume(spark, tmp_path):
     """Kill-and-resume: a foreachBatch sink that dies AFTER writing its
     batch but BEFORE the checkpoint WAL commit must not duplicate rows
