@@ -50,3 +50,31 @@ def test_timing_log(tmp_path):
         pass
     content = open(path).read()
     assert content.startswith("unit: ") and content.endswith(" s\n")
+
+
+def test_observed_write_metrics(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mpi_word_count_spark.operators.wordcount import word_count_df
+    from mpi_word_count_spark.sinks import observed_write
+    from mpi_word_count_spark.tables import table
+    from tests.conftest import SF_DIR
+
+    wc = word_count_df(table(spark, "documents", SF_DIR), col="text")
+    out = str(tmp_path / "observed")
+    got = observed_write(
+        wc,
+        {
+            "n_words": F.count(F.lit(1)),
+            "total_count": F.sum("count"),
+            "max_count": F.max("count"),
+        },
+        path=out,
+    )
+    # the metrics observed in-flight equal a separate aggregation pass
+    want = wc.agg(
+        F.count(F.lit(1)), F.sum("count"), F.max("count")
+    ).first()
+    assert (got["n_words"], got["total_count"], got["max_count"]) == tuple(want)
+    # and the write itself landed intact
+    assert spark.read.parquet(out).count() == got["n_words"]
