@@ -38,6 +38,7 @@ HEADLINE = [
     "user_session_counts",
     "exact_dedup",
     "minhash_lsh_dups",
+    "dedup_clusters",
     "simhash_fingerprints",
     "ann_bruteforce",
     "ann_lsh",
@@ -45,6 +46,9 @@ HEADLINE = [
     "quality_scores",
     "clean_corpus_summary",
     "streaming_wordcount",
+    "benchmark_contamination",
+    "shuffled_shards",
+    "q21_waiting_suppliers",
 ]
 
 

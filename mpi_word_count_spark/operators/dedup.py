@@ -329,21 +329,30 @@ def dup_clusters(
     takes min(own, neighbors' labels); converges in ≤ diameter rounds
     (dup components are short chains/cliques in practice, so a handful).
     Each round is ONE shuffle of the edge list; the driver only sees a
-    changed-row count. Per-round results are cached and the previous
-    round unpersisted, so lineage stays flat. At extreme scale the
-    large-star/small-star variant halves round count; same join shape.
-    """
-    from mpi_word_count_spark.operators import track_cache
+    changed-row count. At extreme scale the large-star/small-star
+    variant halves round count; same join shape.
 
+    Lineage MUST be truncated, not just cached: `pairs` is typically a
+    full LSH pipeline, and because cache substitution happens at
+    physical planning, every round's ANALYZED plan re-embeds the whole
+    upstream tree — the tree doubles per round and Catalyst analysis
+    goes exponential (measured: round 0 = 7.8s, round 1 = 104s at
+    sf0.1 with cached inputs; 2.9s total after truncation). Eager
+    localCheckpoint on the edge list and each round's labels keeps
+    every plan O(1). At cluster scale prefer reliable checkpoint()
+    (localCheckpoint loses blocks with a dead executor); same shape.
+    """
     e = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
-    edges = e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().cache()
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
     labels = (
         edges.select(F.col("src").alias("v"))
         .distinct()
         .withColumn("label", F.col("v"))
-        .cache()
+        .localCheckpoint()
     )
     converged = False
     for _ in range(max_iters):
@@ -361,7 +370,7 @@ def dup_clusters(
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
                 ).alias("label"),
             )
-            .cache()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -369,25 +378,19 @@ def dup_clusters(
             .filter(F.col("label") != F.col("old"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             converged = True
             break
-    edges.unpersist()
     if not converged:
         # silent non-convergence would hand back labels that are only
         # PART-WAY merged — wrong clusters that look plausible. Raise:
         # the caller either raises max_iters (component diameter bound)
         # or switches to large-star/small-star for pathological graphs.
-        labels.unpersist()
         raise RuntimeError(
             f"dup_clusters did not converge within max_iters={max_iters}; "
             "raise max_iters (labels need >= component-diameter rounds)"
         )
-    # the final labels feed the returned join lazily; register for
-    # release_caches() once the caller has consumed the result
-    track_cache(labels)
     ids = df.select(F.col(id_col).alias("doc_id"))
     return ids.join(
         labels.select(F.col("v").alias("doc_id"), "label"), "doc_id", "left"
