@@ -18,9 +18,12 @@ ORACLES = entrymod.oracle_sql()
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_oracle_parity(spark, name):
     if name not in ORACLES:
-        # weaker check (driver records rows-only): must run, schema stable
+        # weaker check (driver records rows-only): must run, schema
+        # stable, and actually produce rows — a 0-row result would let
+        # a broken sketch/scorer pass silently (the quantitative bounds
+        # live in test_approx_tolerance.py)
         df = QUERIES[name](spark, SF_DIR)
-        assert df.columns and df.count() >= 0
+        assert df.columns and df.count() > 0
         return
     ok, msg = compare(spark, QUERIES[name], ORACLES[name], SF_DIR)
     assert ok, f"{name}: {msg}"
