@@ -187,3 +187,88 @@ def word_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("doc_freq"),
         F.count(F.lit(1)).alias("total_count"),
     )
+
+
+def _custom_alphabet() -> str:
+    """The config-source alphabet used by `config_delimiters_wordcount`:
+    digits + brackets + dash as extra delimiters (exercises the regex
+    escaping for `[`, `]`, `-`), whitespace always prepended
+    (tokenizer.c:21 semantics via load_delimiters)."""
+    from mpi_word_count_spark.tokenizer import WHITESPACE_DELIMITERS
+
+    return "".join(dict.fromkeys(WHITESPACE_DELIMITERS + "[]0123456789-"))
+
+
+def _custom_rx_sql() -> str:
+    from mpi_word_count_spark.tokenizer import delimiter_regex
+
+    return delimiter_regex(_custom_alphabet()).replace("'", "''")
+
+
+@register(
+    "config_delimiters_wordcount",
+    oracle=f"""
+    SELECT word, count(*) AS count
+    FROM (
+        SELECT lower(unnest(regexp_split_to_array(
+                   text || ' q' || CAST(doc_id AS VARCHAR) || 'z',
+                   '{_custom_rx_sql()}'))) AS word
+        FROM documents
+    ) WHERE word <> ''
+    GROUP BY word ORDER BY word
+    """,
+)
+def config_delimiters_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 config source driven end to end: a delimiters FILE is written,
+    loaded the way the reference loads delimiters.txt (literal bytes,
+    whitespace prepended — tokenizer.c:11-35), and the flagship count
+    runs under the custom alphabet. The oracle compiles the identical
+    alphabet through the same escaping, so the config→regex path is
+    value-hash-verified, not just unit-tested.
+
+    The fixture corpus is whitespace-separated, which makes any
+    alphabet vacuously equivalent — so both sides append a synthetic
+    ` q<doc_id>z` token: with digits in the alphabet it splits into
+    q/z, with the default alphabet it would stay one q123z token, so
+    a regression to the default alphabet changes the hash."""
+    import tempfile
+
+    from mpi_word_count_spark.tokenizer import load_delimiters
+
+    path = os.path.join(tempfile.mkdtemp(prefix="delims_"), "delimiters.txt")
+    with open(path, "w", encoding="latin-1") as fh:
+        fh.write("[]0123456789-")
+    alphabet = load_delimiters(path)
+    assert alphabet == _custom_alphabet()  # file path == registration path
+    docs = table(spark, "documents", sf_dir).select(
+        F.concat(
+            F.col("text"), F.lit(" q"), F.col("doc_id").cast("string"), F.lit("z")
+        ).alias("text")
+    )
+    toks = tokenize(docs, col="text", delimiters=alphabet)
+    return (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy("word")
+    )
+
+
+@register(
+    "console_lines",
+    oracle=f"""
+    SELECT 'Key: ' || word || ' -- Value: ' || CAST(count(*) AS VARCHAR) AS line
+    FROM ({_TOKS}) WHERE word <> ''
+    GROUP BY word ORDER BY word
+    """,
+)
+def console_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 console sink format driven through the gate: the exact
+    `Key: %s -- Value: %ld` line format (cell.c:37-39) as a column,
+    so the sink's formatting semantics are oracle-verified (the
+    interactive path `sinks.show_console` prints these same lines)."""
+    wc = word_count_df(table(spark, "documents", sf_dir), col="text")
+    return wc.select(
+        F.format_string("Key: %s -- Value: %d", F.col("word"), F.col("count")).alias(
+            "line"
+        )
+    )

@@ -78,6 +78,8 @@ _PRIORITY = [
     # newly registered this round (O4/O5 sink coverage + curation ops)
     "csv_roundtrip",
     "jsonl_roundtrip",
+    "config_delimiters_wordcount",
+    "console_lines",
     "q21_waiting_suppliers",
     "benchmark_contamination",
     "corpus_mixture",
