@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame
 # Spark evicts LRU under memory pressure; this keeps long sessions from
 # accumulating dead cache entries at all.
 _TRACKED_CACHES: list[DataFrame] = []
+_TRACKED_RELEASERS: list = []  # callables freeing non-cache blocks
 
 
 def track_cache(df: DataFrame) -> DataFrame:
@@ -22,11 +23,22 @@ def track_cache(df: DataFrame) -> DataFrame:
     return cached
 
 
+def track_releaser(fn) -> None:
+    """Register a zero-arg callable that frees storage release_caches()
+    can't reach via unpersist() — e.g. localCheckpoint RDD blocks,
+    which otherwise linger until a JVM GC notices the orphaned RDD."""
+    _TRACKED_RELEASERS.append(fn)
+
+
 def release_caches() -> int:
-    """Unpersist every tracked cache; returns how many were released."""
+    """Unpersist every tracked cache and run every tracked releaser;
+    returns how many were released."""
     n = 0
     while _TRACKED_CACHES:
         _TRACKED_CACHES.pop().unpersist()
+        n += 1
+    while _TRACKED_RELEASERS:
+        _TRACKED_RELEASERS.pop()()
         n += 1
     return n
 

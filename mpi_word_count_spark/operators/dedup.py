@@ -313,6 +313,22 @@ def minhash_lsh_pairs(
     )
 
 
+def _unpersist_local_ckpt(df: DataFrame) -> None:
+    """Free a localCheckpoint'ed DataFrame's storage blocks NOW.
+
+    localCheckpoint keeps its materialized RDD cached with no public
+    DataFrame-level unpersist; orphaned rounds otherwise sit in the
+    block manager until a JVM GC lets the ContextCleaner notice them —
+    measured as episodic multi-second stalls in later queries of a
+    long session. Reaches the RDD through LogicalRDD (non-public
+    accessor, hence the broad guard: worst case blocks free on GC as
+    before)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def dup_clusters(
     df: DataFrame,
     pairs: DataFrame,
@@ -342,6 +358,8 @@ def dup_clusters(
     every plan O(1). At cluster scale prefer reliable checkpoint()
     (localCheckpoint loses blocks with a dead executor); same shape.
     """
+    from mpi_word_count_spark.operators import track_releaser
+
     e = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
     edges = (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -378,10 +396,15 @@ def dup_clusters(
             .filter(F.col("label") != F.col("old"))
             .count()
         )
+        _unpersist_local_ckpt(labels)  # superseded round's blocks
         labels = new_labels
         if changed == 0:
             converged = True
             break
+    _unpersist_local_ckpt(edges)
+    # the final labels feed the returned join lazily: free the blocks
+    # only when the caller signals it is done (release_caches)
+    track_releaser(lambda df=labels: _unpersist_local_ckpt(df))
     if not converged:
         # silent non-convergence would hand back labels that are only
         # PART-WAY merged — wrong clusters that look plausible. Raise:
