@@ -57,3 +57,32 @@ def q_salted_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, "documents", sf_dir)
     toks = tokenize(docs, col="text")
     return salted_count(toks, ["word"], salt_buckets=16)
+
+
+@register("hll_sketch_rollup")  # no oracle: engine-specific sketch bytes
+def q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — the pattern that actually runs at
+    100 TB: per-group HLL sketches (hll_sketch_agg) are built in ONE
+    pass, then UNIONED (hll_union_agg) for the rollup row instead of
+    re-scanning the corpus for the global distinct. The per-lang rows
+    carry the sketch estimates; the 'ALL' row is the union estimate —
+    a re-aggregation of kilobyte sketch states, not data.
+
+    Tolerance-verified against exact countDistinct in
+    tests/test_approx_tolerance.py (HLL++ 3-sigma envelope); no DuckDB
+    oracle because sketch binaries are engine-specific.
+    """
+    docs = table(spark, "documents", sf_dir)
+    toks = tokenize(docs, col="text", keep=["lang"])
+    sketches = toks.groupBy("lang").agg(
+        F.hll_sketch_agg("word").alias("sk")
+    )
+    per_lang = sketches.select(
+        "lang", F.hll_sketch_estimate("sk").alias("approx_distinct_words")
+    )
+    total = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+            "approx_distinct_words"
+        )
+    ).select(F.lit("ALL").alias("lang"), "approx_distinct_words")
+    return per_lang.unionByName(total).orderBy("lang")

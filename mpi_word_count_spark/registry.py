@@ -114,6 +114,7 @@ _PRIORITY = [
     "compression_ratios",
     "approx_distinct_words",
     "approx_value_quantiles",
+    "hll_sketch_rollup",
     # flagship family: keep a fresh row every round
     "wordcount",
     "sql_wordcount",

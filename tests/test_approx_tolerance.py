@@ -51,6 +51,35 @@ def test_approx_distinct_words_within_3_rsd(spark):
         )
 
 
+def test_hll_sketch_rollup_within_3_rsd(spark):
+    """The mergeable-sketch rollup: per-lang HLL estimates AND the
+    sketch-union 'ALL' row must each sit inside the HLL++ error
+    envelope of the exact countDistinct on the same rows — including
+    the union row, which is computed by merging sketch states, never
+    re-scanning the corpus."""
+    from mpi_word_count_spark.queries.approx_queries import q_hll_sketch_rollup
+
+    got = {
+        r["lang"]: r["approx_distinct_words"]
+        for r in q_hll_sketch_rollup(spark, SF_DIR).collect()
+    }
+    docs = table(spark, "documents", SF_DIR)
+    toks = tokenize(docs, col="text", keep=["lang"])
+    exact = {
+        r["lang"]: r["exact"]
+        for r in toks.groupBy("lang")
+        .agg(F.countDistinct("word").alias("exact"))
+        .collect()
+    }
+    exact["ALL"] = toks.select("word").distinct().count()
+    assert set(got) == set(exact)
+    # default lgConfigK=12 → rsd ≈ 1.04/sqrt(2^12) ≈ 1.6%
+    rsd = 1.04 / (2**12) ** 0.5
+    for lang, est in got.items():
+        rel_err = abs(est - exact[lang]) / exact[lang]
+        assert rel_err <= 3 * rsd, (lang, est, exact[lang])
+
+
 def test_approx_value_quantiles_within_rank_error(spark):
     """approx_percentile returns an ACTUAL data point whose rank is
     within n/accuracy of the target rank (GK sketch guarantee). With
