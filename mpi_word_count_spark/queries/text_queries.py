@@ -345,3 +345,64 @@ def q_hash_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(
         hash32(F.col("doc_id").cast("string"), seed="sample") % 10 == 0
     ).select("doc_id", "source", "lang")
+
+
+@register(
+    "segment_dedup_summary",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    starts AS (
+        SELECT doc_id, t, len(t) AS n, unnest(generate_series(0, len(t) - 1, 10)) AS s
+        FROM toks WHERE len(t) > 0
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST(s / 10 AS BIGINT) AS chunk_id,
+               md5(array_to_string(t[s + 1 : s + 10], ' ')) AS chunk_hash
+        FROM starts
+    ),
+    ranked AS (
+        SELECT doc_id, chunk_id,
+               row_number() OVER (
+                   PARTITION BY chunk_hash ORDER BY doc_id ASC, chunk_id ASC
+               ) AS rn
+        FROM chunks
+    )
+    SELECT doc_id,
+           count(*) AS n_segments,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(1.0 - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+               AS dup_ratio
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def q_segment_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global segment dedup (the C4/line-dedup preprocessing
+    step, at 10-token segment granularity since the fixture corpus is
+    single-line): every segment is hashed, the FIRST occurrence
+    corpus-wide wins (ordered by doc_id, position), and each document
+    reports how much of it survives. At 100 TB this is one shuffle of
+    16-byte segment hashes — the window partitions by hash, so skew is
+    bounded by the most-repeated boilerplate segment; the same
+    stop-segment guard as the shingle index applies if needed."""
+    from pyspark.sql import Window
+
+    chunks = doc_chunks(
+        table(spark, "documents", sf_dir), chunk_size=10, stride=10
+    )
+    w = Window.partitionBy("chunk_hash").orderBy(
+        F.asc("doc_id"), F.asc("chunk_id")
+    )
+    ranked = chunks.select(
+        "doc_id", "chunk_id", "chunk_hash", F.row_number().over(w).alias("rn")
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.round(
+            1.0
+            - F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("dup_ratio"),
+    )

@@ -81,6 +81,7 @@ _PRIORITY = [
     "config_delimiters_wordcount",
     "console_lines",
     "q21_waiting_suppliers",
+    "segment_dedup_summary",
     "benchmark_contamination",
     "corpus_mixture",
     "shuffled_shards",
