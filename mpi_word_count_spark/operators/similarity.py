@@ -373,3 +373,144 @@ def ann_lsh_topk(
         k=k,
         rank_col="rank",
     )
+
+
+# --- product quantization (ADC) ------------------------------------------
+def pq_codebooks(
+    vectors: DataFrame,
+    m: int = 8,
+    n_codes: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = EMBED_DIM,
+) -> list[list[list[float]]]:
+    """Per-subspace k-means codebooks (m subspaces × n_codes centroids
+    × dim/m floats). Deterministic: each subspace trains the same
+    id-ordered-init Lloyd's as the IVF coarse quantizer, on the SLICED
+    vectors. Driver holds m·n_codes·(dim/m) = dim·n_codes floats."""
+    sub = dim // m
+    return [
+        kmeans_centroids(
+            vectors.select(
+                id_col, F.slice(F.col(vec_col), i * sub + 1, sub).alias(vec_col)
+            ),
+            k=n_codes,
+            iters=iters,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        for i in range(m)
+    ]
+
+
+def pq_codes_col(
+    vec: Column, codebooks: list[list[list[float]]], dim: int = EMBED_DIM
+) -> Column:
+    """PQ encoding as a pure expression: per subspace, the index of the
+    nearest codebook centroid — m small ints replace dim floats (the
+    32× compression that makes a 100 TB corpus scan codes, not
+    vectors)."""
+    m = len(codebooks)
+    sub = dim // m
+    return F.array(
+        *[
+            nearest_centroid_col(F.slice(vec, i * sub + 1, sub), codebooks[i])
+            for i in range(m)
+        ]
+    )
+
+
+def _adc_sq_dist(
+    qvec: Column, codes: Column, codebooks: list[list[list[float]]], dim: int
+) -> Column:
+    """Asymmetric distance: exact query slice vs the corpus vector's
+    RECONSTRUCTED centroids (selected by its codes). At real scale the
+    per-query ‖q_i − c_ij‖² table (m·n_codes floats) is precomputed
+    once and this becomes m lookups per pair; expressed directly here,
+    the values are identical."""
+    m = len(codebooks)
+    sub = dim // m
+    total = F.lit(0.0)
+    for i, book in enumerate(codebooks):
+        book_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in book]
+        )
+        cent = F.element_at(book_lit, F.element_at(codes, i + 1).cast("int") + 1)
+        qs = F.slice(qvec, i * sub + 1, sub)
+        total = total + F.aggregate(
+            F.zip_with(qs, cent, lambda a, b: (a.cast("double") - b) ** 2),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    return total
+
+
+def ann_pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 8,
+    iters: int = 3,
+    rerank: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """PQ-ADC approximate top-k with exact re-ranking: corpus vectors
+    compress to m codes; candidate scoring reads codes only (8 bytes/
+    vector instead of 256 — at 100 TB the ADC scan touches 3% of the
+    bytes an exact scan reads); the top `rerank` candidates per query
+    are re-scored with exact cosine. Deterministic end to end, so the
+    oracle replicates codebooks, codes, ADC ranking, and re-rank."""
+    books = pq_codebooks(vectors, m, n_codes, iters, id_col, vec_col, dim)
+    coded = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_codes_col(F.col(vec_col), books, dim).alias("codes"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    adc = (
+        coded.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(
+                _adc_sq_dist(F.col("q_vec"), F.col("codes"), books, dim), 6
+            ).alias("adc"),
+        )
+    )
+    cands = topk_per_group(
+        adc, ["q_id"], [F.asc("adc"), F.asc("neighbor_id")], k=rerank,
+        rank_col="_rn",
+    ).select("q_id", "neighbor_id")
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("n_vec"),
+        norm(F.col(vec_col)).alias("n_norm"),
+    )
+    qn = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec2"),
+        norm(F.col(vec_col)).alias("q_norm"),
+    )
+    scored = (
+        cands.join(v, "neighbor_id")
+        .join(F.broadcast(qn), "q_id")
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("q_vec2"), F.col("n_vec"))
+                / (F.col("q_norm") * F.col("n_norm")),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    return topk_per_group(
+        scored, ["q_id"], [F.desc("cosine"), F.asc("neighbor_id")], k=k,
+        rank_col="rank",
+    )

@@ -257,3 +257,133 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=IVF_NPROBE,
         kmeans_iters=IVF_ITERS,
     )
+
+
+PQ_M = 8
+PQ_K = 8
+PQ_ITERS = 3
+PQ_RERANK = 25
+PQ_SUB = IVF_DIM // PQ_M
+
+
+def _pq_oracle() -> str:
+    """Unrolls the per-subspace Lloyd's k-means (same deterministic
+    construction as _ivf_oracle, on list slices), then replicates PQ
+    encode → ADC ranking (round 6) → top-RERANK candidates → exact
+    cosine re-rank. Squared distance via pow(list_distance, 2) differs
+    from the direct sum of squares only in last-bit float drift, far
+    inside the round-6 guard."""
+    parts = []
+    vcent_joins = []
+    adc_terms = []
+    for s in range(PQ_M):
+        lo, hi = s * PQ_SUB + 1, (s + 1) * PQ_SUB
+        parts.append(f"""
+    e{s} AS (
+        SELECT vec_id, embedding[{lo}:{hi}]::DOUBLE[] AS emb FROM embeddings
+    ),
+    s{s}c0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, emb AS vec
+        FROM e{s} ORDER BY vec_id LIMIT {PQ_K}
+    )""")
+        for t in range(PQ_ITERS):
+            prev, cur = f"s{s}c{t}", f"s{s}c{t + 1}"
+            parts.append(f"""
+    s{s}a{t + 1} AS (
+        SELECT vec_id, emb, c FROM (
+            SELECT e.vec_id, e.emb, t.c,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.emb, t.vec) ASC, t.c ASC
+                   ) AS rn
+            FROM e{s} e CROSS JOIN {prev} t
+        ) WHERE rn = 1
+    ),
+    s{s}m{t + 1} AS (
+        SELECT c, i, avg(emb[i]) AS m
+        FROM s{s}a{t + 1} CROSS JOIN subdims
+        GROUP BY c, i
+    ),
+    s{s}g{t + 1} AS (
+        SELECT c, list(m ORDER BY i) AS vec FROM s{s}m{t + 1} GROUP BY c
+    ),
+    {cur} AS (
+        SELECT t.c, coalesce(g.vec, t.vec) AS vec
+        FROM {prev} t LEFT JOIN s{s}g{t + 1} g ON t.c = g.c
+    )""")
+        last = f"s{s}c{PQ_ITERS}"
+        parts.append(f"""
+    code{s} AS (
+        SELECT vec_id, c, vec FROM (
+            SELECT e.vec_id, t.c, t.vec,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.emb, t.vec) ASC, t.c ASC
+                   ) AS rn
+            FROM e{s} e CROSS JOIN {last} t
+        ) WHERE rn = 1
+    )""")
+        vcent_joins.append(f"JOIN code{s} k{s} ON k{s}.vec_id = v.vec_id")
+        adc_terms.append(
+            f"pow(list_distance(q.embedding[{lo}:{hi}]::DOUBLE[], w.v{s}), 2)"
+        )
+    vcent_cols = ", ".join(f"k{s}.vec AS v{s}" for s in range(PQ_M))
+    return f"""
+    WITH subdims AS (SELECT unnest(range(1, {PQ_SUB + 1})) AS i),
+    {",".join(parts)},
+    vcent AS (
+        SELECT v.vec_id, {vcent_cols}
+        FROM embeddings v
+        {" ".join(vcent_joins)}
+    ),
+    adc AS (
+        SELECT q.vec_id AS q_id, w.vec_id AS neighbor_id,
+               round({" + ".join(adc_terms)}, 6) AS adc
+        FROM embeddings q CROSS JOIN vcent w
+        WHERE q.vec_id < {N_QUERIES} AND w.vec_id <> q.vec_id
+    ),
+    cands AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY adc ASC, neighbor_id ASC
+            ) AS rn FROM adc
+        ) WHERE rn <= {PQ_RERANK}
+    ),
+    scored AS (
+        SELECT c.q_id, c.neighbor_id,
+               round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                            v.embedding::DOUBLE[]), 4) AS cosine
+        FROM cands c
+        JOIN embeddings q ON q.vec_id = c.q_id
+        JOIN embeddings v ON v.vec_id = c.neighbor_id
+    )
+    SELECT q_id, neighbor_id, cosine, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@register("ann_pq", oracle=_pq_oracle())
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (ADC + exact re-rank): corpus vectors
+    compress to 8 one-byte codes (32× smaller scan at candidate time),
+    top-25 ADC candidates re-rank by exact cosine. Codebooks are
+    deterministic per-subspace Lloyd's — the oracle unrolls all 8
+    subspace trainings as SQL CTEs and replicates encode/ADC/re-rank,
+    so even this pipeline is value-hash-verified."""
+    from mpi_word_count_spark.operators.similarity import ann_pq_topk
+
+    emb = table(spark, "embeddings", sf_dir)
+    return ann_pq_topk(
+        emb,
+        _queries_df(spark, sf_dir),
+        k=TOP_K,
+        m=PQ_M,
+        n_codes=PQ_K,
+        iters=PQ_ITERS,
+        rerank=PQ_RERANK,
+        dim=IVF_DIM,
+    )

@@ -87,6 +87,7 @@ _PRIORITY = [
     "shuffled_shards",
     "cluster_aware_split",
     # r1/r2-only greens: never re-verified on the current Spark
+    "ann_pq",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

@@ -235,3 +235,24 @@ def test_compression_ratio_separates_repetition(spark):
     assert rows[1]["compression_ratio"] < rows[2]["compression_ratio"]
     assert rows[1]["compression_ratio"] < 0.1
     assert rows[3]["compression_ratio"] is None
+
+
+def test_pq_recall_vs_bruteforce(spark):
+    from pyspark.sql import functions as F
+
+    from mpi_word_count_spark.operators.similarity import ann_pq_topk
+    from mpi_word_count_spark.tables import table
+    from tests.conftest import SF_DIR
+
+    emb = table(spark, "embeddings", SF_DIR)
+    q = emb.filter(F.col("vec_id") < 10)
+    bf = ann_bruteforce_topk(emb, q, k=5).collect()
+    pq = ann_pq_topk(emb, q, k=5, rerank=25).collect()
+    bf_pairs = {(r["q_id"], r["neighbor_id"]) for r in bf}
+    pq_pairs = {(r["q_id"], r["neighbor_id"]) for r in pq}
+    # exact re-rank over 25 ADC candidates: high recall expected
+    recall = len(bf_pairs & pq_pairs) / len(bf_pairs)
+    assert recall >= 0.6, recall
+    # determinism: second run bit-identical
+    pq2 = ann_pq_topk(emb, q, k=5, rerank=25).collect()
+    assert sorted(map(tuple, pq)) == sorted(map(tuple, pq2))
