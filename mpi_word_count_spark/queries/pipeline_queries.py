@@ -127,3 +127,144 @@ def _oracle() -> str:
 @register("clean_corpus_summary", oracle=_oracle())
 def q_clean_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_corpus_summary(table(spark, "documents", sf_dir))
+
+
+def _manifest_oracle() -> str:
+    from mpi_word_count_spark.functions.hashing import sql_hash32
+    from mpi_word_count_spark.functions.parity import sql_portable_round
+    from mpi_word_count_spark.operators.curation import CONTAMINATION_NGRAM
+    from mpi_word_count_spark.operators.textanalysis import BPE_ISH_PATTERN
+    from mpi_word_count_spark.queries.curation_queries import (
+        BENCH_MOD,
+        _mixture_threshold_sql,
+    )
+
+    vocab_rows = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang, words in sorted(LANG_MARKERS.items())
+        for w in words
+    )
+    ar = "(CASE WHEN length(text) > 0 THEN "
+    ar += "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text) "
+    ar += "ELSE 0 END)"
+    n = CONTAMINATION_NGRAM
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    mix_hash = sql_hash32("CAST(doc_id AS VARCHAR)", "mix")
+    shard_hash = sql_hash32("CAST(doc_id AS VARCHAR)", "shard")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, lang, source, text,
+               list_filter(string_split_regex(lower(text), '{sql_regex()}'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    vocab(vl, marker) AS (VALUES {vocab_rows}),
+    best AS (
+        SELECT doc_id, vl AS pred_lang FROM (
+            SELECT doc_id, vl,
+                   row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY count(*) DESC, vl ASC
+                   ) AS rn
+            FROM tok JOIN vocab ON tok = marker GROUP BY doc_id, vl
+        ) WHERE rn = 1
+    ),
+    kept AS (
+        SELECT x.doc_id, x.lang, x.text, md5(x.text) AS content_hash
+        FROM toks x JOIN best b ON x.doc_id = b.doc_id AND b.pred_lang = x.lang
+        WHERE {sql_portable_round(ar, 4)} >= {MIN_ALPHA_RATIO}
+          AND len(t) >= {MIN_TOKENS}
+    ),
+    canon AS (
+        SELECT * FROM kept
+        WHERE doc_id IN (SELECT min(doc_id) FROM kept GROUP BY content_hash)
+    ),
+    sh8 AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, len(t) - {n - 2}), i -> {gram}))) AS shingle
+        FROM toks
+    ),
+    contaminated AS (
+        SELECT DISTINCT c.doc_id
+        FROM sh8 c
+        JOIN (SELECT DISTINCT shingle FROM sh8
+              WHERE doc_id % {BENCH_MOD} = 0) b
+          ON c.shingle = b.shingle
+        WHERE c.doc_id % {BENCH_MOD} <> 0
+    )
+    SELECT shard, count(*) AS n_docs,
+           CAST(sum(bpe) AS BIGINT) AS total_bpe_tokens
+    FROM (
+        SELECT ({shard_hash} % 10000) % 16 AS shard,
+               len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS bpe
+        FROM canon
+        WHERE doc_id % {BENCH_MOD} <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+          AND {mix_hash} % 10000 < {_mixture_threshold_sql()}
+    ) GROUP BY shard ORDER BY shard
+    """
+
+
+@register("training_shard_manifest", oracle=_manifest_oracle())
+def q_training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete curation pipeline in one plan — what a user of this
+    engine actually ships: quality gates → language agreement → exact
+    dedup → benchmark decontamination (8-gram, benchmark docs also
+    excluded) → deterministic language re-weighting → 16-shard
+    manifest with per-shard document and BPE-token budgets.
+
+    Every stage reuses the registered operator (doc_metrics,
+    predicted_language, benchmark_contamination, sample_hash) and the
+    whole composition is value-hash-verified against a single DuckDB
+    statement. Scale shape: per-doc projections + one vocab broadcast
+    + hash-key shuffles only; the manifest is |shards| rows."""
+    from pyspark.sql.window import Window
+
+    from mpi_word_count_spark.operators.curation import (
+        benchmark_contamination,
+        sample_hash,
+    )
+    from mpi_word_count_spark.queries.curation_queries import (
+        BENCH_MOD,
+        MIXTURE_WEIGHTS,
+    )
+
+    docs = table(spark, "documents", sf_dir)
+    m = doc_metrics(docs, keep=["lang", "source"]).filter(
+        (F.col("alpha_ratio") >= MIN_ALPHA_RATIO)
+        & (F.col("n_tokens") >= MIN_TOKENS)
+    )
+    lid = predicted_language(docs).select("doc_id", "pred_lang")
+    kept = (
+        m.join(lid, "doc_id")
+        .filter(F.col("pred_lang") == F.col("lang"))
+        .select(
+            "doc_id", "lang", "n_bpe_tokens", F.md5("_text").alias("content_hash")
+        )
+    )
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    canon = (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "content_hash")
+    )
+    bench = F.col("doc_id") % BENCH_MOD == 0
+    contaminated = benchmark_contamination(docs, bench).select("doc_id")
+    clean = canon.filter(~bench).join(contaminated, "doc_id", "left_anti")
+    wmap = F.create_map(
+        *[F.lit(x) for kv in MIXTURE_WEIGHTS.items() for x in kv]
+    )
+    thresh = F.coalesce(wmap[F.col("lang")], F.lit(1.0)) * 10000
+    mixed = clean.filter(sample_hash("doc_id", "mix") < thresh)
+    return (
+        mixed.select(
+            (sample_hash("doc_id", "shard") % 16).alias("shard"), "n_bpe_tokens"
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+        )
+        .orderBy("shard")
+    )

@@ -82,6 +82,7 @@ _PRIORITY = [
     "console_lines",
     "q21_waiting_suppliers",
     "segment_dedup_summary",
+    "training_shard_manifest",
     "benchmark_contamination",
     "corpus_mixture",
     "shuffled_shards",
