@@ -32,7 +32,14 @@ def track_releaser(fn) -> None:
 
 def release_caches() -> int:
     """Unpersist every tracked cache and run every tracked releaser;
-    returns how many were released."""
+    returns how many were released.
+
+    Caches recompute transparently if their DataFrame is re-executed
+    later. RELEASERS MAY NOT: operators that register one (e.g.
+    dup_clusters' localCheckpoint labels) produce results whose
+    storage has no recomputable lineage — after release_caches(),
+    re-derive such results by calling the operator again instead of
+    re-executing a held DataFrame reference."""
     n = 0
     while _TRACKED_CACHES:
         _TRACKED_CACHES.pop().unpersist()

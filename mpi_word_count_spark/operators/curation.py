@@ -61,11 +61,15 @@ def benchmark_contamination(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+    from mpi_word_count_spark.functions.parity import portable_round
+
     return shared.join(sizes, "doc_id").select(
         "doc_id",
         "n_shared",
         "n_shingles",
-        F.round(F.col("n_shared") / F.col("n_shingles"), 4).alias("contamination"),
+        portable_round(F.col("n_shared") / F.col("n_shingles"), 4).alias(
+            "contamination"
+        ),
     )
 
 
@@ -75,6 +79,32 @@ def sample_hash(id_col: Column | str, seed: str) -> Column:
     in the oracle. 10000 buckets → rate granularity 0.01%."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     return hash32(c.cast("string"), seed) % 10000
+
+
+def mixture_keep_col(
+    stratum_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> Column:
+    """Boolean keep-predicate for hash-threshold mixture sampling —
+    the ONE definition both corpus_mixture and the end-to-end pipeline
+    share. Thresholds are INTEGER bucket counts (int(round(w·10000))),
+    never float products: 0.07·10000 is 700.0000000000001 in binary64,
+    which would keep bucket 700 while an integer-CASE oracle drops it
+    — a one-row hash divergence at the bucket boundary."""
+    w = F.create_map(
+        *[
+            x
+            for lang, wt in weights.items()
+            for x in (F.lit(lang), F.lit(int(round(wt * 10000))))
+        ]
+    )
+    thresh = F.coalesce(
+        w[F.col(stratum_col)], F.lit(int(round(default_weight * 10000)))
+    )
+    return sample_hash(id_col, seed) < thresh
 
 
 def corpus_mixture(
@@ -94,18 +124,18 @@ def corpus_mixture(
     English) — and the audit output is what you actually stare at
     before committing a 100 TB job.
     """
-    w = F.create_map(
-        *[F.lit(x) for kv in weights.items() for x in kv]
-    )
-    thresh = F.coalesce(w[F.col(stratum_col)], F.lit(default_weight)) * 10000
-    kept = (sample_hash(id_col, seed) < thresh).cast("int")
+    from mpi_word_count_spark.functions.parity import portable_round
+
+    kept = mixture_keep_col(stratum_col, weights, default_weight, id_col, seed)
     return (
-        docs.select(F.col(stratum_col).alias("stratum"), kept.alias("_kept"))
+        docs.select(F.col(stratum_col).alias("stratum"), kept.cast("int").alias("_kept"))
         .groupBy("stratum")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("_kept").alias("n_kept"),
-            F.round(F.sum("_kept") / F.count(F.lit(1)), 4).alias("achieved_rate"),
+            portable_round(F.sum("_kept") / F.count(F.lit(1)), 4).alias(
+                "achieved_rate"
+            ),
         )
     )
 

@@ -402,18 +402,24 @@ def dup_clusters(
             converged = True
             break
     _unpersist_local_ckpt(edges)
-    # the final labels feed the returned join lazily: free the blocks
-    # only when the caller signals it is done (release_caches)
-    track_releaser(lambda df=labels: _unpersist_local_ckpt(df))
     if not converged:
         # silent non-convergence would hand back labels that are only
-        # PART-WAY merged — wrong clusters that look plausible. Raise:
-        # the caller either raises max_iters (component diameter bound)
-        # or switches to large-star/small-star for pathological graphs.
+        # PART-WAY merged — wrong clusters that look plausible. Free
+        # the final round's blocks NOW (a catch-and-retry caller must
+        # not accumulate one orphaned label set per attempt), then
+        # raise: the caller either raises max_iters (component
+        # diameter bound) or switches to large-star/small-star.
+        _unpersist_local_ckpt(labels)
         raise RuntimeError(
             f"dup_clusters did not converge within max_iters={max_iters}; "
             "raise max_iters (labels need >= component-diameter rounds)"
         )
+    # The final labels feed the returned join lazily: their blocks are
+    # freed only when the caller signals it is done (release_caches).
+    # CONTRACT: the released checkpoint has no recomputable lineage, so
+    # a dup_clusters result must not be re-executed AFTER
+    # release_caches() — re-derive it (call dup_clusters again) instead.
+    track_releaser(lambda df=labels: _unpersist_local_ckpt(df))
     ids = df.select(F.col(id_col).alias("doc_id"))
     return ids.join(
         labels.select(F.col("v").alias("doc_id"), "label"), "doc_id", "left"

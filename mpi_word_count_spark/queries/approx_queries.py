@@ -72,10 +72,15 @@ def q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_approx_tolerance.py (HLL++ 3-sigma envelope); no DuckDB
     oracle because sketch binaries are engine-specific.
     """
+    from mpi_word_count_spark.operators import track_cache
+
     docs = table(spark, "documents", sf_dir)
     toks = tokenize(docs, col="text", keep=["lang"])
-    sketches = toks.groupBy("lang").agg(
-        F.hll_sketch_agg("word").alias("sk")
+    # cache the kilobyte sketch states: both the per-lang branch and
+    # the union row consume them — without this the corpus is scanned
+    # and sketched twice (verified: two FileScan nodes, no reuse)
+    sketches = track_cache(
+        toks.groupBy("lang").agg(F.hll_sketch_agg("word").alias("sk"))
     )
     per_lang = sketches.select(
         "lang", F.hll_sketch_estimate("sk").alias("approx_distinct_words")

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mpi_word_count_spark.functions.hashing import sql_hash32
+from mpi_word_count_spark.functions.parity import sql_portable_round
 from mpi_word_count_spark.operators.curation import (
     CONTAMINATION_NGRAM,
     benchmark_contamination,
@@ -67,7 +68,7 @@ def _sql_ngram_shingles(n: int) -> str:
         GROUP BY 1
     )
     SELECT s.doc_id, n_shared, n_shingles,
-           round(n_shared * 1.0 / n_shingles, 4) AS contamination
+           {sql_portable_round("n_shared * 1.0 / n_shingles", 4)} AS contamination
     FROM shared s JOIN sizes z ON s.doc_id = z.doc_id
     """,
 )
@@ -80,8 +81,11 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mixture_threshold_sql() -> str:
+    # int(round(w*10000)), matching operators.curation.mixture_keep_col
+    # exactly — int(0.07*10000) would be 699, not 700
     cases = " ".join(
-        f"WHEN '{k}' THEN {int(v * 10000)}" for k, v in MIXTURE_WEIGHTS.items()
+        f"WHEN '{k}' THEN {int(round(v * 10000))}"
+        for k, v in MIXTURE_WEIGHTS.items()
     )
     return f"CASE lang {cases} ELSE 10000 END"
 
@@ -94,9 +98,11 @@ def _mixture_threshold_sql() -> str:
            CAST(sum(CASE WHEN {sql_hash32("CAST(doc_id AS VARCHAR)", "mix")}
                               % 10000 < {_mixture_threshold_sql()}
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-           round(sum(CASE WHEN {sql_hash32("CAST(doc_id AS VARCHAR)", "mix")}
+           {sql_portable_round(
+               f'''sum(CASE WHEN {sql_hash32("CAST(doc_id AS VARCHAR)", "mix")}
                                % 10000 < {_mixture_threshold_sql()}
-                          THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS achieved_rate
+                          THEN 1 ELSE 0 END) * 1.0 / count(*)''', 4
+           )} AS achieved_rate
     FROM documents GROUP BY lang
     """,
 )

@@ -223,6 +223,7 @@ def q_training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mpi_word_count_spark.operators.curation import (
         benchmark_contamination,
+        mixture_keep_col,
         sample_hash,
     )
     from mpi_word_count_spark.queries.curation_queries import (
@@ -252,11 +253,7 @@ def q_training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = F.col("doc_id") % BENCH_MOD == 0
     contaminated = benchmark_contamination(docs, bench).select("doc_id")
     clean = canon.filter(~bench).join(contaminated, "doc_id", "left_anti")
-    wmap = F.create_map(
-        *[F.lit(x) for kv in MIXTURE_WEIGHTS.items() for x in kv]
-    )
-    thresh = F.coalesce(wmap[F.col("lang")], F.lit(1.0)) * 10000
-    mixed = clean.filter(sample_hash("doc_id", "mix") < thresh)
+    mixed = clean.filter(mixture_keep_col("lang", MIXTURE_WEIGHTS))
     return (
         mixed.select(
             (sample_hash("doc_id", "shard") % 16).alias("shard"), "n_bpe_tokens"

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mpi_word_count_spark.functions.hashing import hash32, sql_hash32
+from mpi_word_count_spark.functions.parity import portable_round, sql_portable_round
 from mpi_word_count_spark.operators.textanalysis import (
     BPE_ISH_PATTERN,
     EMAIL_PATTERN,
@@ -371,8 +372,9 @@ def q_hash_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            count(*) AS n_segments,
            CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-           round(1.0 - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
-               AS dup_ratio
+           {sql_portable_round(
+               "1.0 - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) * 1.0 / count(*)", 4
+           )} AS dup_ratio
     FROM ranked GROUP BY doc_id
     """,
 )
@@ -399,7 +401,7 @@ def q_segment_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_segments"),
         F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
-        F.round(
+        portable_round(
             1.0
             - F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
             / F.count(F.lit(1)),

@@ -9,6 +9,7 @@ per-document lineage counts, document frequency).
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -22,6 +23,18 @@ _TOKS = f"""
     SELECT lower(unnest(regexp_split_to_array(text, '{sql_regex()}'))) AS word
     FROM documents
 """
+
+
+def _scratch_path(sf_dir: str, name: str) -> str:
+    """Stable scratch location for roundtrip sinks: one path per
+    (sf, artifact), overwritten on every run — never a fresh mkdtemp
+    per invocation (each driver verification round would leak a
+    corpus-sized copy until /tmp fills)."""
+    d = os.path.join(
+        tempfile.gettempdir(), "spark_graft_scratch", os.path.basename(sf_dir.rstrip("/"))
+    )
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, name)
 
 _TOKS_DOC = f"""
     SELECT doc_id,
@@ -123,12 +136,12 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     csv_results.csv consumer sees; the roundtrip must be lossless so
     the oracle is the flagship wordcount SQL itself.
     """
-    import tempfile
-
     from mpi_word_count_spark.sinks import write_word_count_csv
 
     out = word_count_df(table(spark, "documents", sf_dir), col="text")
-    path = os.path.join(tempfile.mkdtemp(prefix="csv_roundtrip_"), "csv_results.csv")
+    # stable per-sf path, overwritten each run — a fresh mkdtemp per
+    # invocation would leak a corpus-sized file every driver round
+    path = _scratch_path(sf_dir, "csv_results.csv")
     write_word_count_csv(out, path)
     return (
         spark.read.option("header", True)
@@ -157,10 +170,8 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     → per-lang summary. Lossless roundtrip means the summary equals
     the same aggregate computed directly on the parquet table.
     """
-    import tempfile
-
     docs = table(spark, "documents", sf_dir).select("doc_id", "lang", "text")
-    path = os.path.join(tempfile.mkdtemp(prefix="jsonl_rt_"), "docs.jsonl")
+    path = _scratch_path(sf_dir, "docs.jsonl")
     docs.write.mode("overwrite").json(path)
     back = spark.read.schema("doc_id BIGINT, lang STRING, text STRING").json(path)
     return back.groupBy("lang").agg(
@@ -231,11 +242,9 @@ def config_delimiters_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     ` q<doc_id>z` token: with digits in the alphabet it splits into
     q/z, with the default alphabet it would stay one q123z token, so
     a regression to the default alphabet changes the hash."""
-    import tempfile
-
     from mpi_word_count_spark.tokenizer import load_delimiters
 
-    path = os.path.join(tempfile.mkdtemp(prefix="delims_"), "delimiters.txt")
+    path = _scratch_path(sf_dir, "delimiters.txt")
     with open(path, "w", encoding="latin-1") as fh:
         fh.write("[]0123456789-")
     alphabet = load_delimiters(path)
