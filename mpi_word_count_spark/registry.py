@@ -114,10 +114,10 @@ _PRIORITY = [
     "top3_orders_per_customer",
     # no-oracle trio: rows-only driver record (tolerance-tested vs
     # exact twins in tests/test_approx_tolerance.py)
+    "hll_sketch_rollup",
     "compression_ratios",
     "approx_distinct_words",
     "approx_value_quantiles",
-    "hll_sketch_rollup",
     # flagship family: keep a fresh row every round
     "wordcount",
     "sql_wordcount",
