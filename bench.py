@@ -49,6 +49,8 @@ HEADLINE = [
     "benchmark_contamination",
     "shuffled_shards",
     "q21_waiting_suppliers",
+    "segment_dedup_summary",
+    "training_shard_manifest",
 ]
 
 

@@ -83,3 +83,26 @@ def test_salted_agg_matches_plain(spark):
     assert salted == plain == {("a", 50), ("b", 3)}
     sums = {(r["k"], r["sum"]) for r in salted_sum(df, ["k"], "v").collect()}
     assert sums == {("a", 50.0), ("b", 6.0)}
+
+
+def test_salted_agg_under_heavy_skew(spark):
+    """Skew stress: 2M rows where ONE key holds 50% of the data (the
+    Zipfian-head shape of a web-corpus word count). Salting must (a)
+    stay correct at this size and (b) structurally spread the hot key:
+    the phase-1 exchange partitions on (key, salt), so the hot key's
+    rows land on up to salt_buckets reducers instead of one."""
+    from mpi_word_count_spark.operators.skew import salted_count
+
+    n = 2_000_000
+    df = spark.range(n).selectExpr(
+        # id%2==0 -> the single hot key; else 1000 cold keys
+        "CASE WHEN id % 2 = 0 THEN 'hot' ELSE concat('k', id % 1000) END AS k"
+    )
+    got = {(r["k"], r["count"]) for r in salted_count(df, ["k"]).collect()}
+    assert ("hot", n // 2) in got
+    assert len(got) == 501  # hot + 500 cold (odd ids -> odd id%1000 only)
+    total = sum(c for _, c in got)
+    assert total == n
+    # structural claim: first exchange carries the salt column
+    plan = salted_count(df, ["k"])._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(k" in plan and "_salt" in plan
