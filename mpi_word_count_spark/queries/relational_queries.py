@@ -296,18 +296,33 @@ def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_suppkey, l_orderkey, l_linenumber,
            round(sum(l_extendedprice) OVER (
                PARTITION BY l_suppkey
-               ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+               ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC,
+                        l_extendedprice ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ), 2) AS running_revenue
     FROM lineitem
     """,
 )
 def running_revenue_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Analytic window with a running frame (cumulative sum)."""
+    """Analytic window with a running frame (cumulative sum).
+
+    The ORDER BY must be TOTAL or the prefix sums are underdetermined:
+    (orderkey, linenumber) is NOT unique in the fixture (118k dup
+    pairs at sf0.1, including two supplier-707 rows identical in every
+    sort column with prices 7997.00 apart — caught as an intermittent
+    sf0.1 hash mismatch that flipped with the executor's sort-run
+    order). l_extendedprice is the final tiebreaker; rows still tied
+    after it are interchangeable in a running SUM, so the result is
+    well-defined."""
     li = table(spark, "lineitem", sf_dir)
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy(F.asc("l_shipdate"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .orderBy(
+            F.asc("l_shipdate"),
+            F.asc("l_orderkey"),
+            F.asc("l_linenumber"),
+            F.asc("l_extendedprice"),
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return li.select(

@@ -154,18 +154,12 @@ IVF_ITERS = 5
 IVF_DIM = 64
 
 
-def _ivf_oracle() -> str:
-    """Lloyd's k-means is deterministic here (init = the k smallest-id
-    vectors, fixed iteration count, ties break on cluster id), so the
-    'iterative' part unrolls into one CTE pair per iteration:
-    assignment (argmin distance over the previous centroids) and mean
-    recomputation (per-dimension avg, empty clusters keep their old
-    centroid). The final SELECT replicates the IVF probe: corpus
-    vectors live in their nearest list, queries probe the 2 nearest
-    lists, exact cosine rank within them. Distance ordering uses
-    list_distance (sqrt of the same sum of squares — monotonic, so the
-    argmin is identical up to float summation drift, which the fixture
-    geometry keeps far from any tie)."""
+def _kmeans_corpus_ctes() -> str:
+    """The shared CTE chain: unrolled deterministic Lloyd's k-means
+    (id-ordered init, IVF_ITERS assignment/mean rounds, empty clusters
+    keep their previous centroid) ending in `corpus` — every vector
+    with its final cluster. Composed by both the IVF probe oracle and
+    the cluster-sizes oracle."""
     steps = []
     for t in range(IVF_ITERS):
         prev, cur = f"c{t}", f"c{t + 1}"
@@ -194,8 +188,7 @@ def _ivf_oracle() -> str:
         FROM {prev} t LEFT JOIN g{t + 1} g ON t.c = g.c
     )""")
     last = f"c{IVF_ITERS}"
-    return f"""
-    WITH c0 AS (
+    ctes = f"""c0 AS (
         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
                embedding::DOUBLE[] AS vec
         FROM embeddings ORDER BY vec_id LIMIT {IVF_CLUSTERS}
@@ -212,7 +205,23 @@ def _ivf_oracle() -> str:
                    ) AS rn
             FROM embeddings e CROSS JOIN {last} t
         ) WHERE rn = 1
-    ),
+    )"""
+    return ctes
+
+
+def _ivf_oracle() -> str:
+    """Lloyd's k-means is deterministic here (init = the k smallest-id
+    vectors, fixed iteration count, ties break on cluster id), so the
+    'iterative' part unrolls into one CTE pair per iteration (see
+    _kmeans_corpus_ctes). The final SELECT replicates the IVF probe:
+    corpus vectors live in their nearest list, queries probe the 2
+    nearest lists, exact cosine rank within them. Distance ordering
+    uses list_distance (sqrt of the same sum of squares — monotonic,
+    so the argmin is identical up to float summation drift, which the
+    fixture geometry keeps far from any tie)."""
+    last = f"c{IVF_ITERS}"
+    return f"""
+    WITH {_kmeans_corpus_ctes()},
     probes AS (
         SELECT vec_id, embedding, c AS cluster FROM (
             SELECT e.vec_id, e.embedding, t.c,
@@ -386,4 +395,39 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=PQ_ITERS,
         rerank=PQ_RERANK,
         dim=IVF_DIM,
+    )
+
+
+@register(
+    "embedding_cluster_sizes",
+    oracle=f"""
+    WITH {_kmeans_corpus_ctes()}
+    SELECT cluster, count(*) AS n_vectors
+    FROM corpus GROUP BY cluster ORDER BY cluster
+    """,
+)
+def embedding_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space clustering audit: the IVF coarse quantizer's
+    k-means (same deterministic construction, same constants) as a
+    standalone operator — cluster populations are what you inspect
+    before using clusters for topic bucketing or mixture decisions.
+    Assignment is a pure codegen expression over the k·dim literal
+    centroids; the only shuffle is the |clusters|-row count agg."""
+    from mpi_word_count_spark.operators.similarity import (
+        kmeans_centroids,
+        nearest_centroid_col,
+    )
+
+    emb = table(spark, "embeddings", sf_dir)
+    cents = kmeans_centroids(emb, k=IVF_CLUSTERS, iters=IVF_ITERS)
+    return (
+        emb.select(
+            nearest_centroid_col(
+                F.transform(F.col("embedding"), lambda x: x.cast("double")),
+                cents,
+            ).alias("cluster")
+        )
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("cluster")
     )

@@ -408,3 +408,102 @@ def q_segment_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("dup_ratio"),
     )
+
+
+BM25_TERMS = ("join", "vector", "dup")  # common, common, rare (df~25)
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@register(
+    "bm25_scores",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    tokd AS (SELECT doc_id, unnest(t) AS word FROM toks),
+    dl AS (SELECT doc_id, count(*) AS len FROM tokd GROUP BY doc_id),
+    stats AS (
+        SELECT count(*) AS n_docs, avg(len) AS avg_len FROM dl
+    ),
+    dfreq AS (
+        SELECT word, count(DISTINCT doc_id) AS df
+        FROM tokd WHERE word IN {tuple(BM25_TERMS)}
+        GROUP BY word
+    ),
+    tf AS (
+        SELECT doc_id, word, count(*) AS tf
+        FROM tokd WHERE word IN {tuple(BM25_TERMS)}
+        GROUP BY doc_id, word
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               sum(
+                   ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                   * tf.tf * ({BM25_K1} + 1.0)
+                   / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                      + {BM25_B} * l.len / s.avg_len))
+               ) AS score
+        FROM tf
+        JOIN dfreq d ON tf.word = d.word
+        JOIN dl l ON tf.doc_id = l.doc_id
+        CROSS JOIN stats s
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, {sql_portable_round("score", 4)} AS bm25
+    FROM scored
+    ORDER BY {sql_portable_round("score", 4)} DESC, doc_id ASC
+    LIMIT 50
+    """,
+)
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking for a fixed term query — the classic lexical
+    retrieval scorer (k1=1.2, b=0.75, Robertson idf+1). Shape: ONE
+    tokenization feeds doc lengths, document frequencies, and term
+    frequencies; N/avg_len is a 1-row broadcast; df per term is a
+    |terms|-row broadcast — no corpus self-joins, so at 100 TB this is
+    two shuffles of (doc_id) keys. Both engines run the identical
+    float formula and portable-round before ranking."""
+    from pyspark.sql.window import Window
+
+    from mpi_word_count_spark.tokenizer import tokenize
+
+    docs = table(spark, "documents", sf_dir)
+    toks = tokenize(docs, col="text", keep=["doc_id"])
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("len").alias("avg_len")
+    )
+    terms = list(BM25_TERMS)
+    dfreq = (
+        toks.filter(F.col("word").isin(terms))
+        .groupBy("word")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    tf = (
+        toks.filter(F.col("word").isin(terms))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("len") / F.col("avg_len")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(idf * F.col("tf") * (BM25_K1 + 1.0) / denom).alias("score")
+        )
+    )
+    ranked = scored.select(
+        "doc_id", portable_round(F.col("score"), 4).alias("bm25")
+    )
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        ranked.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 50)
+        .drop("_rn")
+    )

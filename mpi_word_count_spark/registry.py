@@ -83,6 +83,8 @@ _PRIORITY = [
     "q21_waiting_suppliers",
     "segment_dedup_summary",
     "training_shard_manifest",
+    "bm25_scores",
+    "embedding_cluster_sizes",
     "benchmark_contamination",
     "corpus_mixture",
     "shuffled_shards",
