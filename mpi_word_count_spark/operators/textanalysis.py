@@ -340,6 +340,105 @@ def ngram_counts(
     return counts
 
 
+def repetition_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_token_max: float = 0.2,
+    dup_2gram_max: float = 0.35,
+    dup_3gram_max: float = 0.25,
+) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of
+    tokens taken by the single most frequent token, and the fraction
+    of word n-grams (n=2,3) that occur more than once. Documents
+    breaching any threshold are flagged `repetitive` — the standard
+    filter for looping/boilerplate text in training-data curation.
+
+    Scale shape: unigrams/bigrams/trigrams are tagged with their gram
+    order and exploded in ONE pass, so the corpus is tokenized once
+    and the only wide shuffle carries (doc_id, n, gram) with map-side
+    partial aggregation. The per-(doc, order) rollup and the 3-way
+    pivot are per-doc-local (≤3 rows per doc). No self-joins; the
+    final left join keys on doc_id against a column-pruned id scan so
+    token-less documents still get 0.0 scores.
+    """
+    from mpi_word_count_spark.functions.parity import portable_round
+    from mpi_word_count_spark.operators import widen
+
+    staged = widen(df).select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("_toks")
+    )
+    toks = F.col("_toks")
+
+    def grams(n: int):
+        # reads the BOUND _toks column (see shingles_from_tokens on
+        # why the token array must materialize in its own projection)
+        g = (
+            toks
+            if n == 1
+            else F.when(
+                F.size(toks) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - n + 1),
+                    lambda i: F.array_join(F.slice(toks, i, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        )
+        return F.transform(
+            g, lambda x: F.struct(F.lit(n).alias("n"), x.alias("gram"))
+        )
+
+    per_gram = (
+        staged.select(
+            "doc_id", F.explode(F.concat(grams(1), grams(2), grams(3))).alias("g")
+        )
+        .groupBy("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = per_gram.groupBy("doc_id", "n").agg(
+        F.max("c").alias("mx"),
+        F.sum("c").alias("tot"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("dup"),
+    )
+    wide = per_doc.groupBy("doc_id").agg(
+        F.max(F.when(F.col("n") == 1, F.col("mx"))).alias("mx1"),
+        F.max(F.when(F.col("n") == 1, F.col("tot"))).alias("tot1"),
+        F.max(F.when(F.col("n") == 2, F.col("dup"))).alias("dup2"),
+        F.max(F.when(F.col("n") == 2, F.col("tot"))).alias("tot2"),
+        F.max(F.when(F.col("n") == 3, F.col("dup"))).alias("dup3"),
+        F.max(F.when(F.col("n") == 3, F.col("tot"))).alias("tot3"),
+    )
+
+    def frac(num, den):
+        return portable_round(
+            F.when(
+                F.coalesce(den, F.lit(0)) > 0, F.coalesce(num, F.lit(0)) / den
+            ).otherwise(F.lit(0.0)),
+            4,
+        )
+
+    scored = (
+        widen(df)
+        .select(F.col(id_col).alias("doc_id"))
+        .join(wide, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("tot1", F.lit(0)).cast("bigint").alias("n_tokens"),
+            frac(F.col("mx1"), F.col("tot1")).alias("top_token_frac"),
+            frac(F.col("dup2"), F.col("tot2")).alias("dup_2gram_frac"),
+            frac(F.col("dup3"), F.col("tot3")).alias("dup_3gram_frac"),
+        )
+    )
+    # thresholds compare the already-portable-rounded values, so the
+    # boolean is engine-stable even at half-way points
+    return scored.withColumn(
+        "repetitive",
+        (F.col("top_token_frac") > top_token_max)
+        | (F.col("dup_2gram_frac") > dup_2gram_max)
+        | (F.col("dup_3gram_frac") > dup_3gram_max),
+    )
+
+
 def compression_ratios(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -26,6 +26,7 @@ from mpi_word_count_spark.operators.textanalysis import (
     ngram_counts,
     pack_chunks,
     quality_scores,
+    repetition_scores,
     scrub_text,
     tfidf_top_terms,
     token_stats,
@@ -318,6 +319,66 @@ def q_scrubbed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     behavior itself is unit-tested on synthetic text with matches,
     tests/test_similarity_text.py)."""
     return scrub_text(table(spark, "documents", sf_dir))
+
+
+def _repetition_oracle() -> str:
+    pr = sql_portable_round
+    t1 = pr("CASE WHEN coalesce(tot1, 0) > 0 THEN CAST(mx1 AS DOUBLE) / tot1 ELSE 0.0 END")
+    d2 = pr("CASE WHEN coalesce(tot2, 0) > 0 THEN CAST(coalesce(dup2, 0) AS DOUBLE) / tot2 ELSE 0.0 END")
+    d3 = pr("CASE WHEN coalesce(tot3, 0) > 0 THEN CAST(coalesce(dup3, 0) AS DOUBLE) / tot3 ELSE 0.0 END")
+    return f"""
+    WITH {_TOKS_CTE},
+    tagged AS (
+        SELECT doc_id, 1 AS n, unnest(t) AS gram FROM toks
+        UNION ALL
+        SELECT doc_id, 2 AS n,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS gram
+        FROM toks
+        UNION ALL
+        SELECT doc_id, 3 AS n,
+               unnest(list_transform(range(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS gram
+        FROM toks
+    ),
+    cnt AS (
+        SELECT doc_id, n, gram, count(*) AS c FROM tagged GROUP BY 1, 2, 3
+    ),
+    agg AS (
+        SELECT doc_id, n, max(c) AS mx, sum(c) AS tot,
+               sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+        FROM cnt GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT doc_id,
+               max(CASE WHEN n = 1 THEN mx END) AS mx1,
+               max(CASE WHEN n = 1 THEN tot END) AS tot1,
+               max(CASE WHEN n = 2 THEN dup END) AS dup2,
+               max(CASE WHEN n = 2 THEN tot END) AS tot2,
+               max(CASE WHEN n = 3 THEN dup END) AS dup3,
+               max(CASE WHEN n = 3 THEN tot END) AS tot3
+        FROM agg GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, top_token_frac, dup_2gram_frac, dup_3gram_frac,
+           (top_token_frac > 0.2 OR dup_2gram_frac > 0.35
+            OR dup_3gram_frac > 0.25) AS repetitive
+    FROM (
+        SELECT d.doc_id,
+               CAST(coalesce(tot1, 0) AS BIGINT) AS n_tokens,
+               {t1} AS top_token_frac,
+               {d2} AS dup_2gram_frac,
+               {d3} AS dup_3gram_frac
+        FROM documents d LEFT JOIN wide w ON d.doc_id = w.doc_id
+    )
+    """
+
+
+@register("repetition_scores", oracle=_repetition_oracle())
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signals: top-token fraction +
+    duplicate 2/3-gram fractions + threshold flag. One tokenization,
+    one tagged-gram shuffle (operators/textanalysis.repetition_scores)."""
+    return repetition_scores(table(spark, "documents", sf_dir))
 
 
 @register("compression_ratios")  # rows-only: zlib has no oracle-engine

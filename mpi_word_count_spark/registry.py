@@ -85,6 +85,7 @@ _PRIORITY = [
     "training_shard_manifest",
     "bm25_scores",
     "embedding_cluster_sizes",
+    "repetition_scores",
     "benchmark_contamination",
     "corpus_mixture",
     "shuffled_shards",

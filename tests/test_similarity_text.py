@@ -237,6 +237,31 @@ def test_compression_ratio_separates_repetition(spark):
     assert rows[3]["compression_ratio"] is None
 
 
+def test_repetition_scores_flags_looping_text(spark):
+    from mpi_word_count_spark.operators.textanalysis import repetition_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam"),  # one-token loop
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),  # all unique
+            (3, "the cat sat the cat sat the cat sat the cat sat"),  # 3-gram loop
+            (4, ""),  # token-less → all zeros, not repetitive
+            (5, "one"),  # single token: top_frac 1.0, no n-grams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_scores(df).collect()}
+    assert rows[1]["top_token_frac"] == 1.0 and rows[1]["repetitive"]
+    assert rows[2]["top_token_frac"] < 0.2
+    assert not rows[2]["repetitive"]
+    # "the cat sat" ×4: every 3-gram occurs >1 time except none are unique
+    assert rows[3]["dup_3gram_frac"] == 1.0 and rows[3]["repetitive"]
+    assert rows[4]["n_tokens"] == 0 and not rows[4]["repetitive"]
+    assert rows[4]["top_token_frac"] == 0.0
+    assert rows[5]["top_token_frac"] == 1.0
+    assert rows[5]["dup_2gram_frac"] == 0.0
+
+
 def test_pq_recall_vs_bruteforce(spark):
     from pyspark.sql import functions as F
 
