@@ -514,3 +514,58 @@ def ann_pq_topk(
         scored, ["q_id"], [F.desc("cosine"), F.asc("neighbor_id")], k=k,
         rank_col="rank",
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.35,
+    n_clusters: int = 8,
+    kmeans_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embedding
+    space with deterministic k-means, then within each cluster mark a
+    vector as a duplicate of the smallest-id vector whose cosine
+    similarity reaches `threshold`. Returns every input id with its
+    cluster, `dup_of` (smallest-id in-cluster duplicate, NULL when
+    none) and `kept` — the survivor set is `kept = true`.
+
+    Scale shape — the whole point of clustering first: pairwise
+    comparison runs ONLY inside a cluster (an equi-join on cluster
+    id), so the quadratic term is bounded by the largest cluster, not
+    the corpus; k scales with corpus size to hold cluster sizes
+    constant. Assignment is a pure codegen'd expression over k·dim
+    literal centroids (no shuffle); only the cluster equi-join and the
+    per-id min-aggregate shuffle. Greedy lowest-id-wins keep policy is
+    deterministic and oracle-replicable (no RNG anywhere).
+    """
+    from mpi_word_count_spark.functions.parity import portable_round
+    from mpi_word_count_spark.functions.vector import cosine
+
+    cents = kmeans_centroids(
+        vectors, k=n_clusters, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
+    )
+    assigned = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_v"),
+        nearest_centroid_col(F.col(vec_col), cents).alias("cluster"),
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos4 = portable_round(cosine(F.col("a._v"), F.col("b._v")), 4)
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .where(cos4 >= threshold)
+        .groupBy(F.col("a.vec_id").alias("vec_id"))
+        .agg(F.min(F.col("b.vec_id")).alias("dup_of"))
+    )
+    return assigned.join(dups, "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        "dup_of",
+        F.col("dup_of").isNull().alias("kept"),
+    )

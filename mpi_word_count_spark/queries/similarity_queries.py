@@ -431,3 +431,41 @@ def embedding_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy("cluster")
     )
+
+
+SEM_DEDUP_THRESHOLD = 0.35
+
+
+def _semantic_dedup_oracle() -> str:
+    from mpi_word_count_spark.functions.parity import sql_portable_round
+    from mpi_word_count_spark.functions.vector import sql_cosine
+
+    cos4 = sql_portable_round(sql_cosine("a.embedding", "b.embedding"), 4)
+    return f"""
+    WITH {_kmeans_corpus_ctes()},
+    dups AS (
+        SELECT a.vec_id AS vec_id, min(b.vec_id) AS dup_of
+        FROM corpus a JOIN corpus b
+          ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+        WHERE {cos4} >= {SEM_DEDUP_THRESHOLD}
+        GROUP BY a.vec_id
+    )
+    SELECT c.vec_id, c.cluster, d.dup_of, (d.dup_of IS NULL) AS kept
+    FROM corpus c LEFT JOIN dups d ON c.vec_id = d.vec_id
+    """
+
+
+@register("semantic_dedup", oracle=_semantic_dedup_oracle())
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: k-means clusters bound the
+    pairwise cosine check to within-cluster equi-join candidates;
+    greedy lowest-id-wins survivor set. Same deterministic quantizer
+    (and oracle CTE chain) as ann_ivf/embedding_cluster_sizes."""
+    from mpi_word_count_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        table(spark, "embeddings", sf_dir),
+        threshold=SEM_DEDUP_THRESHOLD,
+        n_clusters=IVF_CLUSTERS,
+        kmeans_iters=IVF_ITERS,
+    )

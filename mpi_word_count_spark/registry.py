@@ -86,6 +86,7 @@ _PRIORITY = [
     "bm25_scores",
     "embedding_cluster_sizes",
     "repetition_scores",
+    "semantic_dedup",
     "benchmark_contamination",
     "corpus_mixture",
     "shuffled_shards",

@@ -237,6 +237,40 @@ def test_compression_ratio_separates_repetition(spark):
     assert rows[3]["compression_ratio"] is None
 
 
+def test_semantic_dedup_keeps_lowest_id_per_near_group(spark):
+    from mpi_word_count_spark.operators.similarity import semantic_dedup
+
+    # ids 0/1/2 point along +x (near-identical), ids 3/4 along +y
+    def vec(base, eps):
+        v = [0.0] * 8
+        v[base] = 1.0
+        v[(base + 4) % 8] = eps
+        return v
+
+    df = spark.createDataFrame(
+        [
+            (0, vec(0, 0.0)),
+            (1, vec(0, 0.01)),
+            (2, vec(0, 0.02)),
+            (3, vec(1, 0.0)),
+            (4, vec(1, 0.015)),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in semantic_dedup(df, threshold=0.9, n_clusters=2, kmeans_iters=3).collect()
+    }
+    assert rows[0]["kept"] and rows[0]["dup_of"] is None
+    assert not rows[1]["kept"] and rows[1]["dup_of"] == 0
+    assert not rows[2]["kept"] and rows[2]["dup_of"] == 0  # greedy: min id wins
+    assert rows[3]["kept"]
+    assert not rows[4]["kept"] and rows[4]["dup_of"] == 3
+    # the two groups never cross-mark: clusters bound the comparison
+    assert rows[1]["cluster"] == rows[0]["cluster"]
+    assert rows[3]["cluster"] != rows[0]["cluster"]
+
+
 def test_repetition_scores_flags_looping_text(spark):
     from mpi_word_count_spark.operators.textanalysis import repetition_scores
 
