@@ -181,6 +181,43 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "partitioned_events_rollup",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(value), 2) AS total_value
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    """,
+)
+def partitioned_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout + partition pruning — THE table layout
+    primitive at 100 TB: events → `partitionBy(event_type)` parquet →
+    read back → filter on the partition column → rollup. The filter
+    prunes at the directory level (PartitionFilters in the scan, never
+    touching 3/5 of the files — asserted in
+    tests/test_connectors_bucketing.py::test_partition_pruning); the
+    roundtrip is lossless so the oracle aggregates the source table
+    directly.
+    """
+    ev = table(spark, "events", sf_dir)
+    path = _scratch_path(sf_dir, "events_by_type.parquet")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
     "word_doc_frequency",
     oracle=f"""
     SELECT word,

@@ -87,6 +87,7 @@ _PRIORITY = [
     "embedding_cluster_sizes",
     "repetition_scores",
     "semantic_dedup",
+    "partitioned_events_rollup",
     "benchmark_contamination",
     "corpus_mixture",
     "shuffled_shards",

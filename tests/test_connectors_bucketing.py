@@ -36,6 +36,37 @@ def test_csv_json_orc_parquet_roundtrip(spark, tmp_path):
         assert sorted(map(tuple, got.collect())) == want, fmt
 
 
+def test_partition_pruning(spark, tmp_path):
+    """The partitioned-events layout must prune non-matching
+    event_type directories at planning time: the scan's
+    PartitionFilters carry the predicate and only 2 of 5 partition
+    values survive."""
+    ev = table(spark, "events", SF_DIR)
+    path = str(tmp_path / "ev_by_type")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters", 1)[1][:300]
+    # behavioral proof of directory-level pruning: corrupt every file
+    # in a non-matching partition — the filtered scan must never open
+    # them, while an unfiltered scan fails on the same layout
+    import pathlib
+
+    for f in pathlib.Path(path, "event_type=error").glob("*.parquet"):
+        f.write_bytes(b"not a parquet file")
+    assert back.count() > 0  # pruned scan unharmed
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        spark.read.parquet(path).count()  # full scan hits the corruption
+
+
 def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
     orders = table(spark, "orders", SF_DIR)
     lineitem = table(spark, "lineitem", SF_DIR)
