@@ -51,6 +51,8 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "segment_dedup_summary",
     "training_shard_manifest",
+    "repetition_scores",
+    "semantic_dedup",
 ]
 
 

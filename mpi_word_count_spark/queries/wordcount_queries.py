@@ -217,6 +217,38 @@ def partitioned_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_wordcount_oracle() -> str:
+    from mpi_word_count_spark.sources.synthetic import sql_synth_corpus_cte
+
+    return f"""
+    WITH {sql_synth_corpus_cte(1000, "synth")}
+    SELECT word, count(*) AS count
+    FROM synth_words GROUP BY word ORDER BY word
+    """
+
+
+@register("synthetic_corpus_wordcount", oracle=_synth_wordcount_oracle())
+def synthetic_corpus_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source connector (Spark 4 API) driven
+    through the flagship pipeline: the `synthcorpus` source plans
+    contiguous doc_id ranges as input partitions (the reference's
+    `info` split descriptor, word_count_mpi.c:20-23) and generates a
+    deterministic md5-derived corpus executor-locally; word count runs
+    over it unchanged. The oracle regenerates the identical corpus in
+    SQL — a full value-hash gate over a user-defined connector."""
+    from mpi_word_count_spark.sources.synthetic import register_synth_source
+
+    register_synth_source(spark)
+    corpus = (
+        spark.read.format("synthcorpus")
+        .option("n_docs", 1000)
+        .option("seed", "synth")
+        .option("partitions", 8)
+        .load()
+    )
+    return word_count_df(corpus, col="text")
+
+
 @register(
     "word_doc_frequency",
     oracle=f"""

@@ -88,10 +88,16 @@ _PRIORITY = [
     "repetition_scores",
     "semantic_dedup",
     "partitioned_events_rollup",
+    "synthetic_corpus_wordcount",
     "benchmark_contamination",
     "corpus_mixture",
     "shuffled_shards",
     "cluster_aware_split",
+    # fixed this round (nondeterministic window order) — needs a fresh
+    # row on the fixed code
+    "running_revenue_per_supplier",
+    # never recorded (registered late in round 4): rows-only sketch
+    "hll_sketch_rollup",
     # r1/r2-only greens: never re-verified on the current Spark
     "ann_pq",
     "ann_bruteforce",
@@ -115,11 +121,9 @@ _PRIORITY = [
     "q3_top_revenue_orders",
     "q5_regional_revenue",
     "repeat_customers_9596",
-    "running_revenue_per_supplier",
     "top3_orders_per_customer",
     # no-oracle trio: rows-only driver record (tolerance-tested vs
     # exact twins in tests/test_approx_tolerance.py)
-    "hll_sketch_rollup",
     "compression_ratios",
     "approx_distinct_words",
     "approx_value_quantiles",

@@ -102,6 +102,36 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
 
 
+def test_synth_datasource_partitions_and_determinism(spark):
+    from mpi_word_count_spark.sources.synthetic import (
+        SynthCorpusReader,
+        register_synth_source,
+        synth_doc,
+    )
+
+    # planner: ranges are disjoint and cover [0, n_docs)
+    reader = SynthCorpusReader({"n_docs": "103", "partitions": "8"})
+    parts = reader.partitions()
+    assert len(parts) == 8
+    covered = [i for p in parts for i in range(p.start, p.end)]
+    assert covered == list(range(103))
+
+    register_synth_source(spark)
+    df = (
+        spark.read.format("synthcorpus")
+        .option("n_docs", 103)
+        .option("seed", "t")
+        .option("partitions", 8)
+        .load()
+    )
+    rows = {r["doc_id"]: r["text"] for r in df.collect()}
+    assert len(rows) == 103
+    # executor-side generation matches the driver-side replica
+    for doc_id in (0, 50, 102):
+        assert rows[doc_id] == synth_doc(doc_id, "t")
+    assert df.rdd.getNumPartitions() == 8
+
+
 def test_salted_agg_matches_plain(spark):
     from mpi_word_count_spark.operators.skew import salted_count, salted_sum
 
