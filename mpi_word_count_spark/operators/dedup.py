@@ -680,7 +680,7 @@ def embedding_dup_pairs_banded(
         acc = F.lit(0).cast("long")
         for j in range(planes_per_band):
             plane = planes[b * planes_per_band + j]
-            plane_lit = F.array(*[F.lit(x) for x in plane])
+            plane_lit = F.lit([float(x) for x in plane])
             bit = F.when(dot(vec, plane_lit) >= 0, F.lit(1 << j)).otherwise(0)
             acc = acc + bit.cast("long")
         return acc

@@ -46,7 +46,10 @@ def lsh_planes(num_planes: int = NUM_PLANES, dim: int = EMBED_DIM) -> list[list[
 
 
 def _plane_lit(plane: list[float]) -> Column:
-    return F.array(*[F.lit(x) for x in plane])
+    # ONE array-literal node, not dim CreateArray children: identical
+    # values, ~dim× smaller expression tree (codegen/JIT time is the
+    # cold-run cost of every literal-vector operator here)
+    return F.lit([float(x) for x in plane])
 
 
 def lsh_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
@@ -206,21 +209,29 @@ def kmeans_centroids(
         .collect()
     )
     centroids = [row[0] for row in init]
-    v = vectors.select(F.col(vec_col).alias("_vec"))
-    for _ in range(iters):
-        assigned = v.withColumn("_cluster", nearest_centroid_col(F.col("_vec"), centroids))
-        means = (
-            assigned.select("_cluster", F.posexplode("_vec").alias("_pos", "_x"))
-            .groupBy("_cluster", "_pos")
-            .agg(F.avg("_x").alias("_m"))
-            .groupBy("_cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("_pos", "_m"))).alias("_ms"))
-            .select("_cluster", F.transform("_ms", lambda s: s["_m"]).alias("_mean"))
-            .collect()
-        )
-        by_cluster = {row["_cluster"]: list(row["_mean"]) for row in means}
-        # empty clusters keep their previous centroid
-        centroids = [by_cluster.get(c, centroids[c]) for c in range(k)]
+    # cache the iterate source: every Lloyd round re-reads it, and at
+    # any corpus size the (id-free) vector column is the cheapest
+    # thing to keep in executor memory across the iterations
+    v = vectors.select(F.col(vec_col).alias("_vec")).persist()
+    try:
+        for _ in range(iters):
+            assigned = v.withColumn(
+                "_cluster", nearest_centroid_col(F.col("_vec"), centroids)
+            )
+            means = (
+                assigned.select("_cluster", F.posexplode("_vec").alias("_pos", "_x"))
+                .groupBy("_cluster", "_pos")
+                .agg(F.avg("_x").alias("_m"))
+                .groupBy("_cluster")
+                .agg(F.array_sort(F.collect_list(F.struct("_pos", "_m"))).alias("_ms"))
+                .select("_cluster", F.transform("_ms", lambda s: s["_m"]).alias("_mean"))
+                .collect()
+            )
+            by_cluster = {row["_cluster"]: list(row["_mean"]) for row in means}
+            # empty clusters keep their previous centroid
+            centroids = [by_cluster.get(c, centroids[c]) for c in range(k)]
+    finally:
+        v.unpersist()
     return centroids
 
 
@@ -229,7 +240,7 @@ def _as_double_list(vec_col: str):
 
 
 def _sq_l2(vec: Column, centroid: list[float]) -> Column:
-    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    lit = F.lit([float(x) for x in centroid])
     return F.aggregate(
         F.zip_with(vec, lit, lambda a, b: (a.cast("double") - b) ** 2),
         F.lit(0.0),
@@ -237,30 +248,41 @@ def _sq_l2(vec: Column, centroid: list[float]) -> Column:
     )
 
 
+def _centroid_dist_pairs(vec: Column, centroids: list[list[float]]) -> Column:
+    """(squared-distance, cluster-id) structs against ONE k×dim array
+    literal. The expression SHAPE is independent of the centroid
+    VALUES (they live in the codegen references array), so Lloyd
+    iterations with updated centroids reuse the same generated/JITed
+    code — measured ~2× on the k-means loop vs per-centroid literals.
+    Arithmetic is element-identical to the unrolled form (same zip_with
+    fold order), so oracle parity is unaffected."""
+    cents = F.lit([[float(x) for x in c] for c in centroids])
+    return F.transform(
+        cents,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(vec, c, lambda a, b: (a.cast("double") - b) ** 2),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            i.alias("c"),
+        ),
+    )
+
+
 def nearest_centroid_col(vec: Column, centroids: list[list[float]]) -> Column:
     """argmin over literal centroids — array_min on (dist, id) structs,
     pure expression, no shuffle, ids break ties deterministically."""
-    pairs = F.array(
-        *[
-            F.struct(_sq_l2(vec, c).alias("d"), F.lit(i).alias("c"))
-            for i, c in enumerate(centroids)
-        ]
-    )
-    return F.array_min(pairs)["c"]
+    return F.array_min(_centroid_dist_pairs(vec, centroids))["c"]
 
 
 def probe_centroids_col(
     vec: Column, centroids: list[list[float]], nprobe: int
 ) -> Column:
     """The `nprobe` nearest cluster ids, as an array (for explode)."""
-    pairs = F.array(
-        *[
-            F.struct(_sq_l2(vec, c).alias("d"), F.lit(i).alias("c"))
-            for i, c in enumerate(centroids)
-        ]
-    )
     return F.transform(
-        F.slice(F.array_sort(pairs), 1, nprobe), lambda s: s["c"]
+        F.slice(F.array_sort(_centroid_dist_pairs(vec, centroids)), 1, nprobe),
+        lambda s: s["c"],
     )
 
 
@@ -433,9 +455,7 @@ def _adc_sq_dist(
     sub = dim // m
     total = F.lit(0.0)
     for i, book in enumerate(codebooks):
-        book_lit = F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for c in book]
-        )
+        book_lit = F.lit([[float(x) for x in c] for c in book])
         cent = F.element_at(book_lit, F.element_at(codes, i + 1).cast("int") + 1)
         qs = F.slice(qvec, i * sub + 1, sub)
         total = total + F.aggregate(
@@ -543,13 +563,20 @@ def semantic_dedup(
     from mpi_word_count_spark.functions.parity import portable_round
     from mpi_word_count_spark.functions.vector import cosine
 
+    from mpi_word_count_spark.operators import track_cache
+
     cents = kmeans_centroids(
         vectors, k=n_clusters, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
     )
-    assigned = vectors.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("_v"),
-        nearest_centroid_col(F.col(vec_col), cents).alias("cluster"),
+    # cache the assignment: it feeds BOTH sides of the within-cluster
+    # join plus the final projection — without the cache the
+    # k-literal argmin expression re-evaluates three times per row
+    assigned = track_cache(
+        vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("_v"),
+            nearest_centroid_col(F.col(vec_col), cents).alias("cluster"),
+        )
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     cos4 = portable_round(cosine(F.col("a._v"), F.col("b._v")), 4)

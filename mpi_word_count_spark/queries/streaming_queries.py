@@ -228,3 +228,35 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming first-seen dedup by content hash (append mode)."""
     docs = stream_table(spark, "documents", sf_dir)
     return run_to_completion(streaming_dedup(docs), "append")
+
+
+def _synth_stream_oracle() -> str:
+    from mpi_word_count_spark.sources.synthetic import sql_synth_corpus_cte
+
+    return f"""
+    WITH {sql_synth_corpus_cte(1000, "synth")}
+    SELECT word, count(*) AS count
+    FROM synth_words GROUP BY word
+    """
+
+
+@register("streaming_synth_wordcount", oracle=_synth_stream_oracle())
+def q_streaming_synth_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python streaming connector (SimpleDataSourceStreamReader)
+    through the flagship pipeline: the `synthcorpus` source emits
+    doc_id-watermark micro-batches (200 docs each → 5 batches), the
+    word-count aggregation folds them incrementally in complete mode,
+    and the result must equal the batch corpus — batch/stream parity
+    over a user-defined source, value-hash-verified."""
+    from mpi_word_count_spark.sources.synthetic import register_synth_source
+    from mpi_word_count_spark.streaming.queries import streaming_word_count
+
+    register_synth_source(spark)
+    corpus = (
+        spark.readStream.format("synthcorpus")
+        .option("n_docs", 1000)
+        .option("seed", "synth")
+        .option("batch_docs", 200)
+        .load()
+    )
+    return run_to_completion(streaming_word_count(corpus), "complete")

@@ -89,6 +89,7 @@ _PRIORITY = [
     "semantic_dedup",
     "partitioned_events_rollup",
     "synthetic_corpus_wordcount",
+    "streaming_synth_wordcount",
     "benchmark_contamination",
     "corpus_mixture",
     "shuffled_shards",

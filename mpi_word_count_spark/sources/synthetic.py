@@ -76,7 +76,12 @@ def sql_synth_corpus_cte(n_docs: int, seed: str) -> str:
 
 
 try:  # the Data Source API needs pyspark >= 4.0
-    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+        SimpleDataSourceStreamReader,
+    )
 
     class DocRange(InputPartition):
         """Contiguous [start, end) doc_id split — the planner's unit."""
@@ -102,9 +107,45 @@ try:  # the Data Source API needs pyspark >= 4.0
             for doc_id in range(partition.start, partition.end):
                 yield (doc_id, synth_doc(doc_id, self.seed))
 
+    class SynthCorpusStreamReader(SimpleDataSourceStreamReader):
+        """Micro-batch reader over the same corpus: offsets are doc_id
+        watermarks, each batch emits the next `batch_docs` documents
+        until `n_docs` is exhausted. Deterministic generation makes
+        replay (`readBetweenOffsets`) exact — the property a real
+        source gets from a durable log, here for free."""
+
+        def __init__(self, options: dict):
+            self.n_docs = int(options.get("n_docs", 1000))
+            self.seed = options.get("seed", "synth")
+            self.batch_docs = max(1, int(options.get("batch_docs", 200)))
+
+        def initialOffset(self) -> dict:
+            return {"doc_id": 0}
+
+        def read(self, start: dict):
+            lo = start["doc_id"]
+            hi = min(lo + self.batch_docs, self.n_docs)
+            return self._gen(lo, hi), {"doc_id": hi}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            return self._gen(start["doc_id"], end["doc_id"])
+
+        def _gen(self, lo: int, hi: int) -> Iterator[tuple]:
+            # a LIST iterator, not a generator: the prefetch cache
+            # copy.copy()s and pickles the iterator (generators can't),
+            # and the empty-batch check next()s it (bare lists can't);
+            # batch_docs bounds driver memory per micro-batch
+            return iter(
+                [
+                    (doc_id, synth_doc(doc_id, self.seed))
+                    for doc_id in range(lo, hi)
+                ]
+            )
+
     class SynthCorpusDataSource(DataSource):
         """`spark.read.format("synthcorpus")` after
-        `spark.dataSource.register(SynthCorpusDataSource)`."""
+        `spark.dataSource.register(SynthCorpusDataSource)`; also
+        streamable via `spark.readStream.format("synthcorpus")`."""
 
         @classmethod
         def name(cls) -> str:
@@ -115,6 +156,9 @@ try:  # the Data Source API needs pyspark >= 4.0
 
         def reader(self, schema) -> SynthCorpusReader:
             return SynthCorpusReader(self.options)
+
+        def simpleStreamReader(self, schema) -> SynthCorpusStreamReader:
+            return SynthCorpusStreamReader(self.options)
 
     HAVE_DATASOURCE_API = True
 except ImportError:  # pragma: no cover - pyspark < 4.0

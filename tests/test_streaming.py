@@ -229,3 +229,50 @@ def test_foreach_batch_parquet_sink(spark, tmp_path):
         for r in word_count_df(table(spark, "documents", SF_DIR), "text").collect()
     }
     assert got == want
+
+
+def test_synth_stream_reader_contract():
+    from mpi_word_count_spark.sources.synthetic import (
+        SynthCorpusStreamReader,
+        synth_doc,
+    )
+
+    r = SynthCorpusStreamReader({"n_docs": "10", "batch_docs": "4", "seed": "t"})
+    it1, off1 = r.read(r.initialOffset())
+    assert off1 == {"doc_id": 4} and len(list(it1)) == 4
+    it2, off2 = r.read(off1)
+    assert off2 == {"doc_id": 8} and len(list(it2)) == 4
+    # replay between offsets regenerates the identical rows
+    replay = list(r.readBetweenOffsets({"doc_id": 0}, {"doc_id": 4}))
+    assert replay == [(i, synth_doc(i, "t")) for i in range(4)]
+    # exhausted source: empty batch, offset does not advance
+    it3, off3 = r.read({"doc_id": 10})
+    assert off3 == {"doc_id": 10} and list(it3) == []
+
+
+def test_synth_stream_runs_in_microbatches(spark):
+    from mpi_word_count_spark.sources.synthetic import register_synth_source
+
+    register_synth_source(spark)
+    sdf = (
+        spark.readStream.format("synthcorpus")
+        .option("n_docs", 100)
+        .option("seed", "mb")
+        .option("batch_docs", 40)
+        .load()
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("synth_mb")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    finally:
+        q.stop()
+        q.awaitTermination()
+    got = spark.table("synth_mb")
+    assert got.count() == 100
+    assert len(batches) >= 3  # 40+40+20: genuinely incremental
