@@ -357,10 +357,11 @@ def repetition_scores(
     Scale shape: unigrams/bigrams/trigrams are tagged with their gram
     order and exploded in ONE pass, so the corpus is tokenized once
     and the only wide shuffle carries (doc_id, n, gram) with map-side
-    partial aggregation. The per-(doc, order) rollup and the 3-way
-    pivot are per-doc-local (≤3 rows per doc). No self-joins; the
-    final left join keys on doc_id against a column-pruned id scan so
-    token-less documents still get 0.0 scores.
+    partial aggregation; a single conditional-aggregate rollup lands
+    on doc_id (audited: 2 aggregation shuffles total). No self-joins;
+    the final broadcast left join keys on doc_id against a
+    column-pruned id scan so token-less documents still get 0.0
+    scores.
     """
     from mpi_word_count_spark.functions.parity import portable_round
     from mpi_word_count_spark.operators import widen
@@ -395,18 +396,18 @@ def repetition_scores(
         .groupBy("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    per_doc = per_gram.groupBy("doc_id", "n").agg(
-        F.max("c").alias("mx"),
-        F.sum("c").alias("tot"),
-        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("dup"),
-    )
-    wide = per_doc.groupBy("doc_id").agg(
-        F.max(F.when(F.col("n") == 1, F.col("mx"))).alias("mx1"),
-        F.max(F.when(F.col("n") == 1, F.col("tot"))).alias("tot1"),
-        F.max(F.when(F.col("n") == 2, F.col("dup"))).alias("dup2"),
-        F.max(F.when(F.col("n") == 2, F.col("tot"))).alias("tot2"),
-        F.max(F.when(F.col("n") == 3, F.col("dup"))).alias("dup3"),
-        F.max(F.when(F.col("n") == 3, F.col("tot"))).alias("tot3"),
+    # single rollup to doc_id with conditional aggregates — a
+    # groupBy(doc_id, n) intermediate would add a second wide shuffle
+    # for nothing (partial aggregation folds these map-side anyway)
+    n_, c_ = F.col("n"), F.col("c")
+    dup = F.when(c_ > 1, c_).otherwise(F.lit(0))
+    wide = per_gram.groupBy("doc_id").agg(
+        F.max(F.when(n_ == 1, c_)).alias("mx1"),
+        F.sum(F.when(n_ == 1, c_)).alias("tot1"),
+        F.sum(F.when(n_ == 2, dup)).alias("dup2"),
+        F.sum(F.when(n_ == 2, c_)).alias("tot2"),
+        F.sum(F.when(n_ == 3, dup)).alias("dup3"),
+        F.sum(F.when(n_ == 3, c_)).alias("tot3"),
     )
 
     def frac(num, den):

@@ -74,7 +74,6 @@ _PRIORITY = [
     "events_last_order_asof",
     "user_session_counts",
     "events_json_buckets",
-    "streaming_dedup",
     # newly registered this round (O4/O5 sink coverage + curation ops)
     "csv_roundtrip",
     "jsonl_roundtrip",
@@ -123,6 +122,9 @@ _PRIORITY = [
     "q5_regional_revenue",
     "repeat_customers_9596",
     "top3_orders_per_customer",
+    # r3-green already; rotated below the 50-row budget to make room
+    # for r1/r2-only entries above
+    "streaming_dedup",
     # no-oracle trio: rows-only driver record (tolerance-tested vs
     # exact twins in tests/test_approx_tolerance.py)
     "compression_ratios",
