@@ -163,3 +163,61 @@ def q_customer_order_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_custkey").applyInPandas(
         zscore, schema="o_orderkey long, o_custkey long, z double"
     )
+
+
+@register(
+    "value_gini_by_event_type",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n,
+               sum(value) OVER (PARTITION BY event_type) AS total
+        FROM events
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_events,
+           {sql_portable_round(
+               "sum((2.0 * rn - n - 1) * value) / (max(n) * max(total))", 4
+           )} AS gini
+    FROM ranked
+    GROUP BY event_type
+    """,
+)
+def q_value_gini_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of event values per type — an aggregate
+    Spark has no built-in for, expressed as a GROUPED_AGG pandas UDAF:
+    Arrow ships each group's value column to one vectorized numpy
+    kernel, partial results never touch the driver. (This completes
+    the Arrow UDF surface: scalar pandas_udf = compression_ratios,
+    applyInPandas = SimHash, mapInPandas = media kernels, GROUPED_AGG
+    = here.) Gini is tie-stable — equal values are interchangeable
+    across rank positions — so the sorted-rank formula is
+    deterministic and the SQL oracle reproduces it with window ranks.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from mpi_word_count_spark.functions.parity import portable_round
+
+    @pandas_udf("double")
+    def gini(v: pd.Series) -> float:
+        x = np.sort(v.to_numpy(dtype="float64"))
+        n = len(x)
+        tot = x.sum()
+        if n == 0 or tot == 0.0:
+            return 0.0
+        i = np.arange(1, n + 1, dtype="float64")
+        return float(((2.0 * i - n - 1.0) * x).sum() / (n * tot))
+
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        # GROUPED_AGG UDFs can't mix with JVM aggregates in one agg;
+        # the count rides the same Arrow batch instead of a second
+        # aggregation pass
+        return len(v)
+
+    ev = table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        n_rows(F.col("value")).alias("n_events"),
+        portable_round(gini(F.col("value")), 4).alias("gini"),
+    )

@@ -89,6 +89,7 @@ _PRIORITY = [
     "partitioned_events_rollup",
     "synthetic_corpus_wordcount",
     "streaming_synth_wordcount",
+    "value_gini_by_event_type",
     "benchmark_contamination",
     "corpus_mixture",
     "shuffled_shards",
