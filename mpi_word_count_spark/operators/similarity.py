@@ -209,6 +209,12 @@ def kmeans_centroids(
         .collect()
     )
     centroids = [row[0] for row in init]
+    if not centroids:
+        raise ValueError("kmeans_centroids: empty vector input")
+    # tiny corpus: fewer vectors than requested clusters — every
+    # vector is its own centroid (the range(k) fallback below would
+    # otherwise index past the init list)
+    k = min(k, len(centroids))
     # cache the iterate source: every Lloyd round re-reads it, and at
     # any corpus size the (id-free) vector column is the cheapest
     # thing to keep in executor memory across the iterations
@@ -561,8 +567,6 @@ def semantic_dedup(
     deterministic and oracle-replicable (no RNG anywhere).
     """
     from mpi_word_count_spark.functions.parity import portable_round
-    from mpi_word_count_spark.functions.vector import cosine
-
     from mpi_word_count_spark.operators import track_cache
 
     cents = kmeans_centroids(
@@ -570,16 +574,32 @@ def semantic_dedup(
     )
     # cache the assignment: it feeds BOTH sides of the within-cluster
     # join plus the final projection — without the cache the
-    # k-literal argmin expression re-evaluates three times per row
+    # k-literal argmin expression re-evaluates three times per row.
+    # Norms precompute per ROW so each candidate pair costs ONE array
+    # fold (the dot), not three — higher-order-function lambdas are
+    # interpreted per element, so fold count IS the pair-kernel cost
+    # (same trick as ann_bruteforce_topk)
+    from mpi_word_count_spark.operators import widen
+
+    # widen(): the pair kernel below runs in the LEFT side's
+    # partitioning (broadcast join), and a small parquet scan is 1-2
+    # tasks — without this the quadratic fold work serializes on one
+    # core; at real scale the input already has thousands of splits
+    # and widen is a no-op
     assigned = track_cache(
-        vectors.select(
+        widen(vectors).select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("_v"),
+            norm(F.col(vec_col)).alias("_n"),
             nearest_centroid_col(F.col(vec_col), cents).alias("cluster"),
         )
     )
     a, b = assigned.alias("a"), assigned.alias("b")
-    cos4 = portable_round(cosine(F.col("a._v"), F.col("b._v")), 4)
+    # identical doubles as cosine(a._v, b._v): same dot fold, same
+    # norm product, norms just computed once per row not per pair
+    cos4 = portable_round(
+        dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n")), 4
+    )
     dups = (
         a.join(
             b,

@@ -237,6 +237,21 @@ def test_compression_ratio_separates_repetition(spark):
     assert rows[3]["compression_ratio"] is None
 
 
+def test_kmeans_tiny_corpus_caps_k(spark):
+    from mpi_word_count_spark.operators.similarity import kmeans_centroids
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = kmeans_centroids(df, k=8, iters=2)
+    assert len(cents) == 3  # capped at corpus size, no IndexError
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kmeans_centroids(df.filter("vec_id < 0"), k=4, iters=1)
+
+
 def test_semantic_dedup_keeps_lowest_id_per_near_group(spark):
     from mpi_word_count_spark.operators.similarity import semantic_dedup
 
