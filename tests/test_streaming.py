@@ -276,3 +276,42 @@ def test_synth_stream_runs_in_microbatches(spark):
     got = spark.table("synth_mb")
     assert got.count() == 100
     assert len(batches) >= 3  # 40+40+20: genuinely incremental
+
+
+def test_synth_stream_checkpoint_resume(spark, tmp_path):
+    """Custom-source recovery: each availableNow run drains from the
+    checkpointed offset; a restart must resume at doc 100, not replay
+    from 0 (offsets live in the checkpoint WAL, data replay goes
+    through readBetweenOffsets)."""
+    from mpi_word_count_spark.sources.synthetic import register_synth_source
+
+    register_synth_source(spark)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once(n_docs):
+        sdf = (
+            spark.readStream.format("synthcorpus")
+            .option("n_docs", n_docs)
+            .option("seed", "ck")
+            .option("batch_docs", 100)
+            .load()
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # each availableNow run of the simple reader drains one read()
+    # batch from the checkpointed offset
+    run_once(100)   # first run: docs 0..99
+    got1 = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got1 == list(range(100))
+    run_once(200)   # restart with more data: must resume at 100
+    got2 = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got2 == list(range(200))  # exactly once: no dupes, no gaps
