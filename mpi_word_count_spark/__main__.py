@@ -1,0 +1,81 @@
+"""CLI entry point — the reference driver's user surface, Spark-side.
+
+The reference runs as `mpirun ... word_count_mpi --path PATH`
+(word_count_mpi.c:25-56: one required --path, delimiters from
+`delimiters.txt` if present, results to `csv_results.csv`, timing to
+`timing.log`). Same contract here:
+
+    python -m mpi_word_count_spark --path CORPUS_DIR \
+        [--delimiters FILE] [--output csv_results.csv] \
+        [--timing timing.log] [--compat] [--console N] [--cpus N]
+
+`--compat` switches to strict reference parity (29-char key
+truncation + ASCII-only lowercasing, word_count_mpi.c / hash_map.c
+semantics S2); default mode is the documented Unicode divergence.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="python -m mpi_word_count_spark",
+        description="Distributed word count over a directory of text files.",
+    )
+    ap.add_argument("--path", required=True, help="corpus directory")
+    ap.add_argument(
+        "--delimiters",
+        default=None,
+        help="delimiter alphabet file (reference format: one literal "
+        "byte list; whitespace is always included)",
+    )
+    ap.add_argument("--output", default="csv_results.csv", help="CSV sink path")
+    ap.add_argument("--timing", default="timing.log", help="timing sink path")
+    ap.add_argument(
+        "--compat",
+        action="store_true",
+        help="strict reference parity: 29-char keys, ASCII-only lowercase",
+    )
+    ap.add_argument(
+        "--console",
+        type=int,
+        default=0,
+        metavar="N",
+        help="also print the first N rows in the reference's console "
+        "format (0 = off)",
+    )
+    ap.add_argument("--cpus", type=int, default=None, help="local[] parallelism")
+    args = ap.parse_args(argv)
+
+    from mpi_word_count_spark.session import get_spark
+    from mpi_word_count_spark.sinks import show_console, timing_log, write_word_count_csv
+    from mpi_word_count_spark.tokenizer import DEFAULT_DELIMITERS, load_delimiters
+
+    delimiters = (
+        load_delimiters(args.delimiters) if args.delimiters else DEFAULT_DELIMITERS
+    )
+    spark = (
+        get_spark(master=f"local[{args.cpus}]") if args.cpus else get_spark()
+    )
+    with timing_log(args.timing, label="word_count"):
+        if args.compat:
+            from mpi_word_count_spark.operators.wordcount import word_count_compat
+
+            lines = spark.read.text(args.path)
+            result = word_count_compat(lines, col="value", delimiters=delimiters)
+        else:
+            from mpi_word_count_spark.operators.wordcount import word_count_dir
+
+            result = word_count_dir(spark, args.path, delimiters=delimiters)
+        out = write_word_count_csv(result, args.output)
+    if args.console:
+        show_console(result, limit=args.console)  # prints the lines itself
+    print(f"wrote {out}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -78,3 +78,22 @@ def test_observed_write_metrics(spark, tmp_path):
     assert (got["n_words"], got["total_count"], got["max_count"]) == tuple(want)
     # and the write itself landed intact
     assert spark.read.parquet(out).count() == got["n_words"]
+
+
+def test_cli_main(tmp_path):
+    """The reference's user surface (word_count_mpi.c:25-56): --path in,
+    csv_results.csv + timing.log out, console format, --compat mode."""
+    from mpi_word_count_spark.__main__ import main
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    (corpus / "a.txt").write_text("Hello world hello\n")
+    out = str(tmp_path / "out.csv")
+    rc = main(
+        ["--path", str(corpus), "--output", out, "--timing", str(tmp_path / "t.log")]
+    )
+    assert rc == 0
+    got = open(out).read().splitlines()
+    assert got[0] == "Word,Count"
+    assert got[1:] == ["hello,2", "world,1"]
+    assert (tmp_path / "t.log").read_text().startswith("word_count:")
