@@ -116,3 +116,28 @@ def test_no_quadratic_joins_in_registered_dedup_plans(spark):
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_semantic_dedup_is_equi_join(spark):
+    # the pairwise cosine check must ride the cluster equi-join (the
+    # SemDeDup point); a nested-loop over the corpus is the scale-killer
+    plan = plan_of(spark, "semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_repetition_scores_two_agg_shuffles(spark):
+    # one tokenization, tagged grams exploded once, ONE conditional
+    # rollup — a per-gram-order re-aggregation would add a third
+    # Exchange (caught here before it costs a shuffle at 100 TB)
+    plan = plan_of(spark, "repetition_scores")
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("Exchange") <= 5  # 2 agg + broadcast + 2 widen
+    assert tree.count("Generate") == 1  # single explode pass
+    assert "CartesianProduct" not in plan
+
+
+def test_partitioned_rollup_prunes_partitions(spark):
+    plan = plan_of(spark, "partitioned_events_rollup")
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("event_type" in ln for ln in pf)
