@@ -57,13 +57,21 @@ def main(argv: list[str] | None = None) -> int:
     delimiters = (
         load_delimiters(args.delimiters) if args.delimiters else DEFAULT_DELIMITERS
     )
+    if args.cpus is not None and args.cpus < 1:
+        ap.error("--cpus must be >= 1")
     spark = (
-        get_spark(master=f"local[{args.cpus}]") if args.cpus else get_spark()
+        get_spark(master=f"local[{args.cpus}]", shuffle_partitions=args.cpus)
+        if args.cpus
+        else get_spark()
     )
     with timing_log(args.timing, label="word_count"):
         if args.compat:
-            from mpi_word_count_spark.operators.wordcount import word_count_compat
+            from mpi_word_count_spark.operators.wordcount import (
+                _check_corpus,
+                word_count_compat,
+            )
 
+            _check_corpus(args.path)  # same friendly error as the default path
             lines = spark.read.text(args.path)
             result = word_count_compat(lines, col="value", delimiters=delimiters)
         else:

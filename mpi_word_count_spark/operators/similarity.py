@@ -245,15 +245,6 @@ def _as_double_list(vec_col: str):
     return F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
 
 
-def _sq_l2(vec: Column, centroid: list[float]) -> Column:
-    lit = F.lit([float(x) for x in centroid])
-    return F.aggregate(
-        F.zip_with(vec, lit, lambda a, b: (a.cast("double") - b) ** 2),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def _centroid_dist_pairs(vec: Column, centroids: list[list[float]]) -> Column:
     """(squared-distance, cluster-id) structs against ONE k×dim array
     literal. The expression SHAPE is independent of the centroid

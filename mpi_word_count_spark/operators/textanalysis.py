@@ -419,8 +419,10 @@ def repetition_scores(
         )
 
     scored = (
-        widen(df)
-        .select(F.col(id_col).alias("doc_id"))
+        # plain projection (no widen): the id-only scan feeds the
+        # streamed side of a broadcast join and does zero per-row
+        # compute — widening it would only add an Exchange
+        df.select(F.col(id_col).alias("doc_id"))
         .join(wide, "doc_id", "left")
         .select(
             "doc_id",

@@ -97,6 +97,8 @@ try:  # the Data Source API needs pyspark >= 4.0
             self.n_partitions = max(1, int(options.get("partitions", 8)))
 
         def partitions(self) -> list[DocRange]:
+            if self.n_docs <= 0:
+                return [DocRange(0, 0)]  # empty source, one no-op split
             step = -(-self.n_docs // self.n_partitions)
             return [
                 DocRange(lo, min(lo + step, self.n_docs))
@@ -167,4 +169,9 @@ except ImportError:  # pragma: no cover - pyspark < 4.0
 
 def register_synth_source(spark) -> None:
     """Idempotent per-session registration of the connector."""
+    if not HAVE_DATASOURCE_API:
+        raise ImportError(
+            "the synthcorpus connector needs the Python Data Source API "
+            "(pyspark >= 4.0)"
+        )
     spark.dataSource.register(SynthCorpusDataSource)

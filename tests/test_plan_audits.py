@@ -132,7 +132,7 @@ def test_repetition_scores_two_agg_shuffles(spark):
     # Exchange (caught here before it costs a shuffle at 100 TB)
     plan = plan_of(spark, "repetition_scores")
     tree = plan.split("(1) Scan")[0]
-    assert tree.count("Exchange") <= 5  # 2 agg + broadcast + 2 widen
+    assert tree.count("Exchange") <= 4  # 2 agg + broadcast + 1 widen
     assert tree.count("Generate") == 1  # single explode pass
     assert "CartesianProduct" not in plan
 
