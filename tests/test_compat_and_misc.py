@@ -97,3 +97,35 @@ def test_cli_main(tmp_path):
     assert got[0] == "Word,Count"
     assert got[1:] == ["hello,2", "world,1"]
     assert (tmp_path / "t.log").read_text().startswith("word_count:")
+
+
+def test_cli_main_compat_and_bad_path(tmp_path):
+    from mpi_word_count_spark.__main__ import main
+    from mpi_word_count_spark.operators.wordcount import EmptyCorpusError
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    # a 35-char word: truncated to 29 chars in compat mode only
+    long_word = "a" * 35
+    (corpus / "a.txt").write_text(f"{long_word} Mixed CASE case\n")
+    out = str(tmp_path / "out.csv")
+    rc = main(
+        [
+            "--path", str(corpus), "--compat",
+            "--output", out, "--timing", str(tmp_path / "t.log"),
+        ]
+    )
+    assert rc == 0
+    got = dict(
+        line.split(",") for line in open(out).read().splitlines()[1:]
+    )
+    assert got["a" * 29] == "1"  # 29-char truncation (cell.h:2)
+    assert got["case"] == "2"  # ASCII folding
+    # both branches give the friendly empty-corpus error, not a Py4J trace
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    import pytest as _pytest
+
+    for flags in ([], ["--compat"]):
+        with _pytest.raises(EmptyCorpusError):
+            main(["--path", str(empty), "--output", out, *flags])
