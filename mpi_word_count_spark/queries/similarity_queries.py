@@ -469,3 +469,108 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_clusters=IVF_CLUSTERS,
         kmeans_iters=IVF_ITERS,
     )
+
+
+LSH_PART_PLANES = 3  # 8 partition directories
+
+
+def _lsh_partitioned_oracle() -> str:
+    from mpi_word_count_spark.operators.similarity import lsh_planes as _planes
+
+    planes = _planes(LSH_PART_PLANES)
+
+    def arr(plane: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {arr(p)}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding, ({bucket_expr})::BIGINT AS bucket
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS q_id, v.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                            v.embedding::DOUBLE[]), 4) AS cosine
+        FROM bucketed q JOIN bucketed v
+          ON q.bucket = v.bucket AND q.vec_id <> v.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT q_id, neighbor_id, cosine, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@register("ann_lsh_partitioned", oracle=_lsh_partitioned_oracle())
+def ann_lsh_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write-time ANN layout SCALE.md promises: the corpus is
+    written hive-partitioned BY LSH BUCKET, and query-time candidate
+    selection rides dynamic partition pruning — the broadcast query
+    side's buckets prune corpus directories at runtime, so each query
+    reads only its bucket's files instead of the corpus. Same ranking
+    semantics as ann_lsh (3 planes → 8 partitions here); the parquet
+    roundtrip is lossless so the oracle is the in-memory bucket join.
+    """
+    import os
+    import tempfile
+
+    from mpi_word_count_spark.functions.vector import dot, norm
+    from mpi_word_count_spark.operators.relational import topk_per_group
+    from mpi_word_count_spark.operators.similarity import (
+        lsh_bucket_col,
+        lsh_planes,
+    )
+
+    planes = lsh_planes(LSH_PART_PLANES)
+    emb = table(spark, "embeddings", sf_dir)
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_scratch",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "emb_by_bucket.parquet")
+    emb.select(
+        "vec_id",
+        "embedding",
+        lsh_bucket_col(F.col("embedding"), planes).alias("bucket"),
+    ).write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+    corpus = spark.read.parquet(path).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_vec"),
+        norm(F.col("embedding")).alias("n_norm"),
+        F.col("bucket").cast("long").alias("bucket"),
+    )
+    q = table(spark, "embeddings", sf_dir).filter(F.col("vec_id") < N_QUERIES)
+    q = q.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        norm(F.col("embedding")).alias("q_norm"),
+        lsh_bucket_col(F.col("embedding"), planes).alias("bucket"),
+    )
+    scored = (
+        corpus.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("q_norm") * F.col("n_norm")),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    return topk_per_group(
+        scored, ["q_id"], [F.desc("cosine"), F.asc("neighbor_id")], k=TOP_K,
+        rank_col="rank",
+    )

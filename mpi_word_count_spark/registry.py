@@ -90,6 +90,7 @@ _PRIORITY = [
     "synthetic_corpus_wordcount",
     "streaming_synth_wordcount",
     "value_gini_by_event_type",
+    "ann_lsh_partitioned",
     "benchmark_contamination",
     "corpus_mixture",
     "shuffled_shards",

@@ -141,3 +141,13 @@ def test_partitioned_rollup_prunes_partitions(spark):
     plan = plan_of(spark, "partitioned_events_rollup")
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and any("event_type" in ln for ln in pf)
+
+
+def test_ann_partitioned_layout_uses_dynamic_partition_pruning(spark):
+    # the write-time ANN layout only pays off if query-time candidate
+    # selection prunes bucket DIRECTORIES — the corpus scan must carry
+    # a dynamicpruningexpression on the partition column
+    plan = plan_of(spark, "ann_lsh_partitioned")
+    assert "dynamicpruning" in plan
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("bucket" in ln and "dynamicpruning" in ln for ln in pf)
