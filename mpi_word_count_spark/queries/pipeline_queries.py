@@ -265,3 +265,101 @@ def q_training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+def _funnel_oracle() -> str:
+    from mpi_word_count_spark.functions.parity import sql_portable_round
+
+    vocab_rows = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang, words in sorted(LANG_MARKERS.items())
+        for w in words
+    )
+    ar = "(CASE WHEN length(text) > 0 THEN "
+    ar += "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text) "
+    ar += "ELSE 0 END)"
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, lang, source, text,
+               list_filter(string_split_regex(lower(text), '{sql_regex()}'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    vocab(vl, marker) AS (VALUES {vocab_rows}),
+    best AS (
+        SELECT doc_id, vl AS pred_lang FROM (
+            SELECT doc_id, vl,
+                   row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY count(*) DESC, vl ASC
+                   ) AS rn
+            FROM tok JOIN vocab ON tok = marker GROUP BY doc_id, vl
+        ) WHERE rn = 1
+    ),
+    flags AS (
+        SELECT x.doc_id,
+               ({sql_portable_round(ar, 4)} >= {MIN_ALPHA_RATIO}
+                AND len(t) >= {MIN_TOKENS}) AS g_q,
+               (b.pred_lang IS NOT NULL AND b.pred_lang = x.lang) AS g_l,
+               md5(x.text) AS h
+        FROM toks x LEFT JOIN best b ON x.doc_id = b.doc_id
+    ),
+    staged AS (
+        SELECT doc_id, g_q, g_l, (g_q AND g_l) AS s3,
+               row_number() OVER (
+                   PARTITION BY h ORDER BY (g_q AND g_l) DESC, doc_id
+               ) AS rn
+        FROM flags
+    )
+    SELECT * FROM (
+        SELECT 1 AS stage_no, 'raw' AS stage, count(*) AS docs FROM staged
+        UNION ALL
+        SELECT 2, 'quality', count(*) FROM staged WHERE g_q
+        UNION ALL
+        SELECT 3, 'lang_agreement', count(*) FROM staged WHERE s3
+        UNION ALL
+        SELECT 4, 'exact_dedup', count(*) FROM staged WHERE s3 AND rn = 1
+    )
+    """
+
+
+@register("curation_funnel", oracle=_funnel_oracle())
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's audit artifact: per-stage survivor counts for
+    raw → quality gates → language agreement → exact dedup, the table
+    every production curation run reports. Computed in ONE pass:
+    per-doc gate flags ride a single doc_metrics projection + the
+    lang broadcast-argmax join, dedup first-wins is a window (s3
+    survivors ordered first), and all four stage counts come from one
+    conditional aggregate — no per-stage rescans of the corpus."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, "documents", sf_dir)
+    m = doc_metrics(docs, keep=["lang", "source"])
+    lid = predicted_language(docs).select("doc_id", "pred_lang")
+    flags = m.join(lid, "doc_id", "left").select(
+        "doc_id",
+        (
+            (F.col("alpha_ratio") >= MIN_ALPHA_RATIO)
+            & (F.col("n_tokens") >= MIN_TOKENS)
+        ).alias("g_q"),
+        (
+            F.col("pred_lang").isNotNull() & (F.col("pred_lang") == F.col("lang"))
+        ).alias("g_l"),
+        F.md5("_text").alias("h"),
+    )
+    staged = flags.withColumn("s3", F.col("g_q") & F.col("g_l"))
+    w = Window.partitionBy("h").orderBy(F.col("s3").desc(), F.col("doc_id"))
+    staged = staged.withColumn("rn", F.row_number().over(w))
+    agg = staged.agg(
+        F.count(F.lit(1)).alias("raw"),
+        F.sum(F.col("g_q").cast("long")).alias("quality"),
+        F.sum(F.col("s3").cast("long")).alias("lang_agreement"),
+        F.sum((F.col("s3") & (F.col("rn") == 1)).cast("long")).alias("exact_dedup"),
+    )
+    return agg.selectExpr(
+        "stack(4, 1, 'raw', raw, 2, 'quality', quality, "
+        "3, 'lang_agreement', lang_agreement, 4, 'exact_dedup', exact_dedup) "
+        "AS (stage_no, stage, docs)"
+    )

@@ -91,6 +91,7 @@ _PRIORITY = [
     "streaming_synth_wordcount",
     "value_gini_by_event_type",
     "ann_lsh_partitioned",
+    "curation_funnel",
     "benchmark_contamination",
     "corpus_mixture",
     "shuffled_shards",
