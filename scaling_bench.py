@@ -32,6 +32,11 @@ CORES = [1, 2, 4, 8, 16, 32]
 STRONG_COPIES = 512          # ≈ 768 MB of text at sf0.1
 WEAK_COPIES_PER_CORE = 64    # ≈ 96 MB of text per core
 
+# dedup scaling: DISTINCT synthetic documents (replication would turn
+# every copy-group into a quadratic candidate clique and measure the
+# wrong thing); fixed corpus, cores vary
+DEDUP_DOCS = 250_000         # ~25M tokens via the synthcorpus connector
+
 _WORKER = r"""
 import json, os, sys, time
 sys.path.insert(0, os.getcwd())   # run_point sets cwd to the repo root
@@ -80,9 +85,95 @@ spark.stop()
 """
 
 
+_DEDUP_WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, os.getcwd())
+from pyspark.sql import SparkSession
+from mpi_word_count_spark.operators.dedup import minhash_lsh_pairs
+from mpi_word_count_spark import operators
+from mpi_word_count_spark.sources.synthetic import register_synth_source
+
+n = int(sys.argv[1])
+n_docs = int(sys.argv[4])
+
+spark = (
+    SparkSession.builder.master(f"local[{n}]")
+    .appName(f"scaling-dedup-{n}")
+    .config("spark.sql.shuffle.partitions", str(max(n, 1)))
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.driver.memory", "16g")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+register_synth_source(spark)
+
+# Materialize the synthetic corpus to parquet ONCE (untimed): the
+# Python-side generation is the SOURCE's cost, not the dedup
+# pipeline's, and the pipeline reads its input more than once
+# (signatures + candidate-doc shingling) — timing must cover the
+# MinHash pipeline over a real on-disk table, like production.
+import tempfile
+corpus_path = os.path.join(
+    tempfile.gettempdir(), "spark_graft_scratch", f"dedup_scale_{n_docs}.parquet"
+)
+assert os.path.exists(os.path.join(corpus_path, "_SUCCESS")), "prep did not run"
+
+def corpus():
+    # fresh n-way split per read so parallelism tracks local[n]
+    return spark.read.parquet(corpus_path).repartition(max(2 * n, 8))
+
+# warm one tiny pipeline (JIT/codegen), then best-of-2 on the real one
+minhash_lsh_pairs(corpus().limit(200)).write.format("noop").mode("overwrite").save()
+operators.release_caches()
+best = float("inf")
+for _ in range(2):
+    t0 = time.monotonic()
+    minhash_lsh_pairs(corpus()).write.format("noop").mode("overwrite").save()
+    operators.release_caches()
+    best = min(best, time.monotonic() - t0)
+print(json.dumps({"n": n, "sec": round(best, 3)}))
+spark.stop()
+"""
+
+
+_DEDUP_PREP = r"""
+import os, sys, tempfile
+sys.path.insert(0, os.getcwd())
+from pyspark.sql import SparkSession
+from mpi_word_count_spark.sources.synthetic import register_synth_source
+
+n_docs = int(sys.argv[1])
+path = os.path.join(
+    tempfile.gettempdir(), "spark_graft_scratch", f"dedup_scale_{n_docs}.parquet"
+)
+if os.path.exists(os.path.join(path, "_SUCCESS")):
+    sys.exit(0)
+spark = (
+    SparkSession.builder.master("local[32]")
+    .appName("scaling-dedup-prep")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+register_synth_source(spark)
+(
+    spark.read.format("synthcorpus")
+    .option("n_docs", n_docs)
+    .option("seed", "scale")
+    .option("partitions", 64)
+    .option("min_words", 60)
+    .option("len_spread", 80)
+    .option("vocab_size", 50000)
+    .load()
+    .write.mode("overwrite").parquet(path)
+)
+spark.stop()
+"""
+
+
 def run_point(n: int, mode: str, sf_dir: str, copies: int) -> float:
+    worker = _DEDUP_WORKER if mode == "dedup" else _WORKER
     out = subprocess.run(
-        [sys.executable, "-c", _WORKER, str(n), mode, sf_dir, str(copies)],
+        [sys.executable, "-c", worker, str(n), mode, sf_dir, str(copies)],
         capture_output=True,
         text=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
@@ -102,19 +193,38 @@ def main() -> None:
             "SPARK_GRAFT_SCALE_CORES", ",".join(map(str, CORES))
         ).split(",")
     ]
-    strong = {n: run_point(n, "strong", sf_dir, STRONG_COPIES) for n in cores}
-    weak = {
-        n: run_point(n, "weak", sf_dir, WEAK_COPIES_PER_CORE * n) for n in cores
-    }
-    t1s, t1w = strong[cores[0]], weak[cores[0]]
-    result = {
-        "metric": "wordcount_scaling",
-        "sf_dir": sf_dir,
-        "strong_sec": strong,
-        "strong_speedup": {n: round(t1s / t, 2) for n, t in strong.items()},
-        "weak_sec": weak,
-        "weak_efficiency": {n: round(t1w / t, 2) for n, t in weak.items()},
-    }
+    if os.environ.get("SPARK_GRAFT_SCALE_MODE") == "dedup":
+        # materialize the synthetic corpus ONCE on full parallelism —
+        # generation is the source's cost, not the pipeline's, and the
+        # first (often 1-core) point must not pay it single-threaded
+        subprocess.run(
+            [sys.executable, "-c", _DEDUP_PREP, str(DEDUP_DOCS)],
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=1800,
+        )
+        dedup = {n: run_point(n, "dedup", sf_dir, DEDUP_DOCS) for n in cores}
+        t1 = dedup[cores[0]]
+        result = {
+            "metric": "minhash_dedup_scaling",
+            "n_docs": DEDUP_DOCS,
+            "strong_sec": dedup,
+            "strong_speedup": {n: round(t1 / t, 2) for n, t in dedup.items()},
+        }
+    else:
+        strong = {n: run_point(n, "strong", sf_dir, STRONG_COPIES) for n in cores}
+        weak = {
+            n: run_point(n, "weak", sf_dir, WEAK_COPIES_PER_CORE * n) for n in cores
+        }
+        t1s, t1w = strong[cores[0]], weak[cores[0]]
+        result = {
+            "metric": "wordcount_scaling",
+            "sf_dir": sf_dir,
+            "strong_sec": strong,
+            "strong_speedup": {n: round(t1s / t, 2) for n, t in strong.items()},
+            "weak_sec": weak,
+            "weak_efficiency": {n: round(t1w / t, 2) for n, t in weak.items()},
+        }
     print(json.dumps(result))
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json"), "a") as fh:
         fh.write(json.dumps(result) + "\n")
