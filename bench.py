@@ -53,6 +53,7 @@ HEADLINE = [
     "training_shard_manifest",
     "repetition_scores",
     "semantic_dedup",
+    "curation_funnel",
 ]
 
 
