@@ -74,6 +74,14 @@ _PRIORITY = [
     "events_last_order_asof",
     "user_session_counts",
     "events_json_buckets",
+    # round-4 TPC-H gap closure (Q2/Q9/Q11/Q12/Q16/Q20 analogs —
+    # first-ever rows, must land in this round's budget)
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_ship_priority",
+    "q16_supplier_counts",
+    "q20_excess_suppliers",
     # newly registered this round (O4/O5 sink coverage + curation ops)
     "csv_roundtrip",
     "jsonl_roundtrip",
@@ -170,6 +178,7 @@ def _load_all() -> None:
         streaming_queries,
         subquery_queries,
         text_queries,
+        tpch_gap_queries,
         tpch_more_queries,
         wordcount_queries,
     )
