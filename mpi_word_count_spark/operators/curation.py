@@ -183,3 +183,34 @@ def cluster_aware_split(
         .join(clusters, id_col)
         .select(id_col, "cluster_id", split.alias("split"))
     )
+
+
+def quota_sample(
+    df: DataFrame,
+    quota: int = 10,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "quota",
+) -> DataFrame:
+    """Exact per-stratum quota sampling: the first `quota` rows of each
+    stratum in deterministic hash order — (id, stratum, pos ∈ [1,quota]).
+
+    Hash-threshold mixing (corpus_mixture) achieves a RATE per stratum;
+    quota sampling achieves an exact COUNT (eval-set construction,
+    per-source caps, debugging slices). The hash order makes the sample
+    a uniform draw that is stable under retries, partitioning, and
+    corpus growth-by-append (new docs displace old ones only by hash
+    order, not arrival order).
+
+    One shuffle on the stratum key; rank() never runs globally — each
+    stratum sorts independently, and at 100 TB the per-stratum sort is
+    the same work the sharded write needs anyway.
+    """
+    h = hash32(F.col(id_col).cast("string"), seed)
+    win = Window.partitionBy(stratum_col).orderBy("_h", id_col)
+    return (
+        df.select(F.col(id_col), F.col(stratum_col), h.alias("_h"))
+        .withColumn("pos", F.row_number().over(win))
+        .filter(F.col("pos") <= quota)
+        .select(id_col, F.col(stratum_col).alias("stratum"), "pos")
+    )

@@ -25,7 +25,7 @@ to bound fan-out — exposed via `max_shingle_freq`.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from mpi_word_count_spark.functions.hashing import hash32, hash60
@@ -768,4 +768,119 @@ def embedding_dup_pairs(
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    max_distance: int = 40,
+    min_shared_shingles: int = 3,
+    prefix_chars: int = 256,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs verified by LEVENSHTEIN distance on a
+    bounded text prefix (d1 < d2, distance ≤ max_distance).
+
+    Candidate generation is the same inverted-shingle-index equi-join
+    as ngram_jaccard_pairs — pairs must share ≥ min_shared_shingles
+    distinct word n-grams before any edit distance runs — so the
+    O(prefix²) DP kernel only ever executes on pairs that are already
+    plausibly similar, and never as an all-pairs plan. The kernel
+    itself is JVM codegen (F.levenshtein), not a Python UDF, and the
+    prefix cap bounds per-pair cost at prefix_chars² regardless of
+    document length; the texts join back by id AFTER candidate
+    generation, so full documents are never shuffled through the
+    shingle index.
+
+    All outputs are integers — the oracle comparison is bitwise.
+    DuckDB's levenshtein implements the same unit-cost distance for
+    ASCII but counts UTF-8 BYTES on multibyte codepoints where Spark
+    counts characters (the correct text semantics); the fixture corpus
+    is pure ASCII, and both the parity and the divergence are locked
+    by tests/test_dedup.py::test_levenshtein_parity_with_duckdb.
+    """
+    sh = doc_shingles(df, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(freq.filter(F.col("df") <= max_shingle_freq), "shingle").drop(
+            "df"
+        )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared_shingles)
+    )
+    texts = df.select(
+        F.col(id_col).alias("_tid"),
+        F.substring(F.col(text_col), 1, prefix_chars).alias("_prefix"),
+    )
+    t1 = texts.alias("t1")
+    t2 = texts.alias("t2")
+    return (
+        candidates.join(t1, F.col("d1") == F.col("t1._tid"))
+        .join(t2, F.col("d2") == F.col("t2._tid"))
+        .select(
+            "d1",
+            "d2",
+            "n_shared",
+            F.levenshtein(F.col("t1._prefix"), F.col("t2._prefix"))
+            .cast("bigint")
+            .alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= max_distance)
+    )
+
+
+def incremental_exact_dedup(
+    df: DataFrame,
+    batch_filter: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental-ingest dedup: classify each NEW-batch document
+    against the existing corpus and against the rest of its batch.
+
+    The production shape: a pipeline ingests a new crawl snapshot into
+    a deduplicated corpus, and each incoming doc is either
+      'dup_of_corpus' — its exact content already exists in the
+                        corpus (drop it),
+      'dup_in_batch'  — first seen inside THIS batch by an earlier
+                        (lower-id) doc (drop, keep the canonical), or
+      'unique'        — genuinely new (ingest it).
+
+    One shuffle total: every row is hashed (16-byte md5 key), and both
+    classifications come from window aggregates over the SAME
+    content-hash partitioning — no corpus-vs-batch join, no second
+    exchange. At 100 TB the shuffle carries (id, hash, flag) rows,
+    never document bodies, and the corpus side never rewrites.
+    """
+    w = Window.partitionBy("content_hash")
+    flagged = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col)).alias("content_hash"),
+        batch_filter.alias("_is_batch"),
+    )
+    has_corpus = (
+        F.max(F.when(~F.col("_is_batch"), 1).otherwise(0)).over(w) == 1
+    )
+    batch_min = F.min(F.when(F.col("_is_batch"), F.col("doc_id"))).over(w)
+    status = (
+        F.when(has_corpus, F.lit("dup_of_corpus"))
+        .when(F.col("doc_id") > batch_min, F.lit("dup_in_batch"))
+        .otherwise(F.lit("unique"))
+    )
+    return (
+        flagged.withColumn("status", status)
+        .filter(F.col("_is_batch"))
+        .select("doc_id", "content_hash", "status")
     )

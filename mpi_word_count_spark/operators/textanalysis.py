@@ -562,3 +562,57 @@ def tfidf_top_terms(
     return topk_per_group(
         scored, ["doc_id"], [F.desc("tfidf"), F.asc("term")], k=k, rank_col="rank"
     )
+
+
+def seq_length_histogram(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Power-of-two token-length histogram of the corpus: one row per
+    bucket [2^k, 2^(k+1)) with doc count, total tokens, and doc share
+    — the first chart anyone draws before choosing a training sequence
+    length / packing strategy.
+
+    The bucket index is INTEGER arithmetic end to end: k+1 is the bit
+    length of n_tokens (length of its binary representation), and the
+    bucket bounds are 64-bit shifts — no log2(), whose libm rounding
+    at exact powers of two differs between engines. Zero-token docs
+    get the degenerate [0, 2) bucket. One narrow scan + one tiny
+    aggregation (≤ ~40 buckets at any corpus size); the share
+    denominator is a window over the bucket aggregate, not a second
+    scan.
+    """
+    from mpi_word_count_spark.functions.parity import portable_round
+    from mpi_word_count_spark.operators import widen
+
+    n = F.size(tokens_col(text_col))
+    staged = widen(df).select(
+        F.col(id_col).alias("doc_id"), n.cast("bigint").alias("n_tokens")
+    )
+    # shiftleft's bit count is column-valued here, which only the SQL
+    # form accepts (the Python wrapper requires a literal int)
+    lo = F.expr(
+        "CASE WHEN n_tokens > 0 THEN "
+        "shiftleft(CAST(1 AS BIGINT), length(bin(n_tokens)) - 1) "
+        "ELSE CAST(0 AS BIGINT) END"
+    )
+    hi = F.expr("shiftleft(CAST(1 AS BIGINT), length(bin(n_tokens)))")
+    agged = (
+        staged.select(
+            lo.cast("bigint").alias("bucket_lo"),
+            hi.cast("bigint").alias("bucket_hi"),
+            "n_tokens",
+        )
+        .groupBy("bucket_lo", "bucket_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return (
+        agged.withColumn(
+            "doc_share", portable_round(F.col("n_docs") / total, 4)
+        )
+        .select("bucket_lo", "bucket_hi", "n_docs", "total_tokens", "doc_share")
+        .orderBy("bucket_lo")
+    )

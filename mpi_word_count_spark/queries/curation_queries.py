@@ -20,6 +20,7 @@ from mpi_word_count_spark.operators.curation import (
     benchmark_contamination,
     cluster_aware_split,
     corpus_mixture,
+    quota_sample,
     shuffled_shards,
 )
 from mpi_word_count_spark.operators.dedup import dup_clusters, minhash_lsh_pairs
@@ -156,3 +157,31 @@ def q_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, "documents", sf_dir)
     pairs = minhash_lsh_pairs(docs, threshold=JACCARD_THRESHOLD)
     return cluster_aware_split(docs, dup_clusters(docs, pairs), train_pct=TRAIN_PCT)
+
+
+QUOTA_PER_SOURCE = 10
+
+
+@register(
+    "quota_sample_per_source",
+    oracle=f"""
+    SELECT doc_id, source AS stratum, CAST(pos AS BIGINT) AS pos
+    FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {sql_hash32("CAST(doc_id AS VARCHAR)", "quota")},
+                            doc_id
+               ) AS pos
+        FROM documents
+    )
+    WHERE pos <= {QUOTA_PER_SOURCE}
+    """,
+)
+def q_quota_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source quota sample (first N per stratum in
+    deterministic hash order) — eval-set construction / per-source
+    caps; the COUNT-exact complement of corpus_mixture's RATE
+    sampling. Integer outputs, bitwise oracle."""
+    docs = table(spark, "documents", sf_dir)
+    return quota_sample(docs, quota=QUOTA_PER_SOURCE, stratum_col="source")

@@ -10,6 +10,7 @@ operators; change one and both sides move together.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from mpi_word_count_spark.functions.hashing import sql_hash32, sql_hash60
 from mpi_word_count_spark.operators.dedup import (
@@ -19,8 +20,10 @@ from mpi_word_count_spark.operators.dedup import (
     NUM_HASHES,
     SIMHASH_BITS,
     dup_clusters,
+    edit_distance_pairs,
     embedding_dup_pairs_banded,
     exact_dedup,
+    incremental_exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
@@ -337,4 +340,79 @@ def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/dedup.embedding_dup_pairs for verification roles."""
     return embedding_dup_pairs_banded(
         table(spark, "embeddings", sf_dir), threshold=COSINE_DUP_THRESHOLD
+    )
+
+
+EDIT_MAX_DISTANCE = 120
+EDIT_MIN_SHARED = 3
+EDIT_PREFIX = 256
+BATCH_MOD = 5  # "new batch" = doc_id % 5 == 0; rest is the corpus
+
+
+@register(
+    "edit_distance_dups",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    candidates AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {EDIT_MIN_SHARED}
+    )
+    SELECT d1, d2, n_shared,
+           CAST(levenshtein(substr(ta.text, 1, {EDIT_PREFIX}),
+                            substr(tb.text, 1, {EDIT_PREFIX})) AS BIGINT)
+               AS edit_distance
+    FROM candidates
+    JOIN documents ta ON d1 = ta.doc_id
+    JOIN documents tb ON d2 = tb.doc_id
+    WHERE levenshtein(substr(ta.text, 1, {EDIT_PREFIX}),
+                      substr(tb.text, 1, {EDIT_PREFIX})) <= {EDIT_MAX_DISTANCE}
+    """,
+)
+def q_edit_distance_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-blocked candidates verified by JVM levenshtein on a
+    256-char prefix — the bounded-cost edit-distance dedup. Integer
+    outputs, bitwise oracle."""
+    return edit_distance_pairs(
+        table(spark, "documents", sf_dir),
+        max_distance=EDIT_MAX_DISTANCE,
+        min_shared_shingles=EDIT_MIN_SHARED,
+        prefix_chars=EDIT_PREFIX,
+    )
+
+
+@register(
+    "incremental_exact_dedup",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, md5(text) AS content_hash,
+               doc_id % {BATCH_MOD} = 0 AS is_batch
+        FROM documents
+    ),
+    j AS (
+        SELECT doc_id, content_hash, is_batch,
+               max(CASE WHEN NOT is_batch THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY content_hash) AS has_corpus,
+               min(CASE WHEN is_batch THEN doc_id END)
+                   OVER (PARTITION BY content_hash) AS batch_min
+        FROM h
+    )
+    SELECT doc_id, content_hash,
+           CASE WHEN has_corpus = 1 THEN 'dup_of_corpus'
+                WHEN doc_id > batch_min THEN 'dup_in_batch'
+                ELSE 'unique' END AS status
+    FROM j WHERE is_batch
+    """,
+)
+def q_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-snapshot ingest classification (docs with doc_id % 5 == 0
+    play the incoming batch): dup-of-corpus / dup-in-batch / unique in
+    ONE content-hash shuffle — the incremental production path exact
+    dedup takes when a corpus already exists."""
+    return incremental_exact_dedup(
+        table(spark, "documents", sf_dir),
+        batch_filter=F.col("doc_id") % BATCH_MOD == 0,
     )

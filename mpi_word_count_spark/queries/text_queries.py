@@ -28,6 +28,7 @@ from mpi_word_count_spark.operators.textanalysis import (
     quality_scores,
     repetition_scores,
     scrub_text,
+    seq_length_histogram,
     tfidf_top_terms,
     token_stats,
 )
@@ -568,3 +569,36 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= 50)
         .drop("_rn")
     )
+
+
+@register(
+    "seq_length_histogram",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    lens AS (SELECT CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+    bucketed AS (
+        SELECT CASE WHEN n_tokens > 0
+                    THEN (1::BIGINT << (length(bin(n_tokens)) - 1))
+                    ELSE 0 END AS bucket_lo,
+               (1::BIGINT << length(bin(n_tokens))) AS bucket_hi,
+               n_tokens
+        FROM lens
+    ),
+    agged AS (
+        SELECT bucket_lo, bucket_hi,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        FROM bucketed GROUP BY 1, 2
+    )
+    SELECT bucket_lo, bucket_hi, n_docs, total_tokens,
+           {sql_portable_round(
+               "n_docs * 1.0 / sum(n_docs) OVER ()", 4
+           )} AS doc_share
+    FROM agged ORDER BY bucket_lo
+    """,
+)
+def q_seq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two token-length histogram — bucket bounds by integer
+    bit-length (no libm log2), share via window over the bucket
+    aggregate. The pre-training sequence-length/packing chart."""
+    return seq_length_histogram(table(spark, "documents", sf_dir))

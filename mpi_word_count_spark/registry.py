@@ -82,6 +82,11 @@ _PRIORITY = [
     "q12_ship_priority",
     "q16_supplier_counts",
     "q20_excess_suppliers",
+    # round-4 pipeline ops (first-ever rows)
+    "edit_distance_dups",
+    "incremental_exact_dedup",
+    "quota_sample_per_source",
+    "seq_length_histogram",
     # newly registered this round (O4/O5 sink coverage + curation ops)
     "csv_roundtrip",
     "jsonl_roundtrip",

@@ -169,3 +169,80 @@ def test_release_caches_unpersists_tracked(spark):
     assert release_caches() >= 2  # signatures + candidate pairs
     assert release_caches() == 0
     del released_before
+
+
+def test_levenshtein_parity_with_duckdb(spark):
+    """Lock the cross-engine edit-distance semantics the
+    edit_distance_dups oracle relies on: Spark's levenshtein and
+    DuckDB's levenshtein agree on unit-cost edits, empty strings, and
+    case sensitivity for ASCII text. On non-ASCII they are KNOWN to
+    diverge (Spark counts characters, DuckDB counts UTF-8 bytes) —
+    the engine's character semantics is the production behavior; the
+    oracle is valid because the fixture corpus is pure ASCII (asserted
+    here so a fixture change surfaces loudly)."""
+    import duckdb
+
+    cases = [
+        ("kitten", "sitting"),
+        ("", "abc"),
+        ("abc", ""),
+        ("same", "same"),
+        ("Case", "case"),
+        ("a" * 100, "a" * 80 + "b" * 20),
+    ]
+    df = spark.createDataFrame(cases, "s1 string, s2 string")
+    from pyspark.sql import functions as F
+
+    spark_d = {
+        (r["s1"], r["s2"]): r["d"]
+        for r in df.select("s1", "s2", F.levenshtein("s1", "s2").alias("d")).collect()
+    }
+    con = duckdb.connect()
+    for s1, s2 in cases:
+        duck = con.execute("SELECT levenshtein(?, ?)", [s1, s2]).fetchone()[0]
+        assert spark_d[(s1, s2)] == duck, (s1, s2)
+
+    # the pinned divergence: char-based (Spark, correct for text) vs
+    # byte-based (DuckDB) on multibyte codepoints
+    nai = spark.createDataFrame(
+        [("naïve café", "naive cafe")], "s1 string, s2 string"
+    ).select(F.levenshtein("s1", "s2").alias("d")).collect()[0]["d"]
+    assert nai == 2
+    assert con.execute(
+        "SELECT levenshtein('naïve café', 'naive cafe')"
+    ).fetchone()[0] == 4
+
+    # oracle precondition: the fixture corpus is ASCII end to end
+    non_ascii = con.execute(
+        "SELECT count(*) FROM '/root/testdata/sf0.001/documents.parquet' "
+        "WHERE strlen(text) <> length(text)"
+    ).fetchone()[0]
+    assert non_ascii == 0
+
+
+def test_incremental_exact_dedup_statuses(spark):
+    from pyspark.sql import functions as F
+
+    from mpi_word_count_spark.operators.dedup import incremental_exact_dedup
+
+    rows = [
+        (1, "alpha"),   # corpus
+        (2, "beta"),    # corpus
+        (10, "alpha"),  # batch: dup_of_corpus
+        (15, "gamma"),  # batch: unique (first of its hash in batch)
+        (20, "gamma"),  # batch: dup_in_batch (15 is canonical)
+        (25, "delta"),  # batch: unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["status"]
+        for r in incremental_exact_dedup(
+            df, batch_filter=F.col("doc_id") >= 10
+        ).collect()
+    }
+    assert out == {
+        10: "dup_of_corpus",
+        15: "unique",
+        20: "dup_in_batch",
+        25: "unique",
+    }

@@ -112,6 +112,8 @@ def test_no_quadratic_joins_in_registered_dedup_plans(spark):
         "simhash_banded_dups",
         "embedding_dups",
         "dedup_clusters",
+        "edit_distance_dups",
+        "incremental_exact_dedup",
     ):
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
