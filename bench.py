@@ -54,6 +54,9 @@ HEADLINE = [
     "repetition_scores",
     "semantic_dedup",
     "curation_funnel",
+    "q9_product_profit",
+    "edit_distance_dups",
+    "incremental_exact_dedup",
 ]
 
 

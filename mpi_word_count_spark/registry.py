@@ -87,6 +87,8 @@ _PRIORITY = [
     "incremental_exact_dedup",
     "quota_sample_per_source",
     "seq_length_histogram",
+    # flagship: a fresh row EVERY round, whatever else rotates
+    "wordcount",
     # newly registered this round (O4/O5 sink coverage + curation ops)
     "csv_roundtrip",
     "jsonl_roundtrip",
@@ -146,8 +148,7 @@ _PRIORITY = [
     "compression_ratios",
     "approx_distinct_words",
     "approx_value_quantiles",
-    # flagship family: keep a fresh row every round
-    "wordcount",
+    # flagship family (wordcount itself is pinned at the head)
     "sql_wordcount",
     "wordcount_compat",
     "wordcount_per_doc",
