@@ -366,12 +366,13 @@ def dup_clusters(
         .distinct()
         .localCheckpoint()
     )
-    labels = (
+    labels_ckpt = (
         edges.select(F.col("src").alias("v"))
         .distinct()
         .withColumn("label", F.col("v"))
         .localCheckpoint()
     )
+    labels = labels_ckpt
     converged = False
     for _ in range(max_iters):
         prop = (
@@ -380,24 +381,29 @@ def dup_clusters(
             .groupBy("v")
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
+        # carry the pre-round label through the join so convergence
+        # detection is a scan of THIS round's checkpoint, not an extra
+        # join+shuffle job per round (the checkpoint materializes the
+        # round anyway; the count is then block-local). The unpersist
+        # target must be the CHECKPOINTED frame itself (labels_ckpt) —
+        # a projection over it has no LogicalRDD at its analyzed root,
+        # so _unpersist_local_ckpt would silently skip and the round's
+        # blocks would sit until GC (the episodic-stall mechanism).
+        round_ckpt = (
             labels.join(prop, "v", "left")
             .select(
                 "v",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
                 ).alias("label"),
+                F.col("label").alias("_old"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.select("v", F.col("label").alias("old")), "v")
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
-        _unpersist_local_ckpt(labels)  # superseded round's blocks
-        labels = new_labels
+        changed = round_ckpt.filter(F.col("label") != F.col("_old")).count()
+        _unpersist_local_ckpt(labels_ckpt)  # superseded round's blocks
+        labels_ckpt = round_ckpt
+        labels = round_ckpt.select("v", "label")
         if changed == 0:
             converged = True
             break
@@ -409,7 +415,7 @@ def dup_clusters(
         # not accumulate one orphaned label set per attempt), then
         # raise: the caller either raises max_iters (component
         # diameter bound) or switches to large-star/small-star.
-        _unpersist_local_ckpt(labels)
+        _unpersist_local_ckpt(labels_ckpt)
         raise RuntimeError(
             f"dup_clusters did not converge within max_iters={max_iters}; "
             "raise max_iters (labels need >= component-diameter rounds)"
@@ -419,7 +425,7 @@ def dup_clusters(
     # CONTRACT: the released checkpoint has no recomputable lineage, so
     # a dup_clusters result must not be re-executed AFTER
     # release_caches() — re-derive it (call dup_clusters again) instead.
-    track_releaser(lambda df=labels: _unpersist_local_ckpt(df))
+    track_releaser(lambda df=labels_ckpt: _unpersist_local_ckpt(df))
     ids = df.select(F.col(id_col).alias("doc_id"))
     return ids.join(
         labels.select(F.col("v").alias("doc_id"), "label"), "doc_id", "left"
