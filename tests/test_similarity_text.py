@@ -330,3 +330,36 @@ def test_pq_recall_vs_bruteforce(spark):
     # determinism: second run bit-identical
     pq2 = ann_pq_topk(emb, q, k=5, rerank=25).collect()
     assert sorted(map(tuple, pq)) == sorted(map(tuple, pq2))
+
+
+def test_doc_chunks_udtf_twin_matches_builtin(spark):
+    """The Python-UDTF lateral-join surface (SURVEY §2.8) must produce
+    bit-identical rows to the builtin sequence/transform/explode path
+    — one chunking semantics, two APIs."""
+    from pyspark.sql import functions as F
+
+    from mpi_word_count_spark.operators.dedup import tokens_col
+    from mpi_word_count_spark.operators.textanalysis import (
+        doc_chunks,
+        make_doc_chunks_udtf,
+    )
+    from mpi_word_count_spark.tables import table
+
+    docs = table(spark, "documents", "/root/testdata/sf0.001")
+    builtin = {
+        (r["doc_id"], r["chunk_id"]): (r["n_chunk_tokens"], r["chunk_hash"])
+        for r in doc_chunks(docs).collect()
+    }
+
+    spark.udtf.register("doc_chunks_udtf", make_doc_chunks_udtf())
+    docs.select("doc_id", tokens_col("text").alias("_toks")).createOrReplaceTempView(
+        "_chunk_in"
+    )
+    via_udtf = {
+        (r["doc_id"], r["chunk_id"]): (r["n_chunk_tokens"], r["chunk_hash"])
+        for r in spark.sql(
+            "SELECT d.doc_id, c.* FROM _chunk_in d, LATERAL doc_chunks_udtf(d._toks) c"
+        ).collect()
+    }
+    assert builtin == via_udtf
+    assert len(builtin) > 0
