@@ -221,3 +221,62 @@ def q_value_gini_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_rows(F.col("value")).alias("n_events"),
         portable_round(gini(F.col("value")), 4).alias("gini"),
     )
+
+
+@register(
+    "lineitem_stats_moments",
+    oracle=f"""
+    SELECT p_type,
+           CAST(count(*) AS BIGINT) AS n,
+           {sql_portable_round("avg(l_quantity)", 4)} AS avg_qty,
+           {sql_portable_round("stddev_samp(l_extendedprice)", 4)} AS std_price,
+           {sql_portable_round("corr(l_quantity, l_extendedprice)", 4)} AS corr_qty_price,
+           {sql_portable_round("covar_samp(l_quantity, l_discount)", 6)} AS covar_qty_disc,
+           {sql_portable_round(
+               "skewness(l_quantity) * (count(*) - 2)"
+               " / sqrt(count(*) * (count(*) - 1.0))", 4)} AS skew_qty,
+           {sql_portable_round(
+               "(kurtosis(l_quantity) * (count(*) - 2) * (count(*) - 3)"
+               " / (count(*) - 1.0) - 6) / (count(*) + 1)", 4)} AS kurt_qty
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    GROUP BY p_type
+    ORDER BY p_type
+    """,
+)
+def q_lineitem_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-moment aggregate surface per part type: stddev,
+    Pearson correlation, sample covariance, skewness, kurtosis — the
+    profile table a feature-engineering pass computes per slice. One
+    broadcast dim join + one aggregation shuffle on a 6-value key;
+    every moment is a single-pass co-moment merge (Spark's built-in
+    update/merge aggregates), so 100 TB costs one scan.
+
+    Cross-engine discipline: stddev/var/corr/covar agree bit-for-bit
+    between Spark and DuckDB; skewness/kurtosis do NOT — Spark returns
+    POPULATION moments (m3/m2^1.5, m4/m2²−3), DuckDB returns the
+    sample-adjusted g1/G2 — so the oracle converts DuckDB's values to
+    population form with the exact n-factor algebra (verified
+    numerically before registration).
+    """
+    from mpi_word_count_spark.functions.parity import portable_round
+
+    li = table(spark, "lineitem", sf_dir)
+    p = table(spark, "part", sf_dir)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            portable_round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            portable_round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+            portable_round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+                "corr_qty_price"
+            ),
+            portable_round(F.covar_samp("l_quantity", "l_discount"), 6).alias(
+                "covar_qty_disc"
+            ),
+            portable_round(F.skewness("l_quantity"), 4).alias("skew_qty"),
+            portable_round(F.kurtosis("l_quantity"), 4).alias("kurt_qty"),
+        )
+        .orderBy("p_type")
+    )

@@ -87,6 +87,7 @@ _PRIORITY = [
     "incremental_exact_dedup",
     "quota_sample_per_source",
     "seq_length_histogram",
+    "lineitem_stats_moments",
     # flagship: a fresh row EVERY round, whatever else rotates
     "wordcount",
     # newly registered this round (O4/O5 sink coverage + curation ops)
