@@ -140,6 +140,24 @@ def corpus_mixture(
     )
 
 
+def hash_order_rank(
+    df: DataFrame,
+    partition_col: str,
+    id_col: str = "doc_id",
+    seed: str = "shard",
+) -> DataFrame:
+    """`pos` = row_number in deterministic md5-hash order WITHIN each
+    partition_col group — the ONE ranked-by-hash idiom shuffled_shards
+    and quota_sample share (tie-break is (hash, id); changing the
+    convention here changes every consumer together). Adds `_h` (the
+    hash key) and `pos`; one shuffle on partition_col, per-group sort
+    only — never a global sort."""
+    h = hash32(F.col(id_col).cast("string"), seed)
+    win = Window.partitionBy(partition_col).orderBy("_h", id_col)
+    return df.withColumn("_h", h).withColumn("pos", F.row_number().over(win))
+
+
+
 def shuffled_shards(
     df: DataFrame,
     num_shards: int = 64,
@@ -155,11 +173,9 @@ def shuffled_shards(
     parquet/WebDataset write wants at 100 TB.
     """
     h = hash32(F.col(id_col).cast("string"), seed)  # full 32-bit order key
-    win = Window.partitionBy("shard").orderBy("h", id_col)
-    return (
-        df.select(F.col(id_col), h.alias("h"), (h % num_shards).alias("shard"))
-        .withColumn("pos", F.row_number().over(win))
-        .select(id_col, "shard", "pos")
+    staged = df.select(F.col(id_col), (h % num_shards).alias("shard"))
+    return hash_order_rank(staged, "shard", id_col, seed).select(
+        id_col, "shard", "pos"
     )
 
 
@@ -206,11 +222,9 @@ def quota_sample(
     stratum sorts independently, and at 100 TB the per-stratum sort is
     the same work the sharded write needs anyway.
     """
-    h = hash32(F.col(id_col).cast("string"), seed)
-    win = Window.partitionBy(stratum_col).orderBy("_h", id_col)
+    staged = df.select(F.col(id_col), F.col(stratum_col))
     return (
-        df.select(F.col(id_col), F.col(stratum_col), h.alias("_h"))
-        .withColumn("pos", F.row_number().over(win))
+        hash_order_rank(staged, stratum_col, id_col, seed)
         .filter(F.col("pos") <= quota)
         .select(id_col, F.col(stratum_col).alias("stratum"), "pos")
     )

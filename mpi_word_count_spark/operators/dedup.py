@@ -108,6 +108,43 @@ def exact_dedup(
     )
 
 
+def _shingle_index(
+    df: DataFrame,
+    n: int,
+    id_col: str,
+    text_col: str,
+    max_shingle_freq: int | None,
+) -> DataFrame:
+    """Inverted shingle index with the stop-shingle guard applied —
+    the ONE candidate-generation input both ngram_jaccard_pairs and
+    edit_distance_pairs share (a guard fix must hit every consumer)."""
+    sh = doc_shingles(df, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(freq.filter(F.col("df") <= max_shingle_freq), "shingle").drop(
+            "df"
+        )
+    return sh
+
+
+def _shared_shingle_pairs(sh: DataFrame) -> DataFrame:
+    """(d1 < d2, inter) for every doc pair sharing ≥1 indexed shingle:
+    the inverted-index self-join. Fans out only on SHARED shingles —
+    cost tracks similarity structure, never |docs|²."""
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -128,27 +165,9 @@ def ngram_jaccard_pairs(
     in more than that many docs (stop-shingle guard for web-scale
     corpora where boilerplate would otherwise explode the join).
     """
-    sh = doc_shingles(df, id_col, text_col, n)
-    if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        sh = (
-            sh.join(freq.filter(F.col("df") <= max_shingle_freq), "shingle")
-            .drop("df")
-        )
+    sh = _shingle_index(df, n, id_col, text_col, max_shingle_freq)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    shared = _shared_shingle_pairs(sh)
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     return (
@@ -808,22 +827,10 @@ def edit_distance_pairs(
     is pure ASCII, and both the parity and the divergence are locked
     by tests/test_dedup.py::test_levenshtein_parity_with_duckdb.
     """
-    sh = doc_shingles(df, id_col, text_col, n)
-    if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        sh = sh.join(freq.filter(F.col("df") <= max_shingle_freq), "shingle").drop(
-            "df"
-        )
-    a = sh.alias("a")
-    b = sh.alias("b")
+    sh = _shingle_index(df, n, id_col, text_col, max_shingle_freq)
     candidates = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        _shared_shingle_pairs(sh)
+        .withColumnRenamed("inter", "n_shared")
         .filter(F.col("n_shared") >= min_shared_shingles)
     )
     texts = df.select(

@@ -49,10 +49,14 @@ Q16_SIZES = (2, 5, 11, 28, 37, 42, 50)
 # larger SF more suppliers qualify, which is the correct Q20 shape
 # (the filter is per-supplier volume, not a top-k).
 Q20_MIN_QTY = 50
-# q11 keeps parts worth more than this multiple of the average part
-# value — scale-invariant (a fixed fraction-of-total threshold
-# degenerates to empty as the part domain grows).
-Q11_AVG_MULTIPLE = 1.5
+# q11 keeps parts worth more than 3/2 of the average part value —
+# scale-invariant (a fixed fraction-of-total threshold degenerates to
+# empty as the part domain grows). Expressed as an integer ratio so
+# the threshold test runs in EXACT decimal arithmetic — comparing
+# drift-prone double sums against 1.5×avg would let a part within a
+# few ulps of the boundary flip membership between engines.
+Q11_AVG_MULT_NUM = 3
+Q11_AVG_MULT_DEN = 2
 
 
 # --- Q2: minimum-cost supplier per part (correlated MIN subquery) ---------
@@ -193,40 +197,52 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q11_important_parts",
     oracle=f"""
     WITH partval AS (
-        SELECT l_partkey AS partkey, sum(l_extendedprice) AS value
+        SELECT l_partkey AS partkey,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
         FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
         WHERE s_nationkey = 3
         GROUP BY 1
-    )
-    SELECT partkey, round(value, 2) AS value
-    FROM partval
-    WHERE value > {Q11_AVG_MULTIPLE} * (SELECT avg(value) FROM partval)
+    ),
+    tot AS (SELECT sum(value) AS total, count(*) AS cnt FROM partval)
+    SELECT partkey, CAST(value AS DOUBLE) AS value
+    FROM partval, tot
+    WHERE {Q11_AVG_MULT_DEN} * value * cnt > {Q11_AVG_MULT_NUM} * total
     ORDER BY value DESC, partkey ASC
     """,
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11's HAVING-against-global-scalar: parts whose supply
-    value (from NATION_3 suppliers) exceeds {mult}× the average part
+    value (from NATION_3 suppliers) exceeds 3/2 the average part
     value. The scalar is a window aggregate over an empty partition
     spec on the ALREADY-aggregated per-part relation — no second scan
     of lineitem, no driver round-trip, one extra single-partition
     exchange of (#parts) rows. A fraction-of-total threshold (the
     literal Q11 formulation) degenerates as the part domain grows;
     average-relative keeps the selectivity stable at any SF.
+
+    The threshold comparison is exact: values are DECIMAL sums of
+    2-decimal prices (order-independent, bit-identical across
+    engines) and avg-relative membership is tested as the integer
+    cross-multiplication den·value·cnt > num·total — no double
+    arithmetic anywhere near the boundary.
     """
     li = table(spark, "lineitem", sf_dir)
     s = table(spark, "supplier", sf_dir).filter(F.col("s_nationkey") == 3)
     partval = (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .groupBy(F.col("l_partkey").alias("partkey"))
-        .agg(F.sum("l_extendedprice").alias("value"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("value"))
     )
-    with_avg = partval.withColumn(
-        "avg_value", F.avg("value").over(Window.partitionBy())
+    w = Window.partitionBy()
+    staged = partval.withColumn("_total", F.sum("value").over(w)).withColumn(
+        "_cnt", F.count(F.lit(1)).over(w)
     )
     return (
-        with_avg.filter(F.col("value") > F.lit(Q11_AVG_MULTIPLE) * F.col("avg_value"))
-        .select("partkey", F.round("value", 2).alias("value"))
+        staged.filter(
+            F.lit(Q11_AVG_MULT_DEN) * F.col("value") * F.col("_cnt")
+            > F.lit(Q11_AVG_MULT_NUM) * F.col("_total")
+        )
+        .select("partkey", F.col("value").cast("double").alias("value"))
         .orderBy(F.desc("value"), F.asc("partkey"))
     )
 
