@@ -80,3 +80,61 @@ def test_mixture_is_deterministic_and_bounded(spark):
     for lang, r in rates.items():
         if lang != "en":
             assert r["n_kept"] == r["n_docs"]
+
+
+def test_quota_sample_exact_and_repartition_invariant(spark):
+    """quota_sample's determinism claim: the selected (id, pos)
+    assignment must be IDENTICAL under any physical partitioning
+    (retries/splits reshuffle rows freely at scale), and each stratum
+    yields exactly min(quota, stratum size) rows with pos 1..n."""
+    from mpi_word_count_spark.operators.curation import quota_sample
+
+    docs = table(spark, "documents", SF_DIR)
+    base = {
+        (r["doc_id"], r["stratum"], r["pos"])
+        for r in quota_sample(docs, quota=7, stratum_col="source").collect()
+    }
+    reparted = {
+        (r["doc_id"], r["stratum"], r["pos"])
+        for r in quota_sample(
+            docs.repartition(13, "lang"), quota=7, stratum_col="source"
+        ).collect()
+    }
+    assert base == reparted
+    per_stratum = {}
+    for _, stratum, pos in base:
+        per_stratum.setdefault(stratum, []).append(pos)
+    sizes = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for stratum, positions in per_stratum.items():
+        expect = min(7, sizes[stratum])
+        assert sorted(positions) == list(range(1, expect + 1)), stratum
+
+
+def test_hash_order_rank_growth_stability(spark):
+    """Appending new docs must not reorder EXISTING docs relative to
+    each other (hash order, not arrival order): ranks of old docs
+    change only by new docs hashing between them — pairwise order of
+    the old population is preserved."""
+    from mpi_word_count_spark.operators.curation import hash_order_rank
+
+    docs = table(spark, "documents", SF_DIR).select("doc_id", "source")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    grown = docs  # old ∪ new
+
+    def order_of(df):
+        out = {}
+        for r in hash_order_rank(df, "source", seed="quota").collect():
+            out.setdefault(r["source"], []).append((r["pos"], r["doc_id"]))
+        return {
+            k: [d for _, d in sorted(v)] for k, v in out.items()
+        }
+
+    old_order = order_of(old)
+    new_ids = {r["doc_id"] for r in docs.filter(F.col("doc_id") % 3 == 0).collect()}
+    grown_order = {
+        k: [d for d in v if d not in new_ids] for k, v in order_of(grown).items()
+    }
+    assert old_order == grown_order
