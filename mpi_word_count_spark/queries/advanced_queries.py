@@ -280,3 +280,42 @@ def q_lineitem_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_type")
     )
+
+
+def _zorder_oracle() -> str:
+    from mpi_word_count_spark.operators.layout import morton_key_sql
+
+    return f"""
+    SELECT event_id, xb, yb, zkey, zkey >> 8 AS zbucket
+    FROM (
+        SELECT event_id, xb, yb,
+               {morton_key_sql("xb", "yb")} AS zkey
+        FROM (
+            SELECT event_id,
+                   CAST(user_id % 256 AS BIGINT) AS xb,
+                   CAST(dayofyear(ts) % 256 AS BIGINT) AS yb
+            FROM events
+        )
+    )
+    """
+
+
+@register("events_zorder_keys", oracle=_zorder_oracle())
+def q_events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering keys over two independent query
+    dimensions (user bucket × day-of-year): the multi-dimensional
+    layout key behind lakehouse OPTIMIZE ZORDER, as pure integer
+    bit-interleaving — bit-identical in Spark, DuckDB, and the Python
+    reference. Pure projection (no shuffle); writing partitioned by
+    zbucket turns 2-D range predicates into partition pruning
+    (tests/test_connectors_bucketing.py proves the pruning and the
+    aligned-box contiguity property)."""
+    from mpi_word_count_spark.operators.layout import zorder_keys
+    from mpi_word_count_spark.tables import table
+
+    ev = table(spark, "events", sf_dir).select(
+        "event_id",
+        F.expr("CAST(user_id % 256 AS BIGINT)").alias("xb"),
+        F.expr("CAST(dayofyear(ts) % 256 AS BIGINT)").alias("yb"),
+    )
+    return zorder_keys(ev, "xb", "yb", tile_bits=4)

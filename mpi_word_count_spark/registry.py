@@ -88,6 +88,7 @@ _PRIORITY = [
     "quota_sample_per_source",
     "seq_length_histogram",
     "lineitem_stats_moments",
+    "events_zorder_keys",
     # flagship: a fresh row EVERY round, whatever else rotates
     "wordcount",
     # newly registered this round (O4/O5 sink coverage + curation ops)

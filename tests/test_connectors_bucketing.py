@@ -167,3 +167,89 @@ def test_salted_agg_under_heavy_skew(spark):
     # structural claim: first exchange carries the salt column
     plan = salted_count(df, ["k"])._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(k" in plan and "_salt" in plan
+
+
+def test_morton_key_three_way_parity(spark):
+    """zkey must be bit-identical in Spark SQL, DuckDB, and the Python
+    reference — the property that makes the layout oracle-verifiable."""
+    import duckdb
+
+    from mpi_word_count_spark.operators.layout import morton_key_sql, py_morton
+
+    cases = [(0, 0), (1, 0), (0, 1), (255, 255), (170, 85), (65535, 65535), (12345, 54321)]
+    sql = morton_key_sql("x", "y")
+    con = duckdb.connect()
+    for x, y in cases:
+        duck = con.execute(
+            f"SELECT {sql} FROM (SELECT ?::BIGINT x, ?::BIGINT y)", [x, y]
+        ).fetchone()[0]
+        assert duck == py_morton(x, y), (x, y)
+    df = spark.createDataFrame(cases, "x long, y long")
+    for r in df.selectExpr("x", "y", f"{sql} AS z").collect():
+        assert r["z"] == py_morton(r["x"], r["y"]), (r["x"], r["y"])
+
+
+def test_zorder_aligned_box_is_contiguous_range():
+    """The load-bearing locality property: an aligned 2^k × 2^k box is
+    EXACTLY one contiguous zkey range — a range scan over the sorted
+    layout touches nothing outside the box."""
+    from mpi_word_count_spark.operators.layout import py_morton
+
+    for x0, y0, k in [(0, 0, 4), (16, 32, 4), (48, 16, 4), (8, 8, 3), (128, 64, 5)]:
+        side = 1 << k
+        keys = sorted(
+            py_morton(x, y)
+            for x in range(x0, x0 + side)
+            for y in range(y0, y0 + side)
+        )
+        assert keys == list(range(keys[0], keys[0] + side * side)), (x0, y0, k)
+
+
+def test_zorder_partition_pruning_on_2d_box(spark, tmp_path):
+    """End to end: write events partitioned by zbucket, query a 2-D
+    box via the driver-enumerated bucket IN-list — the scan must carry
+    zbucket PartitionFilters (directory pruning) and return exactly
+    the rows a full-scan filter returns."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from mpi_word_count_spark.operators.layout import (
+        zorder_box_buckets,
+        zorder_keys,
+    )
+    from mpi_word_count_spark.tables import table
+    from tests.conftest import SF_DIR
+
+    ev = table(spark, "events", SF_DIR).select(
+        "event_id",
+        F.expr("CAST(user_id % 256 AS BIGINT)").alias("xb"),
+        F.expr("CAST(dayofyear(ts) % 256 AS BIGINT)").alias("yb"),
+    )
+    laid = zorder_keys(ev, "xb", "yb", tile_bits=4)
+    path = str(tmp_path / "zorder")
+    laid.write.partitionBy("zbucket").mode("overwrite").parquet(path)
+
+    # an UNALIGNED box spanning several tiles (fixture domain at
+    # sf0.001: user buckets 0-14, days 1-30)
+    x_lo, x_hi, y_lo, y_hi = 3, 12, 5, 25
+    buckets = zorder_box_buckets(x_lo, x_hi, y_lo, y_hi, tile_bits=4)
+    box = (
+        F.col("xb").between(x_lo, x_hi) & F.col("yb").between(y_lo, y_hi)
+    )
+    pruned = (
+        spark.read.parquet(path)
+        .filter(F.col("zbucket").isin(buckets))
+        .filter(box)
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("zbucket" in ln for ln in pf), plan
+
+    expect = sorted(r["event_id"] for r in ev.filter(box).collect())
+    got = sorted(r["event_id"] for r in pruned.collect())
+    assert got == expect and len(got) > 0
