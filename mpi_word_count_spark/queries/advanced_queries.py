@@ -319,3 +319,64 @@ def q_events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(dayofyear(ts) % 256 AS BIGINT)").alias("yb"),
     )
     return zorder_keys(ev, "xb", "yb", tile_bits=4)
+
+
+GAPFILL_EVENT_TYPE = "purchase"
+
+
+@register(
+    "events_hourly_gapfill",
+    oracle=f"""
+    WITH b AS (
+        SELECT date_trunc('hour', min(ts)) AS lo,
+               date_trunc('hour', max(ts)) AS hi
+        FROM events WHERE event_type = '{GAPFILL_EVENT_TYPE}'
+    ),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b
+    ),
+    c AS (
+        SELECT date_trunc('hour', ts) AS hour, count(*) AS n
+        FROM events WHERE event_type = '{GAPFILL_EVENT_TYPE}'
+        GROUP BY 1
+    )
+    SELECT strftime(spine.hour, '%Y-%m-%d %H:00:00') AS hour,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+    FROM spine LEFT JOIN c ON spine.hour = c.hour
+    ORDER BY 1
+    """,
+)
+def q_events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket gap filling: a dense hourly spine between the
+    series' bounds, left-joined to the sparse per-hour counts with
+    zeros for silent hours — the resample/fill step every time-series
+    rollup needs before charting or windowed modeling.
+
+    The spine derives from a single-row bounds aggregate exploded
+    through sequence() — spine size is (hours of history), independent
+    of event volume, so at 100 TB the only full-scan work is the
+    pushed-filter count aggregation; the spine join is a broadcast of
+    a few thousand rows against the already-aggregated counts."""
+    from mpi_word_count_spark.tables import table
+
+    ev = table(spark, "events", sf_dir).filter(
+        F.col("event_type") == GAPFILL_EVENT_TYPE
+    )
+    hour = F.date_trunc("hour", F.col("ts"))
+    bounds = ev.agg(
+        F.min(hour).alias("lo"), F.max(hour).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    counts = ev.groupBy(hour.alias("hour")).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        spine.join(counts, "hour", "left")
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:00:00").alias("hour"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        )
+        .orderBy("hour")
+    )

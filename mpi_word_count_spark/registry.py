@@ -89,6 +89,7 @@ _PRIORITY = [
     "seq_length_histogram",
     "lineitem_stats_moments",
     "events_zorder_keys",
+    "events_hourly_gapfill",
     # flagship: a fresh row EVERY round, whatever else rotates
     "wordcount",
     # newly registered this round (O4/O5 sink coverage + curation ops)
