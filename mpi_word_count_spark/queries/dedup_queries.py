@@ -20,6 +20,7 @@ from mpi_word_count_spark.operators.dedup import (
     NUM_HASHES,
     SIMHASH_BITS,
     dup_clusters,
+    dup_clusters_twostar,
     edit_distance_pairs,
     embedding_dup_pairs_banded,
     exact_dedup,
@@ -416,3 +417,15 @@ def q_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, "documents", sf_dir),
         batch_filter=F.col("doc_id") % BATCH_MOD == 0,
     )
+
+
+@register("dedup_clusters_twostar", oracle=_clusters_oracle())
+def q_dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The O(log n)-round large-star/small-star connected components
+    over the same MinHash pairs — the long-chain/extreme-scale escape
+    hatch beside dup_clusters' diameter-round label propagation. Same
+    recursive-CTE oracle; equivalence with dup_clusters additionally
+    locked on random graphs in tests/test_dedup.py."""
+    docs = table(spark, "documents", sf_dir)
+    pairs = minhash_lsh_pairs(docs, threshold=JACCARD_THRESHOLD)
+    return dup_clusters_twostar(docs, pairs)

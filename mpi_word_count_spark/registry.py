@@ -90,6 +90,7 @@ _PRIORITY = [
     "lineitem_stats_moments",
     "events_zorder_keys",
     "events_hourly_gapfill",
+    "dedup_clusters_twostar",
     # flagship: a fresh row EVERY round, whatever else rotates
     "wordcount",
     # newly registered this round (O4/O5 sink coverage + curation ops)

@@ -246,3 +246,42 @@ def test_incremental_exact_dedup_statuses(spark):
         20: "dup_in_batch",
         25: "unique",
     }
+
+
+def test_twostar_equals_label_propagation_on_random_graphs(spark):
+    """dup_clusters_twostar must produce IDENTICAL (doc_id, cluster_id)
+    assignments to min-label propagation on arbitrary graphs — chains
+    (worst case for propagation), cliques, singletons, random."""
+    import random
+
+    from mpi_word_count_spark.operators import release_caches
+    from mpi_word_count_spark.operators.dedup import (
+        dup_clusters,
+        dup_clusters_twostar,
+    )
+
+    def clusters(fn, docs, pairs):
+        out = {(r["doc_id"], r["cluster_id"]) for r in fn(docs, pairs).collect()}
+        release_caches()
+        return out
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(20)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12), (11, 12), (15, 16)],
+        "d1 long, d2 long",
+    )
+    assert clusters(dup_clusters, docs, pairs) == clusters(
+        dup_clusters_twostar, docs, pairs
+    )
+
+    rnd = random.Random(11)
+    n = 60
+    edges = [(rnd.randrange(n), rnd.randrange(n)) for _ in range(50)]
+    edges = [(a, b) for a, b in edges if a != b]
+    rdocs = spark.createDataFrame([(i, "") for i in range(n)], "doc_id long, text string")
+    rpairs = spark.createDataFrame(edges, "d1 long, d2 long")
+    assert clusters(dup_clusters, rdocs, rpairs) == clusters(
+        dup_clusters_twostar, rdocs, rpairs
+    )

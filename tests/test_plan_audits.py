@@ -112,6 +112,7 @@ def test_no_quadratic_joins_in_registered_dedup_plans(spark):
         "simhash_banded_dups",
         "embedding_dups",
         "dedup_clusters",
+        "dedup_clusters_twostar",
         "edit_distance_dups",
         "incremental_exact_dedup",
     ):
