@@ -220,6 +220,40 @@ def minhash_signatures(
     return based.groupBy("doc_id").agg(*aggs)
 
 
+def band_keys(
+    sig: DataFrame, num_hashes: int = NUM_HASHES, num_bands: int = NUM_BANDS
+) -> DataFrame:
+    """(doc_id, band, key) LSH band keys from a signature table: each
+    band's key is the md5 of its row concatenation — a 16-byte
+    equi-join key whatever rows_per_band is. Shared by the full-corpus
+    pairing (minhash_lsh_pairs) and the incremental batch-vs-corpus
+    pairing so the bucketing convention cannot drift between them."""
+    rows_per_band = num_hashes // num_bands
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"h{b * rows_per_band + r}")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("key"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -250,30 +284,8 @@ def minhash_lsh_pairs(
     """
     from mpi_word_count_spark.operators import track_cache
 
-    rows_per_band = num_hashes // num_bands
     sig = track_cache(minhash_signatures(df, num_hashes, n, id_col, text_col))
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"h{b * rows_per_band + r}")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("key"),
-                    )
-                    for b in range(num_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
+    bands = band_keys(sig, num_hashes, num_bands)
     a = bands.alias("a")
     b_ = bands.alias("b")
     # cached: consumed twice (candidate-id broadcast + verification
@@ -992,4 +1004,123 @@ def dup_clusters_twostar(
         labels.select(F.col("v").alias("doc_id"), "label"), "doc_id", "left"
     ).select(
         "doc_id", F.coalesce("label", F.col("doc_id")).alias("cluster_id")
+    )
+
+
+def incremental_minhash_dups(
+    df: DataFrame,
+    batch_filter: Column,
+    threshold: float = 0.5,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    corpus_signatures: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental NEAR-duplicate classification of a new batch against
+    an existing corpus — the LSH companion of incremental_exact_dedup.
+    Returns one row per BATCH doc: (doc_id, dup_of, status, n_matches)
+    with status ∈ {dup_of_corpus, dup_in_batch, unique}; corpus
+    matches take precedence, dup_of is the smallest qualifying id of
+    the winning class, and matches are verified with exact Jaccard ≥
+    threshold (never bucket-collision alone).
+
+    The incremental point: when `corpus_signatures` is supplied (a
+    persisted signature store — 17 longs/doc written once per corpus
+    version), ONLY the batch is tokenized and signed; the corpus
+    contributes nothing but its stored signatures to the band join,
+    and corpus text is touched only to verify the (few) candidate
+    pairs. At 100 TB that is the difference between re-reading the
+    corpus per snapshot and reading kilobytes per incoming doc. The
+    band join itself is batch-driven: every candidate contains a batch
+    doc, so fan-out is O(batch · bands), not O(corpus · bands).
+
+    Without `corpus_signatures` both sides are signed in one pass
+    (fixture mode; the store path is equivalence-tested in
+    tests/test_dedup.py).
+    """
+    from mpi_word_count_spark.operators import track_cache
+
+    flags = df.select(F.col(id_col).alias("doc_id"), batch_filter.alias("is_batch"))
+    if corpus_signatures is None:
+        sig = minhash_signatures(df, num_hashes, n, id_col, text_col)
+    else:
+        batch_sig = minhash_signatures(
+            df.filter(batch_filter), num_hashes, n, id_col, text_col
+        )
+        sig = corpus_signatures.unionByName(batch_sig)
+    sig = track_cache(sig)
+    tagged = band_keys(sig, num_hashes, num_bands).join(flags, "doc_id")
+    bb = tagged.filter(F.col("is_batch")).alias("bb")
+    other = tagged.alias("o")
+    candidates = track_cache(
+        bb.join(
+            other,
+            (F.col("bb.band") == F.col("o.band"))
+            & (F.col("bb.key") == F.col("o.key"))
+            & (F.col("o.doc_id") != F.col("bb.doc_id"))
+            & (~F.col("o.is_batch") | (F.col("o.doc_id") < F.col("bb.doc_id"))),
+        )
+        .select(
+            F.col("bb.doc_id").alias("did"),
+            F.col("o.doc_id").alias("other"),
+            F.col("o.is_batch").alias("other_is_batch"),
+        )
+        .distinct()
+    )
+    cand_ids = (
+        candidates.select(F.col("did").alias(id_col))
+        .union(candidates.select(F.col("other").alias(id_col)))
+        .distinct()
+    )
+    pruned = df.join(F.broadcast(cand_ids), id_col, "left_semi")
+    sh = doc_shingles(pruned, id_col, text_col, n)
+    sizes = sig.select("doc_id", "n_shingles")
+    sa_, sb_ = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        candidates.join(sa_, F.col("did") == F.col("sa.doc_id"))
+        .join(
+            sb_,
+            (F.col("other") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("did", "other", "other_is_batch")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za, zb = sizes.alias("za"), sizes.alias("zb")
+    passed = (
+        inter.join(za, F.col("did") == F.col("za.doc_id"))
+        .join(zb, F.col("other") == F.col("zb.doc_id"))
+        .filter(
+            F.round(
+                F.col("inter")
+                / (F.col("za.n_shingles") + F.col("zb.n_shingles") - F.col("inter")),
+                4,
+            )
+            >= threshold
+        )
+        .select("did", "other", "other_is_batch")
+    )
+    agg = passed.groupBy("did").agg(
+        F.min(F.when(~F.col("other_is_batch"), F.col("other"))).alias("c_min"),
+        F.min(F.when(F.col("other_is_batch"), F.col("other"))).alias("b_min"),
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+    )
+    status = (
+        F.when(F.col("c_min").isNotNull(), F.lit("dup_of_corpus"))
+        .when(F.col("b_min").isNotNull(), F.lit("dup_in_batch"))
+        .otherwise(F.lit("unique"))
+    )
+    return (
+        flags.filter(F.col("is_batch"))
+        .join(agg, flags.doc_id == agg.did, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("c_min"), F.col("b_min")).alias("dup_of"),
+            status.alias("status"),
+            F.coalesce(F.col("n_matches"), F.lit(0).cast("bigint")).alias(
+                "n_matches"
+            ),
+        )
     )

@@ -25,6 +25,7 @@ from mpi_word_count_spark.operators.dedup import (
     embedding_dup_pairs_banded,
     exact_dedup,
     incremental_exact_dedup,
+    incremental_minhash_dups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
@@ -94,10 +95,11 @@ def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_parts() -> tuple[str, str]:
-    """(CTE list, final SELECT) of the MinHash-LSH oracle — split so
-    downstream oracles (dedup_clusters) can compose with the pair
-    pipeline as a CTE."""
+def _minhash_base_ctes() -> str:
+    """CTE text for shingles + MinHash signatures + LSH band keys —
+    the SQL twin of minhash_signatures + band_keys, shared by the
+    full-corpus pairing oracle and the incremental batch oracle so
+    the bucketing convention cannot drift between them."""
     from mpi_word_count_spark.functions.hashing import MINHASH_PRIME, universal_coeffs
 
     rows_per_band = NUM_HASHES // NUM_BANDS
@@ -115,7 +117,7 @@ def _minhash_parts() -> tuple[str, str]:
         )
         for b in range(NUM_BANDS)
     )
-    ctes = f"""{_SQL_SHINGLES},
+    return f"""{_SQL_SHINGLES},
     sig AS (
         SELECT doc_id,
                {mins}
@@ -123,7 +125,14 @@ def _minhash_parts() -> tuple[str, str]:
     ),
     bands AS (
 {band_selects}
-    ),
+    )"""
+
+
+def _minhash_parts() -> tuple[str, str]:
+    """(CTE list, final SELECT) of the MinHash-LSH oracle — split so
+    downstream oracles (dedup_clusters) can compose with the pair
+    pipeline as a CTE."""
+    ctes = f"""{_minhash_base_ctes()},
     candidates AS (
         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
         FROM bands a JOIN bands b
@@ -429,3 +438,68 @@ def q_dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, "documents", sf_dir)
     pairs = minhash_lsh_pairs(docs, threshold=JACCARD_THRESHOLD)
     return dup_clusters_twostar(docs, pairs)
+
+
+def _incremental_minhash_oracle() -> str:
+    return f"""
+    WITH {_minhash_base_ctes()},
+    flags AS (
+        SELECT doc_id, doc_id % {BATCH_MOD} = 0 AS is_batch FROM documents
+    ),
+    tb AS (
+        SELECT b.doc_id, b.band, b.key, f.is_batch
+        FROM bands b JOIN flags f ON b.doc_id = f.doc_id
+    ),
+    cand AS (
+        SELECT DISTINCT bb.doc_id AS did, o.doc_id AS other,
+                        o.is_batch AS other_is_batch
+        FROM tb bb JOIN tb o ON bb.band = o.band AND bb.key = o.key
+        WHERE bb.is_batch AND o.doc_id <> bb.doc_id
+          AND (NOT o.is_batch OR o.doc_id < bb.doc_id)
+    ),
+    ver AS (
+        SELECT c.did, c.other, c.other_is_batch, count(*) AS inter
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.did
+        JOIN sh sb ON sb.doc_id = c.other AND sa.shingle = sb.shingle
+        GROUP BY 1, 2, 3
+    ),
+    passed AS (
+        SELECT v.did, v.other, v.other_is_batch
+        FROM ver v
+        JOIN sizes za ON v.did = za.doc_id
+        JOIN sizes zb ON v.other = zb.doc_id
+        WHERE round(inter * 1.0 / (za.n_shingles + zb.n_shingles - inter), 4)
+              >= {JACCARD_THRESHOLD}
+    ),
+    agg AS (
+        SELECT did,
+               min(CASE WHEN NOT other_is_batch THEN other END) AS c_min,
+               min(CASE WHEN other_is_batch THEN other END) AS b_min,
+               CAST(count(*) AS BIGINT) AS n_matches
+        FROM passed GROUP BY 1
+    )
+    SELECT f.doc_id,
+           coalesce(a.c_min, a.b_min) AS dup_of,
+           CASE WHEN a.c_min IS NOT NULL THEN 'dup_of_corpus'
+                WHEN a.b_min IS NOT NULL THEN 'dup_in_batch'
+                ELSE 'unique' END AS status,
+           coalesce(a.n_matches, 0) AS n_matches
+    FROM flags f LEFT JOIN agg a ON f.doc_id = a.did
+    WHERE f.is_batch
+    """
+
+
+@register("incremental_minhash_dups", oracle=_incremental_minhash_oracle())
+def q_incremental_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus NEAR-dup classification (docs with
+    doc_id % 5 == 0 play the incoming snapshot): LSH candidates where
+    every pair contains a batch doc, exact-Jaccard verification,
+    corpus matches outrank in-batch ones. The signature-store path
+    (corpus signed once, only the batch tokenized fresh) is
+    equivalence-tested in tests/test_dedup.py."""
+    return incremental_minhash_dups(
+        table(spark, "documents", sf_dir),
+        batch_filter=F.col("doc_id") % BATCH_MOD == 0,
+        threshold=JACCARD_THRESHOLD,
+    )

@@ -91,6 +91,7 @@ _PRIORITY = [
     "events_zorder_keys",
     "events_hourly_gapfill",
     "dedup_clusters_twostar",
+    "incremental_minhash_dups",
     # flagship: a fresh row EVERY round, whatever else rotates
     "wordcount",
     # newly registered this round (O4/O5 sink coverage + curation ops)

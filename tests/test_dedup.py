@@ -285,3 +285,41 @@ def test_twostar_equals_label_propagation_on_random_graphs(spark):
     assert clusters(dup_clusters, rdocs, rpairs) == clusters(
         dup_clusters_twostar, rdocs, rpairs
     )
+
+
+def test_incremental_minhash_signature_store_path(spark, tmp_path):
+    """The incremental claim made real: corpus signatures persisted
+    once (parquet signature store) and passed back in must yield the
+    IDENTICAL classification as the all-in-one computation — with only
+    the batch being tokenized fresh on the store path."""
+    from pyspark.sql import functions as F
+
+    from mpi_word_count_spark.operators import release_caches
+    from mpi_word_count_spark.operators.dedup import (
+        incremental_minhash_dups,
+        minhash_signatures,
+    )
+    from mpi_word_count_spark.tables import table
+    from tests.conftest import SF_DIR
+
+    docs = table(spark, "documents", SF_DIR)
+    batch = F.col("doc_id") % 5 == 0
+
+    inline = {
+        (r["doc_id"], r["dup_of"], r["status"], r["n_matches"])
+        for r in incremental_minhash_dups(docs, batch).collect()
+    }
+    release_caches()
+
+    store = str(tmp_path / "sigstore")
+    minhash_signatures(docs.filter(~batch)).write.mode("overwrite").parquet(store)
+    corpus_sig = spark.read.parquet(store)
+    via_store = {
+        (r["doc_id"], r["dup_of"], r["status"], r["n_matches"])
+        for r in incremental_minhash_dups(
+            docs, batch, corpus_signatures=corpus_sig
+        ).collect()
+    }
+    release_caches()
+    assert inline == via_store
+    assert any(s == "dup_of_corpus" for _, _, s, _ in inline)
