@@ -91,3 +91,159 @@ def q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).select(F.lit("ALL").alias("lang"), "approx_distinct_words")
     return per_lang.unionByName(total).orderBy("lang")
+
+
+def _cms_oracle() -> str:
+    from mpi_word_count_spark.functions.hashing import sql_hash32
+    from mpi_word_count_spark.operators.sketches import CMS_DEPTH, CMS_WIDTH
+
+    stream = "\n        UNION ALL\n".join(
+        f"        SELECT {i} AS i, "
+        f"{sql_hash32('word', f'cms{i}')} % {CMS_WIDTH} AS bucket FROM tok"
+        for i in range(CMS_DEPTH)
+    )
+    coords = "\n        UNION ALL\n".join(
+        f"        SELECT word, {i} AS i, "
+        f"{sql_hash32('word', f'cms{i}')} % {CMS_WIDTH} AS bucket FROM top"
+        for i in range(CMS_DEPTH)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT list_filter(string_split_regex(lower(text), '{sql_regex()}'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    tok AS (SELECT unnest(t) AS word FROM toks),
+    cnt AS (
+        SELECT i, bucket, count(*) AS c FROM (
+{stream}
+        ) GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS exact_count
+        FROM tok GROUP BY 1
+        ORDER BY exact_count DESC, word ASC LIMIT 20
+    ),
+    coords AS (
+{coords}
+    ),
+    est AS (
+        SELECT word, CAST(min(coalesce(c, 0)) AS BIGINT) AS cms_estimate
+        FROM coords LEFT JOIN cnt USING (i, bucket)
+        GROUP BY 1
+    )
+    SELECT t.word, t.exact_count, e.cms_estimate
+    FROM top t JOIN est e USING (word)
+    ORDER BY exact_count DESC, word ASC
+    """
+
+
+@register("cms_word_counts", oracle=_cms_oracle())
+def q_cms_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency estimates vs exact counts for the top-20
+    words. Unlike the HLL/percentile entries above, this sketch is
+    built from the portable md5 hash family, so the ENTIRE approximate
+    data structure — all depth×width counters and every estimate — is
+    value-hash-verified against DuckDB. The counter shuffle carries at
+    most depth·width keys regardless of corpus size or vocabulary; the
+    overestimate guarantee (estimate ≥ exact, always) is locked in
+    tests/test_approx_tolerance.py."""
+    from mpi_word_count_spark.operators.sketches import cms_counters, cms_estimates
+
+    docs = table(spark, "documents", sf_dir)
+    words = tokenize(docs, col="text").select("word")
+    counters = cms_counters(words, "word")
+    top = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("word"))
+        .limit(20)
+    )
+    return (
+        top.join(cms_estimates(counters, top.select("word"), "word"), "word")
+        .select("word", "exact_count", "cms_estimate")
+        .orderBy(F.desc("exact_count"), F.asc("word"))
+    )
+
+
+def _bloom_oracle() -> str:
+    from mpi_word_count_spark.functions.hashing import sql_hash32
+    from mpi_word_count_spark.operators.sketches import BLOOM_BITS, BLOOM_HASHES
+
+    build = "\n        UNION ALL\n".join(
+        f"        SELECT {sql_hash32('h', f'bf{j}')} % {BLOOM_BITS} AS p FROM corpus"
+        for j in range(BLOOM_HASHES)
+    )
+    probe = "\n        UNION ALL\n".join(
+        f"        SELECT content_hash, "
+        f"{sql_hash32('content_hash', f'bf{j}')} % {BLOOM_BITS} AS p FROM batch_h"
+        for j in range(BLOOM_HASHES)
+    )
+    return f"""
+    WITH corpus AS (
+        SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 <> 0
+    ),
+    batch AS (
+        SELECT doc_id, md5(text) AS content_hash FROM documents
+        WHERE doc_id % 5 = 0
+    ),
+    batch_h AS (SELECT DISTINCT content_hash FROM batch),
+    bitmap AS (
+        SELECT p // 32 AS slot, bit_or(1::BIGINT << (p % 32)::INT) AS bits
+        FROM ({build}) GROUP BY 1
+    ),
+    probes AS (
+        SELECT content_hash, p // 32 AS slot, 1::BIGINT << (p % 32)::INT AS b
+        FROM ({probe})
+    ),
+    hit AS (
+        SELECT content_hash,
+               min(CASE WHEN coalesce(bits, 0) & b <> 0 THEN 1 ELSE 0 END) = 1
+                   AS might_contain
+        FROM probes LEFT JOIN bitmap USING (slot)
+        GROUP BY 1
+    )
+    SELECT b.doc_id, h.might_contain,
+           (c.h IS NOT NULL) AS in_corpus
+    FROM batch b
+    JOIN hit h ON b.content_hash = h.content_hash
+    LEFT JOIN corpus c ON b.content_hash = c.h
+    ORDER BY b.doc_id
+    """
+
+
+@register("bloom_prefilter_stats", oracle=_bloom_oracle())
+def q_bloom_prefilter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership prefilter: corpus content hashes folded
+    into a 1024-bit md5-derived bitmap (32 slot rows — broadcastable at
+    ANY corpus size), probed by the incoming batch, compared against
+    exact membership. The production prefilter in front of
+    incremental dedup: probes that miss skip the corpus join
+    entirely, and no-false-negatives means nothing real is skipped
+    (locked in tests). Entire filter state is value-hash-verified."""
+    from mpi_word_count_spark.operators.sketches import bloom_bitmap, bloom_probe
+
+    docs = table(spark, "documents", sf_dir)
+    corpus = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.md5("text").alias("content_hash")
+    )
+    bm = bloom_bitmap(corpus, "h")
+    probed = bloom_probe(bm, batch.select("content_hash").distinct(), "content_hash")
+    exact = corpus.withColumnRenamed("h", "content_hash").withColumn(
+        "in_corpus", F.lit(True)
+    )
+    return (
+        batch.join(probed, "content_hash")
+        .join(exact, "content_hash", "left")
+        .select(
+            "doc_id",
+            "might_contain",
+            F.coalesce(F.col("in_corpus"), F.lit(False)).alias("in_corpus"),
+        )
+        .orderBy("doc_id")
+    )

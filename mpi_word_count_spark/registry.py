@@ -92,6 +92,8 @@ _PRIORITY = [
     "events_hourly_gapfill",
     "dedup_clusters_twostar",
     "incremental_minhash_dups",
+    "cms_word_counts",
+    "bloom_prefilter_stats",
     # flagship: a fresh row EVERY round, whatever else rotates
     "wordcount",
     # newly registered this round (O4/O5 sink coverage + curation ops)

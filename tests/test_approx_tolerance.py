@@ -108,3 +108,43 @@ def test_approx_value_quantiles_within_rank_error(spark):
                 f"{et} q={q}: approx={got} outside order-statistic "
                 f"bracket [{lo}, {hi}] (n={n}, rank {k}±2)"
             )
+
+
+def test_cms_never_underestimates(spark):
+    """Count-min's one-sided error guarantee: estimate ≥ exact for
+    EVERY word, not just the reported top-20."""
+    from pyspark.sql import functions as F
+
+    from mpi_word_count_spark.operators.sketches import cms_counters, cms_estimates
+    from mpi_word_count_spark.tables import table
+    from mpi_word_count_spark.tokenizer import tokenize
+    from tests.conftest import SF_DIR
+
+    words = tokenize(table(spark, "documents", SF_DIR), col="text").select("word")
+    counters = cms_counters(words, "word")
+    exact = words.groupBy("word").agg(F.count(F.lit(1)).alias("exact"))
+    est = cms_estimates(counters, exact.select("word"), "word")
+    bad = (
+        exact.join(est, "word")
+        .filter(F.col("cms_estimate") < F.col("exact"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_bloom_no_false_negatives(spark):
+    """Bloom's one-sided guarantee: every batch doc that IS in the
+    corpus must probe positive; false-positive rate stays sane for
+    1024 bits / 4 hashes at fixture cardinality."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    rows = entrymod.queries()["bloom_prefilter_stats"](spark, SF_DIR).collect()
+    assert all(r["might_contain"] for r in rows if r["in_corpus"])
+    negatives = [r for r in rows if not r["in_corpus"]]
+    if negatives:
+        fp = sum(1 for r in negatives if r["might_contain"]) / len(negatives)
+        assert fp < 0.5, fp
+    del F
