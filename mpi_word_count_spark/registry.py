@@ -118,11 +118,13 @@ _PRIORITY = [
     "corpus_mixture",
     "shuffled_shards",
     "cluster_aware_split",
-    # fixed this round (nondeterministic window order) — needs a fresh
-    # row on the fixed code
-    "running_revenue_per_supplier",
-    # never recorded (registered late in round 4): rows-only sketch
+    # never recorded in ANY round: rows-only sketch — outranks entries
+    # that carry older rows
     "hll_sketch_rollup",
+    # fixed in round 3's extended session (nondeterministic window
+    # order) — old rows are stale, but the fix is evidenced by the
+    # full-registry sf0.1 sweeps; refreshes here or in round 5
+    "running_revenue_per_supplier",
     # r1/r2-only greens: never re-verified on the current Spark
     "ann_pq",
     "ann_bruteforce",
