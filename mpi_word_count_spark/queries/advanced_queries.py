@@ -380,3 +380,49 @@ def q_events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+@register(
+    "lineitem_unpivot_metrics",
+    oracle="""
+    SELECT l_returnflag, metric,
+           round(sum(value), 2) AS total,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (
+        SELECT l_returnflag, 'quantity' AS metric, l_quantity AS value
+        FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'discount', l_discount FROM lineitem
+    )
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_lineitem_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long melt) via stack(): three metric columns
+    become (metric, value) rows in ONE scan — the inverse of
+    orders_status_pivot, completing the reshape surface. stack() is a
+    Generate node over the single pass, not a 3× UNION re-scan (the
+    oracle's UNION ALL formulation re-reads the table per metric;
+    DuckDB's scan is cheap at fixture scale, but at 100 TB the
+    stack()/UNPIVOT form is the one that reads once — which is why
+    the Spark side uses it)."""
+    li = table(spark, "lineitem", sf_dir)
+    melted = li.select(
+        "l_returnflag",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, "
+            "'extendedprice', l_extendedprice, "
+            "'discount', l_discount) AS (metric, value)"
+        ),
+    )
+    return (
+        melted.groupBy("l_returnflag", "metric")
+        .agg(
+            F.round(F.sum("value"), 2).alias("total"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .orderBy("l_returnflag", "metric")
+    )

@@ -94,6 +94,7 @@ _PRIORITY = [
     "incremental_minhash_dups",
     "cms_word_counts",
     "bloom_prefilter_stats",
+    "lineitem_unpivot_metrics",
     # flagship: a fresh row EVERY round, whatever else rotates
     "wordcount",
     # newly registered this round (O4/O5 sink coverage + curation ops)
