@@ -602,3 +602,204 @@ def user_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.groupBy("user_id").agg(
         F.max("session_id").cast("bigint").alias("n_sessions")
     )
+
+
+# --- ordered funnel -------------------------------------------------------
+@register(
+    "user_event_funnel",
+    oracle="""
+    WITH w1 AS (
+        SELECT user_id, event_type, ts,
+               min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t1
+        FROM events
+    ), w2 AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                      OVER (PARTITION BY user_id) AS t2
+        FROM w1
+    ), w3 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                      OVER (PARTITION BY user_id) AS t3
+        FROM w2
+    ), per_user AS (
+        SELECT user_id, any_value(t1) AS t1, any_value(t2) AS t2,
+               any_value(t3) AS t3
+        FROM w3 GROUP BY user_id
+    )
+    SELECT count(t1)                                            AS n_viewed,
+           count(t2)                                            AS n_clicked,
+           count(t3)                                            AS n_purchased,
+           CAST(coalesce(sum(CASE WHEN t2 IS NOT NULL
+                    THEN epoch_us(t2) - epoch_us(t1) END), 0) AS BIGINT)
+                                                                AS view_to_click_us,
+           CAST(coalesce(sum(CASE WHEN t3 IS NOT NULL
+                    THEN epoch_us(t3) - epoch_us(t2) END), 0) AS BIGINT)
+                                                                AS click_to_purchase_us
+    FROM per_user
+    """,
+)
+def user_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: each step's
+    anchor is the user's FIRST qualifying event strictly after the
+    previous step (not independent per-type minima — the order is the
+    semantics).
+
+    One shuffle on user_id; the three step timestamps are chained
+    whole-partition window aggregates over the SAME partitioning, so
+    Catalyst reuses one exchange for all three passes plus the
+    per-user collapse. No self-joins: the t2-depends-on-t1 chain that
+    SQL usually writes as two joins back onto events stays a single
+    pass over each user's partition. The final reduce is a 1-row
+    global aggregate. At 100 TB the cost is one events shuffle — the
+    same lower bound any per-user computation pays."""
+    e = table(spark, "events", sf_dir).select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    e = e.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    e = e.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    e = e.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.first("t1").alias("t1"),
+        F.first("t2").alias("t2"),
+        F.first("t3").alias("t3"),
+    )
+    return per_user.select(
+        F.count("t1").alias("n_viewed"),
+        F.count("t2").alias("n_clicked"),
+        F.count("t3").alias("n_purchased"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("t2").isNotNull(),
+                    F.unix_micros("t2") - F.unix_micros("t1"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("view_to_click_us"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("t3").isNotNull(),
+                    F.unix_micros("t3") - F.unix_micros("t2"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("click_to_purchase_us"),
+    )
+
+
+# --- sweep-line interval concurrency --------------------------------------
+@register(
+    "session_concurrency_hourly",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, event_id, ts,
+               -- floor(epoch) matches Spark's whole-second
+               -- unix_timestamp exactly at gap boundaries
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 600
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), numbered AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id
+                                 ORDER BY ts ASC, event_id ASC) AS session_id
+        FROM gaps
+    ), sessions AS (
+        SELECT user_id, session_id, min(ts) AS s, max(ts) AS e
+        FROM numbered GROUP BY user_id, session_id
+    ), bounds AS (
+        SELECT date_trunc('hour', min(s)) AS h0,
+               date_trunc('hour', max(e)) AS h1
+        FROM sessions
+    ), hours AS (
+        SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    )
+    SELECT strftime(h, '%Y-%m-%d %H:00') AS hour,
+           CAST(count(s.user_id) AS BIGINT) AS active_sessions
+    FROM hours LEFT JOIN sessions s ON s.s <= hours.h AND s.e >= hours.h
+    GROUP BY hour
+    """,
+)
+def session_concurrency_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many sessions are live at each hour boundary — the
+    interval-concurrency question, answered WITHOUT the interval×spine
+    overlap join the oracle runs.
+
+    Sweep-line in two levels: (1) each session (10-min-gap
+    sessionization, one shuffle on user_id) emits +1 at the first hour
+    boundary >= its start and -1 at the first boundary > its end —
+    a groupBy to per-hour deltas, so the heavy data collapses to
+    O(hours) rows; (2) active(h) = prefix-sum of deltas over the hour
+    spine. The spine is wall-clock-bounded (a decade is ~90k rows), so
+    the unpartitioned ordered window in step 2 is deliberate — it runs
+    over spine-sized, never event-sized, data. At 100 TB the overlap
+    join is |sessions|×|hours| fan-out; the sweep is one sessionize
+    shuffle plus an O(hours) reduce."""
+    e = table(spark, "events", sf_dir)
+    sess = (
+        sessionize(e, gap_seconds=600, tiebreak="event_id")
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    # +1 at ceil_hour(s): the first boundary h with s <= h
+    # -1 at floor_hour(e) + 1h: the first boundary h with e < h
+    floor_s = F.date_trunc("hour", F.col("s"))
+    start_at = F.when(floor_s == F.col("s"), floor_s).otherwise(
+        floor_s + F.expr("INTERVAL 1 HOUR")
+    )
+    end_at = F.date_trunc("hour", F.col("e")) + F.expr("INTERVAL 1 HOUR")
+    deltas = (
+        sess.select(start_at.alias("h"), F.lit(1).alias("d"))
+        .unionAll(sess.select(end_at.alias("h"), F.lit(-1).alias("d")))
+        .groupBy("h")
+        .agg(F.sum("d").alias("delta"))
+    )
+    bounds = sess.agg(
+        F.date_trunc("hour", F.min("s")).alias("h0"),
+        F.date_trunc("hour", F.max("e")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    joined = spine.join(deltas, "h", "left").select(
+        "h", F.coalesce("delta", F.lit(0)).alias("delta")
+    )
+    active = joined.withColumn(
+        "active_sessions",
+        F.sum("delta")
+        .over(
+            Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("bigint"),
+    )
+    return active.select(
+        F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+        "active_sessions",
+    )

@@ -95,6 +95,8 @@ _PRIORITY = [
     "cms_word_counts",
     "bloom_prefilter_stats",
     "lineitem_unpivot_metrics",
+    "user_event_funnel",
+    "session_concurrency_hourly",
     # flagship: a fresh row EVERY round, whatever else rotates
     "wordcount",
     # newly registered this round (O4/O5 sink coverage + curation ops)
