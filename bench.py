@@ -57,6 +57,9 @@ HEADLINE = [
     "q9_product_profit",
     "edit_distance_dups",
     "incremental_exact_dedup",
+    "incremental_minhash_dups",
+    "cms_word_counts",
+    "bloom_prefilter_stats",
 ]
 
 

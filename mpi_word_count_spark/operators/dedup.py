@@ -89,6 +89,43 @@ def doc_shingles(
     )
 
 
+def passage_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 20,
+    stride: int = 1,
+) -> DataFrame:
+    """(doc_id, passage_hash) — md5 of every `width`-token window at
+    `stride` token steps, the substring-dedup primitive (duplicated
+    training-data passages are detected as windows shared across
+    documents, the hash-window formulation of Lee et al.'s
+    suffix-array substring dedup).
+
+    Narrow tokenize → slice → md5 → explode, no shuffle here; the
+    shuffle happens at the caller's groupBy over 16-byte hashes whose
+    volume is tokens/stride × 32 B regardless of document size.
+    `stride` > 1 trades boundary recall for a linear shuffle-volume
+    cut at cluster scale (a duplicated region ≥ width + stride − 1
+    tokens still always shares ≥ 1 window). Tokens materialize in
+    their own projection before the higher-order transform — see
+    shingles_from_tokens on why (no CSE through lambdas).
+    """
+    from mpi_word_count_spark.operators import widen
+
+    toks = widen(df).select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("_toks")
+    )
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size("_toks") - width, F.lit(stride)),
+        lambda i: F.md5(F.array_join(F.slice("_toks", i + 1, width), " ")),
+    )
+    guarded = F.when(F.size("_toks") >= width, wins).otherwise(
+        F.array().cast("array<string>")
+    )
+    return toks.select("doc_id", F.explode(guarded).alias("passage_hash"))
+
+
 def exact_dedup(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

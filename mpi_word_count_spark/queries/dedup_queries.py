@@ -28,6 +28,7 @@ from mpi_word_count_spark.operators.dedup import (
     incremental_minhash_dups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    passage_windows,
     simhash,
     simhash_banded_pairs,
 )
@@ -68,6 +69,49 @@ _SQL_SHINGLES = f"""
 )
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(table(spark, "documents", sf_dir))
+
+
+PASSAGE_WIDTH = 20
+
+
+@register(
+    "duplicate_passages",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '{sql_regex()}'),
+                           x -> x <> '') AS tk
+        FROM documents
+    ), win AS (
+        SELECT doc_id,
+               md5(array_to_string(tk[i + 1 : i + {PASSAGE_WIDTH}], ' '))
+                   AS passage_hash
+        FROM toks, unnest(generate_series(0, len(tk) - {PASSAGE_WIDTH})) AS g(i)
+    )
+    SELECT passage_hash,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           count(*) AS n_occurrences
+    FROM win
+    GROUP BY passage_hash
+    HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def q_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup: 20-token windows appearing in ≥ 2
+    distinct documents (duplicated passages survive whole-document
+    dedup — the reason Lee et al. dedup substrings). One shuffle of
+    16-byte window hashes; documents never ride the exchange."""
+    wins = passage_windows(
+        table(spark, "documents", sf_dir), width=PASSAGE_WIDTH, stride=1
+    )
+    return (
+        wins.groupBy("passage_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
 
 
 @register(

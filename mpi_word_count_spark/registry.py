@@ -97,6 +97,7 @@ _PRIORITY = [
     "lineitem_unpivot_metrics",
     "user_event_funnel",
     "session_concurrency_hourly",
+    "duplicate_passages",
     # flagship: a fresh row EVERY round, whatever else rotates
     "wordcount",
     # newly registered this round (O4/O5 sink coverage + curation ops)
