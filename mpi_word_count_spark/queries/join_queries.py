@@ -75,3 +75,49 @@ def q_lineitem_part_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lineitems"),
         F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
     )
+
+
+@register(
+    "bucketed_revenue_by_status",
+    oracle="""
+    SELECT o.o_orderstatus,
+           count(*) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def q_bucketed_revenue_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join — the write-once/join-many
+    layout that removes the fact-fact shuffle entirely at 100 TB:
+    both sides are written `bucketBy(16, orderkey).sortBy(orderkey)`,
+    so the SortMergeJoin reads pre-hashed, pre-sorted buckets and no
+    Exchange feeds it (asserted with broadcast disabled in
+    tests/test_connectors_bucketing.py::test_bucketed_join_eliminates_shuffle;
+    at this fixture scale AQE may legitimately pick a broadcast join
+    instead — also shuffle-free, and bucketing takes over when the
+    dimension side outgrows the broadcast threshold). The roundtrip
+    through the warehouse tables is lossless, so the oracle joins the
+    source tables directly."""
+    import os as _os
+
+    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    ot, lt = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    orders = table(spark, "orders", sf_dir).select("o_orderkey", "o_orderstatus")
+    li = table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders.write.mode("overwrite").bucketBy(16, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).saveAsTable(ot)
+    li.write.mode("overwrite").bucketBy(16, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).saveAsTable(lt)
+    o, l = spark.table(ot), spark.table(lt)
+    joined = l.join(o, l["l_orderkey"] == o["o_orderkey"])
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )

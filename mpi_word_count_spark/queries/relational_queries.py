@@ -415,6 +415,47 @@ def order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- RANGE-interval window frame ------------------------------------------
+@register(
+    "trailing_week_revenue",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           round(sum(l_extendedprice) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate ASC
+               RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+           ), 2) AS trailing_7d_revenue
+    FROM lineitem
+    """,
+)
+def trailing_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (vs running_revenue_per_supplier's
+    ROWS frame): each lineitem's trailing-7-day supplier revenue.
+
+    RANGE frames aggregate over a VALUE interval, so peers with equal
+    sort keys are all in-frame and no unique tiebreaker is needed —
+    the frame is [shipdate − 7d, shipdate] regardless of row order
+    among ties. Spark's rangeBetween needs a numeric sort key;
+    whole-second epoch is exact for midnight-aligned ship dates and
+    −604800..0 reproduces the inclusive interval frame bit-for-bit.
+    One shuffle on l_suppkey, the same exchange profile as any
+    per-key window at 100 TB."""
+    li = table(spark, "lineitem", sf_dir)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(F.unix_timestamp("l_shipdate").cast("long"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_extendedprice").over(w), 2).alias(
+            "trailing_7d_revenue"
+        ),
+    )
+
+
 # --- rollup / cube --------------------------------------------------------
 @register(
     "orders_rollup",

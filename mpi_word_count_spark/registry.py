@@ -98,6 +98,8 @@ _PRIORITY = [
     "user_event_funnel",
     "session_concurrency_hourly",
     "duplicate_passages",
+    "trailing_week_revenue",
+    "bucketed_revenue_by_status",
     # flagship: a fresh row EVERY round, whatever else rotates
     "wordcount",
     # newly registered this round (O4/O5 sink coverage + curation ops)

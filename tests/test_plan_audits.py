@@ -154,3 +154,41 @@ def test_ann_partitioned_layout_uses_dynamic_partition_pruning(spark):
     assert "dynamicpruning" in plan
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert any("bucket" in ln and "dynamicpruning" in ln for ln in pf)
+
+
+def test_funnel_single_user_exchange(spark):
+    # the three chained step minima must reuse ONE user_id exchange:
+    # tree = user shuffle + per-user collapse reuse + 1-row final agg
+    # (plus the widen exchange at the scan). A plan that re-shuffles
+    # per step would show an Exchange per window pass.
+    plan = plan_of(spark, "user_event_funnel")
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("hashpartitioning(user_id") <= 1, tree
+    assert "CartesianProduct" not in plan
+
+
+def test_concurrency_sweep_has_no_overlap_join(spark):
+    # the sweep-line must never materialize the sessions-x-hours
+    # overlap join the oracle runs — spine join is an equi-join on h
+    plan = plan_of(spark, "session_concurrency_hourly")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_duplicate_passages_single_hash_shuffle(spark):
+    # tokenize/window/md5 are narrow; the only non-widen exchanges
+    # carry the 16-byte passage hash (partial agg before each)
+    plan = plan_of(spark, "duplicate_passages")
+    tree = plan.split("(1) Scan")[0]
+    for line in tree.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "passage_hash" in line, line
+    assert "Generate" in plan  # explode, not a join fan-out
+    assert "CartesianProduct" not in plan
+
+
+def test_trailing_week_range_frame_single_shuffle(spark):
+    plan = plan_of(spark, "trailing_week_revenue")
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("Exchange") <= 2  # supplier shuffle (+ widen)
+    assert "RangeFrame" in plan  # a value frame, not a ROWS frame
