@@ -426,3 +426,127 @@ def q_lineitem_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "metric")
     )
+
+
+@register(
+    "scd2_customer_upsert",
+    oracle="""
+    WITH batch AS (
+        -- deterministic change batch derived from the fixture itself:
+        -- every 10th customer gets a +100.00 balance restatement, and
+        -- five brand-new keys arrive past the current key ceiling
+        SELECT c_custkey, round(c_acctbal + 100.0, 2) AS new_acctbal
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT mx + i AS c_custkey, round(1000.0 + i, 2) AS new_acctbal
+        FROM (SELECT max(c_custkey) AS mx FROM customer),
+             unnest(generate_series(1, 5)) AS g(i)
+    )
+    SELECT c.c_custkey, round(c.c_acctbal, 2) AS c_acctbal,
+           1 AS version, (b.c_custkey IS NULL) AS is_current
+    FROM customer c LEFT JOIN batch b USING (c_custkey)
+    UNION ALL
+    SELECT b.c_custkey, b.new_acctbal AS c_acctbal,
+           CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 2 END AS version,
+           true AS is_current
+    FROM batch b LEFT JOIN customer c USING (c_custkey)
+    """,
+)
+def q_scd2_customer_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style SCD type-2 dimension maintenance without a
+    transactional table format: apply a change batch to the customer
+    dimension, closing the old version of updated keys and appending
+    the new version, inserting unseen keys at version 1.
+
+    One full-outer join on the dimension key does all three MERGE
+    branches (update/insert/unchanged) in a single pass — the
+    classic foreachBatch-upsert shape. Dimensions are small relative
+    to facts, so at 100 TB this is a broadcast or a single co-located
+    shuffle; the rewrite cost is dimension-sized, never fact-sized.
+    The change batch is derived deterministically from the fixture so
+    the oracle reconstructs it bit-for-bit."""
+    c = table(spark, "customer", sf_dir).select("c_custkey", "c_acctbal")
+    mx = c.agg(F.max("c_custkey").alias("mx"))
+    news = mx.select(
+        F.explode(F.sequence(F.lit(1), F.lit(5))).alias("i"), "mx"
+    ).select(
+        (F.col("mx") + F.col("i")).alias("c_custkey"),
+        F.round(1000.0 + F.col("i"), 2).alias("new_acctbal"),
+    )
+    batch = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey", F.round(F.col("c_acctbal") + 100.0, 2).alias("new_acctbal")
+        )
+        .unionAll(news)
+    )
+    merged = c.join(batch, "c_custkey", "full_outer")
+    old_versions = merged.filter(F.col("c_acctbal").isNotNull()).select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        F.lit(1).alias("version"),
+        F.col("new_acctbal").isNull().alias("is_current"),
+    )
+    new_versions = merged.filter(F.col("new_acctbal").isNotNull()).select(
+        "c_custkey",
+        F.col("new_acctbal").alias("c_acctbal"),
+        F.when(F.col("c_acctbal").isNull(), F.lit(1))
+        .otherwise(F.lit(2))
+        .alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    return old_versions.unionAll(new_versions)
+
+
+@register(
+    "events_rollup_cascade",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18, 6))) AS DECIMAL(24, 6))
+               AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate cascade (the materialized-view rollup
+    pattern): minute-level partial aggregates re-aggregate to hours,
+    hours to days — the day result NEVER rescans raw events.
+
+    This is how 100 TB rollups stay cheap: the finest grain is
+    computed once and every coarser grain merges kilobyte aggregate
+    rows (counts add; sums add). Exactness under re-association is
+    guaranteed by DECIMAL accumulation — double sums would drift with
+    the merge order, which is precisely what this query exists to
+    prove safe. The oracle aggregates raw events directly at day
+    grain: cascade == direct is the mergeability proof."""
+    e = table(spark, "events", sf_dir).select(
+        F.date_trunc("minute", "ts").alias("minute"),
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("value"),
+    )
+    by_minute = e.groupBy("minute", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value")
+    )
+    by_hour = (
+        by_minute.withColumn("hour", F.date_trunc("hour", "minute"))
+        .groupBy("hour", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_value").alias("total_value"),
+        )
+    )
+    by_day = (
+        by_hour.withColumn("day", F.date_trunc("day", "hour"))
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_value").alias("total_value"),
+        )
+    )
+    return by_day.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n_events",
+        F.col("total_value").cast("decimal(24,6)").alias("total_value"),
+    )

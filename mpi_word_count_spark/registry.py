@@ -100,6 +100,8 @@ _PRIORITY = [
     "duplicate_passages",
     "trailing_week_revenue",
     "bucketed_revenue_by_status",
+    "scd2_customer_upsert",
+    "events_rollup_cascade",
     # flagship: a fresh row EVERY round, whatever else rotates
     "wordcount",
     # newly registered this round (O4/O5 sink coverage + curation ops)
