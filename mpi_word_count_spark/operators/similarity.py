@@ -533,6 +533,97 @@ def ann_pq_topk(
     )
 
 
+def ann_ivfpq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    kmeans_iters: int = 5,
+    m: int = 8,
+    n_codes: int = 8,
+    pq_iters: int = 3,
+    rerank: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """IVF-PQ: the FAISS-standard combination — the coarse quantizer
+    prunes WHICH vectors are scanned (queries probe `nprobe` inverted
+    lists), PQ codes shrink WHAT is read per scanned vector (m bytes
+    instead of dim floats), and the top `rerank` ADC candidates
+    re-rank by exact cosine.
+
+    Both compressions multiply at 100 TB: nprobe/n_clusters of the
+    corpus × m/(4·dim) of the bytes. Candidate generation is the same
+    equi-join on cluster id as IVF-flat, so the corpus shuffles never
+    — lists are a write-time layout (cf. ann_lsh_partitioned).
+    Simplification vs FAISS: codes encode RAW vectors, not per-list
+    residuals (residual codebooks would train n_clusters×m k-means
+    runs and multiply driver state; the exact re-rank already bounds
+    the recall cost of the coarser quantization, and determinism — the
+    whole-pipeline oracle — is preserved).
+    """
+    centroids = kmeans_centroids(
+        vectors, k=n_clusters, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
+    )
+    books = pq_codebooks(vectors, m, n_codes, pq_iters, id_col, vec_col, dim)
+    coded = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_codes_col(F.col(vec_col), books, dim).alias("codes"),
+        nearest_centroid_col(F.col(vec_col), centroids).alias("_cluster"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(
+            probe_centroids_col(F.col(vec_col), centroids, nprobe)
+        ).alias("_cluster"),
+    )
+    adc = (
+        coded.join(F.broadcast(q), "_cluster")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(
+                _adc_sq_dist(F.col("q_vec"), F.col("codes"), books, dim), 6
+            ).alias("adc"),
+        )
+    )
+    cands = topk_per_group(
+        adc, ["q_id"], [F.asc("adc"), F.asc("neighbor_id")], k=rerank,
+        rank_col="_rn",
+    ).select("q_id", "neighbor_id")
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("n_vec"),
+        norm(F.col(vec_col)).alias("n_norm"),
+    )
+    qn = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec2"),
+        norm(F.col(vec_col)).alias("q_norm"),
+    )
+    scored = (
+        cands.join(v, "neighbor_id")
+        .join(F.broadcast(qn), "q_id")
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("q_vec2"), F.col("n_vec"))
+                / (F.col("q_norm") * F.col("n_norm")),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    return topk_per_group(
+        scored, ["q_id"], [F.desc("cosine"), F.asc("neighbor_id")], k=k,
+        rank_col="rank",
+    )
+
+
 def semantic_dedup(
     vectors: DataFrame,
     threshold: float = 0.35,

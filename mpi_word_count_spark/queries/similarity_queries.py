@@ -275,13 +275,13 @@ PQ_RERANK = 25
 PQ_SUB = IVF_DIM // PQ_M
 
 
-def _pq_oracle() -> str:
-    """Unrolls the per-subspace Lloyd's k-means (same deterministic
-    construction as _ivf_oracle, on list slices), then replicates PQ
-    encode → ADC ranking (round 6) → top-RERANK candidates → exact
-    cosine re-rank. Squared distance via pow(list_distance, 2) differs
-    from the direct sum of squares only in last-bit float drift, far
-    inside the round-6 guard."""
+def _pq_subspace_parts() -> tuple[list[str], list[str], list[str], str]:
+    """Shared SQL fragments for the PQ family: per-subspace unrolled
+    Lloyd's trainings + encodings (`parts`), the code{s} joins and
+    selected centroid columns for the reconstructed-vector CTE
+    (`vcent_joins`, `vcent_cols`), and the per-subspace ADC distance
+    terms (`adc_terms`). Composed by _pq_oracle (full-corpus ADC scan)
+    and _ivfpq_oracle (ADC restricted to probed IVF lists)."""
     parts = []
     vcent_joins = []
     adc_terms = []
@@ -337,6 +337,17 @@ def _pq_oracle() -> str:
             f"pow(list_distance(q.embedding[{lo}:{hi}]::DOUBLE[], w.v{s}), 2)"
         )
     vcent_cols = ", ".join(f"k{s}.vec AS v{s}" for s in range(PQ_M))
+    return parts, vcent_joins, adc_terms, vcent_cols
+
+
+def _pq_oracle() -> str:
+    """Unrolls the per-subspace Lloyd's k-means (same deterministic
+    construction as _ivf_oracle, on list slices), then replicates PQ
+    encode → ADC ranking (round 6) → top-RERANK candidates → exact
+    cosine re-rank. Squared distance via pow(list_distance, 2) differs
+    from the direct sum of squares only in last-bit float drift, far
+    inside the round-6 guard."""
+    parts, vcent_joins, adc_terms, vcent_cols = _pq_subspace_parts()
     return f"""
     WITH subdims AS (SELECT unnest(range(1, {PQ_SUB + 1})) AS i),
     {",".join(parts)},
@@ -393,6 +404,91 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=PQ_M,
         n_codes=PQ_K,
         iters=PQ_ITERS,
+        rerank=PQ_RERANK,
+        dim=IVF_DIM,
+    )
+
+
+def _ivfpq_oracle() -> str:
+    """Composes the two unrolled trainings: the IVF corpus/probe CTEs
+    (_kmeans_corpus_ctes) restrict the ADC scan to the nprobe probed
+    lists, and the PQ subspace CTEs (_pq_subspace_parts) supply the
+    reconstructed-centroid distances — then top-RERANK → exact cosine
+    re-rank, identical to the Spark operator stage for stage."""
+    parts, vcent_joins, adc_terms, vcent_cols = _pq_subspace_parts()
+    last = f"c{IVF_ITERS}"
+    return f"""
+    WITH {_kmeans_corpus_ctes()},
+    subdims AS (SELECT unnest(range(1, {PQ_SUB + 1})) AS i),
+    {",".join(parts)},
+    probes AS (
+        SELECT vec_id, embedding, c AS cluster FROM (
+            SELECT e.vec_id, e.embedding, t.c,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.embedding::DOUBLE[], t.vec) ASC,
+                                t.c ASC
+                   ) AS rn
+            FROM embeddings e CROSS JOIN {last} t
+            WHERE e.vec_id < {N_QUERIES}
+        ) WHERE rn <= {IVF_NPROBE}
+    ),
+    vcent AS (
+        SELECT v.vec_id, co.cluster, {vcent_cols}
+        FROM embeddings v
+        JOIN corpus co ON co.vec_id = v.vec_id
+        {" ".join(vcent_joins)}
+    ),
+    adc AS (
+        SELECT q.vec_id AS q_id, w.vec_id AS neighbor_id,
+               round({" + ".join(adc_terms)}, 6) AS adc
+        FROM probes q JOIN vcent w
+          ON q.cluster = w.cluster AND w.vec_id <> q.vec_id
+    ),
+    cands AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY adc ASC, neighbor_id ASC
+            ) AS rn FROM adc
+        ) WHERE rn <= {PQ_RERANK}
+    ),
+    scored AS (
+        SELECT c.q_id, c.neighbor_id,
+               round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                            v.embedding::DOUBLE[]), 4) AS cosine
+        FROM cands c
+        JOIN embeddings q ON q.vec_id = c.q_id
+        JOIN embeddings v ON v.vec_id = c.neighbor_id
+    )
+    SELECT q_id, neighbor_id, cosine, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@register("ann_ivfpq", oracle=_ivfpq_oracle())
+def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: coarse quantizer prunes which vectors are scanned,
+    PQ codes shrink what is read per vector, exact cosine re-rank on
+    the top-25 — the FAISS-standard combination, deterministic end to
+    end, so the whole two-level training + probe + ADC + re-rank
+    pipeline is value-hash-verified against one SQL statement."""
+    from mpi_word_count_spark.operators.similarity import ann_ivfpq_topk
+
+    emb = table(spark, "embeddings", sf_dir)
+    return ann_ivfpq_topk(
+        emb,
+        _queries_df(spark, sf_dir),
+        k=TOP_K,
+        n_clusters=IVF_CLUSTERS,
+        nprobe=IVF_NPROBE,
+        kmeans_iters=IVF_ITERS,
+        m=PQ_M,
+        n_codes=PQ_K,
+        pq_iters=PQ_ITERS,
         rerank=PQ_RERANK,
         dim=IVF_DIM,
     )

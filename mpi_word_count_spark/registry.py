@@ -102,6 +102,7 @@ _PRIORITY = [
     "bucketed_revenue_by_status",
     "scd2_customer_upsert",
     "events_rollup_cascade",
+    "ann_ivfpq",
     # flagship: a fresh row EVERY round, whatever else rotates
     "wordcount",
     # newly registered this round (O4/O5 sink coverage + curation ops)

@@ -363,3 +363,26 @@ def test_doc_chunks_udtf_twin_matches_builtin(spark):
     }
     assert builtin == via_udtf
     assert len(builtin) > 0
+
+
+def test_ivfpq_recall_vs_bruteforce(spark):
+    from pyspark.sql import functions as F
+
+    from mpi_word_count_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        ann_ivfpq_topk,
+    )
+    from mpi_word_count_spark.tables import table
+    from tests.conftest import SF_DIR
+
+    emb = table(spark, "embeddings", SF_DIR)
+    q = emb.filter(F.col("vec_id") < 10)
+    bf = ann_bruteforce_topk(emb, q, k=5).collect()
+    pq = ann_ivfpq_topk(emb, q, k=5).collect()
+    bf_pairs = {(r["q_id"], r["neighbor_id"]) for r in bf}
+    pq_pairs = {(r["q_id"], r["neighbor_id"]) for r in pq}
+    # double approximation (list pruning AND code quantization) —
+    # bounded below by the coarser of the two single approximations'
+    # floors, and exact re-rank keeps it near IVF-flat in practice
+    recall = len(bf_pairs & pq_pairs) / len(bf_pairs)
+    assert recall >= 0.5, recall
