@@ -100,9 +100,19 @@ def q_bucketed_revenue_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the warehouse tables is lossless, so the oracle joins the
     source tables directly."""
     import os as _os
+    import shutil as _shutil
+    from urllib.parse import urlparse as _urlparse
 
     tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     ot, lt = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    # the warehouse DIRECTORY outlives the in-memory catalog: a fresh
+    # session would hit LOCATION_ALREADY_EXISTS on saveAsTable, so drop
+    # both the catalog entry and any orphaned location first
+    wh = _urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    for t in (ot, lt):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        if wh.scheme in ("file", ""):
+            _shutil.rmtree(_os.path.join(wh.path, t), ignore_errors=True)
     orders = table(spark, "orders", sf_dir).select("o_orderkey", "o_orderstatus")
     li = table(spark, "lineitem", sf_dir).select(
         "l_orderkey", "l_extendedprice", "l_discount"
@@ -120,4 +130,34 @@ def q_bucketed_revenue_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
+    )
+
+
+@register(
+    "salted_segment_revenue",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manually salted skew join (operators/skew.salted_join): the
+    fact side spreads each key over 8 salt buckets, the dimension
+    replicates 8×, the join runs on (key, salt) — the fix for hot
+    keys AQE can't see (derived keys with no stats) or build sides
+    just over the broadcast threshold. Salting is pure plumbing:
+    result is row-identical to the plain join the oracle runs
+    (equivalence also locked under synthetic 50%-hot-key skew in
+    tests/test_connectors_bucketing.py)."""
+    from mpi_word_count_spark.operators.skew import salted_join
+
+    o = table(spark, "orders", sf_dir).select("o_custkey", "o_totalprice")
+    c = table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    joined = salted_join(o, c, "o_custkey", "c_custkey", salt_buckets=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )

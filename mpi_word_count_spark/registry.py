@@ -103,6 +103,7 @@ _PRIORITY = [
     "scd2_customer_upsert",
     "events_rollup_cascade",
     "ann_ivfpq",
+    "salted_segment_revenue",
     # flagship: a fresh row EVERY round, whatever else rotates
     "wordcount",
     # newly registered this round (O4/O5 sink coverage + curation ops)

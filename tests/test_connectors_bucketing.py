@@ -253,3 +253,27 @@ def test_zorder_partition_pruning_on_2d_box(spark, tmp_path):
     expect = sorted(r["event_id"] for r in ev.filter(box).collect())
     got = sorted(r["event_id"] for r in pruned.collect())
     assert got == expect and len(got) > 0
+
+
+def test_salted_join_matches_plain_join_under_skew(spark):
+    """salted_join must be row-identical to the plain join (salting is
+    pure plumbing) and must spread a hot key: 200k facts where one key
+    holds half the rows, dim of 1001 keys."""
+    from mpi_word_count_spark.operators.skew import salted_join
+
+    n = 200_000
+    fact = spark.range(n).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 0 ELSE 1 + id % 1000 END AS fk",
+        "id AS payload",
+    )
+    dim = spark.range(1001).selectExpr("id AS dk", "concat('d', id) AS label")
+    plain = fact.join(dim, fact["fk"] == dim["dk"]).select("fk", "payload", "label")
+    salted = salted_join(fact, dim, "fk", "dk", salt_buckets=8).select(
+        "fk", "payload", "label"
+    )
+    assert salted.count() == plain.count() == n
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+    # structural claim: the fact-side exchange carries (key, salt)
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
