@@ -659,3 +659,35 @@ def make_doc_chunks_udtf(chunk_size: int = 120, stride: int = 60):
                 )
 
     return DocChunksUDTF
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-unigram-LM quality score (the CCNet-style filter): train
+    p(w) = count(w)/N on the corpus itself, score each document by the
+    mean token ln p(w). Low scorers are boilerplate/garbage (rare-token
+    soup); implausibly high scorers are stopword soup — both tails get
+    cut by a downstream filter.
+
+    Shape at 100 TB: one tokenize pass feeds BOTH the vocabulary
+    aggregation and the scoring join; the vocab is Zipf-concentrated
+    so the token equi-join is the same shuffle profile as the word
+    count itself, and N is a 1-row broadcast. No Python, no UDFs —
+    ln is JVM codegen."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = vocab.agg(F.sum("c").alias("n_total"))
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("c") / F.col("n_total"))), 4).alias(
+                "avg_logprob"
+            ),
+        )
+    )

@@ -602,3 +602,32 @@ def q_seq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-length (no libm log2), share via window over the bucket
     aggregate. The pre-training sequence-length/packing chart."""
     return seq_length_histogram(table(spark, "documents", sf_dir))
+
+
+@register(
+    "unigram_logprob_scores",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '{sql_regex()}'),
+                                  x -> x <> '')) AS tok
+        FROM documents
+    ), vocab AS (
+        SELECT tok, count(*) AS c FROM toks GROUP BY tok
+    ), tot AS (
+        SELECT sum(c) AS n_total FROM vocab
+    )
+    SELECT t.doc_id, count(*) AS n_tokens,
+           round(avg(ln(v.c / tot.n_total)), 4) AS avg_logprob
+    FROM toks t JOIN vocab v USING (tok), tot
+    GROUP BY t.doc_id
+    """,
+)
+def q_unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM document quality scores trained on the corpus
+    itself (operators/textanalysis.unigram_logprob) — the CCNet-style
+    perplexity-proxy filter; both tails (rare-token soup, stopword
+    soup) are cut downstream."""
+    from mpi_word_count_spark.operators.textanalysis import unigram_logprob
+
+    return unigram_logprob(table(spark, "documents", sf_dir))

@@ -104,6 +104,7 @@ _PRIORITY = [
     "events_rollup_cascade",
     "ann_ivfpq",
     "salted_segment_revenue",
+    "unigram_logprob_scores",
     # flagship: a fresh row EVERY round, whatever else rotates
     "wordcount",
     # newly registered this round (O4/O5 sink coverage + curation ops)
