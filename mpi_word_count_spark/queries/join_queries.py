@@ -161,3 +161,95 @@ def q_salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+@register(
+    "overlapping_order_pairs",
+    oracle="""
+    WITH iv AS (
+        SELECT o.o_custkey AS custkey, o.o_orderkey AS okey,
+               o.o_orderdate AS s, m.e
+        FROM orders o
+        JOIN (SELECT l_orderkey, max(l_shipdate) AS e
+              FROM lineitem GROUP BY 1) m
+          ON m.l_orderkey = o.o_orderkey
+        WHERE m.e >= o.o_orderdate
+    )
+    SELECT a.custkey, a.okey AS okey_a, b.okey AS okey_b,
+           CAST(date_diff('day', greatest(a.s, b.s), least(a.e, b.e)) + 1
+                AS BIGINT) AS overlap_days
+    FROM iv a JOIN iv b
+      ON a.custkey = b.custkey AND a.okey < b.okey
+     AND a.s <= b.e AND b.s <= a.e
+    """,
+)
+def q_overlapping_order_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP pair join (interval×interval — the shape
+    range_join's point-in-interval bucketing doesn't cover): pairs of
+    the same customer's orders whose fulfillment windows
+    [orderdate, max shipdate] overlap, with the overlap length.
+
+    Scale path: each interval explodes into its covering month tiles
+    and candidates equi-join on (customer, tile) — fan-out is bounded
+    by interval length in months, never |orders|². A pair sharing
+    several tiles is emitted exactly once WITHOUT a distinct: only
+    the canonical tile — the month of the later interval start, which
+    both intervals provably cover — passes the filter, so no dedup
+    shuffle exists. The oracle runs the direct overlap self-join as
+    the semantic spec."""
+    li_end = (
+        table(spark, "lineitem", sf_dir)
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("e"))
+    )
+    o = table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    iv = (
+        o.join(li_end, o["o_orderkey"] == li_end["l_orderkey"])
+        .filter(F.col("e") >= F.col("o_orderdate"))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderdate").alias("s"),
+            "e",
+        )
+    )
+    tiles = iv.withColumn(
+        "tile",
+        F.explode(
+            F.sequence(
+                F.date_trunc("month", "s"),
+                F.date_trunc("month", "e"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ),
+    )
+    a = tiles.alias("a")
+    b = tiles.alias("b")
+    canonical = F.date_trunc(
+        "month", F.greatest(F.col("a.s"), F.col("b.s"))
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.custkey") == F.col("b.custkey"))
+        & (F.col("a.tile") == F.col("b.tile"))
+        & (F.col("a.okey") < F.col("b.okey"))
+        & (F.col("a.s") <= F.col("b.e"))
+        & (F.col("b.s") <= F.col("a.e"))
+        & (F.col("a.tile") == canonical),
+    )
+    return pairs.select(
+        F.col("a.custkey").alias("custkey"),
+        F.col("a.okey").alias("okey_a"),
+        F.col("b.okey").alias("okey_b"),
+        (
+            F.datediff(
+                F.least(F.col("a.e"), F.col("b.e")),
+                F.greatest(F.col("a.s"), F.col("b.s")),
+            )
+            + 1
+        )
+        .cast("bigint")
+        .alias("overlap_days"),
+    )

@@ -105,6 +105,7 @@ _PRIORITY = [
     "ann_ivfpq",
     "salted_segment_revenue",
     "unigram_logprob_scores",
+    "overlapping_order_pairs",
     # flagship: a fresh row EVERY round, whatever else rotates
     "wordcount",
     # newly registered this round (O4/O5 sink coverage + curation ops)

@@ -192,3 +192,14 @@ def test_trailing_week_range_frame_single_shuffle(spark):
     tree = plan.split("(1) Scan")[0]
     assert tree.count("Exchange") <= 2  # supplier shuffle (+ widen)
     assert "RangeFrame" in plan  # a value frame, not a ROWS frame
+
+
+def test_overlap_pairs_tiled_equi_join(spark):
+    # interval-overlap must ride the (customer, tile) equi-join with
+    # the canonical-tile filter — no theta-join fallback and no
+    # dedup aggregate (the canonical tile makes pairs unique for free)
+    plan = plan_of(spark, "overlapping_order_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    tree = plan.split("(1) Scan")[0]
+    assert "HashAggregate" not in tree or "partial_max" in plan  # only the max(l_shipdate) agg
