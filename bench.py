@@ -60,6 +60,11 @@ HEADLINE = [
     "incremental_minhash_dups",
     "cms_word_counts",
     "bloom_prefilter_stats",
+    "duplicate_passages",
+    "unigram_logprob_scores",
+    "ann_ivfpq",
+    "session_concurrency_hourly",
+    "overlapping_order_pairs",
 ]
 
 
