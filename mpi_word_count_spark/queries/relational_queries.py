@@ -773,7 +773,11 @@ def user_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, session_id, min(ts) AS s, max(ts) AS e
         FROM numbered GROUP BY user_id, session_id
     ), bounds AS (
-        SELECT date_trunc('hour', min(s)) AS h0,
+        -- spine: first possibly-active boundary (min ceil-hour of the
+        -- starts) .. last one (trunc-hour of the max end); earlier
+        -- hours are identically zero
+        SELECT min(CASE WHEN s = date_trunc('hour', s) THEN s
+                        ELSE date_trunc('hour', s) + INTERVAL 1 HOUR END) AS h0,
                date_trunc('hour', max(e)) AS h1
         FROM sessions
     ), hours AS (
@@ -809,20 +813,34 @@ def session_concurrency_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # +1 at ceil_hour(s): the first boundary h with s <= h
     # -1 at floor_hour(e) + 1h: the first boundary h with e < h
+    # BOTH boundary rows come from ONE explode over the session row —
+    # a union of two selects would re-run the whole sessionization per
+    # branch (verified in the plan: two scans + two user_id exchanges)
     floor_s = F.date_trunc("hour", F.col("s"))
     start_at = F.when(floor_s == F.col("s"), floor_s).otherwise(
         floor_s + F.expr("INTERVAL 1 HOUR")
     )
     end_at = F.date_trunc("hour", F.col("e")) + F.expr("INTERVAL 1 HOUR")
-    deltas = (
-        sess.select(start_at.alias("h"), F.lit(1).alias("d"))
-        .unionAll(sess.select(end_at.alias("h"), F.lit(-1).alias("d")))
-        .groupBy("h")
-        .agg(F.sum("d").alias("delta"))
-    )
-    bounds = sess.agg(
-        F.date_trunc("hour", F.min("s")).alias("h0"),
-        F.date_trunc("hour", F.max("e")).alias("h1"),
+    boundary = sess.select(
+        F.explode(
+            F.array(
+                F.struct(start_at.alias("h"), F.lit(1).alias("d")),
+                F.struct(end_at.alias("h"), F.lit(-1).alias("d")),
+            )
+        ).alias("x")
+    ).select("x.h", "x.d")
+    deltas = boundary.groupBy("h").agg(F.sum("d").alias("delta"))
+    # spine bounds come from RAW events, not the session table:
+    # min(session start) == min(ts) and max(session end) == max(ts)
+    # by construction (ceil is monotonic, so min(ceil(s)) == ceil(min
+    # ts)) — a scan-only 1-row aggregate the parquet min/max footer
+    # stats can answer, instead of a second sessionization pass
+    floor_min = F.date_trunc("hour", F.min("ts"))
+    bounds = e.agg(
+        F.when(floor_min == F.min("ts"), floor_min)
+        .otherwise(floor_min + F.expr("INTERVAL 1 HOUR"))
+        .alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
     )
     spine = bounds.select(
         F.explode(
