@@ -481,21 +481,33 @@ def q_scd2_customer_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(news)
     )
     merged = c.join(batch, "c_custkey", "full_outer")
-    old_versions = merged.filter(F.col("c_acctbal").isNotNull()).select(
-        "c_custkey",
-        F.round("c_acctbal", 2).alias("c_acctbal"),
-        F.lit(1).alias("version"),
-        F.col("new_acctbal").isNull().alias("is_current"),
+    # emit the (up to) two output versions of each key from ONE pass
+    # over the joined row — a union of two filtered selects would run
+    # the full-outer join once per branch
+    old_v = F.when(
+        F.col("c_acctbal").isNotNull(),
+        F.struct(
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            F.lit(1).alias("version"),
+            F.col("new_acctbal").isNull().alias("is_current"),
+        ),
     )
-    new_versions = merged.filter(F.col("new_acctbal").isNotNull()).select(
-        "c_custkey",
-        F.col("new_acctbal").alias("c_acctbal"),
-        F.when(F.col("c_acctbal").isNull(), F.lit(1))
-        .otherwise(F.lit(2))
-        .alias("version"),
-        F.lit(True).alias("is_current"),
+    new_v = F.when(
+        F.col("new_acctbal").isNotNull(),
+        F.struct(
+            F.col("new_acctbal").alias("c_acctbal"),
+            F.when(F.col("c_acctbal").isNull(), F.lit(1))
+            .otherwise(F.lit(2))
+            .alias("version"),
+            F.lit(True).alias("is_current"),
+        ),
     )
-    return old_versions.unionAll(new_versions)
+    return merged.select(
+        "c_custkey",
+        F.explode(
+            F.filter(F.array(old_v, new_v), lambda x: x.isNotNull())
+        ).alias("r"),
+    ).select("c_custkey", "r.c_acctbal", "r.version", "r.is_current")
 
 
 @register(
