@@ -219,21 +219,30 @@ def kmeans_centroids(
     # any corpus size the (id-free) vector column is the cheapest
     # thing to keep in executor memory across the iterations
     v = vectors.select(F.col(vec_col).alias("_vec")).persist()
+    dim = len(centroids[0])
     try:
         for _ in range(iters):
             assigned = v.withColumn(
                 "_cluster", nearest_centroid_col(F.col("_vec"), centroids)
             )
+            # per-dimension avg as dim aggregate columns over ONE
+            # groupBy — the posexplode → groupBy(cluster,pos) →
+            # re-collect formulation costs a second exchange per
+            # Lloyd round for identical arithmetic
             means = (
-                assigned.select("_cluster", F.posexplode("_vec").alias("_pos", "_x"))
-                .groupBy("_cluster", "_pos")
-                .agg(F.avg("_x").alias("_m"))
-                .groupBy("_cluster")
-                .agg(F.array_sort(F.collect_list(F.struct("_pos", "_m"))).alias("_ms"))
-                .select("_cluster", F.transform("_ms", lambda s: s["_m"]).alias("_mean"))
+                assigned.groupBy("_cluster")
+                .agg(
+                    *[
+                        F.avg(F.element_at("_vec", i + 1)).alias(f"_m{i}")
+                        for i in range(dim)
+                    ]
+                )
                 .collect()
             )
-            by_cluster = {row["_cluster"]: list(row["_mean"]) for row in means}
+            by_cluster = {
+                row["_cluster"]: [row[f"_m{i}"] for i in range(dim)]
+                for row in means
+            }
             # empty clusters keep their previous centroid
             centroids = [by_cluster.get(c, centroids[c]) for c in range(k)]
     finally:
@@ -405,22 +414,96 @@ def pq_codebooks(
     dim: int = EMBED_DIM,
 ) -> list[list[list[float]]]:
     """Per-subspace k-means codebooks (m subspaces × n_codes centroids
-    × dim/m floats). Deterministic: each subspace trains the same
+    × dim/m floats). Deterministic: every subspace trains the same
     id-ordered-init Lloyd's as the IVF coarse quantizer, on the SLICED
-    vectors. Driver holds m·n_codes·(dim/m) = dim·n_codes floats."""
+    vectors. Driver holds m·n_codes·(dim/m) = dim·n_codes floats.
+
+    All m trainings run BATCHED: the corpus explodes once into
+    (subspace, slice) rows and every Lloyd round is ONE distributed
+    pass — assignment picks each row's centroid set out of a 3-level
+    literal by subspace id, means aggregate per (subspace, cluster,
+    position). Training sequentially cost m×(iters+1) collect-loop
+    jobs (measured 13.7s for ann_ivfpq's 8 subspaces at sf0.1, the
+    bench's slowest stage); batched it is 1 + iters jobs regardless
+    of m. Arithmetic per row is element-identical to the sequential
+    form (same zip_with fold, same array_min tie-break), so the
+    unrolled SQL oracles are unaffected."""
     sub = dim // m
-    return [
-        kmeans_centroids(
-            vectors.select(
-                id_col, F.slice(F.col(vec_col), i * sub + 1, sub).alias(vec_col)
-            ),
-            k=n_codes,
-            iters=iters,
-            id_col=id_col,
-            vec_col=vec_col,
-        )
-        for i in range(m)
+    init_rows = (
+        vectors.orderBy(id_col).limit(n_codes).select(_as_double_list(vec_col)).collect()
+    )
+    full = [list(r["v"]) for r in init_rows]
+    if not full:
+        raise ValueError("pq_codebooks: empty vector input")
+    k = min(n_codes, len(full))
+    books = [
+        [full[j][s * sub : (s + 1) * sub] for j in range(k)] for s in range(m)
     ]
+    sliced = (
+        vectors.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("_s"),
+                            F.slice(F.col(vec_col), s * sub + 1, sub).alias(
+                                "_vec"
+                            ),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("_x")
+        )
+        .select("_x._s", "_x._vec")
+        .persist()
+    )
+    try:
+        for _ in range(iters):
+            cents_all = F.lit(
+                [[[float(x) for x in c] for c in bk] for bk in books]
+            )
+            my_books = F.element_at(cents_all, F.col("_s") + 1)
+            pairs = F.transform(
+                my_books,
+                lambda c, i: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("_vec"),
+                            c,
+                            lambda a, b: (a.cast("double") - b) ** 2,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    i.alias("c"),
+                ),
+            )
+            assigned = sliced.withColumn("_cluster", F.array_min(pairs)["c"])
+            means = (
+                assigned.groupBy("_s", "_cluster")
+                .agg(
+                    *[
+                        F.avg(F.element_at("_vec", i + 1)).alias(f"_m{i}")
+                        for i in range(sub)
+                    ]
+                )
+                .collect()
+            )
+            by_key = {
+                (row["_s"], row["_cluster"]): [
+                    row[f"_m{i}"] for i in range(sub)
+                ]
+                for row in means
+            }
+            # empty clusters keep their previous centroid
+            books = [
+                [by_key.get((s, c), books[s][c]) for c in range(k)]
+                for s in range(m)
+            ]
+    finally:
+        sliced.unpersist()
+    return books
 
 
 def pq_codes_col(
