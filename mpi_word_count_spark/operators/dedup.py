@@ -95,6 +95,7 @@ def passage_windows(
     text_col: str = "text",
     width: int = 20,
     stride: int = 1,
+    sample_mod: int = 1,
 ) -> DataFrame:
     """(doc_id, passage_hash) — md5 of every `width`-token window at
     `stride` token steps, the substring-dedup primitive (duplicated
@@ -105,11 +106,25 @@ def passage_windows(
     Narrow tokenize → slice → md5 → explode, no shuffle here; the
     shuffle happens at the caller's groupBy over 16-byte hashes whose
     volume is tokens/stride × 32 B regardless of document size.
-    `stride` > 1 trades boundary recall for a linear shuffle-volume
-    cut at cluster scale (a duplicated region ≥ width + stride − 1
-    tokens still always shares ≥ 1 window). Tokens materialize in
-    their own projection before the higher-order transform — see
-    shingles_from_tokens on why (no CSE through lambdas).
+
+    Two thinning knobs with DIFFERENT guarantees (contract locked in
+    tests/test_dedup.py::test_passage_windows_stride_contract):
+    - `stride` > 1 cuts volume linearly but is POSITIONAL: two copies
+      of a region share a window only when their offsets agree mod
+      stride — misaligned copies are invisible however long the
+      region. Use it only for within-corpus stats, not cross-doc
+      detection.
+    - `sample_mod` = p keeps windows whose hash ≡ 0 (mod p) — a
+      CONTENT-DEFINED 1/p sample (the CDC/winnowing idea): selection
+      depends on the window text alone, so every copy of a region
+      keeps the SAME windows regardless of alignment, and a shared
+      region is detected iff it contains ≥ 1 selected window
+      (P ≈ 1 − (1 − 1/p)^(L−width+1)). This is the knob that scales
+      cross-document passage dedup.
+
+    Tokens materialize in their own projection before the
+    higher-order transform — see shingles_from_tokens on why (no CSE
+    through lambdas).
     """
     from mpi_word_count_spark.operators import widen
 
@@ -123,7 +138,16 @@ def passage_windows(
     guarded = F.when(F.size("_toks") >= width, wins).otherwise(
         F.array().cast("array<string>")
     )
-    return toks.select("doc_id", F.explode(guarded).alias("passage_hash"))
+    out = toks.select("doc_id", F.explode(guarded).alias("passage_hash"))
+    if sample_mod > 1:
+        # content-defined thinning: first 8 hex chars as an unsigned
+        # 32-bit value, kept when ≡ 0 (mod p) — engine-portable
+        out = out.filter(
+            F.conv(F.substring("passage_hash", 1, 8), 16, 10).cast("bigint")
+            % sample_mod
+            == 0
+        )
+    return out
 
 
 def exact_dedup(

@@ -323,3 +323,52 @@ def test_incremental_minhash_signature_store_path(spark, tmp_path):
     release_caches()
     assert inline == via_store
     assert any(s == "dup_of_corpus" for _, _, s, _ in inline)
+
+
+def test_passage_windows_stride_contract(spark):
+    """The two thinning knobs have different guarantees. stride is
+    POSITIONAL: copies of a region share a strided window only when
+    their offsets agree mod stride (this test exhibits the misaligned
+    failure — writing the naive 'length >= width+stride-1 suffices'
+    claim as an assertion FAILED here and forced the docstring fix).
+    sample_mod is CONTENT-DEFINED: every copy keeps the same windows
+    regardless of alignment, so any shared region with a selected
+    window is detected."""
+    from mpi_word_count_spark.operators.dedup import passage_windows
+
+    w, stride = 4, 3
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    df = spark.createDataFrame(
+        [
+            (1, "one two " + shared + " nine ten"),   # region offset 2
+            (2, shared + " zulu yankee xray"),        # region offset 0
+        ],
+        "doc_id long, text string",
+    )
+    dense = {
+        (r["doc_id"], r["passage_hash"])
+        for r in passage_windows(df, width=w, stride=1).collect()
+    }
+    strided = {
+        (r["doc_id"], r["passage_hash"])
+        for r in passage_windows(df, width=w, stride=stride).collect()
+    }
+    assert strided <= dense
+    # positional stride misses the misaligned copy (offsets 2 vs 0,
+    # 2 % 3 != 0) no matter how long the region is
+    s1 = {h for d, h in strided if d == 1}
+    s2 = {h for d, h in strided if d == 2}
+    assert not (s1 & s2)
+    # content-defined sampling keeps IDENTICAL windows in both copies:
+    # the sampled shared set is exactly the dense shared set ∩ sample
+    sampled = {
+        (r["doc_id"], r["passage_hash"])
+        for r in passage_windows(df, width=w, sample_mod=2).collect()
+    }
+    assert sampled <= dense
+    d1 = {h for d, h in dense if d == 1}
+    d2 = {h for d, h in dense if d == 2}
+    m1 = {h for d, h in sampled if d == 1}
+    m2 = {h for d, h in sampled if d == 2}
+    assert 0 < len(m1 | m2) < len(d1 | d2)  # it actually thinned
+    assert m1 & m2 == (d1 & d2) & (m1 | m2)  # shared iff selected
