@@ -192,62 +192,61 @@ def kmeans_centroids(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_cap: int = 65536,
 ) -> list[list[float]]:
-    """Deterministic Lloyd's k-means over an embedding column.
+    """Deterministic Lloyd's k-means over an embedding column —
+    trained DRIVER-SIDE on a deterministic sample, the FAISS-standard
+    quantizer design: training never needs the full corpus, only a
+    representative sample, while ASSIGNMENT (the per-vector nearest
+    list) stays a distributed codegen expression in the callers.
 
-    Init = the k vectors with smallest ids (reproducible, no RNG).
-    Each iteration is one distributed pass: assignment is a pure
-    codegen'd expression (min over k literal-centroid distances — no
-    shuffle), mean recomputation is posexplode → groupBy(cluster, pos)
-    → avg (one shuffle of n·dim skinny rows). Only k·dim floats ever
-    reach the driver, so iterating is cheap at any corpus size.
+    Sample = the `train_cap` smallest-id vectors (TakeOrdered heap, no
+    shuffle; swap in a hash-sample for id-correlated corpora). Every
+    fixture corpus fits inside the cap, so the SQL oracles' unrolled
+    full-corpus trainings see the identical vector set and the whole
+    pipeline stays value-hash-verifiable. Init = k smallest ids, ties
+    in assignment break on lowest cluster id (argmin), empty clusters
+    keep their previous centroid — the same contract the distributed
+    formulation had, now at ~zero job latency (the per-iteration
+    driver loop previously cost 5-6 Spark jobs of pure scheduling/
+    analysis overhead — 8.6s at sf0.1 for 2000 vectors — and
+    dominated every k-means query in the bench).
     """
-    init = (
-        vectors.orderBy(id_col)
-        .limit(k)
-        .select(_as_double_list(vec_col))
+    import numpy as np
+
+    rows = (
+        vectors.select(F.col(id_col).alias("_id"), _as_double_list(vec_col))
+        .orderBy("_id")
+        .limit(train_cap)
         .collect()
     )
-    centroids = [row[0] for row in init]
-    if not centroids:
+    if not rows:
         raise ValueError("kmeans_centroids: empty vector input")
-    # tiny corpus: fewer vectors than requested clusters — every
-    # vector is its own centroid (the range(k) fallback below would
-    # otherwise index past the init list)
-    k = min(k, len(centroids))
-    # cache the iterate source: every Lloyd round re-reads it, and at
-    # any corpus size the (id-free) vector column is the cheapest
-    # thing to keep in executor memory across the iterations
-    v = vectors.select(F.col(vec_col).alias("_vec")).persist()
-    dim = len(centroids[0])
-    try:
-        for _ in range(iters):
-            assigned = v.withColumn(
-                "_cluster", nearest_centroid_col(F.col("_vec"), centroids)
-            )
-            # per-dimension avg as dim aggregate columns over ONE
-            # groupBy — the posexplode → groupBy(cluster,pos) →
-            # re-collect formulation costs a second exchange per
-            # Lloyd round for identical arithmetic
-            means = (
-                assigned.groupBy("_cluster")
-                .agg(
-                    *[
-                        F.avg(F.element_at("_vec", i + 1)).alias(f"_m{i}")
-                        for i in range(dim)
-                    ]
-                )
-                .collect()
-            )
-            by_cluster = {
-                row["_cluster"]: [row[f"_m{i}"] for i in range(dim)]
-                for row in means
-            }
-            # empty clusters keep their previous centroid
-            centroids = [by_cluster.get(c, centroids[c]) for c in range(k)]
-    finally:
-        v.unpersist()
-    return centroids
+    x = np.array([list(r["v"]) for r in rows], dtype=np.float64)
+    return _lloyd(x, k, iters)
+
+
+def _lloyd(x, k: int, iters: int) -> list[list[float]]:
+    """The shared driver-side Lloyd loop: init = first k rows (callers
+    pass id-ordered samples), direct Σ(a−b)² distances per cluster —
+    the same arithmetic shape as the SQL oracles' list_distance (the
+    expanded ||x||²−2x·c+||c||² form cancels catastrophically near
+    ties) — argmin ties on lowest cluster id, empty clusters keep
+    their previous centroid."""
+    import numpy as np
+
+    k = min(k, len(x))
+    cents = x[:k].copy()
+    for _ in range(iters):
+        d2 = np.stack(
+            [((x - cents[c]) ** 2).sum(axis=1) for c in range(k)], axis=1
+        )
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return [[float(v) for v in row] for row in cents]
 
 
 def _as_double_list(vec_col: str):
@@ -412,98 +411,32 @@ def pq_codebooks(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = EMBED_DIM,
+    train_cap: int = 65536,
 ) -> list[list[list[float]]]:
     """Per-subspace k-means codebooks (m subspaces × n_codes centroids
-    × dim/m floats). Deterministic: every subspace trains the same
-    id-ordered-init Lloyd's as the IVF coarse quantizer, on the SLICED
-    vectors. Driver holds m·n_codes·(dim/m) = dim·n_codes floats.
+    × dim/m floats), trained driver-side on the same deterministic
+    smallest-id sample as the coarse quantizer (see kmeans_centroids:
+    the FAISS design — quantizers train on a sample; ENCODING stays a
+    distributed expression). One collect total for all m subspace
+    trainings; fixture corpora fit inside the cap so the unrolled SQL
+    oracles train on the identical vector set. Driver holds
+    m·n_codes·(dim/m) = dim·n_codes floats of codebook."""
+    import numpy as np
 
-    All m trainings run BATCHED: the corpus explodes once into
-    (subspace, slice) rows and every Lloyd round is ONE distributed
-    pass — assignment picks each row's centroid set out of a 3-level
-    literal by subspace id, means aggregate per (subspace, cluster,
-    position). Training sequentially cost m×(iters+1) collect-loop
-    jobs (measured 13.7s for ann_ivfpq's 8 subspaces at sf0.1, the
-    bench's slowest stage); batched it is 1 + iters jobs regardless
-    of m. Arithmetic per row is element-identical to the sequential
-    form (same zip_with fold, same array_min tie-break), so the
-    unrolled SQL oracles are unaffected."""
-    sub = dim // m
-    init_rows = (
-        vectors.orderBy(id_col).limit(n_codes).select(_as_double_list(vec_col)).collect()
+    rows = (
+        vectors.select(F.col(id_col).alias("_id"), _as_double_list(vec_col))
+        .orderBy("_id")
+        .limit(train_cap)
+        .collect()
     )
-    full = [list(r["v"]) for r in init_rows]
-    if not full:
+    if not rows:
         raise ValueError("pq_codebooks: empty vector input")
-    k = min(n_codes, len(full))
-    books = [
-        [full[j][s * sub : (s + 1) * sub] for j in range(k)] for s in range(m)
+    x = np.array([list(r["v"]) for r in rows], dtype=np.float64)
+    sub = dim // m
+    return [
+        _lloyd(x[:, s * sub : (s + 1) * sub], n_codes, iters)
+        for s in range(m)
     ]
-    sliced = (
-        vectors.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(s).alias("_s"),
-                            F.slice(F.col(vec_col), s * sub + 1, sub).alias(
-                                "_vec"
-                            ),
-                        )
-                        for s in range(m)
-                    ]
-                )
-            ).alias("_x")
-        )
-        .select("_x._s", "_x._vec")
-        .persist()
-    )
-    try:
-        for _ in range(iters):
-            cents_all = F.lit(
-                [[[float(x) for x in c] for c in bk] for bk in books]
-            )
-            my_books = F.element_at(cents_all, F.col("_s") + 1)
-            pairs = F.transform(
-                my_books,
-                lambda c, i: F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("_vec"),
-                            c,
-                            lambda a, b: (a.cast("double") - b) ** 2,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ).alias("d"),
-                    i.alias("c"),
-                ),
-            )
-            assigned = sliced.withColumn("_cluster", F.array_min(pairs)["c"])
-            means = (
-                assigned.groupBy("_s", "_cluster")
-                .agg(
-                    *[
-                        F.avg(F.element_at("_vec", i + 1)).alias(f"_m{i}")
-                        for i in range(sub)
-                    ]
-                )
-                .collect()
-            )
-            by_key = {
-                (row["_s"], row["_cluster"]): [
-                    row[f"_m{i}"] for i in range(sub)
-                ]
-                for row in means
-            }
-            # empty clusters keep their previous centroid
-            books = [
-                [by_key.get((s, c), books[s][c]) for c in range(k)]
-                for s in range(m)
-            ]
-    finally:
-        sliced.unpersist()
-    return books
 
 
 def pq_codes_col(
