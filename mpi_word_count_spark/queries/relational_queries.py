@@ -862,3 +862,38 @@ def session_concurrency_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
         "active_sessions",
     )
+
+
+@register(
+    "events_variant_stats",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+               AS n_distinct_k,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through the Spark 4 VARIANT type:
+    parse_json ONCE into variant, typed extraction via
+    try_variant_get — the modern path for schema-on-read columns
+    (vs events_json_buckets' per-path get_json_object string walks:
+    variant parses the document a single time into a binary encoding
+    and every subsequent path access is an O(fields) lookup, the
+    difference between 1 and N parses when N paths are read at
+    100 TB)."""
+    e = table(spark, "events", sf_dir)
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("k").alias("n_distinct_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

@@ -94,6 +94,7 @@ _PRIORITY = [
     "lineitem_stats_moments",
     "lineitem_unpivot_metrics",
     "overlapping_order_pairs",
+    "events_variant_stats",
     "partitioned_events_rollup",
     "q11_important_parts",
     "q12_ship_priority",
