@@ -562,3 +562,74 @@ def q_events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("total_value").cast("decimal(24,6)").alias("total_value"),
     )
+
+
+_COGROUP_SCHEMA = (
+    "user_id bigint, n_events bigint, n_orders bigint, "
+    "event_value double, order_value double"
+)
+
+
+def _cogroup_user_totals_kernel(key, ev: pd.DataFrame, od: pd.DataFrame) -> pd.DataFrame:
+    """Per-key two-sided kernel: both sides of one user arrive as
+    pandas frames. Rounding uses the repo's floor-based half-up
+    (functions/parity.py) so the python arithmetic matches the SQL
+    oracle at half-way points."""
+
+    def r2(x: float) -> float:
+        return float(np.floor(x * 100.0 + 0.5) / 100.0)
+
+    return pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [len(ev)],
+            "n_orders": [len(od)],
+            "event_value": [r2(float(ev["value"].sum())) if len(ev) else 0.0],
+            "order_value": [
+                r2(float(od["o_totalprice"].sum())) if len(od) else 0.0
+            ],
+        }
+    )
+
+
+@register(
+    "cogrouped_user_totals",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, count(*) AS n_events,
+               {sql_portable_round("sum(value)", 2)} AS event_value
+        FROM events GROUP BY user_id
+    ), o AS (
+        SELECT o_custkey AS user_id, count(*) AS n_orders,
+               {sql_portable_round("sum(o_totalprice)", 2)} AS order_value
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT coalesce(e.user_id, o.user_id) AS user_id,
+           coalesce(e.n_events, 0) AS n_events,
+           coalesce(o.n_orders, 0) AS n_orders,
+           coalesce(e.event_value, 0.0) AS event_value,
+           coalesce(o.order_value, 0.0) AS order_value
+    FROM e FULL JOIN o ON e.user_id = o.user_id
+    """,
+)
+def q_cogrouped_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cogroup API surface: `groupBy(k).cogroup(other.groupBy(k))
+    .applyInPandas` hands BOTH sides of each key to one Arrow-batched
+    kernel — the escape hatch for per-key two-sided logic no join
+    expresses (custom as-of matching, per-key reconciliation,
+    sequence alignment). The demonstration kernel computes per-user
+    event/order totals, so a plain FULL JOIN of two aggregates is the
+    oracle and every value is hash-checkable. Keys on either side
+    appear exactly once (cogroup semantics == full outer). One
+    shuffle per side on the key; at 100 TB this is the same exchange
+    profile as the equivalent join, plus the Python worker hop that
+    buys arbitrary kernel logic."""
+    e = table(spark, "events", sf_dir).select("user_id", "value")
+    o = table(spark, "orders", sf_dir).select(
+        F.col("o_custkey").alias("user_id"), "o_totalprice"
+    )
+    return (
+        e.groupBy("user_id")
+        .cogroup(o.groupBy("user_id"))
+        .applyInPandas(_cogroup_user_totals_kernel, _COGROUP_SCHEMA)
+    )

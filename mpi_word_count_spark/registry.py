@@ -95,6 +95,7 @@ _PRIORITY = [
     "lineitem_unpivot_metrics",
     "overlapping_order_pairs",
     "events_variant_stats",
+    "cogrouped_user_totals",
     "partitioned_events_rollup",
     "q11_important_parts",
     "q12_ship_priority",
