@@ -67,9 +67,10 @@ _PRIORITY = [
     "streaming_session_counts",
     "streaming_stateful_totals",
     # every remaining query with an oracle and NO driver row in any
-    # round (52 queries registered during round 4 outgrew the budget;
-    # 4 flagship-wrapper roundtrips are deferred below) — all 134
-    # are additionally value-hash-green at sf0.1 (COVERAGE.md sweep)
+    # round (round 4 registered more never-verified queries than the
+    # budget holds; six with the strongest indirect evidence are
+    # deferred below) — every registered query is additionally
+    # value-hash-green at sf0.1 (COVERAGE.md sweep)
     "ann_ivfpq",
     "ann_lsh_partitioned",
     "ann_pq",
@@ -85,7 +86,6 @@ _PRIORITY = [
     "dedup_clusters_twostar",
     "duplicate_passages",
     "edit_distance_dups",
-    "embedding_cluster_sizes",
     "events_hourly_gapfill",
     "events_rollup_cascade",
     "events_zorder_keys",
@@ -113,15 +113,19 @@ _PRIORITY = [
     "seq_length_histogram",
     "session_concurrency_hourly",
     "shuffled_shards",
-    "synthetic_corpus_wordcount",
     "trailing_week_revenue",
     "training_shard_manifest",
     "unigram_logprob_scores",
     "user_event_funnel",
     "value_gini_by_event_type",
     # --- below the budget line: round-5 rotation ---------------------
-    # deferred never-green flagship wrappers (unit-tested roundtrips
-    # of the already-green wordcount; weakest marginal evidence)
+    # deferred never-green entries with the strongest indirect
+    # evidence: embedding_cluster_sizes shares ann_ivf's entire oracle
+    # CTE chain; synthetic_corpus_wordcount's connector is unit-tested
+    # for partitioning+determinism; the roundtrip wrappers re-drive the
+    # already-green wordcount
+    "embedding_cluster_sizes",
+    "synthetic_corpus_wordcount",
     "console_lines",
     "jsonl_roundtrip",
     "config_delimiters_wordcount",
