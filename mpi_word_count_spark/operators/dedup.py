@@ -96,8 +96,9 @@ def passage_windows(
     width: int = 20,
     stride: int = 1,
     sample_mod: int = 1,
+    with_pos: bool = False,
 ) -> DataFrame:
-    """(doc_id, passage_hash) — md5 of every `width`-token window at
+    """(doc_id[, pos], passage_hash) — md5 of every `width`-token window at
     `stride` token steps, the substring-dedup primitive (duplicated
     training-data passages are detected as windows shared across
     documents, the hash-window formulation of Lee et al.'s
@@ -133,12 +134,21 @@ def passage_windows(
     )
     wins = F.transform(
         F.sequence(F.lit(0), F.size("_toks") - width, F.lit(stride)),
-        lambda i: F.md5(F.array_join(F.slice("_toks", i + 1, width), " ")),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(F.array_join(F.slice("_toks", i + 1, width), " ")).alias(
+                "passage_hash"
+            ),
+        ),
     )
     guarded = F.when(F.size("_toks") >= width, wins).otherwise(
-        F.array().cast("array<string>")
+        F.array().cast("array<struct<pos:int,passage_hash:string>>")
     )
-    out = toks.select("doc_id", F.explode(guarded).alias("passage_hash"))
+    out = toks.select("doc_id", F.explode(guarded).alias("_w")).select(
+        "doc_id", "_w.pos", "_w.passage_hash"
+    )
+    if not with_pos:
+        out = out.drop("pos")
     if sample_mod > 1:
         # content-defined thinning: first 8 hex chars as an unsigned
         # 32-bit value, kept when ≡ 0 (mod p) — engine-portable

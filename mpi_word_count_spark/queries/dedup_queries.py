@@ -9,7 +9,7 @@ operators; change one and both sides move together.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mpi_word_count_spark.functions.hashing import sql_hash32, sql_hash60
@@ -546,4 +546,86 @@ def q_incremental_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, "documents", sf_dir),
         batch_filter=F.col("doc_id") % BATCH_MOD == 0,
         threshold=JACCARD_THRESHOLD,
+    )
+
+
+@register(
+    "passage_dup_spans",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '{sql_regex()}'),
+                           x -> x <> '') AS tk
+        FROM documents
+    ), win AS (
+        SELECT doc_id, i AS pos,
+               md5(array_to_string(tk[i + 1 : i + {PASSAGE_WIDTH}], ' '))
+                   AS passage_hash
+        FROM toks, unnest(generate_series(0, len(tk) - {PASSAGE_WIDTH})) AS g(i)
+    ), dup AS (
+        SELECT passage_hash FROM win
+        GROUP BY passage_hash HAVING count(DISTINCT doc_id) >= 2
+    ), hits AS (
+        SELECT w.doc_id, w.pos,
+               lead(w.pos) OVER (PARTITION BY w.doc_id ORDER BY w.pos) AS nxt
+        FROM win w JOIN dup USING (passage_hash)
+    )
+    SELECT h.doc_id,
+           count(*) AS n_dup_windows,
+           CAST(sum(least({PASSAGE_WIDTH},
+                          coalesce(h.nxt - h.pos, {PASSAGE_WIDTH}))) AS BIGINT)
+               AS covered_tokens,
+           CAST(len(t.tk) AS BIGINT) AS n_tokens
+    FROM hits h JOIN toks t USING (doc_id)
+    GROUP BY h.doc_id, t.tk
+    """,
+)
+def q_passage_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTIONABLE output of substring dedup: per document, how
+    much of it is covered by passages duplicated elsewhere (Lee et
+    al. remove those spans, not whole documents). Duplicated-window
+    start positions merge into covered-token counts WITHOUT
+    materializing intervals: sorted starts + lead() — each window
+    contributes min(width, gap to the next start), the classic
+    fixed-width interval-union identity. Same single hash shuffle as
+    duplicate_passages plus one per-doc window pass."""
+    docs = table(spark, "documents", sf_dir)
+    wins = passage_windows(docs, width=PASSAGE_WIDTH, with_pos=True)
+    dup = (
+        wins.groupBy("passage_hash")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("passage_hash")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    hits = wins.join(dup, "passage_hash").withColumn(
+        "nxt", F.lead("pos").over(w)
+    )
+    from mpi_word_count_spark.operators.dedup import tokens_col
+
+    sizes = docs.select(
+        "doc_id", F.size(tokens_col("text")).alias("n_tokens")
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_windows"),
+            F.sum(
+                F.least(
+                    F.lit(PASSAGE_WIDTH),
+                    F.coalesce(
+                        F.col("nxt") - F.col("pos"), F.lit(PASSAGE_WIDTH)
+                    ),
+                )
+            )
+            .cast("bigint")
+            .alias("covered_tokens"),
+        )
+        .join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "n_dup_windows",
+            "covered_tokens",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        )
     )

@@ -78,13 +78,13 @@ _PRIORITY = [
     "bloom_prefilter_stats",
     "bm25_scores",
     "bucketed_revenue_by_status",
-    "cluster_aware_split",
     "cms_word_counts",
     "corpus_mixture",
     "csv_roundtrip",
     "curation_funnel",
     "dedup_clusters_twostar",
     "duplicate_passages",
+    "passage_dup_spans",
     "edit_distance_dups",
     "events_hourly_gapfill",
     "events_rollup_cascade",
@@ -126,6 +126,9 @@ _PRIORITY = [
     # already-green wordcount
     "embedding_cluster_sizes",
     "synthetic_corpus_wordcount",
+    # cluster_aware_split composes minhash_lsh_dups + dedup_clusters,
+    # both themselves driver-verified; sweep-green at sf0.1
+    "cluster_aware_split",
     "console_lines",
     "jsonl_roundtrip",
     "config_delimiters_wordcount",
