@@ -179,6 +179,36 @@ def shuffled_shards(
     )
 
 
+def epoch_shuffled_batches(
+    df: DataFrame,
+    epoch: int,
+    num_shards: int = 16,
+    batch_size: int = 32,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multi-epoch reproducible training order: re-seed the shard
+    permutation with the epoch number, then cut each shard's hash
+    order into fixed-size micro-batches — (doc_id, shard, batch_idx,
+    pos_in_batch).
+
+    Every epoch is an INDEPENDENT uniform permutation (the seed folds
+    the epoch into the hash), yet fully reproducible: a preempted
+    training job recomputes the identical batch assignment from
+    nothing but the epoch number — no stored permutation, no RNG
+    state. Same scale shape as shuffled_shards: one shuffle on the
+    shard key, per-shard sort only, never a global sort; batch
+    boundaries are pure arithmetic on the per-shard rank.
+    """
+    sh = shuffled_shards(df, num_shards, id_col, seed=f"epoch{epoch}")
+    pos0 = F.col("pos") - 1  # row_number is 1-based
+    return sh.select(
+        id_col,
+        "shard",
+        ((pos0 - pos0 % batch_size) / batch_size).cast("long").alias("batch_idx"),
+        (pos0 % batch_size).cast("long").alias("pos_in_batch"),
+    )
+
+
 def cluster_aware_split(
     docs: DataFrame,
     clusters: DataFrame,

@@ -757,6 +757,123 @@ NUM_EMB_BANDS = 8
 EMB_PLANES_PER_BAND = 3
 
 
+def embedding_band_keys(
+    df: DataFrame,
+    num_bands: int = NUM_EMB_BANDS,
+    planes_per_band: int = EMB_PLANES_PER_BAND,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """(_id, band, bucket) hyperplane-LSH band keys for a vector table:
+    per band, bucket = the sign bits of that band's md5-derived
+    hyperplanes. Scan-local (no shuffle) — the banding front end shared
+    by embedding_dup_pairs_banded and embedding_contamination."""
+    from mpi_word_count_spark.functions.vector import dot
+    from mpi_word_count_spark.operators.similarity import EMBED_DIM, lsh_planes
+
+    planes = lsh_planes(num_bands * planes_per_band, dim or EMBED_DIM)
+
+    def band_bucket(vec: Column, b: int) -> Column:
+        acc = F.lit(0).cast("long")
+        for j in range(planes_per_band):
+            plane = planes[b * planes_per_band + j]
+            plane_lit = F.lit([float(x) for x in plane])
+            bit = F.when(dot(vec, plane_lit) >= 0, F.lit(1 << j)).otherwise(0)
+            acc = acc + bit.cast("long")
+        return acc
+
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        band_bucket(F.col(vec_col), b).alias("bucket"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "bk.band", "bk.bucket")
+
+
+def embedding_contamination(
+    emb: DataFrame,
+    bench_filter: Column,
+    threshold: float = 0.3,
+    num_bands: int = NUM_EMB_BANDS,
+    planes_per_band: int = EMB_PLANES_PER_BAND,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-space decontamination: corpus vectors semantically
+    close (cos ≥ τ) to ANY benchmark vector — the paraphrase-robust
+    companion to the 8-gram benchmark_contamination scan, which only
+    catches verbatim overlap.
+
+    Returns (vec_id, n_bench_hits, max_cosine) per contaminated
+    corpus vector.
+
+    Scale shape: the benchmark side is an eval set — small by nature —
+    so BOTH its band keys and its raw vectors broadcast. The corpus is
+    scanned twice, both times shuffle-free on the corpus side:
+      1. band keys (scan-local) ⋈ broadcast(bench band keys) →
+         distinct candidate (corpus, bench) id pairs — the only
+         shuffle in the plan, over candidate id pairs only;
+      2. corpus scan ⋈ broadcast(candidates) ⋈ broadcast(bench
+         vectors) → exact cosine on candidate rows only, then the
+         tiny per-vec_id aggregation.
+    The corpus' vectors are never shuffled, never self-joined.
+    Deterministic (md5-derived planes), so the DuckDB oracle
+    reproduces the identical candidate set and verdicts.
+    """
+    from mpi_word_count_spark.functions.vector import dot, norm
+
+    bench = emb.filter(bench_filter)
+    corpus = emb.filter(~bench_filter)
+    bench_bands = embedding_band_keys(
+        bench, num_bands, planes_per_band, id_col, vec_col, dim
+    ).withColumnRenamed("_id", "bench_id")
+    corpus_bands = embedding_band_keys(
+        corpus, num_bands, planes_per_band, id_col, vec_col, dim
+    )
+    candidates = (
+        corpus_bands.join(F.broadcast(bench_bands), ["band", "bucket"])
+        .select(F.col("_id").alias("cand_id"), "bench_id")
+        .distinct()
+    )
+    bench_vecs = bench.select(
+        F.col(id_col).alias("bench_id"),
+        F.col(vec_col).alias("_bvec"),
+        norm(F.col(vec_col)).alias("_bnorm"),
+    )
+    scored = (
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col).alias("_vec"),
+            norm(F.col(vec_col)).alias("_norm"),
+        )
+        .join(F.broadcast(candidates), F.col(id_col) == F.col("cand_id"))
+        .join(F.broadcast(bench_vecs), "bench_id")
+        .select(
+            F.col(id_col),
+            F.round(
+                dot(F.col("_vec"), F.col("_bvec"))
+                / (F.col("_norm") * F.col("_bnorm")),
+                4,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bench_hits"),
+        F.max("cosine").alias("max_cosine"),
+    )
+
+
 def embedding_dup_pairs_banded(
     df: DataFrame,
     threshold: float = 0.4,
@@ -780,33 +897,8 @@ def embedding_dup_pairs_banded(
     reproduces the identical candidate set.
     """
     from mpi_word_count_spark.functions.vector import dot, norm
-    from mpi_word_count_spark.operators.similarity import EMBED_DIM, lsh_planes
 
-    planes = lsh_planes(num_bands * planes_per_band, dim or EMBED_DIM)
-
-    def band_bucket(vec: Column, b: int) -> Column:
-        acc = F.lit(0).cast("long")
-        for j in range(planes_per_band):
-            plane = planes[b * planes_per_band + j]
-            plane_lit = F.lit([float(x) for x in plane])
-            bit = F.when(dot(vec, plane_lit) >= 0, F.lit(1 << j)).otherwise(0)
-            acc = acc + bit.cast("long")
-        return acc
-
-    bands = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        band_bucket(F.col(vec_col), b).alias("bucket"),
-                    )
-                    for b in range(num_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("_id", "bk.band", "bk.bucket")
+    bands = embedding_band_keys(df, num_bands, planes_per_band, id_col, vec_col, dim)
     a = bands.alias("a")
     b_ = bands.alias("b")
     candidates = (

@@ -81,6 +81,58 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benchmark_contamination(docs, F.col("doc_id") % BENCH_MOD == 0)
 
 
+EMB_BENCH_MOD = 23  # embedding "benchmark set" = vec_id % 23 == 0
+SEMANTIC_CONTAMINATION_TAU = 0.3
+
+
+def _semantic_contamination_oracle() -> str:
+    from mpi_word_count_spark.queries.dedup_queries import sql_embedding_bands
+
+    return f"""
+    WITH bands AS (
+{sql_embedding_bands()}
+    ),
+    bench AS (SELECT * FROM bands WHERE vec_id % {EMB_BENCH_MOD} = 0),
+    corp AS (SELECT * FROM bands WHERE vec_id % {EMB_BENCH_MOD} <> 0),
+    candidates AS (
+        SELECT DISTINCT c.vec_id AS vec_id, b.vec_id AS bench_id
+        FROM corp c JOIN bench b
+          ON c.band = b.band AND c.bucket = b.bucket
+    ),
+    scored AS (
+        SELECT c.vec_id,
+               round(list_cosine_similarity(e1.embedding::DOUBLE[],
+                                            e2.embedding::DOUBLE[]), 4)
+                   AS cosine
+        FROM candidates c
+        JOIN embeddings e1 ON c.vec_id = e1.vec_id
+        JOIN embeddings e2 ON c.bench_id = e2.vec_id
+    )
+    SELECT vec_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
+           max(cosine) AS max_cosine
+    FROM scored WHERE cosine >= {SEMANTIC_CONTAMINATION_TAU}
+    GROUP BY vec_id
+    """
+
+
+@register("semantic_contamination", oracle=_semantic_contamination_oracle())
+def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: corpus vectors with cosine ≥ τ
+    to any benchmark vector — catches the paraphrased contamination
+    the 8-gram scan (benchmark_contamination) cannot. Benchmark band
+    keys AND vectors broadcast; the corpus is never shuffled or
+    self-joined (the only shuffles are the candidate-pair distinct and
+    the final per-vector aggregate)."""
+    from mpi_word_count_spark.operators.dedup import embedding_contamination
+
+    emb = table(spark, "embeddings", sf_dir)
+    return embedding_contamination(
+        emb,
+        F.col("vec_id") % EMB_BENCH_MOD == 0,
+        threshold=SEMANTIC_CONTAMINATION_TAU,
+    )
+
+
 def _mixture_threshold_sql() -> str:
     # int(round(w*10000)), matching operators.curation.mixture_keep_col
     # exactly — int(0.07*10000) would be 699, not 700
@@ -137,6 +189,47 @@ def q_shuffled_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, which is also the write partitioning)."""
     docs = table(spark, "documents", sf_dir)
     return shuffled_shards(docs, num_shards=NUM_SHARDS)
+
+
+EPOCH = 2  # exemplar epoch; any epoch number reproduces its own order
+EPOCH_SHARDS = 16
+EPOCH_BATCH = 32
+
+
+@register(
+    "epoch_shuffled_batches",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id,
+               {sql_hash32("CAST(doc_id AS VARCHAR)", f"epoch{EPOCH}")} AS h
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id,
+               h % {EPOCH_SHARDS} AS shard,
+               row_number() OVER (
+                   PARTITION BY h % {EPOCH_SHARDS} ORDER BY h, doc_id
+               ) - 1 AS pos0
+        FROM h
+    )
+    SELECT doc_id, shard,
+           CAST(pos0 // {EPOCH_BATCH} AS BIGINT) AS batch_idx,
+           CAST(pos0 % {EPOCH_BATCH} AS BIGINT) AS pos_in_batch
+    FROM ranked
+    """,
+)
+def q_epoch_shuffled_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch reproducible training order: epoch-seeded hash
+    permutation into shards, cut into fixed-size micro-batches. A
+    preempted trainer reconstructs epoch N's exact batch assignment
+    from the epoch number alone — no stored permutation, no RNG state,
+    no global sort (one shuffle on the shard key)."""
+    from mpi_word_count_spark.operators.curation import epoch_shuffled_batches
+
+    docs = table(spark, "documents", sf_dir)
+    return epoch_shuffled_batches(
+        docs, epoch=EPOCH, num_shards=EPOCH_SHARDS, batch_size=EPOCH_BATCH
+    )
 
 
 @register(

@@ -339,10 +339,11 @@ def q_simhash_banded_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _embedding_banded_oracle() -> str:
-    """Replicates embedding_dup_pairs_banded: per band, bucket = sign
-    bits against that band's md5-derived hyperplane literals; distinct
-    same-(band, bucket) candidate pairs; exact cosine verification."""
+def sql_embedding_bands() -> str:
+    """UNION-ALL SELECTs producing (vec_id, band, bucket) hyperplane
+    band keys over `embeddings` — the SQL twin of
+    operators/dedup.embedding_band_keys, shared by the embedding-dedup
+    and semantic-contamination oracles."""
     from mpi_word_count_spark.operators.similarity import EMBED_DIM, lsh_planes
 
     planes = lsh_planes(NUM_EMB_BANDS * EMB_PLANES_PER_BAND, EMBED_DIM)
@@ -350,7 +351,7 @@ def _embedding_banded_oracle() -> str:
     def arr(plane: list[float]) -> str:
         return "[" + ", ".join(repr(x) for x in plane) + "]"
 
-    band_selects = "\n        UNION ALL\n".join(
+    return "\n        UNION ALL\n".join(
         "        SELECT vec_id, {b} AS band, ({expr})::BIGINT AS bucket"
         " FROM embeddings".format(
             b=b,
@@ -363,9 +364,15 @@ def _embedding_banded_oracle() -> str:
         )
         for b in range(NUM_EMB_BANDS)
     )
+
+
+def _embedding_banded_oracle() -> str:
+    """Replicates embedding_dup_pairs_banded: per band, bucket = sign
+    bits against that band's md5-derived hyperplane literals; distinct
+    same-(band, bucket) candidate pairs; exact cosine verification."""
     return f"""
     WITH bands AS (
-{band_selects}
+{sql_embedding_bands()}
     ),
     candidates AS (
         SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2

@@ -15,7 +15,9 @@ from mpi_word_count_spark.functions.parity import portable_round, sql_portable_r
 from mpi_word_count_spark.operators.textanalysis import (
     BPE_ISH_PATTERN,
     EMAIL_PATTERN,
+    IPV4_PATTERN,
     LANG_MARKERS,
+    PHONE_PATTERN,
     STOPWORDS,
     URL_PATTERN,
     bigram_pmi,
@@ -25,6 +27,7 @@ from mpi_word_count_spark.operators.textanalysis import (
     language_id,
     ngram_counts,
     pack_chunks,
+    pii_scrub,
     quality_scores,
     repetition_scores,
     scrub_text,
@@ -320,6 +323,99 @@ def q_scrubbed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     behavior itself is unit-tested on synthetic text with matches,
     tests/test_similarity_text.py)."""
     return scrub_text(table(spark, "documents", sf_dir))
+
+
+# Synthetic PII augmentation: the fixture corpus is PII-free (the
+# scrub counts would all be zero), so the query plants DETERMINISTIC
+# synthetic PII derived from doc_id — both engines derive the same
+# augmented text, making detection+redaction itself value-hash
+# verifiable (same device as config_delimiters_wordcount's digit
+# tokens). Patterns land on a mix of docs: email on ≡0 (mod 3),
+# phone on ≡0 (mod 4), IPv4 on ≡0 (mod 5).
+def _pii_augmented_cte() -> str:
+    return """
+    aug AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 4 = 0
+                       THEN ' call 555-'
+                            || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                            || '-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                            || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+                       ELSE '' END AS text
+        FROM documents
+    )"""
+
+
+def _pii_augment(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    did.cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 4 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((did % 1000).cast("string"), 3, "0"),
+                    F.lit("-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" from 10."),
+                    (did % 256).cast("string"),
+                    F.lit(".0."),
+                    (did % 100).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+@register(
+    "pii_redaction_stats",
+    oracle=f"""
+    WITH {_pii_augmented_cte()}
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{EMAIL_PATTERN}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PHONE_PATTERN}')) AS BIGINT)
+               AS n_phones,
+           CAST(len(regexp_extract_all(text, '{IPV4_PATTERN}')) AS BIGINT)
+               AS n_ips,
+           md5(regexp_replace(
+               regexp_replace(
+                   regexp_replace(text, '{EMAIL_PATTERN}', '<EMAIL>', 'g'),
+                   '{PHONE_PATTERN}', '<PHONE>', 'g'),
+               '{IPV4_PATTERN}', '<IP>', 'g')) AS redacted_hash
+    FROM aug
+    """,
+)
+def q_pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pattern PII detection + redaction (email/phone/IPv4
+    counts + redacted-content hash) over the deterministically
+    PII-augmented corpus — detection AND redaction are value-hash
+    verified, not just exercised."""
+    return pii_scrub(_pii_augment(table(spark, "documents", sf_dir)))
 
 
 def _repetition_oracle() -> str:

@@ -129,6 +129,11 @@ _PRIORITY = [
     # cluster_aware_split composes minhash_lsh_dups + dedup_clusters,
     # both themselves driver-verified; sweep-green at sf0.1
     "cluster_aware_split",
+    # late round-4 additions (hash-green at sf0.001/0.01/0.1 locally;
+    # first in line for the round-5 budget)
+    "semantic_contamination",
+    "pii_redaction_stats",
+    "epoch_shuffled_batches",
     "console_lines",
     "jsonl_roundtrip",
     "config_delimiters_wordcount",

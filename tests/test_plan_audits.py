@@ -99,6 +99,23 @@ def test_curation_plan_shapes(spark):
     assert plan.count("+- Exchange") == 1
 
 
+def test_round4_curation_additions_plan_shapes(spark):
+    # semantic contamination: bench bands + bench vectors broadcast,
+    # corpus never self-joined or nested-looped
+    plan = plan_of(spark, "semantic_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # epoch reshuffle: per-shard sort only — a global range sort would
+    # be the 100 TB scale-killer the design avoids
+    plan = plan_of(spark, "epoch_shuffled_batches")
+    assert "rangepartitioning" not in plan.lower()
+    # PII scrub: pure narrow projection — any Exchange means a regex
+    # stage started shuffling text
+    plan = plan_of(spark, "pii_redaction_stats")
+    assert "+- Exchange" not in plan
+
+
 def test_no_quadratic_joins_in_registered_dedup_plans(spark):
     # every registered dedup pipeline must generate candidates via a
     # hash equi-join (banded/bucketed keys) — an O(n²) theta join over
