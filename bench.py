@@ -65,6 +65,8 @@ HEADLINE = [
     "ann_ivfpq",
     "session_concurrency_hourly",
     "overlapping_order_pairs",
+    "semantic_contamination",
+    "pii_redaction_stats",
 ]
 
 

@@ -12,6 +12,16 @@ The reference runs as `mpirun ... word_count_mpi --path PATH`
 `--compat` switches to strict reference parity (29-char key
 truncation + ASCII-only lowercasing, word_count_mpi.c / hash_map.c
 semantics S2); default mode is the documented Unicode divergence.
+
+Debug sink (SURVEY.md §2 O7 — the reference dumps its hash-map state,
+hash_map.c:136-145; the Spark-side analog is the physical plan):
+
+    python -m mpi_word_count_spark --list-queries
+    python -m mpi_word_count_spark --explain QUERY [--sf-dir DIR]
+
+prints the formatted physical plan (scan pushdowns, exchanges,
+codegen spans) of any registered query — the exact artifact the
+plan-audit tests assert on.
 """
 
 from __future__ import annotations
@@ -25,7 +35,24 @@ def main(argv: list[str] | None = None) -> int:
         prog="python -m mpi_word_count_spark",
         description="Distributed word count over a directory of text files.",
     )
-    ap.add_argument("--path", required=True, help="corpus directory")
+    ap.add_argument("--path", default=None, help="corpus directory")
+    ap.add_argument(
+        "--explain",
+        metavar="QUERY",
+        default=None,
+        help="print the formatted physical plan of a registered query "
+        "and exit (debug sink; uses --sf-dir fixtures)",
+    )
+    ap.add_argument(
+        "--list-queries",
+        action="store_true",
+        help="list registered query names and exit",
+    )
+    ap.add_argument(
+        "--sf-dir",
+        default="/root/testdata/sf0.001",
+        help="fixture directory for --explain",
+    )
     ap.add_argument(
         "--delimiters",
         default=None,
@@ -49,6 +76,27 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--cpus", type=int, default=None, help="local[] parallelism")
     args = ap.parse_args(argv)
+
+    if args.list_queries:
+        from mpi_word_count_spark import registry
+
+        for name in sorted(registry.queries()):
+            print(name)
+        return 0
+    if args.explain:
+        from mpi_word_count_spark import registry
+        from mpi_word_count_spark.session import get_spark
+
+        queries = registry.queries()
+        if args.explain not in queries:
+            ap.error(
+                f"unknown query {args.explain!r} (see --list-queries)"
+            )
+        spark = get_spark(app_name="explain")
+        queries[args.explain](spark, args.sf_dir).explain("formatted")
+        return 0
+    if not args.path:
+        ap.error("--path is required (or use --explain / --list-queries)")
 
     from mpi_word_count_spark.session import get_spark
     from mpi_word_count_spark.sinks import show_console, timing_log, write_word_count_csv

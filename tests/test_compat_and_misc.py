@@ -99,6 +99,24 @@ def test_cli_main(tmp_path):
     assert (tmp_path / "t.log").read_text().startswith("word_count:")
 
 
+def test_cli_explain_and_list(capsys):
+    """Debug sink (O7): --explain dumps the formatted physical plan of
+    any registered query; --list-queries enumerates the registry."""
+    from mpi_word_count_spark.__main__ import main
+
+    assert main(["--list-queries"]) == 0
+    names = capsys.readouterr().out.splitlines()
+    assert "wordcount" in names and len(names) >= 100
+    assert main(["--explain", "wordcount"]) == 0
+    plan = capsys.readouterr().out
+    assert "== Physical Plan ==" in plan
+    assert "Scan parquet" in plan
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):  # argparse error for unknown name
+        main(["--explain", "no_such_query"])
+
+
 def test_cli_main_compat_and_bad_path(tmp_path):
     from mpi_word_count_spark.__main__ import main
     from mpi_word_count_spark.operators.wordcount import EmptyCorpusError
