@@ -230,6 +230,49 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(streaming_dedup(docs), "append")
 
 
+STREAM_BATCH_MOD = 5  # streamed "new docs" = doc_id % 5 == 0 (matches
+# the batch incremental_exact_dedup split, dedup_queries.BATCH_MOD)
+
+
+@register(
+    "streaming_incremental_dedup",
+    oracle=f"""
+    WITH batch AS (
+        SELECT md5(text) AS content_hash, min(doc_id) AS survivor_doc_id
+        FROM documents WHERE doc_id % {STREAM_BATCH_MOD} = 0
+        GROUP BY 1
+    ),
+    corpus AS (
+        SELECT DISTINCT md5(text) AS content_hash
+        FROM documents WHERE doc_id % {STREAM_BATCH_MOD} <> 0
+    )
+    SELECT b.content_hash, b.survivor_doc_id
+    FROM batch b LEFT JOIN corpus c ON b.content_hash = c.content_hash
+    WHERE c.content_hash IS NULL
+    """,
+)
+def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup vs a persisted corpus: stream-static
+    LEFT ANTI join on content hash (corpus broadcast) + stateful
+    min-id survivor aggregation, verified against the identical batch
+    SQL. Complete mode (finite backfill); unbounded ingest would bound
+    state with dropDuplicatesWithinWatermark upstream."""
+    from mpi_word_count_spark.streaming.queries import streaming_incremental_dedup
+
+    stream = stream_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") % STREAM_BATCH_MOD == 0
+    )
+    corpus_hashes = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % STREAM_BATCH_MOD != 0)
+        .select(F.md5(F.col("text")).alias("content_hash"))
+        .distinct()
+    )
+    return run_to_completion(
+        streaming_incremental_dedup(stream, corpus_hashes), "complete"
+    )
+
+
 def _synth_stream_oracle() -> str:
     from mpi_word_count_spark.sources.synthetic import sql_synth_corpus_cte
 

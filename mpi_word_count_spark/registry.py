@@ -134,6 +134,7 @@ _PRIORITY = [
     "semantic_contamination",
     "pii_redaction_stats",
     "epoch_shuffled_batches",
+    "streaming_incremental_dedup",
     "console_lines",
     "jsonl_roundtrip",
     "config_delimiters_wordcount",

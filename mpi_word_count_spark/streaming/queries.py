@@ -256,6 +256,31 @@ def streaming_dedup(docs: DataFrame) -> DataFrame:
     return hashed.dropDuplicates(["content_hash"])
 
 
+def streaming_incremental_dedup(
+    batch_docs: DataFrame, corpus_hashes: DataFrame
+) -> DataFrame:
+    """Streaming ingest dedup against a persisted corpus: each
+    micro-batch of new documents is anti-joined against the static
+    already-deduplicated corpus (stream-static LEFT ANTI on the
+    16-byte content hash — corpus side broadcast), then a stateful
+    min-doc_id aggregation picks ONE deterministic survivor per
+    content hash across the whole stream (in-batch and cross-batch
+    duplicates collapse in the state store).
+
+    This is the streaming twin of operators/dedup.incremental_exact_
+    dedup: the snapshot-batch classification becomes continuous
+    ingest. At scale the corpus side is a hash index (content_hash
+    only — never text), and state holds one (hash, min_id) pair per
+    NOVEL document, not per arriving row."""
+    hashed = batch_docs.select(
+        F.md5(F.col("text")).alias("content_hash"), F.col("doc_id")
+    )
+    fresh = hashed.join(F.broadcast(corpus_hashes), "content_hash", "left_anti")
+    return fresh.groupBy("content_hash").agg(
+        F.min("doc_id").alias("survivor_doc_id")
+    )
+
+
 def streaming_dedup_within_watermark(
     events: DataFrame, watermark: str = "1 hour"
 ) -> DataFrame:

@@ -93,6 +93,46 @@ def test_dedup_within_watermark(spark, tmp_path):
     ]
 
 
+def test_streaming_incremental_dedup_across_batches(spark, tmp_path):
+    """Cross-batch semantics of the stream-static anti-join dedup:
+    corpus-known content never emits, and a duplicate arriving in a
+    LATER micro-batch collapses onto the min-doc_id survivor in the
+    state store (not one survivor per batch)."""
+    from mpi_word_count_spark.streaming.queries import streaming_incremental_dedup
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    # two files -> two micro-batches under maxFilesPerTrigger=1
+    spark.createDataFrame(
+        [(10, "fresh one"), (11, "known text"), (12, "repeated text")], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [(5, "repeated text"), (13, "fresh two")], schema
+    ).coalesce(1).write.parquet(str(src / "f2"))
+    corpus_hashes = spark.createDataFrame(
+        [("known text",)], "text string"
+    ).select(F.md5("text").alias("content_hash"))
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    got = run_to_completion(
+        streaming_incremental_dedup(sdf, corpus_hashes), "complete"
+    )
+    survivors = {
+        r["content_hash"]: r["survivor_doc_id"] for r in got.collect()
+    }
+    texts = {"fresh one": 10, "repeated text": 5, "fresh two": 13}
+    expected = {
+        spark.range(1).select(F.md5(F.lit(t))).first()[0]: i
+        for t, i in texts.items()
+    }
+    assert survivors == expected  # "known text" absent; dup -> min id 5
+
+
 def test_watermarked_append_window(spark, tmp_path):
     # append-mode windowed agg emits only watermark-closed windows
     rows = [
