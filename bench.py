@@ -67,6 +67,10 @@ HEADLINE = [
     "overlapping_order_pairs",
     "semantic_contamination",
     "pii_redaction_stats",
+    "weighted_sample_by_length",
+    "curriculum_batches",
+    "embedding_norms",
+    "label_centroid_spread",
 ]
 
 

@@ -258,3 +258,105 @@ def quota_sample(
         .filter(F.col("pos") <= quota)
         .select(id_col, F.col(stratum_col).alias("stratum"), "pos")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str = "n_chars",
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per stratum:
+    Efraimidis–Spirakis (A-Res). Each row gets key = ln(u) / w with
+    u ~ U(0,1); the k largest keys per stratum are a weight-
+    proportional sample without replacement. Quality-weighted
+    subsampling is the curation step between scoring and mixing:
+    "keep 100k docs per source, preferring high-quality ones,
+    without hard-thresholding the quality score".
+
+    u is md5-derived ((hash32+0.5)/2^32, never 0 or 1) so the draw is
+    bit-reproducible across engines, retries, and partition counts;
+    ln and the divide are binary64 in both engines, so the ranking —
+    not just the rounded display value — is identical. Emits the
+    integer weight, not the float key, to keep the driver hash exact.
+
+    One shuffle on the stratum key; the rank-≤-k filter is a
+    WindowGroupLimit in Spark 3.5+/4.x, so each map task keeps only
+    its local top-k before the exchange — the 100 TB shape (never a
+    full per-stratum sort of all rows).
+    """
+    u = (sample_hash_u(F.col(id_col).cast("string"), seed))
+    w = F.col(weight_col).cast("double")
+    keyed = df.select(
+        F.col(id_col),
+        F.col(stratum_col).alias("stratum"),
+        F.col(weight_col).alias("weight"),
+        (F.log(u) / w).alias("es_key"),
+    )
+    win = Window.partitionBy("stratum").orderBy(
+        F.desc("es_key"), F.asc(id_col)
+    )
+    return (
+        keyed.withColumn("pos", F.row_number().over(win))
+        .filter(F.col("pos") <= k)
+        .select(id_col, "stratum", "weight", "pos")
+    )
+
+
+def sample_hash_u(c: Column, seed: str) -> Column:
+    """Deterministic uniform in (0,1): (hash32 + 0.5) / 2^32 —
+    md5-derived (functions/hashing.py), exactly representable steps,
+    replicated verbatim in the DuckDB oracle."""
+    return (hash32(c, seed) + F.lit(0.5)) / F.lit(4294967296.0)
+
+
+def curriculum_stages(
+    df: DataFrame,
+    n_stages: int = 4,
+    n_shards: int = 16,
+    difficulty_col: str = "n_chars",
+    id_col: str = "doc_id",
+    seed: str = "curr",
+) -> DataFrame:
+    """Curriculum ordering: stage 1..n_stages by ascending difficulty
+    (equal-ish document counts), deterministic hash shuffle WITHIN the
+    stage, position materialized per (stage, shard) so consumers read
+    shards round-robin stage by stage — easy-to-hard training order
+    without a global sort.
+
+    Stage assignment avoids NTILE's global sort: difficulty values
+    are low-cardinality (document lengths), so the exact CDF comes
+    from a tiny groupBy(difficulty) histogram (thousands of rows at
+    any corpus size) whose running count is windowed on the driver-
+    sized aggregate and broadcast back. stage = (n_stages *
+    docs_strictly_easier) DIV total — all-integer math, bit-exact in
+    any engine. The only full-data shuffle is the (stage, shard)
+    repartition the sharded write needs anyway; within a (stage,
+    shard) cell the hash-order rank is an independent local sort.
+    """
+    diff = F.col(difficulty_col)
+    hist = (
+        df.groupBy(diff.alias("d"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "cum_before",
+            F.sum("cnt").over(
+                Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .withColumn("cum_before", F.coalesce(F.col("cum_before"), F.lit(0)))
+        .withColumn("total", F.sum("cnt").over(Window.partitionBy()))
+        .select(
+            "d",
+            (F.expr(f"{n_stages} * cum_before DIV total") + 1).alias("stage"),
+        )
+    )
+    staged = df.join(F.broadcast(hist), diff == F.col("d")).select(
+        F.col(id_col), F.col("stage"), (hash32(F.col(id_col).cast("string"), seed) % n_shards).alias("shard")
+    )
+    win = Window.partitionBy("stage", "shard").orderBy(
+        hash32(F.col(id_col).cast("string"), seed + "o"), F.asc(id_col)
+    )
+    return staged.withColumn("pos", F.row_number().over(win))

@@ -1,0 +1,201 @@
+"""Sampling-order and embedding-audit queries: weighted sampling
+without replacement, curriculum ordering, Arrow-native norm audits,
+and per-label cluster spread — the audit/ordering steps between a
+curated corpus and a training run, each with a full DuckDB oracle.
+
+Float parity notes: the Efraimidis–Spirakis key (ln(u)/w) is computed
+with the identical binary64 formula in both engines from the same
+md5-derived u, so the RANKING matches bit-wise, not just rounded
+values; norms/cosines follow the repo's left-fold accumulation
+convention (functions/vector.py) and round portably.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mpi_word_count_spark.functions.hashing import sql_hash32
+from mpi_word_count_spark.functions.parity import sql_portable_round
+from mpi_word_count_spark.operators.curation import (
+    curriculum_stages,
+    weighted_sample,
+)
+from mpi_word_count_spark.operators.embedding_audit import (
+    embedding_norms,
+    label_centroid_spread,
+    stage_position_audit,
+)
+from mpi_word_count_spark.registry import register
+from mpi_word_count_spark.tables import table
+
+SAMPLE_K = 20
+CURR_STAGES = 4
+CURR_SHARDS = 16
+EMB_DIM = 64  # fixture embedding width (TESTDATA.md)
+
+
+@register(
+    "weighted_sample_by_length",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, source AS stratum, n_chars AS weight,
+               ln(({sql_hash32("CAST(doc_id AS VARCHAR)", "wsample")} + 0.5)
+                  / 4294967296.0) / CAST(n_chars AS DOUBLE) AS es_key
+        FROM documents
+    )
+    SELECT doc_id, stratum, weight, pos FROM (
+        SELECT doc_id, stratum, weight,
+               CAST(row_number() OVER (
+                   PARTITION BY stratum ORDER BY es_key DESC, doc_id
+               ) AS BIGINT) AS pos
+        FROM keyed
+    ) WHERE pos <= {SAMPLE_K}
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling without replacement:
+    {SAMPLE_K} docs per source, inclusion probability ∝ n_chars
+    (the quality-weighted subsample between scoring and mixing).
+    Deterministic u → the ranking replicates bit-wise in the oracle."""
+    docs = table(spark, "documents", sf_dir)
+    out = weighted_sample(docs, k=SAMPLE_K, weight_col="n_chars")
+    return out.withColumn("pos", F.col("pos").cast("long"))
+
+
+def _curriculum_oracle() -> str:
+    return f"""
+    WITH hist AS (
+        SELECT n_chars AS d, count(*) AS cnt FROM documents GROUP BY 1
+    ),
+    cum AS (
+        SELECT d,
+               coalesce(sum(cnt) OVER (
+                   ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS cum_before,
+               sum(cnt) OVER () AS total
+        FROM hist
+    ),
+    stages AS (
+        -- CAST: sum() windows are HUGEINT in DuckDB, which the driver
+        -- canonicalizer reads as float64; Spark's DIV stays BIGINT
+        SELECT d, CAST(({CURR_STAGES} * cum_before) // total + 1
+                       AS BIGINT) AS stage
+        FROM cum
+    ),
+    laid AS (
+        SELECT doc_id, stage,
+               {sql_hash32("CAST(doc_id AS VARCHAR)", "curr")}
+                   % {CURR_SHARDS} AS shard
+        FROM documents JOIN stages ON n_chars = d
+    )
+    SELECT doc_id, stage, shard,
+           CAST(row_number() OVER (
+               PARTITION BY stage, shard
+               ORDER BY {sql_hash32("CAST(doc_id AS VARCHAR)", "curro")},
+                        doc_id
+           ) AS BIGINT) AS pos
+    FROM laid
+    """
+
+
+@register("curriculum_batches", oracle=_curriculum_oracle())
+def q_curriculum_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum layout: {CURR_STAGES} easy-to-hard stages by doc
+    length (exact CDF from the tiny length histogram — never NTILE's
+    global sort), hash-shuffled within stage, positions dense per
+    (stage, shard)."""
+    docs = table(spark, "documents", sf_dir)
+    out = curriculum_stages(
+        docs, n_stages=CURR_STAGES, n_shards=CURR_SHARDS
+    )
+    return out.withColumn("pos", F.col("pos").cast("long"))
+
+
+@register(
+    "curriculum_layout_audit",
+    oracle=f"""
+    WITH laid AS ({_curriculum_oracle()})
+    SELECT stage, shard, count(*) AS n,
+           min(pos) AS min_pos, max(pos) AS max_pos
+    FROM laid GROUP BY stage, shard
+    """,
+)
+def q_curriculum_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest invariant check over the curriculum layout:
+    positions are dense 1..n per (stage, shard) cell (min_pos = 1,
+    max_pos = n) — what a 100 TB ordered-write job asserts before
+    publishing."""
+    docs = table(spark, "documents", sf_dir)
+    laid = curriculum_stages(
+        docs, n_stages=CURR_STAGES, n_shards=CURR_SHARDS
+    ).withColumn("pos", F.col("pos").cast("long"))
+    return stage_position_audit(laid)
+
+
+@register(
+    "embedding_norms",
+    oracle=f"""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           {sql_portable_round(
+               "sqrt(list_dot_product(embedding::DOUBLE[],"
+               " embedding::DOUBLE[]))", 4)} AS l2_norm,
+           {sql_portable_round(
+               "list_max(list_transform(embedding,"
+               " x -> abs(CAST(x AS DOUBLE))))", 4)} AS max_abs
+    FROM embeddings
+    """,
+)
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native (mapInArrow) per-vector norm audit — catches
+    un-normalized shards before they poison cosine retrieval. The
+    kernel reproduces the left-fold accumulation of the expression
+    twin, so the value hash matches DuckDB's list_dot_product."""
+    emb = table(spark, "embeddings", sf_dir)
+    return embedding_norms(emb)
+
+
+@register(
+    "label_centroid_spread",
+    oracle=f"""
+    WITH dims AS (SELECT unnest(range(1, {EMB_DIM + 1})) AS i),
+    ex AS (
+        SELECT label, i, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings, dims
+    ),
+    cent AS (
+        SELECT label, i, avg(v) AS c FROM ex GROUP BY label, i
+    ),
+    cvec AS (
+        SELECT label, list(c ORDER BY i) AS centroid FROM cent GROUP BY label
+    ),
+    cn AS (
+        SELECT label,
+               sqrt(list_dot_product(centroid, centroid)) AS centroid_norm
+        FROM cvec
+    ),
+    scored AS (
+        SELECT e.label,
+               list_dot_product(e.embedding::DOUBLE[], v.centroid)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                        e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(v.centroid, v.centroid))) AS cos
+        FROM embeddings e JOIN cvec v ON e.label = v.label
+    ),
+    agg AS (
+        SELECT label, count(*) AS n, avg(cos) AS mean_cos
+        FROM scored GROUP BY label
+    )
+    SELECT a.label, a.n,
+           {sql_portable_round("cn.centroid_norm", 4)} AS centroid_norm,
+           {sql_portable_round("a.mean_cos", 4)} AS mean_cos
+    FROM agg a JOIN cn ON a.label = cn.label
+    """,
+)
+def q_label_centroid_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding cluster audit: member count, centroid norm,
+    mean cosine(member, centroid). O(n·d) single pass + label-sized
+    aggregates; no pairwise work."""
+    emb = table(spark, "embeddings", sf_dir)
+    return label_centroid_spread(emb)

@@ -131,6 +131,11 @@ _PRIORITY = [
     "cluster_aware_split",
     # late round-4 additions (hash-green at sf0.001/0.01/0.1 locally;
     # first in line for the round-5 budget)
+    "weighted_sample_by_length",
+    "curriculum_batches",
+    "curriculum_layout_audit",
+    "embedding_norms",
+    "label_centroid_spread",
     "semantic_contamination",
     "pii_redaction_stats",
     "epoch_shuffled_batches",
@@ -235,6 +240,7 @@ def _load_all() -> None:
     from mpi_word_count_spark.queries import (  # noqa: F401
         advanced_queries,
         approx_queries,
+        audit_queries,
         curation_queries,
         dedup_queries,
         join_queries,
