@@ -220,3 +220,35 @@ def test_overlap_pairs_tiled_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     tree = plan.split("(1) Scan")[0]
     assert "HashAggregate" not in tree or "partial_max" in plan  # only the max(l_shipdate) agg
+
+
+def test_weighted_sample_has_partial_window_group_limit(spark):
+    # the ES top-k must keep a map-side partial WindowGroupLimit so
+    # the stratum exchange carries at most k rows per task, not the
+    # whole stratum (the 100 TB property weighted_sample documents)
+    plan = plan_of(spark, "weighted_sample_by_length")
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+    # and the scan is pruned to the three used columns
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" not in read_schema and "lang" not in read_schema
+
+
+def test_curriculum_single_partition_only_after_aggregation(spark):
+    # the exact-CDF design: the only SinglePartition exchange runs on
+    # the tiny length histogram (downstream of the count aggregate),
+    # never on the document table itself; the histogram side must
+    # broadcast back to the full table
+    plan = plan_of(spark, "curriculum_batches")
+    assert "BroadcastHashJoin" in plan
+    before_single = plan.split("Exchange SinglePartition")[0]
+    assert "HashAggregate" in before_single or "Exchange SinglePartition" not in plan
+
+
+def test_embedding_norms_arrow_scan_pruned(spark):
+    # mapInArrow must not defeat column pruning: the explicit
+    # (vec_id, embedding) projection reaches the parquet scan
+    plan = plan_of(spark, "embedding_norms")
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "label" not in read_schema
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan
