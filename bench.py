@@ -71,6 +71,8 @@ HEADLINE = [
     "curriculum_batches",
     "embedding_norms",
     "label_centroid_spread",
+    "data_quality_report",
+    "events_ohlc_hourly",
 ]
 
 

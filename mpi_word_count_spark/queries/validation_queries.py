@@ -1,0 +1,202 @@
+"""Data-quality validation and first/last-by-order aggregation
+queries: the publish-gate report a production ingest pipeline runs
+(operators/validation.py), and the OHLC-style min_by/max_by rollup
+over the event stream. Full DuckDB oracles for both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mpi_word_count_spark.operators.validation import (
+    Rule,
+    check_reference,
+    check_rules,
+    check_unique,
+    quality_report,
+)
+from mpi_word_count_spark.registry import register
+from mpi_word_count_spark.tables import table
+
+
+def _dq_oracle() -> str:
+    # CASTs: DuckDB sum(int) is HUGEINT (float64 through pandas);
+    # Spark's sums/counts are BIGINT throughout.
+    return """
+    SELECT rule, violations, checked FROM (
+        SELECT 'lineitem_qty_range' AS rule,
+               CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+                             OR l_quantity > 50 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS violations,
+               count(*) AS checked
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem_price_positive',
+               CAST(sum(CASE WHEN l_extendedprice IS NULL
+                             OR l_extendedprice <= 0 THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               count(*)
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem_shipdate_nonnull',
+               CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               count(*)
+        FROM lineitem
+        UNION ALL
+        SELECT 'orders_status_domain',
+               CAST(sum(CASE WHEN o_orderstatus IS NULL
+                             OR o_orderstatus NOT IN ('O', 'F', 'P')
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               count(*)
+        FROM orders
+        UNION ALL
+        SELECT 'orders_totalprice_positive',
+               CAST(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               count(*)
+        FROM orders
+        UNION ALL
+        SELECT 'orders_custkey_nonnull',
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               count(*)
+        FROM orders
+        UNION ALL
+        SELECT 'events_value_nonneg',
+               CAST(sum(CASE WHEN value IS NULL OR value < 0
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               count(*)
+        FROM events
+        UNION ALL
+        SELECT 'events_type_nonnull',
+               CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               count(*)
+        FROM events
+        UNION ALL
+        SELECT 'lineitem_pk_unique',
+               count(*) - count(DISTINCT (l_orderkey, l_linenumber)),
+               count(*)
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem_orderkey_exists',
+               (SELECT count(*) FROM lineitem
+                WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+               count(*)
+        FROM lineitem
+    ) ORDER BY rule
+    """
+
+
+@register("data_quality_report", oracle=_dq_oracle())
+def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The publish gate: null / range / domain expectations compile to
+    ONE conditional-aggregate scan per table (never a job per rule),
+    plus a count-distinct uniqueness pass and one left-anti referential
+    join. The fixture's duplicate (l_orderkey, l_linenumber) pairs make
+    the pk_unique row genuinely non-zero."""
+    li = table(spark, "lineitem", sf_dir)
+    orders = table(spark, "orders", sf_dir)
+    events = table(spark, "events", sf_dir)
+    li_rules = check_rules(
+        li,
+        [
+            Rule(
+                "lineitem_qty_range",
+                F.col("l_quantity").isNull()
+                | (F.col("l_quantity") < 1)
+                | (F.col("l_quantity") > 50),
+            ),
+            Rule(
+                "lineitem_price_positive",
+                F.col("l_extendedprice").isNull()
+                | (F.col("l_extendedprice") <= 0),
+            ),
+            Rule("lineitem_shipdate_nonnull", F.col("l_shipdate").isNull()),
+        ],
+    )
+    o_rules = check_rules(
+        orders,
+        [
+            Rule(
+                "orders_status_domain",
+                F.col("o_orderstatus").isNull()
+                | ~F.col("o_orderstatus").isin("O", "F", "P"),
+            ),
+            Rule(
+                "orders_totalprice_positive",
+                F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0),
+            ),
+            Rule("orders_custkey_nonnull", F.col("o_custkey").isNull()),
+        ],
+    )
+    e_rules = check_rules(
+        events,
+        [
+            Rule(
+                "events_value_nonneg",
+                F.col("value").isNull() | (F.col("value") < 0),
+            ),
+            Rule("events_type_nonnull", F.col("event_type").isNull()),
+        ],
+    )
+    uniq = check_unique(
+        li, "lineitem_pk_unique", ["l_orderkey", "l_linenumber"]
+    )
+    ref = check_reference(
+        li, orders, "lineitem_orderkey_exists", "l_orderkey", "o_orderkey"
+    )
+    return quality_report([li_rules, o_rules, e_rules, uniq, ref])
+
+
+def _order_key(ts_col: str = "ts", id_col: str = "event_id") -> F.Column:
+    """Total-order key for first/last-by aggregation: zero-padded
+    (unix_micros, id) string — min_by/max_by take ONE key column and
+    neither engine orders struct keys, so the compound order encodes
+    as a fixed-width sortable string (identical in DuckDB via
+    epoch_us)."""
+    return F.concat(
+        F.lpad(F.unix_micros(F.col(ts_col)).cast("string"), 20, "0"),
+        F.lit(":"),
+        F.lpad(F.col(id_col).cast("string"), 20, "0"),
+    )
+
+
+_SQL_ORDER_KEY = (
+    "lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || ':' || "
+    "lpad(CAST(event_id AS VARCHAR), 20, '0')"
+)
+
+
+@register(
+    "events_ohlc_hourly",
+    oracle=f"""
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           arg_min(value, {_SQL_ORDER_KEY}) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, {_SQL_ORDER_KEY}) AS close,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    """,
+)
+def q_events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling of the event stream: first/last/extreme value
+    per (event_type, hour) via min_by/max_by over a deterministic
+    (ts, event_id) total order — one partial-aggregated scan, values
+    emitted bit-exact (picked, not computed). The time-series
+    resample every monitoring pipeline runs."""
+    events = table(spark, "events", sf_dir)
+    key = _order_key()
+    return events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.min_by("value", key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", key).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -131,6 +131,8 @@ _PRIORITY = [
     "cluster_aware_split",
     # late round-4 additions (hash-green at sf0.001/0.01/0.1 locally;
     # first in line for the round-5 budget)
+    "data_quality_report",
+    "events_ohlc_hourly",
     "weighted_sample_by_length",
     "curriculum_batches",
     "curriculum_layout_audit",
@@ -253,6 +255,7 @@ def _load_all() -> None:
         text_queries,
         tpch_gap_queries,
         tpch_more_queries,
+        validation_queries,
         wordcount_queries,
     )
 

@@ -1,0 +1,97 @@
+"""Detection tests for the data-quality operators: each rule family
+must actually CATCH planted violations (the fixture is clean on most
+rules, so oracle parity alone would let a vacuous always-zero
+implementation pass), plus OHLC semantics on a hand-computable frame."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from mpi_word_count_spark.operators.validation import (
+    Rule,
+    check_reference,
+    check_rules,
+    check_unique,
+    quality_report,
+)
+
+
+def _by_rule(df):
+    return {r["rule"]: (r["violations"], r["checked"]) for r in df.collect()}
+
+
+def test_check_rules_counts_planted_violations(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -3.0), (3, None), (4, 0.0)],
+        "id long, amount double",
+    )
+    out = _by_rule(
+        check_rules(
+            df,
+            [
+                Rule(
+                    "amount_positive",
+                    F.col("amount").isNull() | (F.col("amount") <= 0),
+                ),
+                Rule("amount_nonnull", F.col("amount").isNull()),
+            ],
+        )
+    )
+    assert out["amount_positive"] == (3, 4)
+    assert out["amount_nonnull"] == (1, 4)
+
+
+def test_check_unique_counts_extra_rows(spark):
+    df = spark.createDataFrame(
+        [(1, 1), (1, 1), (1, 1), (2, 1), (2, 2)], "a long, b long"
+    )
+    out = _by_rule(check_unique(df, "pk", ["a", "b"]))
+    assert out["pk"] == (2, 5)  # three copies of (1,1) → 2 extras
+
+
+def test_check_reference_counts_orphans(spark):
+    child = spark.createDataFrame([(1,), (2,), (3,), (3,)], "fk long")
+    parent = spark.createDataFrame([(1,), (5,)], "pk long")
+    out = _by_rule(check_reference(child, parent, "fk_exists", "fk", "pk"))
+    assert out["fk_exists"] == (3, 4)  # 2, 3, 3 are orphans
+
+
+def test_quality_report_union_is_sorted_and_complete(spark):
+    a = check_unique(
+        spark.createDataFrame([(1,)], "x long"), "z_rule", ["x"]
+    )
+    b = check_unique(
+        spark.createDataFrame([(1,)], "x long"), "a_rule", ["x"]
+    )
+    rules = [r["rule"] for r in quality_report([a, b]).collect()]
+    assert rules == ["a_rule", "z_rule"]
+
+
+def test_ohlc_picks_first_and_last_by_time_then_id(spark):
+    t = datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        # same hour, same ts for ids 1/2 → id breaks the tie
+        (2, t, "click", 20.0),
+        (1, t, "click", 10.0),
+        (3, datetime(2024, 1, 1, 10, 59, 0), "click", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    from mpi_word_count_spark.queries.validation_queries import _order_key
+
+    got = (
+        df.groupBy("event_type")
+        .agg(
+            F.min_by("value", _order_key()).alias("open"),
+            F.max_by("value", _order_key()).alias("close"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+        )
+        .collect()[0]
+    )
+    assert got["open"] == 10.0  # earliest ts, lowest id
+    assert got["close"] == 5.0  # latest ts
+    assert got["high"] == 20.0 and got["low"] == 5.0
