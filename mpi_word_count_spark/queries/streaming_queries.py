@@ -303,3 +303,50 @@ def q_streaming_synth_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return run_to_completion(streaming_word_count(corpus), "complete")
+
+
+@register(
+    "streaming_quality_windows",
+    oracle="""
+    WITH w AS (
+        SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+               CAST(sum(CASE WHEN value IS NULL OR value < 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS value_nonneg,
+               CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS value_outlier,
+               CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS type_nonnull,
+               count(*) AS checked
+        FROM events GROUP BY 1
+    )
+    SELECT window_start_us, 'value_nonneg' AS rule,
+           value_nonneg AS violations, checked FROM w
+    UNION ALL
+    SELECT window_start_us, 'value_outlier', value_outlier, checked FROM w
+    UNION ALL
+    SELECT window_start_us, 'type_nonnull', type_nonnull, checked FROM w
+    """,
+)
+def q_streaming_quality_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-quality gate as a streaming monitor: per-hour violation
+    counters over the event stream (one shared windowed aggregate for
+    all rules — state is rules+1 longs per window). The value_outlier
+    rule (> 100) genuinely fires on the fixture, so the hash verifies
+    detection, not just plumbing."""
+    from mpi_word_count_spark.operators.validation import Rule
+    from mpi_word_count_spark.streaming.queries import windowed_rule_counts
+
+    ev = stream_table(spark, "events", sf_dir)
+    rules = [
+        Rule("value_nonneg", F.col("value").isNull() | (F.col("value") < 0)),
+        Rule("value_outlier", F.col("value") > 100),
+        Rule("type_nonnull", F.col("event_type").isNull()),
+    ]
+    wide = windowed_rule_counts(ev, rules, window="1 hour", watermark=None)
+    done = run_to_completion(wide, "complete")
+    stacked = ", ".join(f"'{r.name}', {r.name}" for r in rules)
+    return done.selectExpr(
+        "unix_micros(window_start) AS window_start_us",
+        f"stack({len(rules)}, {stacked}) AS (rule, violations)",
+        "checked",
+    )

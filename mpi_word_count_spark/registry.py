@@ -133,6 +133,7 @@ _PRIORITY = [
     # first in line for the round-5 budget)
     "data_quality_report",
     "events_ohlc_hourly",
+    "streaming_quality_windows",
     "weighted_sample_by_length",
     "curriculum_batches",
     "curriculum_layout_audit",

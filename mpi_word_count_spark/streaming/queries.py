@@ -291,3 +291,34 @@ def streaming_dedup_within_watermark(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     )
+
+
+def windowed_rule_counts(
+    events: DataFrame,
+    rules,
+    window: str = "1 hour",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Streaming data-quality monitor: the batch validation gate's
+    predicate rules (operators/validation.Rule) as per-tumbling-window
+    violation counters — the alerting complement of the one-shot
+    `data_quality_report` publish gate. All rules share ONE windowed
+    aggregate (a counter column per rule), so rule count never
+    multiplies state: per-window state is rules+1 longs, bounded by
+    the watermark exactly like any windowed count. Returns the WIDE
+    form (one row per window); callers stack to (rule, violations)
+    rows after the stream completes."""
+    from pyspark.sql import functions as F
+
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    aggs = [
+        F.sum(F.when(r.violated, 1).otherwise(0)).alias(r.name)
+        for r in rules
+    ]
+    return (
+        events.groupBy(F.window("ts", window).alias("w"))
+        .agg(*aggs, F.count(F.lit(1)).alias("checked"))
+        .select(F.col("w.start").alias("window_start"), "*")
+        .drop("w")
+    )
