@@ -66,10 +66,22 @@ _PRIORITY = [
     # the two red rows of CORRECTNESS_r03 (events-ts bug, fixed):
     "streaming_session_counts",
     "streaming_stateful_totals",
+    # the events family whose r1/r2 greens the engine's TIMESTAMP_NTZ
+    # change invalidated (round-3 verdict item 2): fresh rows on the
+    # current engine outrank more never-verified entries, because this
+    # is the one class whose prior evidence was actually voided
+    "event_gaps",
+    "streaming_tumbling_counts",
+    "streaming_sliding_counts",
+    "streaming_enriched_counts",
+    "streaming_click_attribution",
+    "events_last_order_asof",
+    "user_session_counts",
+    "events_json_buckets",
     # every remaining query with an oracle and NO driver row in any
     # round (round 4 registered more never-verified queries than the
-    # budget holds; six with the strongest indirect evidence are
-    # deferred below) — every registered query is additionally
+    # budget holds; the overflow with the strongest indirect evidence
+    # is deferred below) — every registered query is additionally
     # value-hash-green at sf0.1 (COVERAGE.md sweep)
     "ann_ivfpq",
     "ann_lsh_partitioned",
@@ -77,7 +89,6 @@ _PRIORITY = [
     "benchmark_contamination",
     "bloom_prefilter_stats",
     "bm25_scores",
-    "bucketed_revenue_by_status",
     "cms_word_counts",
     "corpus_mixture",
     "csv_roundtrip",
@@ -91,8 +102,6 @@ _PRIORITY = [
     "events_zorder_keys",
     "incremental_exact_dedup",
     "incremental_minhash_dups",
-    "lineitem_stats_moments",
-    "lineitem_unpivot_metrics",
     "overlapping_order_pairs",
     "events_variant_stats",
     "cogrouped_user_totals",
@@ -106,19 +115,26 @@ _PRIORITY = [
     "q9_product_profit",
     "quota_sample_per_source",
     "repetition_scores",
-    "salted_segment_revenue",
     "scd2_customer_upsert",
     "segment_dedup_summary",
     "semantic_dedup",
-    "seq_length_histogram",
     "session_concurrency_hourly",
     "shuffled_shards",
-    "trailing_week_revenue",
     "training_shard_manifest",
     "unigram_logprob_scores",
+    # --- below the budget line: round-5 rotation ---------------------
+    # demoted from the r4 budget to make room for the voided events
+    # family: single-table relational aggregates whose mechanics are
+    # identical to already-driver-green family members; sweep-green
+    # at sf0.1 on the current engine, first in line for round 5
+    "bucketed_revenue_by_status",
+    "lineitem_stats_moments",
+    "lineitem_unpivot_metrics",
+    "salted_segment_revenue",
+    "seq_length_histogram",
+    "trailing_week_revenue",
     "user_event_funnel",
     "value_gini_by_event_type",
-    # --- below the budget line: round-5 rotation ---------------------
     # deferred never-green entries with the strongest indirect
     # evidence: embedding_cluster_sizes shares ann_ivf's entire oracle
     # CTE chain; synthetic_corpus_wordcount's connector is unit-tested
@@ -152,17 +168,11 @@ _PRIORITY = [
     "approx_value_quantiles",
     "compression_ratios",
     "hll_sketch_rollup",
-    # stale r1/r2 greens on the events family — re-verify on the
-    # current engine once the never-green backlog clears
-    "event_gaps",
+    # older greens worth an eventual refresh: streaming_wordcount's
+    # r1/r2 row predates the streaming-source rework (documents table,
+    # not affected by the events-ts change); running_revenue got its
+    # sf0.1 tie-break fix after its last driver row
     "streaming_wordcount",
-    "streaming_tumbling_counts",
-    "streaming_sliding_counts",
-    "streaming_enriched_counts",
-    "streaming_click_attribution",
-    "events_last_order_asof",
-    "user_session_counts",
-    "events_json_buckets",
     "running_revenue_per_supplier",
     # everything else, oldest evidence first is immaterial here
     "ann_bruteforce",
