@@ -39,6 +39,7 @@ HEADLINE = [
     "exact_dedup",
     "minhash_lsh_dups",
     "dedup_clusters",
+    "trade_graph_pagerank",
     "simhash_fingerprints",
     "ann_bruteforce",
     "ann_lsh",

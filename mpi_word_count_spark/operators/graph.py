@@ -1,0 +1,137 @@
+"""Iterative graph analytics over fixture-derived relation graphs.
+
+The reference engine's only "iteration" is its ⌈log₂n⌉-round tree
+reduce (word_count_mpi.c:147-209) — a fixed-depth exchange schedule.
+This module supplies the general form a 100 TB data-curation stack
+needs next to connected components (operators/dedup.py): fixed-round
+synchronous iteration where EVERY round is exactly one join + one
+partial-aggregated shuffle, and the driver holds only loop control.
+
+PageRank here is formulated in **integer fixed point** so the result
+is bit-identical across engines and summation orders:
+
+    r_0(v)     = SCALE
+    r_{i+1}(v) = base + (85 * Σ_{u→v} (r_i(u) div outdeg(u))) div 100
+    base       = (SCALE * 15) div 100
+
+All quantities are int64; integer sums are exact and associative, so
+the usual float-PageRank pitfall (per-partition summation order
+changing low bits, which a rounded oracle comparison can then flip)
+cannot occur: a DuckDB oracle that unrolls the same recurrence matches
+value-hash exactly.  Overflow bound: 85 * SCALE * max_indegree must
+stay < 2^63, i.e. max_indegree < ~1.0e5 at SCALE=1e12 — at larger
+graph scale drop SCALE (1e9 admits ~1.0e8-degree hubs) rather than
+widening the type; ranking resolution degrades gracefully.
+
+Scale design (100 TB / 10^10 nodes):
+- ranks are a 2-column (node:int64, rank_fp:int64) table — 16 bytes a
+  node; each round shuffles contributions hash-partitioned by dst with
+  map-side partial sums (Tungsten partial agg), the Pregel/GraphX
+  message pattern without a vertex-program framework.
+- the adjacency list (src, dst, outdeg) is built once and
+  localCheckpoint'ed; per-round plans stay O(1) because each round's
+  ranks are lineage-truncated too (the same analyzed-plan-doubling
+  hazard measured in dup_clusters — see its docstring). On a real
+  cluster prefer reliable checkpoint() for executor-loss recovery.
+- rounds are FIXED (default 6), not convergence-tested: fixed-round
+  PageRank is the production form for ranking (ordering stabilizes
+  long before values), keeps every job identical, and is what an
+  unrolled SQL oracle can replicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from mpi_word_count_spark.operators import track_releaser
+
+DEFAULT_SCALE = 10**12
+DAMPING_NUM = 85
+DAMPING_DEN = 100
+DEFAULT_ITERATIONS = 6
+
+
+def _unpersist_local_ckpt(df: DataFrame) -> None:
+    """See operators/dedup.py:_unpersist_local_ckpt (same mechanism)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    iterations: int = DEFAULT_ITERATIONS,
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """Fixed-round integer-fixed-point PageRank.
+
+    edges: DataFrame[src: long, dst: long], directed. For an
+    undirected graph pass both orientations. Nodes are defined as the
+    set of sources (every node must have outdeg ≥ 1; in a
+    both-orientations graph that is every non-isolated node). Nodes
+    that receive no in-edges in some round would drop from the rank
+    table; with both orientations present every source also receives,
+    so the node set is stable across rounds.
+
+    Returns DataFrame[node: long, rank_fp: long] — rank in fixed-point
+    units of 1/scale.
+    """
+    base = (scale * (DAMPING_DEN - DAMPING_NUM)) // DAMPING_DEN
+
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # adjacency with out-degree attached once: per-round work is then a
+    # single equi-join on src + one aggregated shuffle on dst
+    adj = edges.join(deg, "src").localCheckpoint()
+
+    ranks = (
+        deg.select(F.col("src").alias("node"))
+        .withColumn("rank_fp", F.lit(scale).cast("long"))
+        .localCheckpoint()
+    )
+    for _ in range(iterations):
+        contrib = adj.join(ranks, adj["src"] == ranks["node"]).select(
+            F.col("dst"), F.expr("rank_fp div outdeg").alias("c")
+        )
+        new_ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                F.col("dst").alias("node"),
+                (
+                    F.lit(base)
+                    + F.expr(f"({DAMPING_NUM} * s) div {DAMPING_DEN}")
+                ).alias("rank_fp"),
+            )
+        )
+        prev = ranks
+        ranks = new_ranks.localCheckpoint()
+        _unpersist_local_ckpt(prev)
+
+    track_releaser(lambda df=adj: _unpersist_local_ckpt(df))
+    track_releaser(lambda df=ranks: _unpersist_local_ckpt(df))
+    return ranks
+
+
+def trade_graph_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """The customer–supplier trade graph: an undirected bipartite edge
+    (customer c ↔ supplier s) wherever some order of c has a lineitem
+    supplied by s. Node ids disambiguate the two key spaces by parity:
+    customer → 2*custkey, supplier → 2*suppkey + 1.
+
+    One join orders⋈lineitem on orderkey (the natural co-partitioned
+    join at scale — both sides hash on orderkey), one distinct over
+    16-byte edge pairs, then both orientations for the undirected
+    random walk.
+    """
+    e = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )

@@ -1,0 +1,88 @@
+"""Iterative graph analytics queries: fixed-round integer-fixed-point
+PageRank over the customer–supplier trade graph.
+
+The Spark side is the Pregel-style one-shuffle-per-round loop
+(operators/graph.py); the oracle unrolls the SAME integer recurrence
+as a chained CTE per round, so an inherently iterative algorithm is
+value-hash-verified — the same technique the k-means oracles use
+(queries/similarity_queries.py), but over a graph recurrence. Integer
+fixed point makes the match exact: int64 sums are associative, so
+engine/partition summation order cannot perturb any digit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mpi_word_count_spark.operators.graph import (
+    DAMPING_DEN,
+    DAMPING_NUM,
+    DEFAULT_ITERATIONS,
+    DEFAULT_SCALE,
+    pagerank_fixed_point,
+    trade_graph_edges,
+)
+from mpi_word_count_spark.registry import register
+from mpi_word_count_spark.tables import table
+
+
+def _pagerank_oracle(
+    iterations: int = DEFAULT_ITERATIONS, scale: int = DEFAULT_SCALE
+) -> str:
+    base = (scale * (DAMPING_DEN - DAMPING_NUM)) // DAMPING_DEN
+    rounds = []
+    for i in range(1, iterations + 1):
+        rounds.append(
+            f"""r{i} AS (
+        SELECT b.dst AS node,
+               CAST({base}
+                 + ({DAMPING_NUM} * sum(r.rank_fp // d.outdeg))
+                   // {DAMPING_DEN} AS BIGINT) AS rank_fp
+        FROM bi b
+        JOIN r{i - 1} r ON b.src = r.node
+        JOIN deg d ON d.src = b.src
+        GROUP BY 1
+    )"""
+        )
+    chain = ",\n    ".join(rounds)
+    return f"""
+    WITH e AS (
+        SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    bi AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    deg AS (SELECT src, count(*) AS outdeg FROM bi GROUP BY 1),
+    r0 AS (SELECT DISTINCT src AS node, CAST({scale} AS BIGINT) AS rank_fp
+           FROM bi),
+    {chain}
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+               AS node_type,
+           node // 2 AS key,
+           rank_fp
+    FROM r{iterations}
+    """
+
+
+@register("trade_graph_pagerank", oracle=_pagerank_oracle())
+def q_trade_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the bipartite customer↔supplier graph (an edge
+    wherever a customer's order has a lineitem from that supplier),
+    6 fixed rounds, damping 85/100, integer fixed point at 1e-12.
+
+    High-rank suppliers are the hub vendors of the trade network —
+    the graph-centrality complement to q15_top_suppliers' revenue
+    ranking. Per round: one equi-join on src + one partially-
+    aggregated shuffle on dst; ranks are 16 bytes/node (scale
+    argument in operators/graph.py docstring).
+    """
+    orders = table(spark, "orders", sf_dir)
+    lineitem = table(spark, "lineitem", sf_dir)
+    ranks = pagerank_fixed_point(trade_graph_edges(orders, lineitem))
+    return ranks.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node div 2").alias("key"),
+        F.col("rank_fp"),
+    )

@@ -256,6 +256,7 @@ def _load_all() -> None:
         audit_queries,
         curation_queries,
         dedup_queries,
+        graph_queries,
         join_queries,
         multimodal_queries,
         pipeline_queries,
