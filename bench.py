@@ -45,6 +45,7 @@ HEADLINE = [
     "ann_lsh",
     "token_stats",
     "quality_scores",
+    "model_quality_scores",
     "clean_corpus_summary",
     "streaming_wordcount",
     "benchmark_contamination",

@@ -257,6 +257,7 @@ def _load_all() -> None:
         curation_queries,
         dedup_queries,
         graph_queries,
+        inference_queries,
         join_queries,
         multimodal_queries,
         pipeline_queries,

@@ -1,0 +1,60 @@
+"""Batch model inference (operators/inference.py): exact integer
+scoring on planted documents, zero-token handling, and the broadcast
+plan shape. Fixture-scale value-hash parity runs in
+tests/test_oracle_parity.py (model_quality_scores)."""
+
+from __future__ import annotations
+
+from mpi_word_count_spark.functions.hashing import py_hash32
+from mpi_word_count_spark.operators.inference import (
+    FEATURE_DIM,
+    FEATURE_SEED,
+    demo_weight_rows,
+    demo_weights,
+    hashed_linear_scores,
+)
+
+
+def expected_logit(terms: list[str]) -> int:
+    w = dict(demo_weight_rows())
+    return sum(w[py_hash32(t, FEATURE_SEED) % FEATURE_DIM] for t in terms)
+
+
+def score_docs(spark, rows):
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = hashed_linear_scores(docs, demo_weights(spark))
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_exact_integer_scoring(spark):
+    got = score_docs(
+        spark,
+        [
+            (1, "alpha beta beta"),
+            (2, "ALPHA, beta! beta."),  # case-fold + delimiters: same bag
+            (3, ""),
+        ],
+    )
+    logit = expected_logit(["alpha", "beta", "beta"])
+    assert got[1]["logit_milli"] == logit
+    assert got[1]["n_tokens"] == 3
+    # tokenizer semantics S1/S2 flow through: same bag, same score
+    assert got[2] == {**got[1], "doc_id": 2}
+    assert got[1]["keep"] == (logit >= 0)
+    # empty documents: scored 0.0, kept, not dropped from the output
+    assert got[3]["n_tokens"] == 0
+    assert got[3]["score"] == 0.0
+    assert got[3]["keep"] is True
+
+
+def test_plan_broadcasts_weights_no_cartesian(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        hashed_linear_scores(docs, demo_weights(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
