@@ -97,3 +97,53 @@ def hashed_linear_scores(
         .alias("score"),
         (logit >= 0).alias("keep"),
     )
+
+
+def hashed_linear_scores_stateless(
+    docs: DataFrame,
+    weight_rows: list[tuple[int, int]] | None = None,
+    dim: int = FEATURE_DIM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The STATELESS twin of hashed_linear_scores: the model rides in
+    the plan as a literal int array and every document is scored by a
+    single row-local expression — tokenize, per-token weight lookup
+    via element_at, integer left-fold. No join, no aggregation, no
+    shuffle, no state: exactly the shape streaming inference needs
+    (append mode, each doc scored once on arrival, state size zero)
+    and the degenerate-but-optimal batch plan (scan → project).
+
+    Output contract is identical to hashed_linear_scores (asserted in
+    tests/test_inference.py): Σ over token INSTANCES of w(feature(t))
+    equals Σ_term tf·w by distributivity, in exact int64 both ways.
+
+    Literal-vs-broadcast tradeoff: a literal array is codegen'd into
+    the task binary — perfect for O(100..10k) weights; past that the
+    plan bloats and the broadcast-join variant wins. Both keep the
+    model off the row path's Python side."""
+    rows = weight_rows if weight_rows is not None else demo_weight_rows(dim)
+    w_arr = F.array(*[F.lit(w) for _, w in sorted(rows)])
+    toks = tokens_col(text_col)
+
+    def w_of(t):
+        return F.element_at(
+            w_arr, (hash32(t, FEATURE_SEED) % dim + 1).cast("int")
+        )
+
+    docs = docs.withColumn("_toks", toks)
+    n = F.size("_toks").cast("long")
+    logit = F.aggregate(
+        F.transform("_toks", w_of),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+    )
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        logit.alias("logit_milli"),
+        F.when(n == 0, F.lit(0.0))
+        .otherwise(portable_round(logit / (F.lit(1000.0) * n), 6))
+        .alias("score"),
+        (logit >= 0).alias("keep"),
+    )

@@ -47,6 +47,29 @@ def test_exact_integer_scoring(spark):
     assert got[3]["keep"] is True
 
 
+def test_stateless_variant_identical_and_shuffle_free(spark):
+    from mpi_word_count_spark.operators.inference import (
+        hashed_linear_scores_stateless,
+    )
+
+    rows = [
+        (1, "alpha beta beta gamma delta"),
+        (2, "Zeta! eta?? theta"),
+        (3, "alpha"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    via_join = {
+        r["doc_id"]: r.asDict()
+        for r in hashed_linear_scores(docs, demo_weights(spark)).collect()
+    }
+    stateless = hashed_linear_scores_stateless(docs)
+    via_expr = {r["doc_id"]: r.asDict() for r in stateless.collect()}
+    assert via_expr == via_join
+    # the stateless plan must be scan → project: no exchange at all
+    plan = stateless._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_plan_broadcasts_weights_no_cartesian(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = (
