@@ -64,6 +64,7 @@ HEADLINE = [
     "bloom_prefilter_stats",
     "duplicate_passages",
     "unigram_logprob_scores",
+    "bpe_token_counts",
     "ann_ivfpq",
     "session_concurrency_hourly",
     "overlapping_order_pairs",

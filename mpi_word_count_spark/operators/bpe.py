@@ -1,0 +1,156 @@
+"""BPE tokenizer training and subword encoding — the canonical
+iterative LLM-pipeline operator (train a byte-pair-encoding merge
+table from corpus statistics, then encode documents with it).
+
+Scale design (the HuggingFace-tokenizers / sentencepiece split):
+
+1. **Pre-tokenize + count words distributed.** The corpus-sized work
+   is exactly the flagship word count (one partially-aggregated
+   shuffle of distinct words, operators/wordcount.py) — at 100 TB the
+   word-TYPE table is Zipf-bounded (~10^6 rows), not corpus-sized.
+2. **Train on the top-N word types driver-side.** BPE's merge loop is
+   inherently sequential (merge k+1 depends on k); running it over a
+   bounded top-N vocabulary slice (freq DESC, word ASC tie-break,
+   default 2000 types) makes each round O(vocab · word_len) driver
+   work — the same bounded-driver-state pattern as the IVF/PQ
+   quantizer trainings (operators/similarity.py): the model is small,
+   the DATA never leaves the cluster.
+3. **Encode distributed.** The learned merges are literals; applying
+   them is a chain of per-row greedy array folds (F.aggregate) —
+   JVM-side, zero shuffles, scan-speed over any corpus size.
+
+Greedy merge semantics (all three implementations must agree — the
+pure-Python trainer here, the F.aggregate fold, and the positional
+window formulation the SQL oracle uses, see queries/bpe_queries.py):
+scan left to right; an adjacent (left, right) occurrence merges iff
+it does not overlap an occurrence already merged in this round.
+Overlaps only arise for left == right runs ("aaaa" + (a,a) -> [aa,aa],
+never [a,aa,a]). Pair counting includes overlapping occurrences
+("aaa" contributes (a,a) twice), matching the classic algorithm
+(Sennrich et al. 2016; HF tokenizers BpeTrainer).
+
+The reference engine has no subword surface — this extends its
+word-count statistics (word_count_mpi.c:391-443 computes exactly the
+word-frequency table BPE training consumes) into tokenizer training.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mpi_word_count_spark.tokenizer import tokenize
+
+# Words are restricted to this class so one "symbol" is one ASCII
+# char in every engine (Spark, DuckDB, Python) — no grapheme/byte
+# ambiguity in the char split, and binary collation tie-breaks agree.
+ALNUM_WORD = "^[a-z0-9]+$"
+
+DEFAULT_MERGES = 16
+DEFAULT_VOCAB_TYPES = 2000
+
+
+def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus word-type frequency table: (word, freq), alnum words
+    only. The only corpus-sized stage of BPE training — one
+    partial-aggregated shuffle keyed on the word (S1/S2 tokenizer
+    semantics, shared with the flagship)."""
+    toks = tokenize(docs, col=text_col)
+    return (
+        toks.filter(F.col("word").rlike(ALNUM_WORD))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def top_vocab(freqs: DataFrame, n_types: int = DEFAULT_VOCAB_TYPES) -> list[tuple[str, int]]:
+    """Driver-side (word, freq) training slice: top-N word types by
+    (freq DESC, word ASC). Bounded collect — model-sized, like the
+    k-means centroid pulls (operators/similarity.py)."""
+    rows = (
+        freqs.orderBy(F.desc("freq"), F.asc("word"))
+        .limit(n_types)
+        .collect()
+    )
+    return [(r["word"], r["freq"]) for r in rows]
+
+
+def greedy_merge(syms: list[str], left: str, right: str, merged: str) -> list[str]:
+    """One round of greedy left-to-right pair merging (the reference
+    semantics all other implementations are tested against)."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def train_bpe(
+    word_freq: list[tuple[str, int]], merges: int = DEFAULT_MERGES
+) -> list[tuple[str, str, str, int]]:
+    """Train a BPE merge table on a (word, freq) list.
+
+    Returns up to `merges` rows of (left, right, merged, pair_count)
+    in learned order. Pair selection tie-break: count DESC, left ASC,
+    right ASC (bytewise — words are ALNUM_WORD so ASCII-only).
+    Stops early if no adjacent pair remains.
+    """
+    seqs: list[tuple[list[str], int]] = [(list(w), f) for w, f in word_freq]
+    table: list[tuple[str, str, str, int]] = []
+    for _ in range(merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, freq in seqs:
+            for i in range(len(syms) - 1):
+                pair = (syms[i], syms[i + 1])
+                counts[pair] = counts.get(pair, 0) + freq
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merged = left + right
+        table.append((left, right, merged, cnt))
+        seqs = [(greedy_merge(s, left, right, merged), f) for s, f in seqs]
+    return table
+
+
+def chars_col(col: Column | str) -> Column:
+    """word -> array of single-char symbols (ASCII by ALNUM_WORD)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit("."), 0)
+
+
+def apply_merge_col(syms: Column, left: str, right: str, merged: str) -> Column:
+    """One greedy merge round as a JVM array fold (F.aggregate): the
+    accumulator's last element merges with the incoming symbol iff it
+    equals `left` and the symbol equals `right`. Because a merged
+    token is never equal to `left` (merged = left||right, symbols are
+    non-empty), a fresh merge can't immediately re-merge — exactly
+    the greedy left-to-right semantics (tested against greedy_merge
+    in tests/test_bpe.py)."""
+    lit_l, lit_r, lit_m = F.lit(left), F.lit(right), F.lit(merged)
+    return F.aggregate(
+        syms,
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == lit_l)
+            & (s == lit_r),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(lit_m)),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def encode_col(col: Column | str, merge_table: list[tuple[str, str, str, int]]) -> Column:
+    """word -> BPE symbol array under a learned merge table: the
+    merge literals chain into per-row folds in rank order — no UDF,
+    no shuffle, whole-stage-codegen'd per scanned row."""
+    syms = chars_col(col)
+    for left, right, merged, _ in merge_table:
+        syms = apply_merge_col(syms, left, right, merged)
+    return syms

@@ -1,0 +1,222 @@
+"""BPE tokenizer-training queries: merge-table learning and subword
+token counting (operators/bpe.py).
+
+Oracle technique: BPE is iterative (merge k+1 depends on merge k), so
+the DuckDB oracle unrolls the training recurrence one CTE block per
+round — the same unrolled-recurrence verification the PageRank
+(queries/graph_queries.py) and k-means/PQ oracles use. The oracle
+derives the merges ITSELF from the corpus (no values smuggled from
+the Spark side): per round it counts adjacent pairs over the current
+symbol tables, picks the argmax under the (count DESC, left ASC,
+right ASC) tie-break, and applies the greedy merge with a positional
+window formulation:
+
+  occurrences of (L, R) can only overlap when L == R (an occurrence
+  at pos i+1 needs sym[i+1] = L, but an occurrence at i forces
+  sym[i+1] = R); greedy left-to-right therefore means: group
+  consecutive occurrence positions into chains (gaps-and-islands) and
+  keep every odd-ranked occurrence within its chain.
+
+All outputs are integers/strings — no floats anywhere — so the
+value-hash match is exact by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mpi_word_count_spark.operators import track_cache
+from mpi_word_count_spark.operators.bpe import (
+    DEFAULT_MERGES,
+    DEFAULT_VOCAB_TYPES,
+    ALNUM_WORD,
+    encode_col,
+    top_vocab,
+    train_bpe,
+    word_freqs,
+)
+from mpi_word_count_spark.registry import register, sql_regex
+from mpi_word_count_spark.tables import table
+from mpi_word_count_spark.tokenizer import tokenize
+
+MERGE_SCHEMA = (
+    "merge_rank int, left_sym string, right_sym string, "
+    "merged string, pair_count bigint"
+)
+
+
+def _base_ctes(n_types: int) -> str:
+    """Corpus word-type table + training vocab + initial symbol table
+    (one row per (word, char position))."""
+    return f"""
+    toks AS MATERIALIZED (
+        SELECT unnest(regexp_split_to_array(lower(text), '{sql_regex()}')) AS w
+        FROM documents
+    ),
+    freqs AS MATERIALIZED (
+        SELECT w AS word, count(*) AS freq
+        FROM toks
+        WHERE w <> '' AND regexp_full_match(w, '[a-z0-9]+')
+        GROUP BY 1
+    ),
+    vocab AS MATERIALIZED (SELECT word FROM freqs ORDER BY freq DESC, word LIMIT {n_types}),
+    chars AS MATERIALIZED (
+        SELECT word, freq, regexp_extract_all(word, '.') AS a FROM freqs
+    ),
+    s0 AS MATERIALIZED (
+        SELECT word, freq,
+               unnest(generate_series(1, len(a))) AS pos,
+               unnest(a) AS sym
+        FROM chars
+    )"""
+
+
+def _round_ctes(k: int) -> str:
+    """One training round: pair counts (vocab words only) -> argmax
+    pair -> positional greedy merge applied to ALL word types (so the
+    final symbol tables also encode out-of-vocab words, which is what
+    BPE encoding does at inference time)."""
+    p = k - 1
+    return f"""
+    pc{k} AS MATERIALIZED (
+        SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+            SELECT t.freq, t.sym AS l,
+                   lead(t.sym) OVER (PARTITION BY t.word ORDER BY t.pos) AS r
+            FROM s{p} t
+            JOIN vocab v ON v.word = t.word
+        ) q WHERE r IS NOT NULL GROUP BY 1, 2
+    ),
+    best{k} AS MATERIALIZED (
+        SELECT l AS bl, r AS br, l || r AS bm, cnt
+        FROM pc{k} ORDER BY cnt DESC, l, r LIMIT 1
+    ),
+    mk{k} AS MATERIALIZED (
+        SELECT word, freq, pos, sym,
+               CASE WHEN sym = (SELECT bl FROM best{k})
+                     AND lead(sym) OVER (PARTITION BY word ORDER BY pos)
+                         = (SELECT br FROM best{k})
+                    THEN 1 ELSE 0 END AS is_occ
+        FROM s{p}
+    ),
+    oc{k} AS MATERIALIZED (
+        SELECT word, pos,
+               pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp
+        FROM mk{k} WHERE is_occ = 1
+    ),
+    kp{k} AS MATERIALIZED (
+        SELECT word, pos FROM (
+            SELECT word, pos,
+                   row_number() OVER (PARTITION BY word, grp ORDER BY pos) AS rn
+            FROM oc{k}) t
+        WHERE rn % 2 = 1
+    ),
+    s{k} AS MATERIALIZED (
+        SELECT mm.word, mm.freq,
+               row_number() OVER (PARTITION BY mm.word ORDER BY mm.pos) AS pos,
+               CASE WHEN kk.pos IS NOT NULL THEN (SELECT bm FROM best{k})
+                    ELSE mm.sym END AS sym
+        FROM mk{k} mm
+        LEFT JOIN kp{k} kk ON kk.word = mm.word AND kk.pos = mm.pos
+        LEFT JOIN kp{k} kd ON kd.word = mm.word AND kd.pos = mm.pos - 1
+        WHERE kd.pos IS NULL
+    )"""
+
+
+def _chain(rounds: int, n_types: int) -> str:
+    return _base_ctes(n_types) + "," + ",".join(
+        _round_ctes(k) for k in range(1, rounds + 1)
+    )
+
+
+def _merges_oracle(
+    rounds: int = DEFAULT_MERGES, n_types: int = DEFAULT_VOCAB_TYPES
+) -> str:
+    unions = "\n    UNION ALL ".join(
+        f"SELECT {k} AS merge_rank, bl AS left_sym, br AS right_sym, "
+        f"bm AS merged, cnt AS pair_count FROM best{k}"
+        for k in range(1, rounds + 1)
+    )
+    return f"""
+    WITH {_chain(rounds, n_types)}
+    SELECT * FROM ({unions}) ORDER BY merge_rank
+    """
+
+
+def _token_counts_oracle(
+    rounds: int = DEFAULT_MERGES, n_types: int = DEFAULT_VOCAB_TYPES
+) -> str:
+    return f"""
+    WITH {_chain(rounds, n_types)},
+    wsz AS MATERIALIZED (SELECT word, count(*) AS n_sub FROM s{rounds} GROUP BY 1),
+    dtok AS MATERIALIZED (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '{sql_regex()}')) AS w
+        FROM documents
+    ),
+    dw AS MATERIALIZED (
+        SELECT doc_id, w AS word, count(*) AS cnt
+        FROM dtok
+        WHERE w <> '' AND regexp_full_match(w, '[a-z0-9]+')
+        GROUP BY 1, 2
+    )
+    SELECT dw.doc_id,
+           CAST(sum(dw.cnt) AS BIGINT) AS n_words,
+           CAST(sum(dw.cnt * ws.n_sub) AS BIGINT) AS n_subwords
+    FROM dw JOIN wsz ws ON ws.word = dw.word
+    GROUP BY 1
+    """
+
+
+@register("bpe_merges", oracle=_merges_oracle())
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a 16-merge BPE table on the documents corpus.
+
+    Shape at 100 TB: the corpus contributes ONE word-count shuffle
+    (the flagship aggregation); the sequential merge loop runs
+    driver-side over the bounded top-2000 word-type slice — model
+    training on cluster-computed sufficient statistics, the
+    HF-tokenizers design (operators/bpe.py docstring)."""
+    docs = table(spark, "documents", sf_dir)
+    merges = train_bpe(top_vocab(word_freqs(docs)))
+    rows = [
+        (i + 1, left, right, merged, cnt)
+        for i, (left, right, merged, cnt) in enumerate(merges)
+    ]
+    return spark.createDataFrame(rows, MERGE_SCHEMA).orderBy("merge_rank")
+
+
+@register("bpe_token_counts", oracle=_token_counts_oracle())
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document subword token counts under the learned BPE table —
+    the LLM-relevant "how many tokens is this document" statistic
+    (whitespace token counting is token_stats; this is the
+    tokenizer-aware version).
+
+    Plan: tokenize ONCE into (doc_id, word, cnt) [cached — vocab
+    collect and the final join both read it], derive the word-type
+    table by re-aggregation (never a second corpus scan), encode each
+    word TYPE once via the literal-merge folds, then broadcast-join
+    sizes back to the per-doc table. Encoding work is O(|word types|),
+    not O(corpus); the per-doc rollup reuses the dw shuffle's
+    partitioning key prefix."""
+    docs = table(spark, "documents", sf_dir)
+    tok = tokenize(docs, col="text", keep=["doc_id"])
+    dw = track_cache(
+        tok.filter(F.col("word").rlike(ALNUM_WORD))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    freqs = dw.groupBy("word").agg(F.sum("cnt").alias("freq"))
+    merges = train_bpe(top_vocab(freqs))
+    wsz = freqs.select(
+        "word", F.size(encode_col("word", merges)).alias("n_sub")
+    )
+    return (
+        dw.join(F.broadcast(wsz), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_sub")).alias("n_subwords"),
+        )
+    )

@@ -147,6 +147,8 @@ _PRIORITY = [
     "cluster_aware_split",
     # late round-4 additions (hash-green at sf0.001/0.01/0.1 locally;
     # first in line for the round-5 budget)
+    "bpe_merges",
+    "bpe_token_counts",
     "data_quality_report",
     "events_ohlc_hourly",
     "streaming_quality_windows",
@@ -254,6 +256,7 @@ def _load_all() -> None:
         advanced_queries,
         approx_queries,
         audit_queries,
+        bpe_queries,
         curation_queries,
         dedup_queries,
         graph_queries,
