@@ -181,6 +181,46 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orc_roundtrip",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE lang IN ('en', 'de')
+    GROUP BY lang
+    """,
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink roundtrip — the second columnar format Spark
+    ships natively (Hive-ecosystem interchange). documents →
+    `df.write.orc` → read back with an explicit schema → filter on
+    `lang` → per-lang summary. Unlike the row-format roundtrips
+    (csv/jsonl), the read-back side must keep columnar privileges:
+    the lang predicate reaches the ORC scan as a pushed filter and
+    the projection prunes to 2 of 4 written columns (asserted in
+    tests/test_connectors_bucketing.py) — format conversion without
+    losing pushdown is the point at 100 TB.
+    """
+    docs = table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    path = _scratch_path(sf_dir, "docs.orc")
+    docs.write.mode("overwrite").orc(path)
+    back = spark.read.schema(
+        "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT"
+    ).orc(path)
+    return (
+        back.filter(F.col("lang").isin("en", "de"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
     "partitioned_events_rollup",
     oracle="""
     SELECT event_type,

@@ -163,6 +163,7 @@ _PRIORITY = [
     "streaming_incremental_dedup",
     "console_lines",
     "jsonl_roundtrip",
+    "orc_roundtrip",
     "config_delimiters_wordcount",
     "streaming_synth_wordcount",
     # no-oracle rows-only entries (tolerance-tested vs exact twins)

@@ -277,3 +277,20 @@ def test_salted_join_matches_plain_join_under_skew(spark):
     # structural claim: the fact-side exchange carries (key, salt)
     plan = salted._jdf.queryExecution().executedPlan().toString()
     assert "_salt" in plan
+
+
+def test_orc_roundtrip_keeps_pushdown_and_pruning(spark):
+    """The orc_roundtrip query's read-back scan must keep columnar
+    privileges: the lang predicate pushed into the ORC reader and the
+    projection pruned to the 2 columns the aggregate needs."""
+    from mpi_word_count_spark.registry import queries
+
+    df = queries()["orc_roundtrip"](spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    scan = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert scan and "lang" in scan[0], plan
+    schema_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schema_lines and "n_chars" in schema_lines[0], plan
+    assert "doc_id" not in schema_lines[0] and "source" not in schema_lines[0]
