@@ -571,6 +571,101 @@ def bigram_pmi(
     return scored
 
 
+def skipgram_pmi(
+    df: DataFrame,
+    window: int = 2,
+    min_count: int = 5,
+    k: int | None = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Windowed co-occurrence PMI — the skip-gram statistic behind
+    count-based word embeddings (word2vec/GloVe prep): every unordered
+    token pair within ±`window` positions, scored
+
+      pmi(w1,w2) = ln( (c12/N2) / ((c1/N1)·(c2/N1)) )
+
+    bigram_pmi sees only ADJACENT pairs; this widens the context.
+    Pairs are canonicalized (least, greatest) so (a,b) and (b,a)
+    accumulate together.
+
+    Scale shape: pair generation happens INSIDE the token array (one
+    guarded transform per offset, concatenated then exploded) — no
+    window function, no self-join, no positional shuffle; the fan-out
+    is a fixed ×window per token. Both aggregations are the flagship
+    word-count plan (partial agg → shuffle of distinct keys); unigram
+    marginals and the two totals join back by broadcast. The top-k
+    cutoff orders on (count, pair) — integers and strings, so the
+    LIMIT boundary is deterministic cross-engine (a PMI-ordered
+    cutoff could tie on rounded floats)."""
+    from mpi_word_count_spark.operators import widen
+
+    staged = widen(df).select(tokens_col(text_col).alias("_toks"))
+    toks = F.col("_toks")
+
+    def pairs_at(off: int):
+        el = F.element_at
+        return F.when(
+            F.size(toks) > off,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - off),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.least(el(toks, i), el(toks, i + off)),
+                    F.greatest(el(toks, i), el(toks, i + off)),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    all_pairs = F.concat(*[pairs_at(off) for off in range(1, window + 1)])
+    pc = (
+        staged.select(F.explode(all_pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    uni = (
+        staged.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n1 = uni.agg(F.sum("c").alias("n1_total"))
+    n2 = pc.agg(F.sum("n_occurrences").alias("n2_total"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        pc.filter(F.col("n_occurrences") >= min_count)
+        .select(
+            "pair",
+            "n_occurrences",
+            F.split(F.col("pair"), " ").getItem(0).alias("w1"),
+            F.split(F.col("pair"), " ").getItem(1).alias("w2"),
+        )
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "w1",
+            "w2",
+            "n_occurrences",
+            F.round(
+                F.log(
+                    (F.col("n_occurrences") / F.col("n2_total"))
+                    / (
+                        (F.col("c1") / F.col("n1_total"))
+                        * (F.col("c2") / F.col("n1_total"))
+                    )
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    if k is not None:
+        scored = scored.orderBy(
+            F.desc("n_occurrences"), F.asc("w1"), F.asc("w2")
+        ).limit(k)
+    return scored
+
+
 def tfidf_top_terms(
     df: DataFrame,
     k: int = 1,

@@ -27,6 +27,7 @@ from mpi_word_count_spark.operators.textanalysis import (
     language_id,
     ngram_counts,
     pack_chunks,
+    skipgram_pmi,
     pii_scrub,
     quality_scores,
     repetition_scores,
@@ -151,6 +152,45 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprints(table(spark, "documents", sf_dir))
+
+
+@register(
+    "skipgram_pmi",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    pairs AS (
+        SELECT unnest(list_concat(
+            list_transform(generate_series(1, len(t) - 1),
+                i -> least(t[i], t[i + 1]) || ' ' || greatest(t[i], t[i + 1])),
+            list_transform(generate_series(1, len(t) - 2),
+                i -> least(t[i], t[i + 2]) || ' ' || greatest(t[i], t[i + 2]))
+        )) AS pair
+        FROM toks
+    ),
+    pc AS (SELECT pair, CAST(count(*) AS BIGINT) AS n_occurrences
+           FROM pairs GROUP BY 1),
+    uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+    n1 AS (SELECT sum(c) AS n1_total FROM uc),
+    n2 AS (SELECT sum(n_occurrences) AS n2_total FROM pc)
+    SELECT split_part(b.pair, ' ', 1) AS w1,
+           split_part(b.pair, ' ', 2) AS w2,
+           b.n_occurrences,
+           round(ln((b.n_occurrences / n2_total)
+                    / ((a1.c / n1_total) * (a2.c / n1_total))), 4) AS pmi
+    FROM (SELECT pair, n_occurrences FROM pc WHERE n_occurrences >= 5) b
+    JOIN uc a1 ON split_part(b.pair, ' ', 1) = a1.w
+    JOIN uc a2 ON split_part(b.pair, ' ', 2) = a2.w
+    CROSS JOIN n1 CROSS JOIN n2
+    ORDER BY b.n_occurrences DESC, w1 ASC, w2 ASC
+    LIMIT 50
+    """,
+)
+def q_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 windowed (±2) co-occurrence pairs by count, PMI-scored —
+    skip-gram statistics for count-based embeddings (the context-
+    window generalization of bigram_pmi)."""
+    return skipgram_pmi(table(spark, "documents", sf_dir), window=2, min_count=5, k=50)
 
 
 @register(

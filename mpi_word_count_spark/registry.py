@@ -149,6 +149,7 @@ _PRIORITY = [
     # first in line for the round-5 budget)
     "bpe_merges",
     "bpe_token_counts",
+    "skipgram_pmi",
     "data_quality_report",
     "events_ohlc_hourly",
     "streaming_quality_windows",

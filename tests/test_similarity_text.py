@@ -386,3 +386,23 @@ def test_ivfpq_recall_vs_bruteforce(spark):
     # floors, and exact re-rank keeps it near IVF-flat in practice
     recall = len(bf_pairs & pq_pairs) / len(bf_pairs)
     assert recall >= 0.5, recall
+
+
+def test_skipgram_pmi_window_pairs(spark):
+    """±2 window over 'a b c d': adjacent (a,b)(b,c)(c,d) + skip-1
+    (a,c)(b,d), canonicalized unordered — 'c a' counts as (a,c)."""
+    from mpi_word_count_spark.operators.textanalysis import skipgram_pmi
+
+    df = spark.createDataFrame([("a b c d",), ("c a",)], "text string")
+    out = skipgram_pmi(df, window=2, min_count=1, k=None).collect()
+    counts = {(r["w1"], r["w2"]): r["n_occurrences"] for r in out}
+    assert counts == {
+        ("a", "b"): 1,
+        ("b", "c"): 1,
+        ("c", "d"): 1,
+        ("a", "c"): 2,  # skip-1 in doc 1 + adjacent reversed in doc 2
+        ("b", "d"): 1,
+    }
+    # single-token and empty docs contribute no pairs, no errors
+    df2 = spark.createDataFrame([("a",), ("",)], "text string")
+    assert skipgram_pmi(df2, window=2, min_count=1, k=None).count() == 0
