@@ -109,3 +109,52 @@ def zorder_keys(
     return df.withColumn("zkey", F.expr(morton_key_sql(x_col, y_col))).withColumn(
         "zbucket", F.expr(f"zkey >> {2 * tile_bits}")
     )
+
+
+def compact_partitions(
+    spark,
+    src_path: str,
+    dst_path: str,
+    partition_col: str,
+    rows_per_file: int,
+) -> list[tuple[str, int, int, int]]:
+    """Small-files compaction (the lakehouse OPTIMIZE maintenance op).
+
+    A 100 TB table ingested by many writers accumulates thousands of
+    tiny files per partition; every subsequent scan pays per-file open
+    cost and the NameNode/listing pays metadata. Compaction plans
+    per PARTITION — the same unit Delta's OPTIMIZE uses — because the
+    partition list is the bounded, driver-sized object (thousands of
+    entries), while the row data never leaves the cluster: for each
+    partition, target = ceil(rows / rows_per_file), rewrite through
+    `repartition(target)`.
+
+    repartition (not coalesce) on the rewrite: coalesce only narrows
+    the scan's split packing, so its output file count inherits
+    however the reader packed the small files (maxPartitionBytes /
+    openCost), which is config-dependent; repartition produces EXACTLY
+    `target` near-equal files — deterministic, and the even file
+    sizes are what the next reader wants anyway.
+
+    Returns the compaction manifest [(partition_value, n_rows,
+    files_before, files_after)] measured from the filesystem.
+    """
+    import math
+    import os
+
+    manifest: list[tuple[str, int, int, int]] = []
+    parts = sorted(
+        e for e in os.listdir(src_path) if e.startswith(f"{partition_col}=")
+    )
+    for part in parts:
+        value = part.split("=", 1)[1]
+        src = os.path.join(src_path, part)
+        files_before = sum(f.endswith(".parquet") for f in os.listdir(src))
+        pdf = spark.read.parquet(src)
+        n_rows = pdf.count()
+        target = max(1, math.ceil(n_rows / rows_per_file))
+        dst = os.path.join(dst_path, part)
+        pdf.repartition(target).write.mode("overwrite").parquet(dst)
+        files_after = sum(f.endswith(".parquet") for f in os.listdir(dst))
+        manifest.append((value, n_rows, files_before, files_after))
+    return manifest

@@ -257,6 +257,46 @@ def partitioned_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "compaction_manifest",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_rows,
+           CAST(greatest(1, ceil(count(*) / 10000.0)) AS INT) AS files_after
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def compaction_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction (lakehouse OPTIMIZE) over the
+    hive-partitioned events layout: deliberately fragment each
+    partition (32-way repartition before the partitioned write — the
+    many-concurrent-writers ingest pattern), then compact every
+    partition to ceil(rows / 10000) near-equal files via
+    `operators.layout.compact_partitions`. Returns the measured
+    manifest; the oracle recomputes rows and the ceil plan from the
+    source table, so the query verifies that compaction (a) lost no
+    rows and (b) produced exactly the planned file count. The
+    before-state (files_before > files_after) and read-back equality
+    are asserted in tests/test_connectors_bucketing.py.
+    """
+    from mpi_word_count_spark.operators.layout import compact_partitions
+
+    ev = table(spark, "events", sf_dir)
+    messy = _scratch_path(sf_dir, "events_messy.parquet")
+    compacted = _scratch_path(sf_dir, "events_compacted.parquet")
+    ev.repartition(32).write.mode("overwrite").partitionBy("event_type").parquet(
+        messy
+    )
+    manifest = compact_partitions(
+        spark, messy, compacted, "event_type", rows_per_file=10000
+    )
+    rows = [(v, n, after) for v, n, _before, after in manifest]
+    return spark.createDataFrame(
+        rows, "event_type string, n_rows bigint, files_after int"
+    )
+
+
 def _synth_wordcount_oracle() -> str:
     from mpi_word_count_spark.sources.synthetic import sql_synth_corpus_cte
 

@@ -165,6 +165,7 @@ _PRIORITY = [
     "console_lines",
     "jsonl_roundtrip",
     "orc_roundtrip",
+    "compaction_manifest",
     "config_delimiters_wordcount",
     "streaming_synth_wordcount",
     # no-oracle rows-only entries (tolerance-tested vs exact twins)

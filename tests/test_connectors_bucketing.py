@@ -294,3 +294,41 @@ def test_orc_roundtrip_keeps_pushdown_and_pruning(spark):
     schema_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert schema_lines and "n_chars" in schema_lines[0], plan
     assert "doc_id" not in schema_lines[0] and "source" not in schema_lines[0]
+
+
+def test_compaction_reduces_files_losslessly(spark):
+    """Compaction must (a) start from a genuinely fragmented layout,
+    (b) produce exactly the planned ceil(rows/cap) files, and (c)
+    lose no rows in the rewrite."""
+    import os
+    import tempfile
+
+    from mpi_word_count_spark.registry import queries
+
+    got = {
+        r["event_type"]: (r["n_rows"], r["files_after"])
+        for r in queries()["compaction_manifest"](spark, SF_DIR).collect()
+    }
+    scratch = os.path.join(
+        tempfile.gettempdir(), "spark_graft_scratch", os.path.basename(SF_DIR)
+    )
+    messy = os.path.join(scratch, "events_messy.parquet")
+    compacted = os.path.join(scratch, "events_compacted.parquet")
+    total_after = 0
+    for etype, (n_rows, files_after) in got.items():
+        part = f"event_type={etype}"
+        before = sum(
+            f.endswith(".parquet") for f in os.listdir(os.path.join(messy, part))
+        )
+        after = sum(
+            f.endswith(".parquet")
+            for f in os.listdir(os.path.join(compacted, part))
+        )
+        assert after == files_after == -(-n_rows // 10000)
+        assert before > after, (etype, before, after)
+        total_after += n_rows
+    # lossless: compacted partitions re-read to the source row count
+    back = spark.read.option("basePath", compacted).parquet(compacted)
+    assert back.count() == total_after
+    src = table(spark, "events", SF_DIR)
+    assert src.count() == total_after
