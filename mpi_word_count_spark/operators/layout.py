@@ -137,17 +137,25 @@ def compact_partitions(
     sizes are what the next reader wants anyway.
 
     Returns the compaction manifest [(partition_value, n_rows,
-    files_before, files_after)] measured from the filesystem.
+    files_before, files_after)] measured from the filesystem;
+    partition_value is the logical value (hive-unescaped, NULL for
+    the default partition).
     """
     import math
     import os
+    from urllib.parse import unquote
 
-    manifest: list[tuple[str, int, int, int]] = []
+    manifest: list[tuple[str | None, int, int, int]] = []
     parts = sorted(
         e for e in os.listdir(src_path) if e.startswith(f"{partition_col}=")
     )
     for part in parts:
-        value = part.split("=", 1)[1]
+        # directory names carry Hive-ESCAPED values (Spark %-encodes
+        # special chars and writes NULL as __HIVE_DEFAULT_PARTITION__);
+        # the manifest must report the logical value or it can never
+        # match the source table
+        raw = part.split("=", 1)[1]
+        value = None if raw == "__HIVE_DEFAULT_PARTITION__" else unquote(raw)
         src = os.path.join(src_path, part)
         files_before = sum(f.endswith(".parquet") for f in os.listdir(src))
         pdf = spark.read.parquet(src)

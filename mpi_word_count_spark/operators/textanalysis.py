@@ -515,44 +515,44 @@ def compression_ratios(
     )
 
 
-def bigram_pmi(
-    df: DataFrame,
-    min_count: int = 5,
-    k: int | None = 50,
-    text_col: str = "text",
+def pmi_score_pairs(
+    pairs: DataFrame,
+    uni: DataFrame,
+    min_count: int,
+    keep: list[str],
 ) -> DataFrame:
-    """Pointwise mutual information of corpus bigrams — collocation
-    detection (the signal behind phrase merging in LM tokenizers):
+    """Shared PMI scorer for word-pair statistics:
 
       pmi(w1,w2) = ln( (c12/N2) / ((c1/N1)·(c2/N1)) )
 
-    Rare bigrams below min_count are dropped (PMI is unstable there).
-    Unigram and bigram tables are the word-count plan twice (partial
-    agg → one shuffle each); totals are single-row aggregates joined
-    by broadcast — nothing here shuffles more than |vocab| rows.
-    """
-    uni = ngram_counts(df, n=1, text_col=text_col).select(
-        F.col("ngram").alias("w"), F.col("n_occurrences").alias("c")
-    )
-    big = ngram_counts(df, n=2, text_col=text_col).filter(
-        F.col("n_occurrences") >= min_count
-    )
+    `pairs` carries (w1, w2, n_occurrences [, keep...]) UNFILTERED —
+    N2 totals over all pairs before the min_count cut (PMI is
+    unstable on rare pairs, so they are dropped from the OUTPUT, not
+    the denominator). `uni` carries (w, c) unigram counts. Returns
+    keep + (n_occurrences, pmi).
+
+    Both count tables are cached (track_cache): they are the
+    Zipf-bounded distinct-key aggregates — NOT the corpus-sized token
+    stream — and each feeds its own total plus the scoring join, so
+    caching them holds the pipeline to one corpus pass per count
+    table. Marginals and totals join back by broadcast; nothing here
+    shuffles more than |vocab| rows."""
+    from mpi_word_count_spark.operators import track_cache
+
+    uni = track_cache(uni)
+    pairs = track_cache(pairs)
     n1 = uni.agg(F.sum("c").alias("n1_total"))
-    n2 = ngram_counts(df, n=2, text_col=text_col).agg(
-        F.sum("n_occurrences").alias("n2_total")
-    )
-    w1 = F.split(F.col("ngram"), " ").getItem(0)
-    w2 = F.split(F.col("ngram"), " ").getItem(1)
+    n2 = pairs.agg(F.sum("n_occurrences").alias("n2_total"))
     u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
-    scored = (
-        big.select("ngram", "n_occurrences", w1.alias("w1"), w2.alias("w2"))
+    return (
+        pairs.filter(F.col("n_occurrences") >= min_count)
         .join(F.broadcast(u1), "w1")
         .join(F.broadcast(u2), "w2")
         .crossJoin(F.broadcast(n1))
         .crossJoin(F.broadcast(n2))
         .select(
-            "ngram",
+            *keep,
             "n_occurrences",
             F.round(
                 F.log(
@@ -566,6 +566,27 @@ def bigram_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    min_count: int = 5,
+    k: int | None = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Pointwise mutual information of corpus bigrams — collocation
+    detection (the signal behind phrase merging in LM tokenizers).
+    Formula, min_count semantics, and plan shape: pmi_score_pairs."""
+    uni = ngram_counts(df, n=1, text_col=text_col).select(
+        F.col("ngram").alias("w"), F.col("n_occurrences").alias("c")
+    )
+    big = ngram_counts(df, n=2, text_col=text_col).select(
+        "ngram",
+        "n_occurrences",
+        F.split(F.col("ngram"), " ").getItem(0).alias("w1"),
+        F.split(F.col("ngram"), " ").getItem(1).alias("w2"),
+    )
+    scored = pmi_score_pairs(big, uni, min_count, keep=["ngram"])
     if k is not None:
         scored = scored.orderBy(F.desc("pmi"), F.asc("ngram")).limit(k)
     return scored
@@ -621,44 +642,18 @@ def skipgram_pmi(
         staged.select(F.explode(all_pairs).alias("pair"))
         .groupBy("pair")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .select(
+            F.split(F.col("pair"), " ").getItem(0).alias("w1"),
+            F.split(F.col("pair"), " ").getItem(1).alias("w2"),
+            "n_occurrences",
+        )
     )
     uni = (
         staged.select(F.explode(toks).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    n1 = uni.agg(F.sum("c").alias("n1_total"))
-    n2 = pc.agg(F.sum("n_occurrences").alias("n2_total"))
-    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
-    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
-    scored = (
-        pc.filter(F.col("n_occurrences") >= min_count)
-        .select(
-            "pair",
-            "n_occurrences",
-            F.split(F.col("pair"), " ").getItem(0).alias("w1"),
-            F.split(F.col("pair"), " ").getItem(1).alias("w2"),
-        )
-        .join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
-        .crossJoin(F.broadcast(n1))
-        .crossJoin(F.broadcast(n2))
-        .select(
-            "w1",
-            "w2",
-            "n_occurrences",
-            F.round(
-                F.log(
-                    (F.col("n_occurrences") / F.col("n2_total"))
-                    / (
-                        (F.col("c1") / F.col("n1_total"))
-                        * (F.col("c2") / F.col("n1_total"))
-                    )
-                ),
-                4,
-            ).alias("pmi"),
-        )
-    )
+    scored = pmi_score_pairs(pc, uni, min_count, keep=["w1", "w2"])
     if k is not None:
         scored = scored.orderBy(
             F.desc("n_occurrences"), F.asc("w1"), F.asc("w2")

@@ -301,19 +301,16 @@ def test_compaction_reduces_files_losslessly(spark):
     (b) produce exactly the planned ceil(rows/cap) files, and (c)
     lose no rows in the rewrite."""
     import os
-    import tempfile
 
+    from mpi_word_count_spark.queries.wordcount_queries import _scratch_path
     from mpi_word_count_spark.registry import queries
 
     got = {
         r["event_type"]: (r["n_rows"], r["files_after"])
         for r in queries()["compaction_manifest"](spark, SF_DIR).collect()
     }
-    scratch = os.path.join(
-        tempfile.gettempdir(), "spark_graft_scratch", os.path.basename(SF_DIR)
-    )
-    messy = os.path.join(scratch, "events_messy.parquet")
-    compacted = os.path.join(scratch, "events_compacted.parquet")
+    messy = _scratch_path(SF_DIR, "events_messy.parquet")
+    compacted = _scratch_path(SF_DIR, "events_compacted.parquet")
     total_after = 0
     for etype, (n_rows, files_after) in got.items():
         part = f"event_type={etype}"
@@ -332,3 +329,23 @@ def test_compaction_reduces_files_losslessly(spark):
     assert back.count() == total_after
     src = table(spark, "events", SF_DIR)
     assert src.count() == total_after
+
+
+def test_compaction_unescapes_hive_partition_values(spark, tmp_path):
+    """Partition values with escaped chars and NULLs must come back as
+    logical values in the manifest, not directory-name encodings."""
+    from mpi_word_count_spark.operators.layout import compact_partitions
+
+    df = spark.createDataFrame(
+        [(i, "add to cart" if i % 2 else None) for i in range(40)],
+        "id bigint, etype string",
+    )
+    src_dir = str(tmp_path / "messy")
+    df.repartition(4).write.partitionBy("etype").parquet(src_dir)
+    manifest = compact_partitions(
+        spark, src_dir, str(tmp_path / "compact"), "etype", rows_per_file=100
+    )
+    assert sorted(manifest, key=lambda m: m[0] or "") == [
+        (None, 20, 4, 1),
+        ("add to cart", 20, 4, 1),
+    ]
