@@ -118,6 +118,132 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.mapInPandas(kernel, schema=out_schema)
 
 
+PHASH_BITS = 64
+PHASH_BANDS = 4
+_BAND_BITS = PHASH_BITS // PHASH_BANDS  # 16
+
+
+def phash_media(media: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) over the raw media byte
+    stream: resample each payload to PHASH_BITS+1 byte probes at
+    linspace positions (the same nearest-neighbor resampling
+    resize_stub uses), then bit i = probe[i] > probe[i+1]. Returns
+    (media_id, b0..b3) — the 64-bit hash packed as PHASH_BANDS
+    16-bit band integers, never as one 64-bit value (bit 63 would
+    overflow signed BIGINT in either engine).
+
+    Positional probing (not a byte histogram) is what makes the hash
+    discriminative: histograms of same-vocabulary documents are
+    near-proportional, so histogram-derived bits collapse to one
+    bucket (measured: ALL pairs within Hamming 3 on the fixture);
+    position-sampled dHash separates them (min nonzero distance 12).
+
+    Bands are the LSH unit: Hamming ≤ PHASH_BANDS-1 implies at least
+    one identical band (pigeonhole), so a band equi-join finds every
+    pair within that radius with zero false negatives."""
+    out_schema = T.StructType(
+        [T.StructField("media_id", T.LongType(), False)]
+        + [
+            T.StructField(f"b{i}", T.IntegerType(), False)
+            for i in range(PHASH_BANDS)
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                data = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if len(data) == 0:
+                    bits = np.zeros(PHASH_BITS, dtype=np.int64)
+                else:
+                    # integer probe positions (i·(n-1)) // BITS — no
+                    # float linspace, so the oracle's integer division
+                    # is trivially bit-identical
+                    idx = (
+                        np.arange(PHASH_BITS + 1, dtype=np.int64) * (len(data) - 1)
+                    ) // PHASH_BITS
+                    probes = data[idx]
+                    bits = (probes[:-1] > probes[1:]).astype(np.int64)
+                bands = [
+                    int(
+                        sum(
+                            int(bits[b * _BAND_BITS + p]) << (_BAND_BITS - 1 - p)
+                            for p in range(_BAND_BITS)
+                        )
+                    )
+                    for b in range(PHASH_BANDS)
+                ]
+                rows.append([mid, *bands])
+            yield pd.DataFrame(
+                rows, columns=["media_id"] + [f"b{i}" for i in range(PHASH_BANDS)]
+            )
+
+    return media.select("media_id", "media").mapInPandas(kernel, schema=out_schema)
+
+
+def phash_dups(phash: DataFrame, max_hamming: int = PHASH_BANDS - 1) -> DataFrame:
+    """Near-duplicate media pairs within `max_hamming` bits, via the
+    banded equi-join (never all-pairs): candidates share at least one
+    exact 16-bit band — EXACT recall for max_hamming ≤ PHASH_BANDS-1
+    by pigeonhole — then the true Hamming distance verifies each
+    candidate with 4 xor/popcounts. Shuffle carries (band_idx,
+    band_val) keys; the corpus is never self-joined unbucketed."""
+    if max_hamming > PHASH_BANDS - 1:
+        raise ValueError(
+            f"banded join guarantees recall only to {PHASH_BANDS - 1} bits"
+        )
+    bands = phash.select(
+        "media_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"), F.col(f"b{i}").alias("band_val")
+                    )
+                    for i in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("media_id", "band.band_idx", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_id_1"),
+            F.col("b.media_id").alias("media_id_2"),
+        )
+        .distinct()
+    )
+    h1 = phash.select(
+        F.col("media_id").alias("media_id_1"),
+        *[F.col(f"b{i}").alias(f"x{i}") for i in range(PHASH_BANDS)],
+    )
+    h2 = phash.select(
+        F.col("media_id").alias("media_id_2"),
+        *[F.col(f"b{i}").alias(f"y{i}") for i in range(PHASH_BANDS)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"x{i}").bitwiseXOR(F.col(f"y{i}")))
+        for i in range(PHASH_BANDS)
+    )
+    return (
+        cand.join(h1, "media_id_1")
+        .join(h2, "media_id_2")
+        .select(
+            "media_id_1",
+            "media_id_2",
+            hamming.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def resize_stub(media: DataFrame, height: int, width: int, fake: bool = True) -> DataFrame:
     """Resize kernel: decode → (fake) nearest-neighbor resample →
     re-encode as raw bytes. Demonstrates binary-in/binary-out batch

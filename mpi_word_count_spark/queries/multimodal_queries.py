@@ -25,6 +25,8 @@ from mpi_word_count_spark.operators.multimodal import (
     FEATURE_DIM,
     extract_features,
     media_from_documents,
+    phash_dups,
+    phash_media,
     sample_frames,
 )
 from mpi_word_count_spark.registry import register
@@ -111,3 +113,76 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("frame").cast("long").alias("n_frame_bytes"),
         F.md5("frame").alias("frame_md5"),
     )
+
+
+# dHash band table derived entirely in SQL (ASCII corpus: char at a
+# position IS the byte at that position). Probe positions use integer
+# division — identical arithmetic to the kernel's numpy expression.
+_PHASH_CTES = """
+    probes AS (
+        SELECT doc_id, i.i AS i,
+               ascii(substring(text,
+                   CAST((i.i * (length(text) - 1)) // 64 AS INT) + 1, 1)) AS v
+        FROM documents, (SELECT unnest(range(0, 65)) AS i) i
+    ),
+    bits AS (
+        SELECT a.doc_id, a.i AS bit_idx,
+               CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bit
+        FROM probes a
+        JOIN probes b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        WHERE a.i < 64
+    ),
+    bands AS (
+        SELECT doc_id, bit_idx // 16 AS band_idx,
+               sum(bit * (1 << (15 - (bit_idx % 16)))) AS val
+        FROM bits GROUP BY 1, 2
+    ),
+    phash AS (
+        SELECT doc_id AS media_id,
+               CAST(max(CASE WHEN band_idx = 0 THEN val END) AS INT) AS b0,
+               CAST(max(CASE WHEN band_idx = 1 THEN val END) AS INT) AS b1,
+               CAST(max(CASE WHEN band_idx = 2 THEN val END) AS INT) AS b2,
+               CAST(max(CASE WHEN band_idx = 3 THEN val END) AS INT) AS b3
+        FROM bands GROUP BY 1
+    )
+"""
+
+
+@register(
+    "media_phash",
+    oracle=f"WITH {_PHASH_CTES} SELECT media_id, b0, b1, b2, b3 FROM phash",
+)
+def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual difference-hash fingerprints over binary media
+    payloads (operators/multimodal.phash_media): 65 integer-position
+    byte probes → 64 adjacent-comparison bits → 4 LSH-ready 16-bit
+    bands. The oracle re-derives every band from character probes, so
+    the whole Arrow kernel is value-hash-verified bit for bit."""
+    media = media_from_documents(table(spark, "documents", sf_dir))
+    return phash_media(media)
+
+
+@register(
+    "media_phash_dups",
+    oracle=f"""
+    WITH {_PHASH_CTES}
+    SELECT p1.media_id AS media_id_1,
+           p2.media_id AS media_id_2,
+           CAST(bit_count(xor(p1.b0, p2.b0)) + bit_count(xor(p1.b1, p2.b1))
+              + bit_count(xor(p1.b2, p2.b2)) + bit_count(xor(p1.b3, p2.b3))
+              AS INT) AS hamming
+    FROM phash p1
+    JOIN phash p2 ON p1.media_id < p2.media_id
+    WHERE bit_count(xor(p1.b0, p2.b0)) + bit_count(xor(p1.b1, p2.b1))
+        + bit_count(xor(p1.b2, p2.b2)) + bit_count(xor(p1.b3, p2.b3)) <= 3
+    """,
+)
+def q_media_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate media detection: banded equi-join over the
+    dHash bands (operators/multimodal.phash_dups) — EXACT recall for
+    Hamming ≤ 3 by pigeonhole (4 bands, ≤ 3 differing bits leave one
+    band identical), so the all-pairs SQL oracle and the banded plan
+    provably return the same set. The corpus never self-joins
+    unbucketed (plan-audited with the other dedup queries)."""
+    media = media_from_documents(table(spark, "documents", sf_dir))
+    return phash_dups(phash_media(media), max_hamming=3)

@@ -166,6 +166,8 @@ _PRIORITY = [
     "jsonl_roundtrip",
     "orc_roundtrip",
     "compaction_manifest",
+    "media_phash",
+    "media_phash_dups",
     "config_delimiters_wordcount",
     "streaming_synth_wordcount",
     # no-oracle rows-only entries (tolerance-tested vs exact twins)

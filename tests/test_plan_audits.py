@@ -132,6 +132,7 @@ def test_no_quadratic_joins_in_registered_dedup_plans(spark):
         "dedup_clusters_twostar",
         "edit_distance_dups",
         "incremental_exact_dedup",
+        "media_phash_dups",
     ):
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name

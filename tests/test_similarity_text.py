@@ -406,3 +406,36 @@ def test_skipgram_pmi_window_pairs(spark):
     # single-token and empty docs contribute no pairs, no errors
     df2 = spark.createDataFrame([("a",), ("",)], "text string")
     assert skipgram_pmi(df2, window=2, min_count=1, k=None).count() == 0
+
+
+def test_phash_media_bit_semantics(spark):
+    """dHash bits on crafted payloads: strictly increasing bytes give
+    all-zero bits, strictly decreasing give all-one bands (0xFFFF),
+    empty and single-byte payloads are all-zero, identical payloads
+    collide exactly."""
+    from mpi_word_count_spark.operators.multimodal import phash_dups, phash_media
+
+    rows = [
+        (1, bytes(range(65)), ("m", 65, "s")),
+        (2, bytes(reversed(range(65))), ("m", 65, "s")),
+        (3, b"", ("m", 0, "s")),
+        (4, b"x", ("m", 1, "s")),
+        (5, bytes(range(65)), ("m", 65, "s")),  # dup of 1
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id bigint, media binary, "
+        "meta struct<mime:string,n_bytes:bigint,source:string>",
+    )
+    got = {r["media_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+           for r in phash_media(df).collect()}
+    assert got[1] == (0, 0, 0, 0)
+    assert got[2] == (0xFFFF, 0xFFFF, 0xFFFF, 0xFFFF)
+    assert got[3] == (0, 0, 0, 0) == got[4]
+    assert got[5] == got[1]
+    # the banded join pairs every hamming-0 collision exactly once:
+    # (1,5) identical payloads plus (3,4) both-degenerate all-zero
+    pairs = {(r["media_id_1"], r["media_id_2"]): r["hamming"]
+             for r in phash_dups(phash_media(df)).collect()}
+    assert pairs == {(1, 5): 0, (1, 3): 0, (1, 4): 0, (3, 4): 0,
+                     (3, 5): 0, (4, 5): 0}
