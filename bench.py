@@ -65,6 +65,7 @@ HEADLINE = [
     "duplicate_passages",
     "unigram_logprob_scores",
     "bpe_token_counts",
+    "media_phash_dups",
     "ann_ivfpq",
     "session_concurrency_hourly",
     "overlapping_order_pairs",
