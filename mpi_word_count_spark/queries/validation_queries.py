@@ -200,3 +200,86 @@ def q_events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", key).alias("close"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --- one-pass table profiler (ANALYZE-style column statistics) ------
+# (column, kind) — kind picks the cross-engine min/max stringification:
+# int -> plain cast, dec -> DECIMAL(18,2) (both engines pad to scale),
+# ts -> yyyy-MM-dd HH:mm:ss, str -> identity.
+_PROFILE_SPEC = [
+    ("l_orderkey", "int"),
+    ("l_linenumber", "int"),
+    ("l_quantity", "dec"),
+    ("l_returnflag", "str"),
+    ("l_shipdate", "ts"),
+]
+
+_SQL_FMT = {
+    "int": "CAST({v} AS VARCHAR)",
+    "dec": "CAST(CAST({v} AS DECIMAL(18,2)) AS VARCHAR)",
+    "str": "{v}",
+    "ts": "strftime({v}, '%Y-%m-%d %H:%M:%S')",
+}
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for col, kind in _PROFILE_SPEC:
+        mn = _SQL_FMT[kind].format(v=f"min({col})")
+        mx = _SQL_FMT[kind].format(v=f"max({col})")
+        parts.append(f"""
+        SELECT '{col}' AS column_name,
+               count(*) AS n_rows,
+               CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nulls,
+               CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+               {mn} AS min_val,
+               {mx} AS max_val
+        FROM lineitem""")
+    return " UNION ALL ".join(parts)
+
+
+def _spark_fmt(kind: str, c: F.Column) -> F.Column:
+    if kind == "int":
+        return c.cast("string")
+    if kind == "dec":
+        return c.cast("decimal(18,2)").cast("string")
+    if kind == "ts":
+        return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+    return c
+
+
+@register("table_profile", oracle=_profile_oracle())
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column profile of lineitem in ONE scan:
+    row count, null count, exact distinct count, min/max — the
+    catalog-statistics pass every warehouse runs before planning, and
+    the first report any data engineer pulls on a new table.
+
+    Plan shape: all metrics fold into a single global aggregation;
+    the multi-column exact count-distincts plan through Spark's
+    Expand (one pass over the data, expand factor = #distinct aggs —
+    the documented trade for EXACT ndv; swap in approx_count_distinct
+    to drop Expand at 100 TB, as approx_distinct_words demonstrates).
+    The wide single-row result pivots to long format driver-side via
+    stack() — no second scan, no joins."""
+    li = table(spark, "lineitem", sf_dir)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for col, kind in _PROFILE_SPEC:
+        c = F.col(col)
+        aggs += [
+            F.sum(F.when(c.isNull(), 1).otherwise(0)).cast("bigint").alias(f"{col}__nulls"),
+            F.countDistinct(c).alias(f"{col}__dist"),
+            _spark_fmt(kind, F.min(c)).alias(f"{col}__min"),
+            _spark_fmt(kind, F.max(c)).alias(f"{col}__max"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{col}', {col}__nulls, {col}__dist, {col}__min, {col}__max"
+        for col, _ in _PROFILE_SPEC
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_SPEC)}, {stack_args}) AS "
+        "(column_name, n_nulls, n_distinct, min_val, max_val)",
+        "n_rows",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")

@@ -168,6 +168,7 @@ _PRIORITY = [
     "compaction_manifest",
     "media_phash",
     "media_phash_dups",
+    "table_profile",
     "config_delimiters_wordcount",
     "streaming_synth_wordcount",
     # no-oracle rows-only entries (tolerance-tested vs exact twins)
