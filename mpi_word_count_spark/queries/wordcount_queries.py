@@ -181,6 +181,32 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rdd_wordcount",
+    oracle=f"""
+    SELECT word, count(*) AS count
+    FROM ({_TOKS}) WHERE word <> ''
+    GROUP BY word ORDER BY word
+    """,
+)
+def rdd_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RDD demonstration path through the driver gate: documents
+    exported to a text corpus directory, then the canonical
+    flatMap → map → reduceByKey pipeline (operators/wordcount.
+    word_count_rdd — the educational twin of the reference's explicit
+    map/reduce phases). Embedded newlines in exported rows are
+    harmless: '\\n' is a hard delimiter (S1), so line splits never
+    change word counts. The DataFrame path remains the engine
+    default (codegen, AQE); this locks the second API's semantics to
+    the same oracle."""
+    from mpi_word_count_spark.operators.wordcount import word_count_rdd
+
+    docs = table(spark, "documents", sf_dir).select("text")
+    path = _scratch_path(sf_dir, "corpus_txt")
+    docs.write.mode("overwrite").text(path)
+    return word_count_rdd(spark, path)
+
+
+@register(
     "orc_roundtrip",
     oracle="""
     SELECT lang,

@@ -169,6 +169,7 @@ _PRIORITY = [
     "media_phash",
     "media_phash_dups",
     "table_profile",
+    "rdd_wordcount",
     "config_delimiters_wordcount",
     "streaming_synth_wordcount",
     # no-oracle rows-only entries (tolerance-tested vs exact twins)
