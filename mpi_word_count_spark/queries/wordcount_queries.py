@@ -181,6 +181,39 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "xml_roundtrip",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink roundtrip — Spark 4's native XML data source
+    (the enterprise-interchange format). documents → one <row> element
+    per document (text content XML-escaped, so arbitrary characters
+    survive) → read back with an explicit schema → per-lang summary
+    equal to the same aggregate on the parquet source. Completes the
+    native format surface: parquet, ORC, CSV, JSONL, XML, text."""
+    docs = table(spark, "documents", sf_dir).select("doc_id", "lang", "text")
+    path = _scratch_path(sf_dir, "docs.xml")
+    docs.write.mode("overwrite").option("rootTag", "docs").option(
+        "rowTag", "doc"
+    ).format("xml").save(path)
+    back = (
+        spark.read.option("rowTag", "doc")
+        .schema("doc_id BIGINT, lang STRING, text STRING")
+        .format("xml")
+        .load(path)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
+@register(
     "rdd_wordcount",
     oracle=f"""
     SELECT word, count(*) AS count

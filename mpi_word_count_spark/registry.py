@@ -170,6 +170,7 @@ _PRIORITY = [
     "media_phash_dups",
     "table_profile",
     "rdd_wordcount",
+    "xml_roundtrip",
     "config_delimiters_wordcount",
     "streaming_synth_wordcount",
     # no-oracle rows-only entries (tolerance-tested vs exact twins)
