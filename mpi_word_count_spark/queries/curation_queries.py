@@ -278,3 +278,71 @@ def q_quota_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling. Integer outputs, bitwise oracle."""
     docs = table(spark, "documents", sf_dir)
     return quota_sample(docs, quota=QUOTA_PER_SOURCE, stratum_col="source")
+
+
+@register(
+    "snapshot_diff",
+    oracle="""
+    WITH v2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 17 = 0 THEN text || ' revised'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 19 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 23 = 0
+    ),
+    j AS (
+        SELECT md5(a.text) AS h1, md5(b.text) AS h2
+        FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+    )
+    SELECT CASE WHEN h1 IS NULL THEN 'added'
+                WHEN h2 IS NULL THEN 'removed'
+                WHEN h1 <> h2 THEN 'modified'
+                ELSE 'unchanged' END AS change_type,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM j GROUP BY 1
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff — the change manifest between two corpus
+    snapshots (the audit a versioned 100 TB dataset produces on every
+    refresh: what was added, removed, or edited since v1?).
+
+    v2 is derived deterministically from the fixture (drop doc_id
+    multiples of 19, append an edit marker to multiples of 17, re-add
+    multiples of 23 under shifted ids), so both engines diff the same
+    pair. The diff itself is the production shape: ONE full-outer
+    hash join on the snapshot key comparing content hashes — never a
+    text comparison (16-byte digests shuffle instead of documents),
+    never a second scan per change class."""
+    docs = table(spark, "documents", sf_dir)
+    v2 = (
+        docs.filter(F.col("doc_id") % 19 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 17 == 0, F.concat("text", F.lit(" revised"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .union(
+            docs.filter(F.col("doc_id") % 23 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    a = docs.select("doc_id", F.md5("text").alias("h1"))
+    b = v2.select("doc_id", F.md5("text").alias("h2"))
+    return (
+        a.join(b, "doc_id", "full")
+        .select(
+            F.when(F.col("h1").isNull(), F.lit("added"))
+            .when(F.col("h2").isNull(), F.lit("removed"))
+            .when(F.col("h1") != F.col("h2"), F.lit("modified"))
+            .otherwise(F.lit("unchanged"))
+            .alias("change_type")
+        )
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -171,6 +171,7 @@ _PRIORITY = [
     "table_profile",
     "rdd_wordcount",
     "xml_roundtrip",
+    "snapshot_diff",
     "config_delimiters_wordcount",
     "streaming_synth_wordcount",
     # no-oracle rows-only entries (tolerance-tested vs exact twins)
