@@ -253,3 +253,53 @@ def test_embedding_norms_arrow_scan_pruned(spark):
     read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "label" not in read_schema
     assert "MapInArrow" in plan or "ArrowEvalPython" in plan
+
+
+def test_runtime_bloom_filter_joins_available(spark):
+    """Spark's runtime Bloom-filter join injection — the optimizer
+    feature that turns a selective dim filter into a pre-shuffle
+    bloom probe on the 100 TB fact side. At fixture scale the
+    application side is far below the 10 GB activation threshold, so
+    the test lowers it to emulate the production condition; what's
+    asserted is the INJECTION (bloom_filter_agg built from the dim
+    keys, might_contain applied on the fact side before its shuffle),
+    which is exactly the plan a real cluster gets for free."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": None,
+        "spark.sql.autoBroadcastJoinThreshold": None,
+    }
+    for k in saved:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "1",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
