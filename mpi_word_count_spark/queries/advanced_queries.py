@@ -633,3 +633,60 @@ def q_cogrouped_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(o.groupBy("user_id"))
         .applyInPandas(_cogroup_user_totals_kernel, _COGROUP_SCHEMA)
     )
+
+
+@register(
+    "supplier_basket_pairs",
+    oracle="""
+    WITH s AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+    SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
+           CAST(count(*) AS BIGINT) AS support
+    FROM s a
+    JOIN s b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    GROUP BY 1, 2
+    ORDER BY support DESC, s1, s2
+    LIMIT 25
+    """,
+)
+def q_supplier_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence (frequent-itemset level 2): the
+    top-25 supplier pairs that appear together in the most orders —
+    the support-counting core of A-priori/FP-growth.
+
+    Scale shape: pairs generate INSIDE each order's sorted item array
+    (groupBy order → collect_set → nested transform), so the fan-out
+    is Σ k_i²/2 bounded by the per-basket item count (~4 avg, 13 max
+    here) — never the self-join the oracle runs, whose shuffle would
+    carry every (order, item) row twice. One basket shuffle + one
+    pair-count shuffle, top-k via TakeOrdered. The declarative
+    self-join oracle and the in-row generation provably enumerate the
+    same pairs (distinct items, a < b)."""
+    li = table(spark, "lineitem", sf_dir)
+    baskets = (
+        li.select("l_orderkey", "l_suppkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
+    ss = F.col("ss")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ss) - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size(ss)),
+                lambda j: F.struct(
+                    F.element_at(ss, i).alias("s1"),
+                    F.element_at(ss, j).alias("s2"),
+                ),
+            ),
+        )
+    )
+    return (
+        baskets.select(F.explode(pairs).alias("p"))
+        .select("p.s1", "p.s2")
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.desc("support"), F.asc("s1"), F.asc("s2"))
+        .limit(25)
+    )

@@ -172,6 +172,7 @@ _PRIORITY = [
     "rdd_wordcount",
     "xml_roundtrip",
     "snapshot_diff",
+    "supplier_basket_pairs",
     "config_delimiters_wordcount",
     "streaming_synth_wordcount",
     # no-oracle rows-only entries (tolerance-tested vs exact twins)
