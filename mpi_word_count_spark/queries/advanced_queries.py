@@ -690,3 +690,92 @@ def q_supplier_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("support"), F.asc("s1"), F.asc("s2"))
         .limit(25)
     )
+
+
+@register(
+    "supplier_basket_rules",
+    oracle=f"""
+    WITH s AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM s),
+    item AS (SELECT l_suppkey, count(*) AS c FROM s GROUP BY 1),
+    pair AS (
+        SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
+               CAST(count(*) AS BIGINT) AS support
+        FROM s a
+        JOIN s b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 3
+    )
+    SELECT p.s1, p.s2, p.support,
+           {sql_portable_round('p.support / i1.c', 4)} AS confidence,
+           {sql_portable_round('(p.support / i1.c) / (i2.c / n.n_baskets)', 4)}
+               AS lift
+    FROM pair p
+    JOIN item i1 ON i1.l_suppkey = p.s1
+    JOIN item i2 ON i2.l_suppkey = p.s2
+    CROSS JOIN n
+    ORDER BY p.support DESC, p.s1, p.s2
+    LIMIT 25
+    """,
+)
+def q_supplier_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules s1 → s2 over the order baskets: confidence
+    = support(s1,s2)/support(s1) and lift = confidence /
+    P(s2) — the rule-mining step on top of supplier_basket_pairs'
+    support counts (min support 3 so the ratios are stable).
+
+    Scale shape: pair supports via the same in-row basket generation;
+    item supports and the basket total are |items|- and 1-row tables
+    joined back by broadcast — nothing beyond the two basket-family
+    shuffles. The top-k cutoff stays on (support, pair) integers."""
+    from mpi_word_count_spark.functions.parity import portable_round
+
+    li = table(spark, "lineitem", sf_dir)
+    s = li.select("l_orderkey", "l_suppkey").distinct()
+    n_baskets = s.agg(
+        F.countDistinct("l_orderkey").alias("n_baskets")
+    )
+    item = s.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("c"))
+    baskets = (
+        s.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
+    ss = F.col("ss")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ss) - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size(ss)),
+                lambda j: F.struct(
+                    F.element_at(ss, i).alias("s1"),
+                    F.element_at(ss, j).alias("s2"),
+                ),
+            ),
+        )
+    )
+    pair = (
+        baskets.select(F.explode(pairs).alias("p"))
+        .select("p.s1", "p.s2")
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+    i1 = item.select(F.col("l_suppkey").alias("s1"), F.col("c").alias("c1"))
+    i2 = item.select(F.col("l_suppkey").alias("s2"), F.col("c").alias("c2"))
+    conf = F.col("support") / F.col("c1")
+    lift = conf / (F.col("c2") / F.col("n_baskets"))
+    return (
+        pair.join(F.broadcast(i1), "s1")
+        .join(F.broadcast(i2), "s2")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "s1",
+            "s2",
+            "support",
+            portable_round(conf, 4).alias("confidence"),
+            portable_round(lift, 4).alias("lift"),
+        )
+        .orderBy(F.desc("support"), F.asc("s1"), F.asc("s2"))
+        .limit(25)
+    )

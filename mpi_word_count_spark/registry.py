@@ -173,6 +173,7 @@ _PRIORITY = [
     "xml_roundtrip",
     "snapshot_diff",
     "supplier_basket_pairs",
+    "supplier_basket_rules",
     "config_delimiters_wordcount",
     "streaming_synth_wordcount",
     # no-oracle rows-only entries (tolerance-tested vs exact twins)
