@@ -174,6 +174,9 @@ _PRIORITY = [
     "snapshot_diff",
     "supplier_basket_pairs",
     "supplier_basket_rules",
+    "trade_graph_pagerank",
+    "model_quality_scores",
+    "streaming_model_scores",
     "config_delimiters_wordcount",
     "streaming_synth_wordcount",
     # no-oracle rows-only entries (tolerance-tested vs exact twins)
