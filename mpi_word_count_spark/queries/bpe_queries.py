@@ -220,3 +220,65 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("cnt") * F.col("n_sub")).alias("n_subwords"),
         )
     )
+
+
+def _fertility_oracle(
+    rounds: int = DEFAULT_MERGES, n_types: int = DEFAULT_VOCAB_TYPES
+) -> str:
+    from mpi_word_count_spark.functions.parity import sql_portable_round
+
+    return f"""
+    WITH {_chain(rounds, n_types)},
+    wsz AS MATERIALIZED (SELECT word, count(*) AS n_sub FROM s{rounds} GROUP BY 1),
+    dtok AS MATERIALIZED (
+        SELECT d.lang,
+               unnest(regexp_split_to_array(lower(d.text), '{sql_regex()}')) AS w
+        FROM documents d
+    ),
+    dw AS MATERIALIZED (
+        SELECT lang, w AS word, count(*) AS cnt
+        FROM dtok
+        WHERE w <> '' AND regexp_full_match(w, '[a-z0-9]+')
+        GROUP BY 1, 2
+    )
+    SELECT dw.lang,
+           CAST(sum(dw.cnt) AS BIGINT) AS n_words,
+           CAST(sum(dw.cnt * ws.n_sub) AS BIGINT) AS n_subwords,
+           {sql_portable_round('sum(dw.cnt * ws.n_sub) / sum(dw.cnt)', 4)}
+               AS fertility
+    FROM dw JOIN wsz ws ON ws.word = dw.word
+    GROUP BY 1
+    """
+
+
+@register("bpe_fertility_by_lang", oracle=_fertility_oracle())
+def q_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (subwords per word) by language — THE
+    tokenizer-evaluation metric: a vocabulary trained mostly on one
+    language over-fragments the others, and this rollup is how that
+    bias is measured (and how vocab size / corpus mixing decisions
+    get made). Same machinery as bpe_token_counts, rolled up on the
+    language column instead of the document."""
+    from mpi_word_count_spark.functions.parity import portable_round
+
+    docs = table(spark, "documents", sf_dir)
+    tok = tokenize(docs, col="text", keep=["lang"])
+    dw = track_cache(
+        tok.filter(F.col("word").rlike(ALNUM_WORD))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    freqs = dw.groupBy("word").agg(F.sum("cnt").alias("freq"))
+    merges = train_bpe(top_vocab(freqs))
+    wsz = freqs.select("word", F.size(encode_col("word", merges)).alias("n_sub"))
+    return (
+        dw.join(F.broadcast(wsz), "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_sub")).alias("n_subwords"),
+            portable_round(
+                F.sum(F.col("cnt") * F.col("n_sub")) / F.sum("cnt"), 4
+            ).alias("fertility"),
+        )
+    )

@@ -767,3 +767,121 @@ def q_unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mpi_word_count_spark.operators.textanalysis import unigram_logprob
 
     return unigram_logprob(table(spark, "documents", sf_dir))
+
+
+@register(
+    "stupid_backoff_scores",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '{{rx}}'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    pairs AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(2, len(t)),
+                                     i -> t[i - 1])) AS w1,
+               unnest(list_transform(generate_series(2, len(t)),
+                                     i -> t[i])) AS w2
+        FROM toks WHERE len(t) >= 2
+    ),
+    train_toks AS (
+        SELECT doc_id, unnest(t) AS tok FROM toks WHERE doc_id % 2 = 0
+    ),
+    uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM train_toks GROUP BY 1),
+    big AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM (
+            SELECT unnest(list_transform(generate_series(2, len(t)),
+                                         i -> t[i - 1])) AS w1,
+                   unnest(list_transform(generate_series(2, len(t)),
+                                         i -> t[i])) AS w2
+            FROM toks WHERE doc_id % 2 = 0 AND len(t) >= 2
+        ) GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni)
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CASE WHEN b.c12 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_backoff,
+           round(avg(CASE WHEN b.c12 IS NOT NULL THEN ln(b.c12 / u1.c)
+                          ELSE ln(0.4 * coalesce(u2.c, 1) / tot.n) END), 4)
+               AS avg_sb_logprob
+    FROM pairs p
+    LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+    LEFT JOIN uni u1 ON u1.tok = p.w1
+    LEFT JOIN uni u2 ON u2.tok = p.w2
+    CROSS JOIN tot
+    GROUP BY p.doc_id
+    """.replace("{rx}", sql_regex()),
+)
+def q_stupid_backoff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-Backoff bigram LM document scores with a PROPER
+    train/eval split: the LM trains on the even-doc_id half of the
+    corpus and scores every document, so held-out documents genuinely
+    exercise the backoff branch (a self-trained bigram LM never backs
+    off — every observed bigram is in its own training set). Score
+    per adjacent pair: ln(c12/c1) when the bigram was seen in
+    training, else ln(0.4 · c(w2)/N) (Brants et al. 2007), with a
+    1/N floor for unseen unigrams. n_backoff is reported as an
+    INTEGER column, so the value hash is sensitive to every branch
+    decision, not just the rounded float average.
+
+    Scale shape: pairs generate inside the token array (no window
+    shuffle); the only corpus-keyed join is pairs ⋈ bigram-counts on
+    (w1, w2) — the word-count shuffle shape again; unigram marginals
+    and the total join by broadcast."""
+    docs = table(spark, "documents", sf_dir)
+    from mpi_word_count_spark.operators.dedup import tokens_col
+    from mpi_word_count_spark.operators import track_cache, widen
+
+    staged = track_cache(
+        widen(docs).select("doc_id", tokens_col("text").alias("t"))
+    )
+    t = F.col("t")
+    pair_arr = F.transform(
+        F.sequence(F.lit(2), F.size(t)),
+        lambda i: F.struct(
+            F.element_at(t, i - 1).alias("w1"), F.element_at(t, i).alias("w2")
+        ),
+    )
+    pairs = (
+        staged.filter(F.size(t) >= 2)
+        .select("doc_id", F.explode(pair_arr).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    train = staged.filter(F.col("doc_id") % 2 == 0)
+    uni = track_cache(
+        train.select(F.explode(t).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    big = (
+        train.filter(F.size(t) >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    tot = uni.agg(F.sum("c").cast("bigint").alias("n"))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    score = F.when(
+        F.col("c12").isNotNull(), F.log(F.col("c12") / F.col("c1"))
+    ).otherwise(
+        F.log(F.lit(0.4) * F.coalesce(F.col("c2"), F.lit(1)) / F.col("n"))
+    )
+    return (
+        pairs.join(big, ["w1", "w2"], "left")
+        .join(F.broadcast(u1), "w1", "left")
+        .join(F.broadcast(u2), "w2", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("c12").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_backoff"),
+            F.round(F.avg(score), 4).alias("avg_sb_logprob"),
+        )
+    )

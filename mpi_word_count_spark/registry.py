@@ -174,6 +174,8 @@ _PRIORITY = [
     "snapshot_diff",
     "supplier_basket_pairs",
     "supplier_basket_rules",
+    "stupid_backoff_scores",
+    "bpe_fertility_by_lang",
     "trade_graph_pagerank",
     "model_quality_scores",
     "streaming_model_scores",
