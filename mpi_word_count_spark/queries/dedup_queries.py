@@ -636,3 +636,78 @@ def q_passage_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+def _survivors_oracle() -> str:
+    ctes, final = _minhash_parts()
+    return f"""
+    WITH RECURSIVE {ctes},
+    pairs AS ({final}),
+    edges AS (
+        SELECT d1 AS src, d2 AS dst FROM pairs
+        UNION
+        SELECT d2, d1 FROM pairs
+    ),
+    reach(v, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.v = e.src
+    ),
+    labels AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+    members AS (
+        SELECT l.doc_id, l.cluster_id, length(d.text) AS len
+        FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+    ),
+    ranked AS (
+        SELECT cluster_id, doc_id, len,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY len DESC, doc_id) AS rn,
+               count(*) OVER (PARTITION BY cluster_id) AS n_members
+        FROM members
+    )
+    SELECT cluster_id,
+           doc_id AS survivor_doc_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(len AS BIGINT) AS survivor_len
+    FROM ranked WHERE rn = 1 AND n_members >= 2
+    """
+
+
+@register("cluster_survivors", oracle=_survivors_oracle())
+def q_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship policy over near-dup clusters: keep the LONGEST
+    member (tie-break min doc_id) of every multi-doc cluster — the
+    curation decision that follows clustering (min-id canonical keeps
+    an arbitrary copy; production dedup keeps the most complete /
+    highest-quality one, and this is that policy as dataflow).
+
+    Shape: components as in dedup_clusters, then ONE window pass over
+    the (doc_id, cluster_id, len) members table — rank and member
+    count share the cluster_id partition, so survivorship adds a
+    single cluster-keyed shuffle to the clustering cost."""
+    from pyspark.sql import Window
+
+    docs = table(spark, "documents", sf_dir)
+    pairs = minhash_lsh_pairs(docs, threshold=JACCARD_THRESHOLD)
+    members = dup_clusters(docs, pairs).join(
+        docs.select("doc_id", F.length("text").alias("len")), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id")
+    ranked = members.select(
+        "cluster_id",
+        "doc_id",
+        "len",
+        F.row_number()
+        .over(w.orderBy(F.desc("len"), F.asc("doc_id")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_members"),
+    )
+    return (
+        ranked.filter((F.col("rn") == 1) & (F.col("n_members") >= 2))
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("survivor_doc_id"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.col("len").cast("bigint").alias("survivor_len"),
+        )
+    )

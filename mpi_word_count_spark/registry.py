@@ -176,6 +176,7 @@ _PRIORITY = [
     "supplier_basket_rules",
     "stupid_backoff_scores",
     "bpe_fertility_by_lang",
+    "cluster_survivors",
     "trade_graph_pagerank",
     "model_quality_scores",
     "streaming_model_scores",
