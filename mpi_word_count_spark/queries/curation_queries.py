@@ -346,3 +346,70 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("change_type")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# target language distribution for the mixture planner, in integer
+# percent (sums to 100) — integer math end to end so the plan is
+# bit-identical cross-engine
+MIXTURE_TARGET_PCT = {"en": 40, "zh": 20, "de": 15, "fr": 15, "es": 10}
+
+
+@register(
+    "mixture_plan",
+    oracle=f"""
+    WITH tgt(lang, pct) AS (VALUES {", ".join(
+        f"('{lang}', {pct})" for lang, pct in sorted(MIXTURE_TARGET_PCT.items())
+    )}),
+    counts AS (
+        SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs, t.pct
+        FROM documents d JOIN tgt t ON t.lang = d.lang
+        GROUP BY 1, 3
+    ),
+    cap AS (SELECT min(n_docs * 100 // pct) AS s FROM counts)
+    SELECT c.lang, c.n_docs, c.pct AS target_pct,
+           CAST(cap.s * c.pct // 100 AS BIGINT) AS planned_docs,
+           {{rate}} AS accept_rate
+    FROM counts c CROSS JOIN cap
+    """.replace(
+        "{rate}",
+        "floor((cap.s * c.pct // 100) * 10000.0 / c.n_docs) / 10000",
+    ),
+)
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture planner — the data-recipe step BEFORE mixing:
+    given a target language distribution, find the largest corpus
+    size S achievable without upsampling (S = min over langs of
+    available/share) and the per-language acceptance rates that hit
+    it. corpus_mixture applies fixed rates; this computes them from
+    the target — what a DoReMi-style recipe iteration recomputes
+    every round.
+
+    All planning arithmetic is integer (percent shares, floor
+    divisions), so the plan is bit-identical cross-engine; only the
+    final acceptance rate is a ratio, floored at 4 decimals on both
+    sides. One groupBy over the corpus + a 1-row broadcast cap."""
+    docs = table(spark, "documents", sf_dir)
+    tgt = spark.createDataFrame(
+        sorted(MIXTURE_TARGET_PCT.items()), "lang string, pct int"
+    )
+    counts = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(F.broadcast(tgt), "lang")
+    )
+    cap = counts.agg(
+        F.min(F.expr("n_docs * 100 div pct")).alias("s")
+    )
+    planned = F.expr("s * pct div 100")
+    return (
+        counts.crossJoin(F.broadcast(cap))
+        .select(
+            "lang",
+            "n_docs",
+            F.col("pct").alias("target_pct"),
+            planned.cast("bigint").alias("planned_docs"),
+            (
+                F.floor(planned * 10000 / F.col("n_docs")) / 10000
+            ).alias("accept_rate"),
+        )
+    )

@@ -897,3 +897,58 @@ def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+@register(
+    "user_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+        FROM events GROUP BY 1
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               date_diff('week', f.cohort_week, date_trunc('week', e.ts))
+                   AS age_weeks
+        FROM events e JOIN firsts f ON f.user_id = e.user_id
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(age_weeks AS INT) AS age_weeks,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM activity
+    GROUP BY 1, 2
+    """,
+)
+def q_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the standard product-analytics
+    rollup: users grouped by first-activity week (cohort), counted in
+    each later week they return (age in weeks). Week buckets via
+    date_trunc; age via integer week difference of truncated weeks,
+    so every cell is exact integer arithmetic.
+
+    Shape: one user-keyed aggregation for first-activity, one join
+    back on user_id (both shuffles share the user_id key, so the
+    second reuses the first's partitioning), then a distinct +
+    rollup on the (cohort, age) pair — cells, not events, leave the
+    final exchange."""
+    ev = table(spark, "events", sf_dir)
+    wk = F.date_trunc("week", F.col("ts"))
+    firsts = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("int")
+            .alias("age_weeks"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "age_weeks",
+    ).agg(F.count(F.lit(1)).alias("n_users"))

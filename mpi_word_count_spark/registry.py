@@ -177,6 +177,8 @@ _PRIORITY = [
     "stupid_backoff_scores",
     "bpe_fertility_by_lang",
     "cluster_survivors",
+    "mixture_plan",
+    "user_retention_cohorts",
     "trade_graph_pagerank",
     "model_quality_scores",
     "streaming_model_scores",
