@@ -283,3 +283,98 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(column_name, n_nulls, n_distinct, min_val, max_val)",
         "n_rows",
     ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+
+
+@register(
+    "events_value_outliers",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    med AS (
+        SELECT event_type, value AS med, n
+        FROM ranked WHERE rn = (n + 1) // 2
+    ),
+    devs AS (
+        SELECT r.event_type, r.value, abs(r.value - m.med) AS dev, m.med, m.n
+        FROM ranked r JOIN med m ON m.event_type = r.event_type
+    ),
+    dev_ranked AS (
+        SELECT event_type, dev, med, n,
+               row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn
+        FROM devs
+    ),
+    mad AS (
+        SELECT event_type, dev AS mad, med, n
+        FROM dev_ranked WHERE rn = (n + 1) // 2
+    )
+    SELECT d.event_type,
+           CAST(m.n AS BIGINT) AS n_events,
+           round(m.med, 4) AS median_value,
+           round(m.mad, 4) AS mad,
+           CAST(sum(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers
+    FROM devs d JOIN mad m ON m.event_type = d.event_type
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def q_events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median + MAD (median
+    absolute deviation) with DISCRETE order statistics — the median
+    is the ⌈n/2⌉-th smallest actual value selected by row_number,
+    never an interpolated percentile, so med, MAD, and every
+    dev > 3·MAD branch decision are bit-exact across engines (an
+    interpolated median differs in final-ulp arithmetic between
+    engines and can flip threshold comparisons). n_outliers is an
+    integer column, so the value hash verifies each branch.
+
+    Shape: two window passes partitioned by event_type (values, then
+    deviations) + one rollup — all shuffles on the low-cardinality
+    type key; at scale the same pattern runs per (type, day) to keep
+    partitions bounded."""
+    from pyspark.sql import Window
+
+    ev = table(spark, "events", sf_dir).select("event_type", "value")
+    w = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w.orderBy("value")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    med = ranked.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "event_type", F.col("value").alias("med"), "n"
+    )
+    devs = ranked.join(F.broadcast(med.drop("n")), "event_type").select(
+        "event_type",
+        "value",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
+        "med",
+    )
+    dev_ranked = devs.select(
+        "event_type",
+        "dev",
+        "med",
+        F.row_number().over(w.orderBy("dev")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    mad = dev_ranked.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "event_type", F.col("dev").alias("mad"), "n"
+    )
+    return (
+        devs.join(F.broadcast(mad), "event_type")
+        .groupBy(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.round("med", 4).alias("median_value"),
+            F.round("mad", 4).alias("mad"),
+        )
+        .agg(
+            F.sum(F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+    )

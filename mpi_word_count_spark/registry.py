@@ -179,6 +179,7 @@ _PRIORITY = [
     "cluster_survivors",
     "mixture_plan",
     "user_retention_cohorts",
+    "events_value_outliers",
     "trade_graph_pagerank",
     "model_quality_scores",
     "streaming_model_scores",
