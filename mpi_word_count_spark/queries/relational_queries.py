@@ -952,3 +952,68 @@ def q_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
         "age_weeks",
     ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH anchor AS (SELECT max(o_orderdate) AS maxd FROM orders),
+    base AS (
+        SELECT o_custkey,
+               date_diff('day', max(o_orderdate), anchor.maxd) AS recency_days,
+               count(*) AS frequency,
+               round(sum(o_totalprice), 2) AS monetary
+        FROM orders CROSS JOIN anchor
+        GROUP BY o_custkey, anchor.maxd
+    ),
+    scored AS (
+        SELECT o_custkey,
+               ntile(5) OVER (ORDER BY recency_days ASC, o_custkey) AS r,
+               ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+               ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m
+        FROM base
+    )
+    SELECT CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic CRM scoring: quintiles of
+    Recency (days since last order, vs the corpus max date so the
+    anchor is data-derived and deterministic), Frequency (orders),
+    Monetary (total spend), rolled up to segment sizes.
+
+    NTILE's global sort is acceptable HERE and only here: it runs
+    over the customer DIMENSION (one row per customer), never the
+    fact table — the same dimension-vs-fact distinction the
+    curriculum query draws when it refuses NTILE over documents.
+    Every ntile ordering carries the custkey tiebreak so bucket
+    boundaries are total-order deterministic cross-engine."""
+    from pyspark.sql import Window
+
+    orders = table(spark, "orders", sf_dir)
+    anchor = orders.agg(F.max("o_orderdate").alias("maxd"))
+    base = (
+        orders.crossJoin(F.broadcast(anchor))
+        .groupBy("o_custkey", "maxd")
+        .agg(
+            F.datediff(F.col("maxd"), F.max("o_orderdate")).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+    scored = base.select(
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("recency_days"), F.asc("o_custkey")))
+        .alias("r"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+        .alias("f"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
+        .alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )

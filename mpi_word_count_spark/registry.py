@@ -180,6 +180,7 @@ _PRIORITY = [
     "mixture_plan",
     "user_retention_cohorts",
     "events_value_outliers",
+    "customer_rfm_segments",
     "trade_graph_pagerank",
     "model_quality_scores",
     "streaming_model_scores",
