@@ -86,3 +86,62 @@ def q_trade_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("node div 2").alias("key"),
         F.col("rank_fp"),
     )
+
+
+@register(
+    "trade_graph_degrees",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    bi AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+            FROM bi GROUP BY 1),
+    bucketed AS (
+        SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+                   AS node_type,
+               (1::BIGINT << (length(bin(degree)) - 1)) AS bucket_lo,
+               (1::BIGINT << length(bin(degree))) AS bucket_hi,
+               degree
+        FROM deg
+    )
+    SELECT node_type, bucket_lo, bucket_hi,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(max(degree) AS BIGINT) AS max_degree
+    FROM bucketed GROUP BY 1, 2, 3
+    """,
+)
+def q_trade_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the trade graph in power-of-two buckets
+    (integer bit-length, no libm) — the first thing to look at before
+    any graph job: the degree histogram decides whether PageRank's
+    fixed-point SCALE fits (graph.py overflow bound) and whether a
+    skew hub needs salting. One edge shuffle + one degree shuffle;
+    buckets, not nodes, leave the final exchange."""
+    orders = table(spark, "orders", sf_dir)
+    lineitem = table(spark, "lineitem", sf_dir)
+    deg = (
+        trade_graph_edges(orders, lineitem)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.select(
+            F.when(F.col("src") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            F.expr(
+                "shiftleft(cast(1 as bigint), length(bin(degree)) - 1)"
+            ).alias("bucket_lo"),
+            F.expr(
+                "shiftleft(cast(1 as bigint), length(bin(degree)))"
+            ).alias("bucket_hi"),
+            "degree",
+        )
+        .groupBy("node_type", "bucket_lo", "bucket_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.max("degree").cast("bigint").alias("max_degree"),
+        )
+    )

@@ -181,6 +181,7 @@ _PRIORITY = [
     "user_retention_cohorts",
     "events_value_outliers",
     "customer_rfm_segments",
+    "trade_graph_degrees",
     "trade_graph_pagerank",
     "model_quality_scores",
     "streaming_model_scores",
