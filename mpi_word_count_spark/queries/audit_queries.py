@@ -199,3 +199,65 @@ def q_label_centroid_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates; no pairwise work."""
     emb = table(spark, "embeddings", sf_dir)
     return label_centroid_spread(emb)
+
+
+# fixed-point scale for the per-dimension statistics: 2^20 per unit.
+# floor(x * S + 0.5) — the SAME expression on both engines — makes the
+# quantization deterministic regardless of each engine's round() tie
+# rule; after it, every aggregate is exact int64 arithmetic.
+DIM_STATS_SCALE = 1 << 20
+
+
+@register(
+    "embedding_dim_stats",
+    oracle=f"""
+    WITH dims AS (
+        SELECT vec_id,
+               unnest(generate_series(1, len(embedding))) AS dim,
+               unnest(embedding) AS x
+        FROM embeddings
+    ),
+    q AS (
+        SELECT dim,
+               CAST(floor(CAST(x AS DOUBLE) * {DIM_STATS_SCALE} + 0.5)
+                    AS BIGINT) AS xq
+        FROM dims
+    )
+    SELECT CAST(dim AS INT) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(xq) AS BIGINT) AS sum_fp,
+           CAST(sum(xq * xq) AS BIGINT) AS sumsq_fp
+    FROM q GROUP BY 1
+    """,
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION embedding statistics — the feature-health audit
+    (dead dimensions, scale imbalance, variance collapse) that
+    complements the per-VECTOR norm audit (embedding_norms). Values
+    quantize to 2^-20 fixed point via floor(x·S + 0.5) — the same
+    expression both engines evaluate on the same doubles — and all
+    sums are exact int64 from there, so the hash match is exact by
+    construction: no float aggregate ever crosses the engine
+    boundary. Mean and variance derive downstream from (n, sum_fp,
+    sumsq_fp) without another corpus pass.
+
+    Shape: posexplode → one partially-aggregated shuffle keyed on
+    the 64 dimension ids. Overflow bound: sumsq terms are ≤ (S·|x|)²
+    ≈ 2^46 for unit-scale features; 2^63 admits ~10^5 · corpus rows
+    per dimension partition — at larger scale, drop S to 2^14."""
+    emb = table(spark, "embeddings", sf_dir)
+    dims = emb.select(
+        F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(
+            F.col("x").cast("double") * DIM_STATS_SCALE + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("xq"),
+    )
+    return dims.groupBy(F.col("dim").cast("int").alias("dim")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").alias("sum_fp"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sumsq_fp"),
+    )

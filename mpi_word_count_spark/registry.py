@@ -182,6 +182,7 @@ _PRIORITY = [
     "events_value_outliers",
     "customer_rfm_segments",
     "trade_graph_degrees",
+    "embedding_dim_stats",
     "trade_graph_pagerank",
     "model_quality_scores",
     "streaming_model_scores",
