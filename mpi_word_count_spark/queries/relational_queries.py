@@ -1017,3 +1017,117 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
+
+
+@register(
+    "ship_latency_percentiles",
+    oracle="""
+    WITH lat AS (
+        SELECT o.o_orderpriority,
+               date_diff('day', o.o_orderdate, l.l_shipdate) AS days
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    ranked AS (
+        SELECT o_orderpriority, days,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY days) AS rn,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM lat
+    )
+    SELECT o_orderpriority,
+           CAST(max(n) AS BIGINT) AS n_items,
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN days END) AS BIGINT) AS p50_days,
+           CAST(max(CASE WHEN rn = (n * 9 + 9) // 10 THEN days END) AS BIGINT) AS p90_days,
+           CAST(max(CASE WHEN rn = (n * 99 + 99) // 100 THEN days END) AS BIGINT) AS p99_days
+    FROM ranked GROUP BY 1
+    """,
+)
+def q_ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency SLO percentiles per priority class — the
+    operational latency report, with DISCRETE percentiles: pK is the
+    ⌈K·n/100⌉-th smallest actual day count selected by row_number
+    (the same engine-exact technique as events_value_outliers; an
+    interpolated percentile would be float and engine-sensitive).
+    One fact join co-partitioned on orderkey, one priority-keyed
+    window pass, rollup emits 5 rows."""
+    from pyspark.sql import Window
+
+    o = table(spark, "orders", sf_dir)
+    li = table(spark, "lineitem", sf_dir)
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("days"),
+    )
+    w = Window.partitionBy("o_orderpriority")
+    ranked = lat.select(
+        "o_orderpriority",
+        "days",
+        F.row_number().over(w.orderBy("days")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    pick = lambda expr: F.max(  # noqa: E731 — local one-liner
+        F.when(F.col("rn") == F.expr(expr), F.col("days"))
+    ).cast("bigint")
+    return ranked.groupBy("o_orderpriority").agg(
+        F.max("n").cast("bigint").alias("n_items"),
+        pick("(n + 1) div 2").alias("p50_days"),
+        pick("(n * 9 + 9) div 10").alias("p90_days"),
+        pick("(n * 99 + 99) div 100").alias("p99_days"),
+    )
+
+
+@register(
+    "dau_wau",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events
+    ),
+    spine AS (
+        SELECT DISTINCT d FROM ud
+    ),
+    contrib AS (
+        SELECT u.user_id, CAST(u.d + i * INTERVAL '1 day' AS DATE) AS d
+        FROM ud u, (SELECT unnest(generate_series(0, 6)) AS i) g
+    )
+    SELECT strftime(s.d, '%Y-%m-%d') AS day,
+           CAST((SELECT count(*) FROM ud WHERE ud.d = s.d) AS BIGINT) AS dau,
+           CAST(count(DISTINCT c.user_id) AS BIGINT) AS wau
+    FROM spine s
+    JOIN contrib c ON c.d = s.d
+    GROUP BY s.d
+    """,
+)
+def q_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily + 7-day rolling distinct active users — the growth
+    metric whose naive form (distinct over a sliding window) has no
+    scalable expression. The exact scalable form: dedup events to
+    (user, day) FIRST (the only corpus-sized aggregation), then each
+    (user, day) contributes to 7 calendar days (fixed ×7 fan-out of
+    the already-tiny distinct table) and a second distinct count per
+    day yields WAU. Days beyond the observed spine are dropped so
+    DAU/WAU share the same day domain."""
+    ev = table(spark, "events", sf_dir)
+    ud = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).distinct()
+    spine = ud.select("d").distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "d",
+    ).select("user_id", F.date_add(F.col("d"), F.col("i")).alias("d"))
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        contrib.join(spine, "d")
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+        )
+    )

@@ -183,6 +183,8 @@ _PRIORITY = [
     "customer_rfm_segments",
     "trade_graph_degrees",
     "embedding_dim_stats",
+    "ship_latency_percentiles",
+    "dau_wau",
     "trade_graph_pagerank",
     "model_quality_scores",
     "streaming_model_scores",
