@@ -378,3 +378,94 @@ def q_events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers")
         )
     )
+
+
+@register(
+    "events_cusum_drift",
+    oracle="""
+    WITH hc AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    med AS (
+        SELECT event_type, c AS k FROM (
+            SELECT event_type, c,
+                   row_number() OVER (PARTITION BY event_type ORDER BY c, h)
+                       AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM hc) t
+        WHERE rn = (n + 1) // 2
+    ),
+    pref AS (
+        SELECT hc.event_type, hc.h, m.k,
+               sum(hc.c - m.k) OVER (PARTITION BY hc.event_type
+                                     ORDER BY hc.h) AS p
+        FROM hc JOIN med m ON m.event_type = hc.event_type
+    ),
+    cus AS (
+        SELECT event_type, h, k,
+               p - min(p) OVER (PARTITION BY event_type ORDER BY h) AS s
+        FROM pref
+    )
+    SELECT event_type,
+           CAST(max(k) AS BIGINT) AS k_median_hourly,
+           CAST(max(s) AS BIGINT) AS max_cusum,
+           CAST(sum(CASE WHEN s > 3 * k THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_drift_hours,
+           strftime(min(CASE WHEN s > 3 * k THEN h END),
+                    '%Y-%m-%d %H:%M:%S') AS first_drift_hour
+    FROM cus GROUP BY 1
+    """,
+)
+def q_events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection over hourly event volumes — the
+    change-point monitor behind data-freshness and traffic-shift
+    alerts. The textbook recursion S_t = max(0, S_{t-1} + (x_t - k))
+    is rewritten with the prefix-minimum identity
+
+        S_t = P_t - min_{j<=t} P_j,   P = running sum of (x - k)
+
+    so the whole statistic is two window functions over the hourly
+    series — no recursion, no UDF, and (k being the DISCRETE median
+    hourly count) every quantity is exact int64. Drift = hours where
+    S exceeds 3·k; the report emits per-type drift counts and the
+    first breach hour."""
+    from pyspark.sql import Window
+
+    ev = table(spark, "events", sf_dir)
+    hc = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wt = Window.partitionBy("event_type")
+    ranked = hc.select(
+        "event_type",
+        "c",
+        F.row_number().over(wt.orderBy("c", "h")).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    med = ranked.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "event_type", F.col("c").alias("k")
+    )
+    wo = wt.orderBy("h")
+    pref = hc.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "h",
+        "k",
+        F.sum(F.col("c") - F.col("k")).over(wo).alias("p"),
+    )
+    cus = pref.select(
+        "event_type",
+        "h",
+        "k",
+        (F.col("p") - F.min("p").over(wo)).alias("s"),
+    )
+    drift = F.col("s") > 3 * F.col("k")
+    return cus.groupBy("event_type").agg(
+        F.max("k").cast("bigint").alias("k_median_hourly"),
+        F.max("s").cast("bigint").alias("max_cusum"),
+        F.sum(F.when(drift, 1).otherwise(0)).cast("bigint").alias("n_drift_hours"),
+        F.date_format(
+            F.min(F.when(drift, F.col("h"))), "yyyy-MM-dd HH:mm:ss"
+        ).alias("first_drift_hour"),
+    )

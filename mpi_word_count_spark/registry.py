@@ -185,6 +185,7 @@ _PRIORITY = [
     "embedding_dim_stats",
     "ship_latency_percentiles",
     "dau_wau",
+    "events_cusum_drift",
     "trade_graph_pagerank",
     "model_quality_scores",
     "streaming_model_scores",
