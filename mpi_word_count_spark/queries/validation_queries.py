@@ -405,7 +405,8 @@ def q_events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cus AS (
         SELECT event_type, h, k,
-               p - min(p) OVER (PARTITION BY event_type ORDER BY h) AS s
+               p - least(0, min(p) OVER (PARTITION BY event_type
+                                         ORDER BY h)) AS s
         FROM pref
     )
     SELECT event_type,
@@ -424,7 +425,10 @@ def q_events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     alerts. The textbook recursion S_t = max(0, S_{t-1} + (x_t - k))
     is rewritten with the prefix-minimum identity
 
-        S_t = P_t - min_{j<=t} P_j,   P = running sum of (x - k)
+        S_t = P_t - min(0, min_{j<=t} P_j),  P = running sum of (x - k)
+
+    (the 0 is the virtual empty-prefix minimum; without it the
+    statistic under-reports whenever the series starts above k)
 
     so the whole statistic is two window functions over the hourly
     series — no recursion, no UDF, and (k being the DISCRETE median
@@ -458,7 +462,7 @@ def q_events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "h",
         "k",
-        (F.col("p") - F.min("p").over(wo)).alias("s"),
+        (F.col("p") - F.least(F.lit(0), F.min("p").over(wo))).alias("s"),
     )
     drift = F.col("s") > 3 * F.col("k")
     return cus.groupBy("event_type").agg(
