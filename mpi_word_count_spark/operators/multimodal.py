@@ -165,16 +165,12 @@ def phash_media(media: DataFrame) -> DataFrame:
                     ) // PHASH_BITS
                     probes = data[idx]
                     bits = (probes[:-1] > probes[1:]).astype(np.int64)
-                bands = [
-                    int(
-                        sum(
-                            int(bits[b * _BAND_BITS + p]) << (_BAND_BITS - 1 - p)
-                            for p in range(_BAND_BITS)
-                        )
-                    )
-                    for b in range(PHASH_BANDS)
-                ]
-                rows.append([mid, *bands])
+                # vectorized band packing: (4,16) bit matrix · weight
+                # vector — no per-bit Python loop in the kernel
+                bands = bits.reshape(PHASH_BANDS, _BAND_BITS) @ (
+                    1 << np.arange(_BAND_BITS - 1, -1, -1, dtype=np.int64)
+                )
+                rows.append([mid, *(int(b) for b in bands)])
             yield pd.DataFrame(
                 rows, columns=["media_id"] + [f"b{i}" for i in range(PHASH_BANDS)]
             )

@@ -635,6 +635,40 @@ def q_cogrouped_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _basket_pairs(li: DataFrame):
+    """Shared basket machinery for the market-basket queries: the
+    distinct (order, supplier) item table — CACHED, because the rules
+    query reads it for baskets, item marginals, and the basket total
+    (uncached, the corpus scan + distinct ran once per subtree) — and
+    the unordered within-basket pairs generated in-row."""
+    from mpi_word_count_spark.operators import track_cache
+
+    s = track_cache(li.select("l_orderkey", "l_suppkey").distinct())
+    baskets = (
+        s.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
+    ss = F.col("ss")
+    pairs_col = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ss) - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size(ss)),
+                lambda j: F.struct(
+                    F.element_at(ss, i).alias("s1"),
+                    F.element_at(ss, j).alias("s2"),
+                ),
+            ),
+        )
+    )
+    pairs = baskets.select(F.explode(pairs_col).alias("p")).select(
+        "p.s1", "p.s2"
+    )
+    return s, pairs
+
 @register(
     "supplier_basket_pairs",
     oracle="""
@@ -661,31 +695,9 @@ def q_supplier_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-count shuffle, top-k via TakeOrdered. The declarative
     self-join oracle and the in-row generation provably enumerate the
     same pairs (distinct items, a < b)."""
-    li = table(spark, "lineitem", sf_dir)
-    baskets = (
-        li.select("l_orderkey", "l_suppkey")
-        .distinct()
-        .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ss"))
-        .filter(F.size("ss") >= 2)
-    )
-    ss = F.col("ss")
-    pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.size(ss) - 1),
-            lambda i: F.transform(
-                F.sequence(i + 1, F.size(ss)),
-                lambda j: F.struct(
-                    F.element_at(ss, i).alias("s1"),
-                    F.element_at(ss, j).alias("s2"),
-                ),
-            ),
-        )
-    )
+    _, pairs = _basket_pairs(table(spark, "lineitem", sf_dir))
     return (
-        baskets.select(F.explode(pairs).alias("p"))
-        .select("p.s1", "p.s2")
-        .groupBy("s1", "s2")
+        pairs.groupBy("s1", "s2")
         .agg(F.count(F.lit(1)).alias("support"))
         .orderBy(F.desc("support"), F.asc("s1"), F.asc("s2"))
         .limit(25)
@@ -730,34 +742,13 @@ def q_supplier_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles. The top-k cutoff stays on (support, pair) integers."""
     from mpi_word_count_spark.functions.parity import portable_round
 
-    li = table(spark, "lineitem", sf_dir)
-    s = li.select("l_orderkey", "l_suppkey").distinct()
+    s, pairs = _basket_pairs(table(spark, "lineitem", sf_dir))
     n_baskets = s.agg(
         F.countDistinct("l_orderkey").alias("n_baskets")
     )
     item = s.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("c"))
-    baskets = (
-        s.groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ss"))
-        .filter(F.size("ss") >= 2)
-    )
-    ss = F.col("ss")
-    pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.size(ss) - 1),
-            lambda i: F.transform(
-                F.sequence(i + 1, F.size(ss)),
-                lambda j: F.struct(
-                    F.element_at(ss, i).alias("s1"),
-                    F.element_at(ss, j).alias("s2"),
-                ),
-            ),
-        )
-    )
     pair = (
-        baskets.select(F.explode(pairs).alias("p"))
-        .select("p.s1", "p.s2")
-        .groupBy("s1", "s2")
+        pairs.groupBy("s1", "s2")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= 3)
     )

@@ -118,12 +118,18 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dHash band table derived entirely in SQL (ASCII corpus: char at a
 # position IS the byte at that position). Probe positions use integer
 # division — identical arithmetic to the kernel's numpy expression.
-_PHASH_CTES = """
+def _phash_ctes(base: str = "documents") -> str:
+    """dHash band derivation over `base` (doc_id, text). Parameterized
+    so media_phash_dups can extend the corpus with planted duplicates
+    (the fixture has no near-identical byte streams below sf0.1, and
+    an empty-vs-empty oracle match would verify nothing at the
+    driver's sf0.01 gate)."""
+    return f"""
     probes AS (
         SELECT doc_id, i.i AS i,
                ascii(substring(text,
                    CAST((i.i * (length(text) - 1)) // 64 AS INT) + 1, 1)) AS v
-        FROM documents, (SELECT unnest(range(0, 65)) AS i) i
+        FROM {base}, (SELECT unnest(range(0, 65)) AS i) i
     ),
     bits AS (
         SELECT a.doc_id, a.i AS bit_idx,
@@ -148,9 +154,21 @@ _PHASH_CTES = """
 """
 
 
+# two planted byte-identical payloads (copies of doc 0) under ids
+# -1/-2: the Hamming-0 pair (-2, -1) is ALWAYS in the dup output, so
+# the sf0.01 driver-gate comparison exercises the band join, the xor
+# verify, and the threshold filter even though the real corpus has no
+# near-dups below sf0.1
+_PLANTED_BASE = """(
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT -1, text FROM documents WHERE doc_id = 0
+        UNION ALL SELECT -2, text FROM documents WHERE doc_id = 0
+    ) corpus_with_planted"""
+
+
 @register(
     "media_phash",
-    oracle=f"WITH {_PHASH_CTES} SELECT media_id, b0, b1, b2, b3 FROM phash",
+    oracle=f"WITH {_phash_ctes()} SELECT media_id, b0, b1, b2, b3 FROM phash",
 )
 def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual difference-hash fingerprints over binary media
@@ -165,7 +183,7 @@ def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "media_phash_dups",
     oracle=f"""
-    WITH {_PHASH_CTES}
+    WITH {_phash_ctes(_PLANTED_BASE)}
     SELECT p1.media_id AS media_id_1,
            p2.media_id AS media_id_2,
            CAST(bit_count(xor(p1.b0, p2.b0)) + bit_count(xor(p1.b1, p2.b1))
@@ -183,6 +201,20 @@ def q_media_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming ≤ 3 by pigeonhole (4 bands, ≤ 3 differing bits leave one
     band identical), so the all-pairs SQL oracle and the banded plan
     provably return the same set. The corpus never self-joins
-    unbucketed (plan-audited with the other dedup queries)."""
-    media = media_from_documents(table(spark, "documents", sf_dir))
+    unbucketed (plan-audited with the other dedup queries).
+
+    Two byte-identical planted payloads (doc 0 under ids -1/-2) keep
+    the result non-empty at every scale: the fixture has no
+    near-identical byte streams below sf0.1, and an empty result
+    would make the sf0.01 driver-gate comparison vacuous — the
+    planted Hamming-0 pair forces the band join, xor verify, and
+    threshold filter to all execute against the oracle."""
+    docs = table(spark, "documents", sf_dir)
+    planted = docs.filter(F.col("doc_id") == 0)
+    base = docs.select("doc_id", "text", "source").unionAll(
+        planted.select(F.lit(-1).cast("long").alias("doc_id"), "text", "source")
+    ).unionAll(
+        planted.select(F.lit(-2).cast("long").alias("doc_id"), "text", "source")
+    )
+    media = media_from_documents(base)
     return phash_dups(phash_media(media), max_hamming=3)

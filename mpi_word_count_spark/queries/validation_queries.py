@@ -337,23 +337,25 @@ def q_events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions bounded."""
     from pyspark.sql import Window
 
+    from mpi_word_count_spark.operators import track_cache
+
     ev = table(spark, "events", sf_dir).select("event_type", "value")
     w = Window.partitionBy("event_type")
-    ranked = ev.select(
+    ranked = track_cache(ev.select(
         "event_type",
         "value",
         F.row_number().over(w.orderBy("value")).alias("rn"),
         F.count(F.lit(1)).over(w).alias("n"),
-    )
+    ))
     med = ranked.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
         "event_type", F.col("value").alias("med"), "n"
     )
-    devs = ranked.join(F.broadcast(med.drop("n")), "event_type").select(
+    devs = track_cache(ranked.join(F.broadcast(med.drop("n")), "event_type").select(
         "event_type",
         "value",
         F.abs(F.col("value") - F.col("med")).alias("dev"),
         "med",
-    )
+    ))
     dev_ranked = devs.select(
         "event_type",
         "dev",
@@ -437,10 +439,14 @@ def q_events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     first breach hour."""
     from pyspark.sql import Window
 
+    from mpi_word_count_spark.operators import track_cache
+
     ev = table(spark, "events", sf_dir)
-    hc = ev.groupBy(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
-    ).agg(F.count(F.lit(1)).alias("c"))
+    hc = track_cache(
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        ).agg(F.count(F.lit(1)).alias("c"))
+    )
     wt = Window.partitionBy("event_type")
     ranked = hc.select(
         "event_type",

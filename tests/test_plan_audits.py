@@ -282,8 +282,8 @@ def test_runtime_bloom_filter_joins_available(spark):
             "1",
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
-        o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").filter(
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
             F.col("o_orderpriority") == "1-URGENT"
         )
         j = (
