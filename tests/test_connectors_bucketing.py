@@ -349,3 +349,36 @@ def test_compaction_unescapes_hive_partition_values(spark, tmp_path):
         (None, 20, 4, 1),
         ("add to cart", 20, 4, 1),
     ]
+
+
+def test_binaryfile_source_feeds_media_kernels(spark, tmp_path):
+    """Spark's binaryFile source — the ingest path for real media
+    directories — must feed the multimodal kernels unchanged: read
+    raw files as (path, content), adapt to the media schema, and get
+    the same dHash as hashing the bytes directly."""
+    from mpi_word_count_spark.operators.multimodal import phash_media
+
+    payloads = {f"doc{i}.bin": bytes(range(i, i + 65)) for i in range(3)}
+    for name, data in payloads.items():
+        (tmp_path / name).write_bytes(data)
+
+    raw = spark.read.format("binaryFile").load(str(tmp_path))
+    media = raw.select(
+        F.regexp_extract(F.col("path"), r"doc(\d+)\.bin", 1)
+        .cast("long")
+        .alias("media_id"),
+        F.col("content").alias("media"),
+    )
+    got = {
+        r["media_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in phash_media(media).collect()
+    }
+    direct = spark.createDataFrame(
+        [(i, payloads[f"doc{i}.bin"]) for i in range(3)],
+        "media_id bigint, media binary",
+    )
+    want = {
+        r["media_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in phash_media(direct).collect()
+    }
+    assert got == want and len(got) == 3
