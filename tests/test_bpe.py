@@ -122,3 +122,40 @@ def test_merges_nonempty_and_deterministic(spark):
     for r in a:
         assert r["merged"] == r["left_sym"] + r["right_sym"]
         assert r["pair_count"] > 0
+
+
+def test_greedy_merge_properties_hypothesis():
+    """Property-based invariants of one greedy merge round: (1) the
+    concatenation is preserved, (2) no adjacent (left, right) pair
+    survives in the output, (3) merged-token count equals the greedy
+    occurrence count (ceil of run lengths for L == R)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    syms = st.lists(st.sampled_from(["a", "b", "ab", "ba"]), max_size=30)
+
+    @settings(max_examples=300, deadline=None)
+    @given(syms, st.sampled_from(["a", "b", "ab"]), st.sampled_from(["a", "b", "ba"]))
+    def check(s, left, right):
+        merged = left + right
+        out = greedy_merge(s, left, right, merged)
+        assert "".join(out) == "".join(s)
+        for x, y in zip(out, out[1:]):
+            # a surviving adjacent (L, R) pair is only legal if its L
+            # was produced by a merge THIS round (greedy can't reuse it)
+            if (x, y) == (left, right):
+                assert merged == left, (s, out)
+        # count check against an independent linear scan
+        n_merges = sum(1 for t in out if t == merged) - sum(
+            1 for t in s if t == merged
+        )
+        i = expected = 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                expected += 1
+                i += 2
+            else:
+                i += 1
+        assert n_merges == expected, (s, out)
+
+    check()
