@@ -350,3 +350,63 @@ def q_streaming_quality_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(rules)}, {stacked}) AS (rule, violations)",
         "checked",
     )
+
+
+@register(
+    "streaming_trending_words",
+    oracle=f"""
+    WITH wc AS (
+        SELECT (doc_id // 60) * 3600000000 AS window_start_us,
+               word,
+               CAST(count(*) AS BIGINT) AS n
+        FROM (
+            SELECT doc_id,
+                   lower(unnest(regexp_split_to_array(text, '{{rx}}'))) AS word
+            FROM documents
+        ) t
+        WHERE word <> ''
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT window_start_us, word, n,
+               row_number() OVER (PARTITION BY window_start_us
+                                  ORDER BY n DESC, word) AS rank
+        FROM wc
+    )
+    SELECT window_start_us, CAST(rank AS INT) AS rank, word, n
+    FROM ranked WHERE rank <= 3
+    """.replace("{{rx}}", "{rx}").replace("{rx}", sql_regex()),
+)
+def q_streaming_trending_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending words: the flagship tokenization as a STREAMING
+    windowed aggregation — each document carries a deterministic
+    event time (doc_id minutes since epoch), word counts accumulate
+    per 1-hour tumbling window in complete mode, and the per-window
+    top-3 ranking runs as one batch pass over the completed sink
+    (rank-in-stream would need complete-mode sorting per trigger;
+    ranking the materialized window counts is the production shape —
+    the same split click attribution uses for its rollup)."""
+    from mpi_word_count_spark.streaming.core import run_to_completion, stream_table
+    from mpi_word_count_spark.operators.relational import topk_per_group
+    from mpi_word_count_spark.tokenizer import tokenize
+
+    docs = stream_table(spark, "documents", sf_dir).withColumn(
+        "ts", F.timestamp_micros(F.col("doc_id") * 60_000_000)
+    )
+    toks = tokenize(docs, col="text", keep=["ts"])
+    counts = toks.groupBy(
+        F.window("ts", "1 hour").alias("w"), "word"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    done = run_to_completion(
+        counts.select(
+            F.unix_micros("w.start").alias("window_start_us"), "word", "n"
+        ),
+        "complete",
+    )
+    return topk_per_group(
+        done,
+        ["window_start_us"],
+        [F.desc("n"), F.asc("word")],
+        k=3,
+        rank_col="rank",
+    ).select("window_start_us", F.col("rank").cast("int").alias("rank"), "word", "n")

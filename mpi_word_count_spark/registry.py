@@ -186,6 +186,7 @@ _PRIORITY = [
     "ship_latency_percentiles",
     "dau_wau",
     "events_cusum_drift",
+    "streaming_trending_words",
     "trade_graph_pagerank",
     "model_quality_scores",
     "streaming_model_scores",
