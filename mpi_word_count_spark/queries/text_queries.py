@@ -885,3 +885,57 @@ def q_stupid_backoff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(score), 4).alias("avg_sb_logprob"),
         )
     )
+
+
+def _lang_confusion_oracle() -> str:
+    vocab_rows = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang, words in sorted(LANG_MARKERS.items())
+        for w in words
+    )
+    return f"""
+    WITH {_TOKS_CTE},
+    tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    vocab(vlang, marker) AS (VALUES {vocab_rows}),
+    scores AS (
+        SELECT doc_id, vlang, CAST(count(*) AS BIGINT) AS score
+        FROM tok JOIN vocab ON tok = marker
+        GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT doc_id, vlang FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, vlang ASC
+            ) AS rn FROM scores
+        ) WHERE rn = 1
+    )
+    SELECT d.lang AS declared_lang,
+           coalesce(b.vlang, 'unknown') AS pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+    GROUP BY 1, 2
+    """
+
+
+@register("lang_confusion_matrix", oracle=_lang_confusion_oracle())
+def q_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language confusion matrix — the audit
+    that decides whether the heuristic classifier is trustworthy
+    enough to gate curation (the lang-agreement stage of the
+    pipeline queries drops docs where the two disagree; this is the
+    table that justifies the stage). Off-diagonal mass per declared
+    language = classifier error + mislabeled source data. Reuses the
+    registered classifier (one token ⋈ broadcast-marker join +
+    per-doc argmax); the rollup adds one tiny shuffle on the
+    (declared, predicted) pair."""
+    docs = table(spark, "documents", sf_dir)
+    pred = language_id(docs).select("doc_id", "pred_lang")
+    return (
+        docs.select("doc_id", F.col("lang").alias("declared_lang"))
+        .join(pred, "doc_id", "left")
+        .groupBy(
+            "declared_lang",
+            F.coalesce(F.col("pred_lang"), F.lit("unknown")).alias("pred_lang"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -187,6 +187,7 @@ _PRIORITY = [
     "dau_wau",
     "events_cusum_drift",
     "streaming_trending_words",
+    "lang_confusion_matrix",
     "trade_graph_pagerank",
     "model_quality_scores",
     "streaming_model_scores",
