@@ -939,3 +939,59 @@ def q_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "char_entropy_scores",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS ch
+        FROM documents
+    ),
+    counts AS (
+        SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+        FROM chars WHERE ch <> '' GROUP BY 1, 2
+    ),
+    tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY 1),
+    per_doc AS (
+        SELECT c.doc_id,
+               CAST(max(t.n) AS BIGINT) AS n_chars,
+               CAST(count(*) AS BIGINT) AS n_distinct_chars,
+               round(-sum((c.c * 1.0 / t.n) * ln(c.c * 1.0 / t.n)), 4)
+                   AS char_entropy
+        FROM counts c JOIN tot t ON t.doc_id = c.doc_id
+        GROUP BY c.doc_id
+    )
+    SELECT doc_id, n_chars, n_distinct_chars, char_entropy FROM per_doc
+    """,
+)
+def q_char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's character distribution —
+    the statistical gibberish/boilerplate signal that complements the
+    zlib compression ratio (compression_ratios): near-zero entropy is
+    repeated filler, near-log(alphabet) is keyboard mash; natural
+    text sits in a narrow band. All work happens INSIDE the row: the
+    distinct-character counts come from a transform over the char
+    array (O(distinct·len) JVM expression work, no per-char shuffle —
+    the grouped form the oracle uses would shuffle |corpus chars|
+    rows), and the entropy fold runs in deterministic array order."""
+    docs = table(spark, "documents", sf_dir)
+    chars = F.split(F.col("text"), "")
+    # trailing '' from split on empty pattern is dropped by filter
+    chars = F.filter(chars, lambda x: x != "")
+    distinct = F.array_distinct(chars)
+    counts = F.transform(
+        distinct, lambda c: F.size(F.filter(chars, lambda x: x == c))
+    )
+    n = F.size(chars).cast("double")
+    entropy = -F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc + (c / n) * F.log(c / n),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(chars).cast("bigint").alias("n_chars"),
+        F.size(distinct).cast("bigint").alias("n_distinct_chars"),
+        F.round(entropy, 4).alias("char_entropy"),
+    )

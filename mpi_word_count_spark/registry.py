@@ -188,6 +188,7 @@ _PRIORITY = [
     "events_cusum_drift",
     "streaming_trending_words",
     "lang_confusion_matrix",
+    "char_entropy_scores",
     "trade_graph_pagerank",
     "model_quality_scores",
     "streaming_model_scores",
