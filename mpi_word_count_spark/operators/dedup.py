@@ -1287,3 +1287,115 @@ def incremental_minhash_dups(
             ),
         )
     )
+
+
+def ppjoin_pairs(
+    df: DataFrame,
+    threshold_pct: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int | None = 3,
+) -> DataFrame:
+    """EXACT set-similarity self-join with prefix filtering (the
+    PPJoin family, Xiao et al. WWW'08): all pairs (d1 < d2) with
+    set Jaccard ≥ threshold_pct/100 over each document's distinct
+    n-gram shingle set (`shingle_n=None` switches to unigram token
+    sets — only meaningful on corpora whose vocabulary is large
+    relative to document length; the driver fixtures draw from a
+    31-word vocabulary, so shingles are the discriminative domain).
+
+    Candidate generation explodes only each document's PREFIX — the
+    first p = n − ⌈t·n⌉ + 1 elements in the global rarest-first
+    canonical order — instead of the full inverted index
+    (ngram_jaccard_pairs): two sets with Jaccard ≥ t MUST share at
+    least one prefix element, so the equi-join on prefix elements
+    loses no qualifying pair while cutting fan-out by ≈ t. The
+    rarest-first ordering puts high-df elements in the suffix, so
+    prefix posting lists stay short without a stop-shingle guard. A
+    length filter (100·min(n1,n2) ≥ t_pct·max(n1,n2) — Jaccard ≥ t
+    bounds the size ratio) prunes candidates before verification,
+    and verification counts intersections only for surviving pairs.
+
+    All size/threshold arithmetic is integer (threshold as a percent;
+    ⌈t·n⌉ = (t_pct·n + 99) div 100), so the prefix boundary and the
+    acceptance test 100·|A∩B| ≥ t_pct·|A∪B| are bit-exact across
+    engines — the DuckDB oracle runs the NAIVE all-pairs
+    shared-element join, making the driver hash-match a proof that
+    prefix filtering is lossless.
+
+    Scale: two narrow window shuffles (df per element, rank per doc),
+    then equi-joins keyed on prefix elements only. At 100 TB the df
+    skew lives in the suffix by construction; candidate volume tracks
+    true similarity structure, not |docs|².
+    """
+    from mpi_word_count_spark.operators import widen
+
+    toks = widen(df).select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("_toks")
+    )
+    sets_col = (
+        shingles_from_tokens(F.col("_toks"), shingle_n)
+        if shingle_n
+        else F.array_distinct(F.col("_toks"))
+    )
+    base = toks.select("doc_id", sets_col.alias("ts"))
+    tok = base.select(
+        "doc_id", F.size("ts").alias("n"), F.explode("ts").alias("token")
+    )
+    w_df = Window.partitionBy("token")
+    w_rank = Window.partitionBy("doc_id").orderBy("df", "token")
+    ranked = tok.withColumn("df", F.count(F.lit(1)).over(w_df)).withColumn(
+        "rank", F.row_number().over(w_rank)
+    )
+    prefix_len = (
+        F.col("n")
+        - F.floor((F.lit(threshold_pct) * F.col("n") + 99) / 100)
+        + 1
+    )
+    prefix = ranked.filter(F.col("rank") <= prefix_len).select(
+        "doc_id", "n", "token"
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                100 * F.least(F.col("a.n"), F.col("b.n"))
+                >= threshold_pct * F.greatest(F.col("a.n"), F.col("b.n"))
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.n").alias("n1"),
+            F.col("b.n").alias("n2"),
+        )
+        .distinct()
+    )
+    ta, tb = tok.alias("ta"), tok.alias("tb")
+    inter = (
+        candidates.join(ta, F.col("d1") == F.col("ta.doc_id"))
+        .join(
+            tb,
+            (F.col("d2") == F.col("tb.doc_id"))
+            & (F.col("ta.token") == F.col("tb.token")),
+        )
+        .groupBy("d1", "d2", "n1", "n2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.filter(
+            100 * F.col("inter")
+            >= threshold_pct * (F.col("n1") + F.col("n2") - F.col("inter"))
+        )
+        .select(
+            "d1",
+            "d2",
+            F.col("inter").alias("n_common"),
+            F.round(
+                F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+    )

@@ -817,3 +817,40 @@ def unigram_logprob(
             ),
         )
     )
+
+
+def positional_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional inverted-index postings: one row per (token, doc)
+    with term frequency, first occurrence, and the full 1-based
+    position list (comma-joined for a stable scalar encoding) — the
+    IR primitive behind phrase queries and proximity scoring, and the
+    positional superset of wordcount_per_doc (word_count_mpi.c's
+    per-file counts never track WHERE a word occurs).
+
+    Plan: narrow tokenize → posexplode (no shuffle), then ONE shuffle
+    on (token, doc_id). Position lists are bounded by per-document
+    term frequency, never corpus size, so the aggregation state stays
+    small however large the corpus; at 100 TB the postings would be
+    written bucketed by token so phrase-query joins co-locate.
+    """
+    from mpi_word_count_spark.operators import widen
+    from mpi_word_count_spark.operators.dedup import tokens_col
+
+    toks = widen(df).select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("_toks")
+    )
+    posted = toks.select(
+        "doc_id", F.posexplode("_toks").alias("pos0", "token")
+    ).select("doc_id", "token", (F.col("pos0") + 1).alias("pos"))
+    return posted.groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.min("pos").alias("first_pos"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list("pos")), lambda p: p.cast("string")
+            ),
+        ).alias("positions"),
+    )

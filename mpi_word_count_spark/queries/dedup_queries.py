@@ -711,3 +711,42 @@ def q_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("len").cast("bigint").alias("survivor_len"),
         )
     )
+
+
+PPJOIN_THRESHOLD_PCT = 50
+
+
+@register(
+    "ppjoin_dups",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    shared AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT d1, d2, inter AS n_common,
+           round(inter * 1.0 / (sa.n_shingles + sb.n_shingles - inter), 4)
+               AS jaccard
+    FROM shared
+    JOIN sizes sa ON d1 = sa.doc_id
+    JOIN sizes sb ON d2 = sb.doc_id
+    WHERE 100 * inter
+          >= {PPJOIN_THRESHOLD_PCT} * (sa.n_shingles + sb.n_shingles - inter)
+    """,
+)
+def q_ppjoin_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-set Jaccard ≥ 0.5 pairs via PPJoin prefix
+    filtering — the prefix-filtered physical twin of
+    `ngram_jaccard_dups` (which explodes the FULL inverted index).
+    The oracle is the NAIVE all-pairs shared-shingle join with an
+    integer acceptance test — a hash match proves the prefix-filter
+    candidate generation is lossless (PPJoin is an optimization, not
+    an approximation; contrast minhash_lsh_dups, whose oracle must
+    replicate the banding to match)."""
+    from mpi_word_count_spark.operators.dedup import ppjoin_pairs
+
+    return ppjoin_pairs(
+        table(spark, "documents", sf_dir), threshold_pct=PPJOIN_THRESHOLD_PCT
+    )

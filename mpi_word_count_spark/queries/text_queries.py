@@ -995,3 +995,32 @@ def q_char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(distinct).cast("bigint").alias("n_distinct_chars"),
         F.round(entropy, 4).alias("char_entropy"),
     )
+
+
+@register(
+    "positional_index",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '{sql_regex()}'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    posted AS (
+        SELECT doc_id, t[i] AS token, i AS pos
+        FROM toks, unnest(generate_series(1, len(t))) AS g(i)
+    )
+    SELECT token, doc_id,
+           count(*) AS tf,
+           min(pos) AS first_pos,
+           string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions
+    FROM posted
+    GROUP BY token, doc_id
+    """,
+)
+def q_positional_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional postings over the documents table (tf, first_pos,
+    ordered position list per token × doc)."""
+    from mpi_word_count_spark.operators.textanalysis import positional_index
+
+    return positional_index(table(spark, "documents", sf_dir))

@@ -194,6 +194,8 @@ _PRIORITY = [
     "streaming_model_scores",
     "config_delimiters_wordcount",
     "streaming_synth_wordcount",
+    "ppjoin_dups",
+    "positional_index",
     # no-oracle rows-only entries (tolerance-tested vs exact twins)
     "approx_distinct_words",
     "approx_value_quantiles",

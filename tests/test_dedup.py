@@ -372,3 +372,66 @@ def test_passage_windows_stride_contract(spark):
     m2 = {h for d, h in sampled if d == 2}
     assert 0 < len(m1 | m2) < len(d1 | d2)  # it actually thinned
     assert m1 & m2 == (d1 & d2) & (m1 | m2)  # shared iff selected
+
+
+def test_ppjoin_equals_bruteforce(spark):
+    # PPJoin is exact: on any corpus it must return precisely the
+    # pairs the naive all-pairs token-set Jaccard finds
+    from itertools import combinations
+
+    from mpi_word_count_spark.operators.dedup import ppjoin_pairs
+
+    df = docs_df(spark)
+    got = {
+        (r["d1"], r["d2"]): (r["n_common"], r["jaccard"])
+        for r in ppjoin_pairs(df, threshold_pct=70, shingle_n=None).collect()
+    }
+    sets = {
+        r["doc_id"]: set(r["text"].lower().split())
+        for r in df.collect()
+    }
+    want = {}
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if union and 100 * inter >= 70 * union:
+            want[(a, b)] = inter
+    assert set(got) == set(want)
+    for pair, inter in want.items():
+        assert got[pair][0] == inter
+    # the planted exact-dup pair (1,2) qualifies; doc 4 pairs don't
+    assert (1, 2) in got and got[(1, 2)][1] == 1.0
+    assert all(4 not in pair for pair in got)
+
+
+def test_ppjoin_no_cartesian(spark):
+    import contextlib
+    import io
+
+    from mpi_word_count_spark.operators.dedup import ppjoin_pairs
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ppjoin_pairs(docs_df(spark)).explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ppjoin_shingle_mode_matches_inverted_index(spark):
+    # shingle-set PPJoin finds exactly the pairs the full
+    # inverted-index formulation (ngram_jaccard_pairs) finds
+    from mpi_word_count_spark.operators.dedup import ppjoin_pairs
+
+    df = docs_df(spark)
+    pp = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in ppjoin_pairs(df, threshold_pct=50, shingle_n=3).collect()
+    }
+    inv = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    assert set(pp) == set(inv)
+    for pair in pp:
+        assert abs(pp[pair] - inv[pair]) < 1e-9

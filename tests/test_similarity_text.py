@@ -439,3 +439,22 @@ def test_phash_media_bit_semantics(spark):
              for r in phash_dups(phash_media(df)).collect()}
     assert pairs == {(1, 5): 0, (1, 3): 0, (1, 4): 0, (3, 4): 0,
                      (3, 5): 0, (4, 5): 0}
+
+
+def test_positional_index_positions(spark):
+    from mpi_word_count_spark.operators.textanalysis import positional_index
+
+    df = spark.createDataFrame(
+        [(1, "to be or not to be"), (2, "be")], "doc_id long, text string"
+    )
+    got = {
+        (r["token"], r["doc_id"]): (r["tf"], r["first_pos"], r["positions"])
+        for r in positional_index(df).collect()
+    }
+    # 1-based positions, numerically sorted (not lexically: 10 > 9)
+    assert got[("to", 1)] == (2, 1, "1,5")
+    assert got[("be", 1)] == (2, 2, "2,6")
+    assert got[("or", 1)] == (1, 3, "3")
+    assert got[("not", 1)] == (1, 4, "4")
+    assert got[("be", 2)] == (1, 1, "1")
+    assert len(got) == 5
