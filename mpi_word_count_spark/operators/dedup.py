@@ -764,11 +764,15 @@ def embedding_band_keys(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(_id, band, bucket) hyperplane-LSH band keys for a vector table:
-    per band, bucket = the sign bits of that band's md5-derived
-    hyperplanes. Scan-local (no shuffle) — the banding front end shared
-    by embedding_dup_pairs_banded and embedding_contamination."""
+    """(_id, band, bucket[, *extra_cols]) hyperplane-LSH band keys for
+    a vector table: per band, bucket = the sign bits of that band's
+    md5-derived hyperplanes. Scan-local (no shuffle) — the banding
+    front end shared by embedding_dup_pairs_banded and
+    embedding_contamination. `extra_cols` carries flag columns through
+    so callers can band once and split afterwards instead of
+    instantiating the (heavy-to-codegen) banding expressions twice."""
     from mpi_word_count_spark.functions.vector import dot
     from mpi_word_count_spark.operators.similarity import EMBED_DIM, lsh_planes
 
@@ -796,7 +800,8 @@ def embedding_band_keys(
                 ]
             )
         ).alias("bk"),
-    ).select("_id", "bk.band", "bk.bucket")
+        *extra_cols,
+    ).select("_id", "bk.band", "bk.bucket", *extra_cols)
 
 
 def embedding_contamination(
@@ -834,11 +839,26 @@ def embedding_contamination(
 
     bench = emb.filter(bench_filter)
     corpus = emb.filter(~bench_filter)
-    bench_bands = embedding_band_keys(
-        bench, num_bands, planes_per_band, id_col, vec_col, dim
-    ).withColumnRenamed("_id", "bench_id")
-    corpus_bands = embedding_band_keys(
-        corpus, num_bands, planes_per_band, id_col, vec_col, dim
+    # band ONCE over the whole table and split afterwards: the banding
+    # expression tree (num_bands × planes_per_band × dim literal
+    # multiply-adds) dominates whole-stage-codegen compile time, so
+    # instantiating it twice (bench + corpus) doubled plan bring-up
+    # for zero execution benefit — the split is a trivial filter on
+    # the already-banded rows
+    all_bands = embedding_band_keys(
+        emb.withColumn("_is_bench", bench_filter),
+        num_bands,
+        planes_per_band,
+        id_col,
+        vec_col,
+        dim,
+        extra_cols=("_is_bench",),
+    )
+    bench_bands = all_bands.filter(F.col("_is_bench")).select(
+        F.col("_id").alias("bench_id"), "band", "bucket"
+    )
+    corpus_bands = all_bands.filter(~F.col("_is_bench")).select(
+        "_id", "band", "bucket"
     )
     candidates = (
         corpus_bands.join(F.broadcast(bench_bands), ["band", "bucket"])
