@@ -1024,3 +1024,171 @@ def q_positional_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mpi_word_count_spark.operators.textanalysis import positional_index
 
     return positional_index(table(spark, "documents", sf_dir))
+
+
+@register(
+    "vocab_growth",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT min(doc_id) AS min_id,
+               max(doc_id) - min(doc_id) + 1 AS span
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '{sql_regex()}'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT ((doc_id - min_id) * 10) // span AS bucket, len(t) AS n_toks
+        FROM toks, bounds
+    ),
+    per_bucket AS (
+        SELECT bucket, count(*) AS n_docs,
+               CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        FROM per_doc GROUP BY bucket
+    ),
+    first_seen AS (
+        SELECT word, min(doc_id) AS first_doc
+        FROM (SELECT doc_id, unnest(t) AS word FROM toks) GROUP BY word
+    ),
+    new_per_bucket AS (
+        SELECT ((first_doc - min_id) * 10) // span AS bucket,
+               count(*) AS new_words
+        FROM first_seen, bounds GROUP BY 1
+    )
+    SELECT b.bucket, n_docs, n_tokens,
+           CAST(coalesce(new_words, 0) AS BIGINT) AS new_words,
+           CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+           CAST(sum(coalesce(new_words, 0)) OVER w AS BIGINT) AS cum_vocab
+    FROM per_bucket b LEFT JOIN new_per_bucket n ON b.bucket = n.bucket
+    WINDOW w AS (ORDER BY b.bucket ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: cumulative distinct words
+    vs cumulative tokens over 10 equal doc_id-range buckets — the
+    corpus diagnostic behind vocab-size and tokenizer decisions
+    (sub-linear growth = natural text; linear = id-like noise).
+
+    Scale shape: "new words per bucket" is a min(doc_id)-per-word
+    aggregate (ONE word-keyed shuffle — the flagship wordcount
+    exchange), never a cumulative distinct over the corpus; bucket
+    bounds come from a 1-row min/max broadcast, so there is no global
+    sort anywhere. The final window runs over 10 bucket rows.
+    """
+    from pyspark.sql import Window
+
+    from mpi_word_count_spark.operators.dedup import tokens_col
+
+    docs = table(spark, "documents", sf_dir)
+    bounds = docs.agg(
+        F.min("doc_id").alias("min_id"),
+        (F.max("doc_id") - F.min("doc_id") + 1).alias("span"),
+    )
+    toks = docs.select("doc_id", tokens_col("text").alias("t")).crossJoin(
+        F.broadcast(bounds)
+    )
+    bucket = F.expr("((doc_id - min_id) * 10) div span")
+    per_bucket = (
+        toks.select(bucket.alias("bucket"), F.size("t").alias("n_toks"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("n_tokens")
+        )
+    )
+    first_seen = (
+        toks.select("doc_id", "min_id", "span", F.explode("t").alias("word"))
+        .groupBy("word")
+        .agg(
+            F.min(F.expr("((doc_id - min_id) * 10) div span")).alias("bucket")
+        )
+    )
+    new_per_bucket = first_seen.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("new_words")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_bucket.join(new_per_bucket, "bucket", "left")
+        .select(
+            "bucket",
+            "n_docs",
+            "n_tokens",
+            F.coalesce(F.col("new_words"), F.lit(0)).cast("bigint").alias(
+                "new_words"
+            ),
+            F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("new_words"), F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("cum_vocab"),
+        )
+    )
+
+
+@register(
+    "zipf_fit",
+    oracle=f"""
+    WITH wc AS (
+        SELECT word, count(*) AS cnt
+        FROM (SELECT lower(unnest(regexp_split_to_array(text, '{sql_regex()}')))
+                  AS word FROM documents)
+        WHERE word <> '' GROUP BY word
+    ),
+    ranked AS (
+        SELECT cnt,
+               row_number() OVER (ORDER BY cnt DESC, word ASC) AS r
+        FROM wc
+    ),
+    s AS (
+        SELECT count(*) AS n,
+               sum(ln(r)) AS sx, sum(ln(cnt)) AS sy,
+               sum(ln(r) * ln(cnt)) AS sxy, sum(ln(r) * ln(r)) AS sx2
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_words,
+           round((n * sxy - sx * sy) / (n * sx2 - sx * sx), 4) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx) / n, 4)
+               AS intercept
+    FROM s
+    """,
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency diagnostic: OLS fit of ln(count) against
+    ln(rank) over the vocabulary (natural text ≈ slope −1; far-off
+    slopes flag boilerplate floods or id-like noise).
+
+    Scale shape: the corpus-sized stage is the flagship wordcount
+    shuffle; ranking and the closed-form OLS run over the VOCABULARY
+    (Heaps-sublinear in corpus size), so the single-partition rank
+    window is bounded by vocab, never corpus.
+    """
+    from pyspark.sql import Window
+
+    from mpi_word_count_spark.operators.wordcount import word_count_df
+
+    wc = word_count_df(table(spark, "documents", sf_dir), col="text").select(
+        F.col("count").alias("cnt"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("count"), F.asc("word")))
+        .alias("r"),
+    )
+    x, y = F.log(F.col("r")), F.log(F.col("cnt"))
+    s = wc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sx2"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_words"),
+        F.round(slope, 4).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias(
+            "intercept"
+        ),
+    )

@@ -196,6 +196,8 @@ _PRIORITY = [
     "streaming_synth_wordcount",
     "ppjoin_dups",
     "positional_index",
+    "vocab_growth",
+    "zipf_fit",
     # no-oracle rows-only entries (tolerance-tested vs exact twins)
     "approx_distinct_words",
     "approx_value_quantiles",
