@@ -1348,7 +1348,7 @@ def ppjoin_pairs(
     skew lives in the suffix by construction; candidate volume tracks
     true similarity structure, not |docs|².
     """
-    from mpi_word_count_spark.operators import widen
+    from mpi_word_count_spark.operators import track_cache, widen
 
     toks = widen(df).select(
         F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("_toks")
@@ -1358,22 +1358,35 @@ def ppjoin_pairs(
         if shingle_n
         else F.array_distinct(F.col("_toks"))
     )
-    base = toks.select("doc_id", sets_col.alias("ts"))
-    tok = base.select(
-        "doc_id", F.size("ts").alias("n"), F.explode("ts").alias("token")
-    )
+    # explode the set expression DIRECTLY (doc_shingles' form): the
+    # Generate node blocks CollapseProject, so the token projection
+    # stays materialized below it. Routing the array through an
+    # aliased projection instead lets collapse merge tokenize into
+    # the shingle HOF lambda — per-element re-tokenization, measured
+    # 20.5s vs 3.7s at sf0.1 for this stage. |set| comes from the
+    # doc-partition window below (same exchange as the rank), never
+    # from a second reference to the array. The tracked cache covers
+    # the FOUR plan branches reading tok (ranking, both self-join
+    # sides, both verification sides).
+    tok = track_cache(toks.select("doc_id", F.explode(sets_col).alias("token")))
+    w_doc = Window.partitionBy("doc_id")
     w_df = Window.partitionBy("token")
-    w_rank = Window.partitionBy("doc_id").orderBy("df", "token")
-    ranked = tok.withColumn("df", F.count(F.lit(1)).over(w_df)).withColumn(
-        "rank", F.row_number().over(w_rank)
+    w_rank = w_doc.orderBy("df", "token")
+    ranked = (
+        tok.withColumn("df", F.count(F.lit(1)).over(w_df))
+        .withColumn("n", F.count(F.lit(1)).over(w_doc))
+        .withColumn("rank", F.row_number().over(w_rank))
     )
     prefix_len = (
         F.col("n")
         - F.floor((F.lit(threshold_pct) * F.col("n") + 99) / 100)
         + 1
     )
-    prefix = ranked.filter(F.col("rank") <= prefix_len).select(
-        "doc_id", "n", "token"
+    # both sides of the candidate self-join read the prefix: cache it
+    # so the two window shuffles (df per element, rank per doc) run
+    # once, not twice
+    prefix = track_cache(
+        ranked.filter(F.col("rank") <= prefix_len).select("doc_id", "n", "token")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     candidates = (
