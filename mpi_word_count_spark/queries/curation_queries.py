@@ -413,3 +413,179 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("accept_rate"),
         )
     )
+
+
+@register(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source,
+               list_filter(string_split_regex(lower(text), '{sql_regex()}'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT source, unnest(list_distinct(list_transform(
+                   range(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+        FROM toks
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+    shared AS (
+        SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, n_shared,
+           round(n_shared * 1.0 / (za.n + zb.n - n_shared), 4) AS jaccard
+    FROM shared
+    JOIN sizes za ON src_a = za.source
+    JOIN sizes zb ON src_b = zb.source
+    """,
+)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-source duplication audit: pairwise Jaccard of each
+    source's distinct 3-gram shingle vocabulary — the matrix that
+    tells a corpus curator which feeds re-publish each other (high
+    off-diagonal mass = syndication; dedup those pairs first).
+
+    Scale shape: the corpus collapses to DISTINCT (source, shingle)
+    in one aggregation before any join; the self-join then runs over
+    source-level vocabularies (bounded by vocab × #sources, not
+    corpus size) and the output is #sources², a constant-sized
+    artifact however large the input.
+    """
+    from mpi_word_count_spark.operators import widen
+    from mpi_word_count_spark.operators.dedup import (
+        shingles_from_tokens,
+        tokens_col,
+    )
+
+    docs = table(spark, "documents", sf_dir)
+    toks = widen(docs).select("source", tokens_col("text").alias("_toks"))
+    sh = toks.select(
+        "source",
+        F.explode(shingles_from_tokens(F.col("_toks"), 3)).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    za, zb = sizes.alias("za"), sizes.alias("zb")
+    return (
+        shared.join(za, F.col("src_a") == F.col("za.source"))
+        .join(zb, F.col("src_b") == F.col("zb.source"))
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("za.n") + F.col("zb.n") - F.col("n_shared")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+TOKEN_BUDGET = 10_000
+
+
+@register(
+    "token_budget_selection",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(lower(text), '{sql_regex()}'),
+                               x -> x <> '')) AS n_tokens,
+               len(list_distinct(list_filter(
+                   string_split_regex(lower(text), '{sql_regex()}'),
+                   x -> x <> ''))) AS n_distinct
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, n_tokens,
+               (1000 * n_distinct) // n_tokens AS score_milli,
+               CAST(sum(n_tokens) OVER (
+                   ORDER BY (1000 * n_distinct) // n_tokens DESC, doc_id ASC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM scored WHERE n_tokens > 0
+    )
+    SELECT doc_id, score_milli, n_tokens, cum_tokens
+    FROM ranked WHERE cum_tokens <= {TOKEN_BUDGET}
+    """,
+)
+def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: keep the highest-quality docs
+    (integer milli-score = 1000·distinct/total tokens, the lexical
+    diversity proxy) whose running token total fits a fixed budget —
+    the "best N tokens" planning step of a compute-bounded training
+    run.
+
+    Scale shape: the oracle's single global cumsum window is replaced
+    by the TWO-PASS decomposition — per-score-bucket token sums (one
+    small agg over ≤1001 integer buckets) broadcast as cumulative
+    offsets, then a within-bucket window ordered by doc_id. Equal to
+    the global window because the global order (score desc, doc_id)
+    is exactly (bucket desc) then (doc_id within bucket); no global
+    sort ever runs over the corpus.
+    """
+    from pyspark.sql import Window
+
+    from mpi_word_count_spark.operators import widen
+    from mpi_word_count_spark.operators.dedup import tokens_col
+
+    docs = table(spark, "documents", sf_dir)
+    scored = (
+        widen(docs)
+        .select(
+            "doc_id",
+            F.size(tokens_col("text")).alias("n_tokens"),
+            F.size(F.array_distinct(tokens_col("text"))).alias("n_distinct"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("(1000 * n_distinct) div n_tokens").alias("score_milli"),
+        )
+    )
+    bucket_sums = scored.groupBy("score_milli").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    w_off = Window.orderBy(F.desc("score_milli")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bucket_sums.select(
+        "score_milli",
+        F.coalesce(F.sum("bucket_tokens").over(w_off), F.lit(0)).alias(
+            "offset"
+        ),
+    )
+    w_in = (
+        Window.partitionBy("score_milli")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        scored.join(F.broadcast(offsets), "score_milli")
+        .select(
+            "doc_id",
+            "score_milli",
+            "n_tokens",
+            (F.col("offset") + F.sum("n_tokens").over(w_in))
+            .cast("bigint")
+            .alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+    )

@@ -198,6 +198,8 @@ _PRIORITY = [
     "positional_index",
     "vocab_growth",
     "zipf_fit",
+    "source_overlap_matrix",
+    "token_budget_selection",
     # no-oracle rows-only entries (tolerance-tested vs exact twins)
     "approx_distinct_words",
     "approx_value_quantiles",

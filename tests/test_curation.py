@@ -138,3 +138,44 @@ def test_hash_order_rank_growth_stability(spark):
         k: [d for d in v if d not in new_ids] for k, v in order_of(grown).items()
     }
     assert old_order == grown_order
+
+
+def test_token_budget_selection_matches_global_greedy(spark):
+    """The two-pass (bucket offsets + within-bucket window)
+    decomposition must equal the single global greedy cumsum the
+    oracle runs: same docs, same cumulative totals, budget never
+    exceeded, and the selection is a PREFIX of the (score desc,
+    doc_id) order — no doc outside the prefix sneaks in."""
+    from mpi_word_count_spark.queries.curation_queries import (
+        TOKEN_BUDGET,
+        q_token_budget_selection,
+    )
+
+    got = {
+        r["doc_id"]: (r["score_milli"], r["n_tokens"], r["cum_tokens"])
+        for r in q_token_budget_selection(spark, SF_DIR).collect()
+    }
+    # python greedy replica over the raw table, tokenized with the
+    # engine's own delimiter alphabet
+    import re
+
+    from mpi_word_count_spark.tokenizer import delimiter_regex
+
+    rx = re.compile(delimiter_regex())
+    docs = table(spark, "documents", SF_DIR).select("doc_id", "text").collect()
+    scored = []
+    for r in docs:
+        toks = [t for t in rx.split(r["text"].lower()) if t]
+        if toks:
+            scored.append(
+                (1000 * len(set(toks)) // len(toks), r["doc_id"], len(toks))
+            )
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    cum, want = 0, {}
+    for score, doc_id, n in scored:
+        cum += n
+        if cum > TOKEN_BUDGET:
+            break
+        want[doc_id] = (score, n, cum)
+    assert got == want
+    assert max(c for _, _, c in got.values()) <= TOKEN_BUDGET
