@@ -1432,3 +1432,74 @@ def ppjoin_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    neighborhood: int = 8,
+    max_hamming: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sorted-neighborhood near-dup candidates (SNM, Hernández &
+    Stolfo '95): sort records by a similarity-preserving key — the
+    SimHash fingerprint, so near-identical documents land adjacent —
+    and compare each record only to the `neighborhood` records that
+    follow it in sort order, verifying hamming ≤ max_hamming.
+    Candidate volume is exactly n·neighborhood, a HARD bound no
+    blocking scheme gives (LSH fan-out depends on data skew), at the
+    cost of missing pairs the sort separates; deterministic, so the
+    oracle replicates the ranking and the miss set exactly.
+
+    Scale shape: the global rank is the TWO-PASS decomposition, not a
+    single-partition window — fingerprints bucket by their top 8 bits
+    (monotone in the sort key), per-bucket counts roll into broadcast
+    cumulative offsets, and a within-bucket row_number completes the
+    rank. The neighborhood join is an equi-join on rank div
+    neighborhood (right side emits its own and its predecessor
+    bucket), so each candidate pair is produced exactly once.
+    """
+    s = simhash(df, id_col, text_col)
+    bucket = F.shiftrightunsigned("simhash", SIMHASH_BITS - 8).alias("b")
+    sb = s.select("doc_id", "simhash", bucket)
+    counts = sb.groupBy("b").agg(F.count(F.lit(1)).alias("n"))
+    w_off = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "b", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("off")
+    )
+    w_in = Window.partitionBy("b").orderBy("simhash", "doc_id")
+    ranked = (
+        sb.join(F.broadcast(offsets), "b")
+        .select(
+            "doc_id",
+            "simhash",
+            (F.col("off") + F.row_number().over(w_in)).alias("rank"),
+        )
+    )
+    key = F.floor((F.col("rank") - 1) / neighborhood)
+    left = ranked.select(
+        F.col("doc_id").alias("da"),
+        F.col("simhash").alias("ha"),
+        F.col("rank").alias("ra"),
+        key.alias("k"),
+    )
+    right = ranked.select(
+        F.col("doc_id").alias("db"),
+        F.col("simhash").alias("hb"),
+        F.col("rank").alias("rb"),
+        F.explode(F.array(key, key - 1)).alias("k"),
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        left.join(right, "k")
+        .filter(
+            (F.col("rb") - F.col("ra") >= 1)
+            & (F.col("rb") - F.col("ra") <= neighborhood)
+        )
+        .select(
+            F.least("da", "db").alias("d1"),
+            F.greatest("da", "db").alias("d2"),
+            ham.cast("bigint").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -770,3 +770,73 @@ def q_supplier_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("support"), F.asc("s1"), F.asc("s2"))
         .limit(25)
     )
+
+
+@register(
+    "events_seasonal_anomalies",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS event_date,
+               CAST(hour(ts) AS BIGINT) AS hod, count(*) AS n_events
+        FROM events GROUP BY 1, 2, 3
+    ),
+    baseline AS (
+        SELECT event_type, hod,
+               CAST(sum(n_events) AS BIGINT) AS total_slot,
+               count(*) AS n_days
+        FROM daily GROUP BY 1, 2
+    )
+    SELECT d.event_type, d.event_date, d.hod AS hour, d.n_events,
+           b.total_slot, b.n_days,
+           CASE WHEN 2 * d.n_events * b.n_days > 3 * b.total_slot
+                THEN 'high' ELSE 'low' END AS direction
+    FROM daily d JOIN baseline b
+      ON d.event_type = b.event_type AND d.hod = b.hod
+    WHERE 2 * d.n_events * b.n_days > 3 * b.total_slot
+       OR 2 * d.n_events * b.n_days < b.total_slot
+    """,
+)
+def q_events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal (hour-of-day) anomaly detection: per (event_type,
+    date, hour) counts compared against that slot's cross-day
+    baseline; hours busier than 1.5× or quieter than 0.5× their
+    seasonal mean are flagged. All comparisons are integer
+    cross-multiplications (2·n·days vs 3·total), so the verdict is
+    engine-exact — no floating mean ever materializes. The complement
+    of events_cusum_drift: CUSUM finds sustained level SHIFTS, this
+    finds slot-local outliers against a repeating profile.
+
+    Scale shape: one count aggregation over (type, date, hour) — the
+    only corpus-sized stage, with partial aggregation before the
+    exchange — then a baseline rollup and join over slot rows
+    (types × 24 × days), which at 100 TB is still dashboard-sized.
+    Absent (zero-count) hours are events_hourly_gapfill's domain.
+    """
+    ev = table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        F.hour("ts").cast("bigint").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    baseline = daily.groupBy("event_type", "hod").agg(
+        F.sum("n_events").cast("bigint").alias("total_slot"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    j = daily.join(baseline, ["event_type", "hod"])
+    lhs = 2 * F.col("n_events") * F.col("n_days")
+    return (
+        j.filter(
+            (lhs > 3 * F.col("total_slot")) | (lhs < F.col("total_slot"))
+        )
+        .select(
+            "event_type",
+            "event_date",
+            F.col("hod").alias("hour"),
+            "n_events",
+            "total_slot",
+            "n_days",
+            F.when(lhs > 3 * F.col("total_slot"), F.lit("high"))
+            .otherwise(F.lit("low"))
+            .alias("direction"),
+        )
+    )

@@ -750,3 +750,39 @@ def q_ppjoin_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppjoin_pairs(
         table(spark, "documents", sf_dir), threshold_pct=PPJOIN_THRESHOLD_PCT
     )
+
+
+SNM_NEIGHBORHOOD = 8
+
+
+@register(
+    "sorted_neighborhood_dups",
+    oracle=f"""
+    WITH {{SIMHASH_CTE}},
+    ranked AS (
+        SELECT doc_id, simhash,
+               row_number() OVER (ORDER BY simhash, doc_id) AS r
+        FROM sim
+    )
+    SELECT least(a.doc_id, b.doc_id) AS d1,
+           greatest(a.doc_id, b.doc_id) AS d2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM ranked a JOIN ranked b
+      ON b.r - a.r BETWEEN 1 AND {SNM_NEIGHBORHOOD}
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """.replace("{SIMHASH_CTE}", _simhash_cte()),
+)
+def q_sorted_neighborhood_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood (SNM) near-dup pass over the SimHash sort
+    order: hard n·w candidate bound, deterministic miss set — the
+    skew-proof complement to banded blocking. The oracle replicates
+    the exact global ranking, proving the two-pass distributed rank
+    (bucket offsets + within-bucket row_number) equals the single
+    global window."""
+    from mpi_word_count_spark.operators.dedup import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(
+        table(spark, "documents", sf_dir),
+        neighborhood=SNM_NEIGHBORHOOD,
+        max_hamming=SIMHASH_MAX_HAMMING,
+    )

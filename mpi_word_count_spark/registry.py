@@ -200,6 +200,8 @@ _PRIORITY = [
     "zipf_fit",
     "source_overlap_matrix",
     "token_budget_selection",
+    "sorted_neighborhood_dups",
+    "events_seasonal_anomalies",
     # no-oracle rows-only entries (tolerance-tested vs exact twins)
     "approx_distinct_words",
     "approx_value_quantiles",

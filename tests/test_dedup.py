@@ -435,3 +435,25 @@ def test_ppjoin_shingle_mode_matches_inverted_index(spark):
     assert set(pp) == set(inv)
     for pair in pp:
         assert abs(pp[pair] - inv[pair]) < 1e-9
+
+
+def test_sorted_neighborhood_finds_identical_and_bounds_candidates(spark):
+    from mpi_word_count_spark.operators.dedup import sorted_neighborhood_pairs
+
+    got = {
+        (r["d1"], r["d2"]): r["hamming"]
+        for r in sorted_neighborhood_pairs(
+            docs_df(spark), neighborhood=2, max_hamming=8
+        ).collect()
+    }
+    # identical docs share a fingerprint, sort adjacent, hamming 0
+    assert got[(1, 2)] == 0
+    # every returned pair is within the hamming budget, no dup pairs
+    assert all(h <= 8 for h in got.values())
+    # SNM vs all-pairs: the neighborhood pass returns a SUBSET of the
+    # exhaustive simhash pairing (its documented miss set)
+    allp = {
+        (r["d1"], r["d2"])
+        for r in simhash_dup_pairs(docs_df(spark), max_hamming=8).collect()
+    }
+    assert set(got) <= allp
