@@ -1503,3 +1503,60 @@ def sorted_neighborhood_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken
+    SIGMOD'03, the MOSS algorithm): per document, hash every k-token
+    gram, then from each window of w consecutive gram hashes keep the
+    MINIMUM (rightmost position on ties). Guarantees: any shared run
+    of ≥ w+k-1 tokens yields at least one shared fingerprint, and
+    selection density is ~2/(w+1) — the bounded-density alternative
+    to hash-mod sampling (passage_windows' sample_mod), which has no
+    per-region guarantee.
+
+    Returns distinct (doc_id, pos, fingerprint) selections. The
+    (min-hash, rightmost-pos) selection is ONE plain string window
+    MIN over the encoded key `hash || zero-padded(10^10 − pos)`: md5
+    hex is fixed-width lowercase so its lexicographic order is the
+    128-bit numeric order, and the inverted zero-padded position
+    breaks ties toward the RIGHTMOST — no nested window expressions,
+    bit-identical in Spark and DuckDB.
+
+    Scale shape: gram hashing is the narrow passage_windows pass (no
+    shuffle); winnowing itself is two window aggregates over the SAME
+    (doc, pos-order) frame — ONE doc-keyed exchange, state bounded by
+    w, never document or corpus size.
+    """
+    grams = passage_windows(
+        df, id_col=id_col, text_col=text_col, width=k, stride=1, with_pos=True
+    )
+    POS_BASE = 10_000_000_000
+    key = F.concat(
+        F.col("passage_hash"),
+        F.lpad((F.lit(POS_BASE) - F.col("pos")).cast("string"), 10, "0"),
+    )
+    w_doc = Window.partitionBy("doc_id")
+    frame = w_doc.orderBy("pos").rowsBetween(0, w - 1)
+    wkey = F.min(key).over(frame)
+    n_grams = F.count(F.lit(1)).over(w_doc)
+    return (
+        grams.select(
+            "doc_id", "pos", wkey.alias("_k"), n_grams.alias("_n")
+        )
+        .filter(F.col("pos") <= F.col("_n") - w)  # full windows only
+        .select(
+            "doc_id",
+            (F.lit(POS_BASE) - F.substring("_k", 33, 10).cast("bigint")).alias(
+                "pos"
+            ),
+            F.substring("_k", 1, 32).alias("fingerprint"),
+        )
+        .distinct()
+    )

@@ -786,3 +786,64 @@ def q_sorted_neighborhood_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         neighborhood=SNM_NEIGHBORHOOD,
         max_hamming=SIMHASH_MAX_HAMMING,
     )
+
+
+WINNOW_K = 4   # tokens per gram
+WINNOW_W = 5   # grams per winnowing window
+
+
+@register(
+    "winnowing_dups",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '{sql_regex()}'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, i AS pos,
+               md5(array_to_string(t[i + 1 : i + {WINNOW_K}], ' ')) AS h
+        FROM toks, unnest(generate_series(0, len(t) - {WINNOW_K})) AS g(i)
+    ),
+    keyed AS (
+        SELECT doc_id, pos,
+               min(h || lpad(CAST(10000000000 - pos AS VARCHAR), 10, '0'))
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+                   AS k,
+               count(*) OVER (PARTITION BY doc_id) AS n
+        FROM grams
+    ),
+    sel AS (
+        SELECT DISTINCT doc_id,
+               10000000000 - CAST(substr(k, 33, 10) AS BIGINT) AS pos,
+               substr(k, 1, 32) AS fingerprint
+        FROM keyed WHERE pos <= n - {WINNOW_W}
+    )
+    SELECT fingerprint,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           count(*) AS n_selections
+    FROM sel GROUP BY 1
+    HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def q_winnowing_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document winnowing matches: MOSS-selected fingerprints
+    appearing in ≥ 2 documents. Winnowing guarantees any shared run
+    of ≥ w+k−1 tokens is caught while selecting only ~2/(w+1) of all
+    gram hashes — the bounded-density substring-dedup screen (compare
+    duplicate_passages, which keeps EVERY window hash)."""
+    from mpi_word_count_spark.operators.dedup import winnowing_fingerprints
+
+    fp = winnowing_fingerprints(
+        table(spark, "documents", sf_dir), k=WINNOW_K, w=WINNOW_W
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_selections"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -202,6 +202,7 @@ _PRIORITY = [
     "token_budget_selection",
     "sorted_neighborhood_dups",
     "events_seasonal_anomalies",
+    "winnowing_dups",
     # no-oracle rows-only entries (tolerance-tested vs exact twins)
     "approx_distinct_words",
     "approx_value_quantiles",

@@ -457,3 +457,38 @@ def test_sorted_neighborhood_finds_identical_and_bounds_candidates(spark):
         for r in simhash_dup_pairs(docs_df(spark), max_hamming=8).collect()
     }
     assert set(got) <= allp
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The MOSS guarantee: two documents sharing a token run of
+    length >= w+k-1 MUST share at least one selected fingerprint;
+    selection is deterministic (same text -> same fingerprints) and
+    much sparser than the full gram set."""
+    from mpi_word_count_spark.operators.dedup import (
+        passage_windows,
+        winnowing_fingerprints,
+    )
+
+    k, w = 4, 5
+    shared_run = "alpha beta gamma delta epsilon zeta eta theta"  # 8 >= w+k-1
+    rows = [
+        (1, f"unrelated prefix words here {shared_run} and one tail"),
+        (2, f"{shared_run} totally different continuation text follows now ok"),
+        (3, "no overlap with anything else at all in this document text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sel = winnowing_fingerprints(df, k=k, w=w).collect()
+    by_doc = {}
+    for r in sel:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[1] & by_doc[2], "shared run of w+k-1 tokens missed"
+    assert not (by_doc[3] & (by_doc[1] | by_doc[2]))
+    # density: selections are a strict subset of all gram hashes
+    n_grams = passage_windows(df, width=k, stride=1).count()
+    assert 0 < len(sel) < n_grams
+    # determinism: a second run selects the identical set
+    again = {
+        (r["doc_id"], r["pos"], r["fingerprint"])
+        for r in winnowing_fingerprints(df, k=k, w=w).collect()
+    }
+    assert again == {(r["doc_id"], r["pos"], r["fingerprint"]) for r in sel}
