@@ -1192,3 +1192,189 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+RRF_K = 60
+RRF_SCALE = 1_000_000_000
+RRF_TOPK = 20
+RRF_LIST_LEN = 50
+
+
+def _rrf_oracle() -> str:
+    terms = tuple(BM25_TERMS)
+    return f"""
+    WITH {_TOKS_CTE},
+    tokd AS (SELECT doc_id, unnest(t) AS word FROM toks),
+    dl AS (SELECT doc_id, count(*) AS len FROM tokd GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(len) AS avg_len FROM dl),
+    dfreq AS (
+        SELECT word, count(DISTINCT doc_id) AS df
+        FROM tokd WHERE word IN {terms} GROUP BY word
+    ),
+    tf AS (
+        SELECT doc_id, word, count(*) AS tf
+        FROM tokd WHERE word IN {terms} GROUP BY doc_id, word
+    ),
+    bm AS (
+        SELECT tf.doc_id,
+               {sql_portable_round(f'''sum(
+                   ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                   * tf.tf * ({BM25_K1} + 1.0)
+                   / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                      + {BM25_B} * l.len / s.avg_len)))''', 4)} AS bm25
+        FROM tf
+        JOIN dfreq d ON tf.word = d.word
+        JOIN dl l ON tf.doc_id = l.doc_id
+        CROSS JOIN stats s
+        GROUP BY tf.doc_id
+    ),
+    bm_ranked AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r
+        FROM bm
+    ),
+    posd AS (
+        SELECT doc_id, t[i] AS word, i AS pos
+        FROM toks, unnest(generate_series(1, len(t))) AS g(i)
+        WHERE t[i] IN {terms}
+    ),
+    prox AS (
+        SELECT a.doc_id, min(abs(a.pos - b.pos)) AS min_dist
+        FROM posd a JOIN posd b
+          ON a.doc_id = b.doc_id AND a.word < b.word
+        GROUP BY a.doc_id
+    ),
+    prox_ranked AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY min_dist ASC, doc_id ASC) AS r
+        FROM prox
+    ),
+    fused AS (
+        SELECT coalesce(b.doc_id, p.doc_id) AS doc_id,
+               CAST(coalesce(b.r, 0) AS BIGINT) AS bm25_rank,
+               CAST(coalesce(p.r, 0) AS BIGINT) AS prox_rank,
+               (CASE WHEN b.r IS NOT NULL AND b.r <= {RRF_LIST_LEN}
+                     THEN {RRF_SCALE} // ({RRF_K} + b.r) ELSE 0 END
+                + CASE WHEN p.r IS NOT NULL AND p.r <= {RRF_LIST_LEN}
+                       THEN {RRF_SCALE} // ({RRF_K} + p.r) ELSE 0 END)
+                   AS rrf_score
+        FROM bm_ranked b FULL OUTER JOIN prox_ranked p
+          ON b.doc_id = p.doc_id
+    )
+    SELECT doc_id, bm25_rank, prox_rank, CAST(rrf_score AS BIGINT) AS rrf_score
+    FROM fused WHERE rrf_score > 0
+    ORDER BY rrf_score DESC, doc_id ASC
+    LIMIT {RRF_TOPK}
+    """
+
+
+@register("hybrid_rrf_retrieval", oracle=_rrf_oracle())
+def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion: the BM25 relevance
+    ranking and a term-PROXIMITY ranking (minimal distance between
+    two distinct query terms, from the positional index) fused as
+    Σ 10⁹ div (60 + rank) — the standard RRF combiner in integer
+    arithmetic, so fusion is engine-exact even though one input
+    ranking is float-scored (ranks, not scores, cross the fusion
+    boundary — the whole point of RRF).
+
+    Scale shape: both rankings aggregate to ≤ list-length rows before
+    fusion; the proximity self-join is per-doc and filtered to query
+    terms first (tf² per doc, not corpus²); the full-outer fusion
+    join touches 2·50 rows.
+    """
+    from pyspark.sql import Window
+
+    from mpi_word_count_spark.operators.dedup import tokens_col
+    from mpi_word_count_spark.tokenizer import tokenize
+
+    docs = table(spark, "documents", sf_dir)
+    terms = list(BM25_TERMS)
+
+    # --- lexical ranking (BM25, same formula as bm25_scores) --------
+    toks = tokenize(docs, col="text", keep=["doc_id"])
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("len").alias("avg_len")
+    )
+    dfreq = (
+        toks.filter(F.col("word").isin(terms))
+        .groupBy("word")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    tf = (
+        toks.filter(F.col("word").isin(terms))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("len") / F.col("avg_len")
+    )
+    bm = (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            portable_round(
+                F.sum(idf * F.col("tf") * (BM25_K1 + 1.0) / denom), 4
+            ).alias("bm25")
+        )
+    )
+    bm_ranked = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("r1"),
+    )
+
+    # --- proximity ranking (positional index, min pair distance) ----
+    ptoks = docs.select("doc_id", tokens_col("text").alias("_toks"))
+    posd = (
+        ptoks.select("doc_id", F.posexplode("_toks").alias("p0", "word"))
+        .filter(F.col("word").isin(terms))
+        .select("doc_id", "word", (F.col("p0") + 1).alias("pos"))
+    )
+    a, b = posd.alias("a"), posd.alias("b")
+    prox = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.word") < F.col("b.word")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(F.min(F.abs(F.col("a.pos") - F.col("b.pos"))).alias("min_dist"))
+    )
+    prox_ranked = prox.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.asc("min_dist"), F.asc("doc_id")))
+        .alias("r2"),
+    )
+
+    # --- integer RRF fusion -----------------------------------------
+    contrib = lambda r: F.when(  # noqa: E731
+        r.isNotNull() & (r <= RRF_LIST_LEN),
+        F.floor(RRF_SCALE / (F.lit(RRF_K) + r)),
+    ).otherwise(F.lit(0))
+    fused = (
+        bm_ranked.join(prox_ranked, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("r1"), F.lit(0)).cast("bigint").alias("bm25_rank"),
+            F.coalesce(F.col("r2"), F.lit(0)).cast("bigint").alias("prox_rank"),
+            (contrib(F.col("r1")) + contrib(F.col("r2")))
+            .cast("bigint")
+            .alias("rrf_score"),
+        )
+        .filter(F.col("rrf_score") > 0)
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= RRF_TOPK)
+        .drop("_rn")
+    )

@@ -203,6 +203,7 @@ _PRIORITY = [
     "sorted_neighborhood_dups",
     "events_seasonal_anomalies",
     "winnowing_dups",
+    "hybrid_rrf_retrieval",
     # no-oracle rows-only entries (tolerance-tested vs exact twins)
     "approx_distinct_words",
     "approx_value_quantiles",
