@@ -27,9 +27,11 @@ from mpi_word_count_spark.registry import register
 from mpi_word_count_spark.tables import table
 
 
-def _pagerank_oracle(
-    iterations: int = DEFAULT_ITERATIONS, scale: int = DEFAULT_SCALE
-) -> str:
+def _pagerank_rounds(iterations: int, scale: int) -> str:
+    """The unrolled integer PageRank recurrence as chained CTEs
+    r1..rN over generic `bi` (edge rows, multiplicity = weight),
+    `deg`, and `r0` CTEs — shared by every pagerank oracle so the
+    recurrence text cannot drift between graphs."""
     base = (scale * (DAMPING_DEN - DAMPING_NUM)) // DAMPING_DEN
     rounds = []
     for i in range(1, iterations + 1):
@@ -45,7 +47,13 @@ def _pagerank_oracle(
         GROUP BY 1
     )"""
         )
-    chain = ",\n    ".join(rounds)
+    return ",\n    ".join(rounds)
+
+
+def _pagerank_oracle(
+    iterations: int = DEFAULT_ITERATIONS, scale: int = DEFAULT_SCALE
+) -> str:
+    chain = _pagerank_rounds(iterations, scale)
     return f"""
     WITH e AS (
         SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
@@ -145,3 +153,68 @@ def q_trade_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("degree").cast("bigint").alias("max_degree"),
         )
     )
+
+
+def _keyword_pagerank_oracle(
+    iterations: int = DEFAULT_ITERATIONS, scale: int = DEFAULT_SCALE
+) -> str:
+    from mpi_word_count_spark.registry import sql_regex
+
+    chain = _pagerank_rounds(iterations, scale)
+    return f"""
+    WITH toks AS (
+        SELECT list_filter(string_split_regex(lower(text), '{sql_regex()}'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    fwd AS (
+        SELECT t[i] AS src, t[i + 1] AS dst
+        FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+    ),
+    bi AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+    deg AS (SELECT src, count(*) AS outdeg FROM bi GROUP BY 1),
+    r0 AS (SELECT DISTINCT src AS node, CAST({scale} AS BIGINT) AS rank_fp
+           FROM bi),
+    {chain}
+    SELECT node AS word, rank_fp
+    FROM r{iterations}
+    """
+
+
+@register("keyword_pagerank", oracle=_keyword_pagerank_oracle())
+def q_keyword_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank-style keyword ranking: integer fixed-point PageRank
+    over the word adjacency graph (bigram co-occurrence, both
+    orientations, edge multiplicity = co-occurrence weight — the
+    duplicate edge rows make pagerank_fixed_point weighted for free,
+    since out-degree counts rows and each row contributes
+    rank div outdeg). Reuses the trade-graph recurrence verbatim on
+    STRING nodes — the operator never does node arithmetic, so the
+    same Pregel loop serves any key type.
+
+    Scale shape: edge generation is a narrow pair-explode (no
+    doc-level shuffle); the graph collapses to vocabulary-sized rank
+    tables (Heaps-sublinear), so six rounds of join+aggregate run
+    over vocab rows, not corpus rows.
+    """
+    from mpi_word_count_spark.operators import widen
+    from mpi_word_count_spark.operators.dedup import tokens_col
+
+    docs = table(spark, "documents", sf_dir)
+    toks = widen(docs).select(tokens_col("text").alias("_toks"))
+    pair_expr = F.when(
+        F.size("_toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("_toks"), i).alias("src"),
+                F.element_at(F.col("_toks"), i + 1).alias("dst"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<src:string,dst:string>>"))
+    fwd = toks.select(F.explode(pair_expr).alias("p")).select("p.src", "p.dst")
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank_fixed_point(edges)
+    return ranks.select(F.col("node").alias("word"), "rank_fp")

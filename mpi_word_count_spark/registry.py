@@ -204,6 +204,7 @@ _PRIORITY = [
     "events_seasonal_anomalies",
     "winnowing_dups",
     "hybrid_rrf_retrieval",
+    "keyword_pagerank",
     # no-oracle rows-only entries (tolerance-tested vs exact twins)
     "approx_distinct_words",
     "approx_value_quantiles",
