@@ -847,3 +847,55 @@ def q_winnowing_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@register(
+    "doc_novelty_scores",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    first_seen AS (
+        SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST((1000 * sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0
+                                 END)) // count(*) AS BIGINT) AS novelty_milli
+    FROM sh s JOIN first_seen f ON s.shingle = f.shingle
+    GROUP BY s.doc_id
+    """,
+)
+def q_doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct
+    3-gram shingles whose FIRST corpus occurrence (min doc_id) is
+    this document — near-zero novelty marks late near-duplicates and
+    boilerplate re-publications, the per-doc complement to the
+    corpus-level vocab_growth curve. Integer milli-ratio, so the
+    verdict is engine-exact.
+
+    Scale shape: one shingle-keyed min aggregate (the flagship
+    wordcount exchange shape), one shingle-keyed join back, one
+    doc-keyed aggregate — no self-joins, no sorts.
+    """
+    from mpi_word_count_spark.operators.dedup import doc_shingles
+
+    sh = doc_shingles(table(spark, "documents", sf_dir))
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            novel.cast("bigint").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr("(1000 * n_novel) div n_shingles").alias("novelty_milli"),
+        )
+    )

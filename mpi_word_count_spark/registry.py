@@ -205,6 +205,7 @@ _PRIORITY = [
     "winnowing_dups",
     "hybrid_rrf_retrieval",
     "keyword_pagerank",
+    "doc_novelty_scores",
     # no-oracle rows-only entries (tolerance-tested vs exact twins)
     "approx_distinct_words",
     "approx_value_quantiles",
