@@ -73,6 +73,10 @@ HEADLINE = [
     "pii_redaction_stats",
     "weighted_sample_by_length",
     "curriculum_batches",
+    "ppjoin_dups",
+    "winnowing_dups",
+    "hybrid_rrf_retrieval",
+    "token_budget_selection",
     "embedding_norms",
     "label_centroid_spread",
     "data_quality_report",

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mpi_word_count_spark.functions.hashing import sql_hash32
-from mpi_word_count_spark.functions.parity import sql_portable_round
+from mpi_word_count_spark.functions.parity import portable_round, sql_portable_round
 from mpi_word_count_spark.operators.curation import (
     CONTAMINATION_NGRAM,
     benchmark_contamination,
@@ -588,4 +588,59 @@ def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cum_tokens"),
         )
         .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+    )
+
+
+@register(
+    "lang_source_pmi",
+    oracle=f"""
+    WITH cells AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2
+    ),
+    lm AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nl FROM cells GROUP BY 1),
+    sm AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cells)
+    SELECT c.lang, c.source, c.n,
+           {sql_portable_round(
+               "ln((c.n * 1.0 * t.nt) / (l.nl * 1.0 * s.ns))", 4
+           )} AS pmi
+    FROM cells c
+    JOIN lm l ON c.lang = l.lang
+    JOIN sm s ON c.source = s.source
+    CROSS JOIN tot t
+    """,
+)
+def q_lang_source_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition audit: pointwise mutual information between
+    language and source for every observed (lang, source) cell —
+    strong positive PMI means a source is a de-facto single-language
+    feed (mixture reweighting by lang then double-counts it by
+    source); PMI ≈ 0 everywhere means the two strata are independent
+    and can be planned separately (corpus_mixture / mixture_plan
+    assume exactly that).
+
+    Scale shape: one (lang, source) count aggregate — partial-agg
+    before the exchange — then marginal rollups and joins over cell
+    rows (|langs|·|sources|), constant-sized however large the
+    corpus.
+    """
+    docs = table(spark, "documents", sf_dir)
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    lm = cells.groupBy("lang").agg(F.sum("n").cast("bigint").alias("nl"))
+    sm = cells.groupBy("source").agg(F.sum("n").cast("bigint").alias("ns"))
+    tot = cells.agg(F.sum("n").cast("bigint").alias("nt"))
+    pmi = F.log(
+        (F.col("n") * F.col("nt")) / (F.col("nl") * F.col("ns"))
+    )
+    return (
+        cells.join(F.broadcast(lm), "lang")
+        .join(F.broadcast(sm), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n",
+            portable_round(pmi, 4).alias("pmi"),
+        )
     )

@@ -206,6 +206,7 @@ _PRIORITY = [
     "hybrid_rrf_retrieval",
     "keyword_pagerank",
     "doc_novelty_scores",
+    "lang_source_pmi",
     # no-oracle rows-only entries (tolerance-tested vs exact twins)
     "approx_distinct_words",
     "approx_value_quantiles",
