@@ -303,3 +303,40 @@ def test_runtime_bloom_filter_joins_available(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_new_similarity_plans_have_no_allpairs_kernels(spark):
+    # the round-4 additions must keep the equi-join discipline the
+    # dedup family is audited for: no cartesian / nested-loop joins
+    for name in (
+        "ppjoin_dups",
+        "sorted_neighborhood_dups",
+        "winnowing_dups",
+        "positional_index",
+        "doc_novelty_scores",
+        "source_overlap_matrix",
+    ):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_budget_selection_broadcasts_offsets(spark):
+    # the two-pass cumsum decomposition: bucket offsets reach the
+    # corpus join as a BROADCAST, and no global sort of scored docs
+    # exists (the single-partition window runs over <=1001 bucket
+    # rows, upstream of the broadcast, never over the corpus)
+    plan = plan_of(spark, "token_budget_selection")
+    assert "BroadcastHashJoin" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_hybrid_rrf_rankings_reduce_before_fusion(spark):
+    # fusion joins two <=50-row rank lists: the full-outer join must
+    # be a sort-merge/hash join, never a nested loop. The ONE allowed
+    # nested-loop is BM25's 1-row stats cross join (the house 1-row
+    # broadcast pattern, same as bm25_scores)
+    plan = plan_of(spark, "hybrid_rrf_retrieval")
+    assert plan.count("+- BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+    assert "FullOuter" in plan and "SortMergeJoin FullOuter" in plan
