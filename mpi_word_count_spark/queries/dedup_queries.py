@@ -899,3 +899,79 @@ def q_doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000 * n_novel) div n_shingles").alias("novelty_milli"),
         )
     )
+
+
+CONTAINMENT_PCT = 90
+
+
+@register(
+    "containment_dups",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    shared AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    directed AS (
+        SELECT d1 AS contained_doc, d2 AS container_doc, inter,
+               sa.n_shingles AS n_contained
+        FROM shared JOIN sizes sa ON d1 = sa.doc_id
+        UNION ALL
+        SELECT d2, d1, inter, sb.n_shingles
+        FROM shared JOIN sizes sb ON d2 = sb.doc_id
+    )
+    SELECT contained_doc, container_doc, inter AS n_common,
+           CAST((1000 * inter) // n_contained AS BIGINT) AS containment_milli
+    FROM directed
+    WHERE 100 * inter >= {CONTAINMENT_PCT} * n_contained
+    """,
+)
+def q_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: ordered pairs where ≥ 90% of the
+    contained document's shingles appear in the container —
+    catches quotes, excerpts, and concatenated re-publications that
+    symmetric Jaccard structurally misses (a short doc inside a long
+    one has low Jaccard however perfect the containment). Integer
+    acceptance (100·|A∩B| ≥ 90·|A|), mutual containments emit both
+    directions.
+
+    Scale shape: identical to ngram_jaccard_dups — the inverted
+    shingle index self-join fans out only on shared shingles; the
+    directed expansion is a projection over the already-aggregated
+    pair table.
+    """
+    from mpi_word_count_spark.operators.dedup import (
+        _shared_shingle_pairs,
+        _shingle_index,
+    )
+
+    sh = _shingle_index(
+        table(spark, "documents", sf_dir), 3, "doc_id", "text", None
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    shared = _shared_shingle_pairs(sh)
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    d1_side = shared.join(sa, F.col("d1") == F.col("sa.doc_id")).select(
+        F.col("d1").alias("contained_doc"),
+        F.col("d2").alias("container_doc"),
+        "inter",
+        F.col("sa.n_shingles").alias("n_contained"),
+    )
+    d2_side = shared.join(sb, F.col("d2") == F.col("sb.doc_id")).select(
+        F.col("d2").alias("contained_doc"),
+        F.col("d1").alias("container_doc"),
+        "inter",
+        F.col("sb.n_shingles").alias("n_contained"),
+    )
+    return (
+        d1_side.unionByName(d2_side)
+        .filter(100 * F.col("inter") >= CONTAINMENT_PCT * F.col("n_contained"))
+        .select(
+            "contained_doc",
+            "container_doc",
+            F.col("inter").alias("n_common"),
+            F.expr("(1000 * inter) div n_contained").alias("containment_milli"),
+        )
+    )

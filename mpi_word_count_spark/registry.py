@@ -207,6 +207,7 @@ _PRIORITY = [
     "keyword_pagerank",
     "doc_novelty_scores",
     "lang_source_pmi",
+    "containment_dups",
     # no-oracle rows-only entries (tolerance-tested vs exact twins)
     "approx_distinct_words",
     "approx_value_quantiles",
