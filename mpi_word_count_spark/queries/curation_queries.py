@@ -644,3 +644,114 @@ def q_lang_source_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             portable_round(pmi, 4).alias("pmi"),
         )
     )
+
+
+def _split_leakage_oracle() -> str:
+    ctes, final = __import__(
+        "mpi_word_count_spark.queries.dedup_queries", fromlist=["_minhash_parts"]
+    )._minhash_parts()
+    naive = f"(({sql_hash32('CAST({d} AS VARCHAR)', 'split')} % 10000) % 100 < {TRAIN_PCT})"
+    return f"""
+    WITH RECURSIVE {ctes},
+    pairs AS ({final}),
+    edges AS (
+        SELECT d1 AS src, d2 AS dst FROM pairs
+        UNION SELECT d2, d1 FROM pairs
+    ),
+    reach(v, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.v = e.src
+    ),
+    labels AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+    naive AS (
+        SELECT count(*) AS n_pairs,
+               CAST(sum(CASE WHEN {naive.format(d='d1')}
+                             <> {naive.format(d='d2')}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
+        FROM pairs
+    ),
+    clustered AS (
+        SELECT count(*) AS n_pairs,
+               CAST(sum(CASE WHEN {naive.format(d='la.cluster_id')}
+                             <> {naive.format(d='lb.cluster_id')}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
+        FROM pairs p
+        JOIN labels la ON p.d1 = la.doc_id
+        JOIN labels lb ON p.d2 = lb.doc_id
+    )
+    SELECT 'doc_hash' AS split_scheme, CAST(n_pairs AS BIGINT) AS n_pairs,
+           n_straddling,
+           CAST(CASE WHEN n_pairs > 0 THEN (1000 * n_straddling) // n_pairs
+                     ELSE 0 END AS BIGINT) AS leakage_milli
+    FROM naive
+    UNION ALL
+    SELECT 'cluster_hash', CAST(n_pairs AS BIGINT), n_straddling,
+           CAST(CASE WHEN n_pairs > 0 THEN (1000 * n_straddling) // n_pairs
+                     ELSE 0 END AS BIGINT)
+    FROM clustered
+    """
+
+
+@register("split_leakage_audit", oracle=_split_leakage_oracle())
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val leakage audit: of all MinHash near-dup pairs, how
+    many straddle the split boundary under (a) a naive doc_id-hash
+    split and (b) the cluster-aware split (hash on the near-dup
+    cluster id)? The cluster-aware row is 0 BY CONSTRUCTION — this
+    query turns that guarantee into a measured, driver-verified
+    number beside the naive split's real leakage rate (the argument
+    for cluster_aware_split, quantified on the corpus itself).
+
+    Scale shape: both audits run over the already-aggregated pair
+    table joined to the label table — near-dup-pair-sized inputs,
+    two-row output.
+    """
+    from mpi_word_count_spark.operators.curation import sample_hash
+
+    docs = table(spark, "documents", sf_dir)
+    pairs = minhash_lsh_pairs(docs, threshold=JACCARD_THRESHOLD)
+    labels = dup_clusters(docs, pairs)
+
+    def is_train(c):
+        return (sample_hash(c.cast("string"), "split") % 100) < TRAIN_PCT
+
+    la, lb = labels.alias("la"), labels.alias("lb")
+    with_labels = pairs.join(
+        la, pairs.d1 == F.col("la.doc_id")
+    ).join(lb, pairs.d2 == F.col("lb.doc_id"))
+    straddle_naive = F.sum(
+        F.when(is_train(F.col("d1")) != is_train(F.col("d2")), 1).otherwise(0)
+    )
+    straddle_cluster = F.sum(
+        F.when(
+            is_train(F.col("la.cluster_id")) != is_train(F.col("lb.cluster_id")),
+            1,
+        ).otherwise(0)
+    )
+    agg = with_labels.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        straddle_naive.cast("bigint").alias("s_naive"),
+        straddle_cluster.cast("bigint").alias("s_cluster"),
+    )
+    leak = lambda s: F.when(  # noqa: E731
+        F.col("n_pairs") > 0, F.expr(f"(1000 * {s}) div n_pairs")
+    ).otherwise(F.lit(0)).cast("bigint")
+    return agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("doc_hash").alias("split_scheme"),
+                    F.col("n_pairs").cast("bigint").alias("n_pairs"),
+                    F.col("s_naive").alias("n_straddling"),
+                    leak("s_naive").alias("leakage_milli"),
+                ),
+                F.struct(
+                    F.lit("cluster_hash").alias("split_scheme"),
+                    F.col("n_pairs").cast("bigint").alias("n_pairs"),
+                    F.col("s_cluster").alias("n_straddling"),
+                    leak("s_cluster").alias("leakage_milli"),
+                ),
+            )
+        ).alias("row")
+    ).select("row.*")

@@ -208,6 +208,7 @@ _PRIORITY = [
     "doc_novelty_scores",
     "lang_source_pmi",
     "containment_dups",
+    "split_leakage_audit",
     # no-oracle rows-only entries (tolerance-tested vs exact twins)
     "approx_distinct_words",
     "approx_value_quantiles",
