@@ -100,3 +100,72 @@ def test_widen_widens_narrow_input(spark):
     assert widen(narrow).rdd.getNumPartitions() == (
         spark.sparkContext.defaultParallelism
     )
+
+
+# ---------------------------------------------------------------------------
+# PPJoin exactness on random corpora: the prefix-filtered join must
+# equal the naive all-pairs token-set Jaccard for ANY corpus and ANY
+# threshold (it is an optimization, not an approximation). Small
+# alphabet forces heavy set overlap — the adversarial regime for
+# prefix filtering (the rarest-first prefix is least selective).
+# ---------------------------------------------------------------------------
+
+WORD_POOL = ["ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hen"]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(WORD_POOL), min_size=0, max_size=12),
+        min_size=2,
+        max_size=12,
+    ),
+    threshold_pct=st.sampled_from([50, 60, 70, 80, 90, 100]),
+)
+def test_ppjoin_exact_on_random_corpora(spark, docs, threshold_pct):
+    from itertools import combinations
+
+    from mpi_word_count_spark.operators.dedup import ppjoin_pairs
+
+    rows = [(i + 1, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["d1"], r["d2"]): r["n_common"]
+        for r in ppjoin_pairs(
+            df, threshold_pct=threshold_pct, shingle_n=None
+        ).collect()
+    }
+    sets = {i + 1: set(w for w in words) for i, words in enumerate(docs)}
+    want = {}
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if union and 100 * inter >= threshold_pct * union:
+            want[(a, b)] = inter
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    prefix_a=st.lists(st.sampled_from(WORD_POOL), min_size=0, max_size=6),
+    prefix_b=st.lists(st.sampled_from(WORD_POOL), min_size=0, max_size=6),
+    run=st.lists(st.sampled_from(WORD_POOL), min_size=8, max_size=14),
+)
+def test_winnowing_guarantee_on_random_shared_runs(
+    spark, prefix_a, prefix_b, run
+):
+    # any shared token run of length >= w+k-1 (= 8 with k=4, w=5) MUST
+    # yield a shared winnowed fingerprint, wherever it sits in either
+    # document — the MOSS guarantee under random context
+    from mpi_word_count_spark.operators.dedup import winnowing_fingerprints
+
+    rows = [
+        (1, " ".join(prefix_a + run)),
+        (2, " ".join(prefix_b + run + ["tailword"])),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sel = winnowing_fingerprints(df, k=4, w=5).collect()
+    by_doc: dict[int, set[str]] = {}
+    for r in sel:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc.get(1, set()) & by_doc.get(2, set())
