@@ -489,3 +489,43 @@ def console_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             "line"
         )
     )
+
+
+@register(
+    "incremental_wordcount",
+    oracle=f"""
+    SELECT word, count(*) AS count
+    FROM ({_TOKS}) WHERE word <> ''
+    GROUP BY word ORDER BY word
+    """,
+)
+def q_incremental_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of the flagship aggregate: the
+    corpus is split into a BASE (already-counted) partition and an
+    arriving DELTA batch (doc_id % 10 == 0); each side is counted
+    independently and the maintained view is the full-outer merge
+    base ⊕ delta (SUM is a commutative monoid, so maintenance is one
+    small join on the word key — never a recount). The oracle is the
+    flagship FULL-RECOUNT SQL, so the driver hash-match IS the proof
+    of the maintenance identity — the pattern that keeps corpus-wide
+    statistics current at 100 TB when snapshots arrive (the aggregate
+    twin of incremental_exact_dedup).
+    """
+    from mpi_word_count_spark.operators.wordcount import word_count_df
+
+    docs = table(spark, "documents", sf_dir)
+    is_delta = F.col("doc_id") % 10 == 0
+    base = word_count_df(docs.filter(~is_delta), col="text", ordered=False)
+    delta = word_count_df(docs.filter(is_delta), col="text", ordered=False)
+    b, d = base.alias("b"), delta.alias("d")
+    return (
+        b.join(d, F.col("b.word") == F.col("d.word"), "full_outer")
+        .select(
+            F.coalesce(F.col("b.word"), F.col("d.word")).alias("word"),
+            (
+                F.coalesce(F.col("b.count"), F.lit(0))
+                + F.coalesce(F.col("d.count"), F.lit(0))
+            ).alias("count"),
+        )
+        .orderBy("word")
+    )

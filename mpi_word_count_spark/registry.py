@@ -209,6 +209,7 @@ _PRIORITY = [
     "lang_source_pmi",
     "containment_dups",
     "split_leakage_audit",
+    "incremental_wordcount",
     # no-oracle rows-only entries (tolerance-tested vs exact twins)
     "approx_distinct_words",
     "approx_value_quantiles",
