@@ -492,3 +492,38 @@ def test_winnowing_guarantee_and_density(spark):
         for r in winnowing_fingerprints(df, k=k, w=w).collect()
     }
     assert again == {(r["doc_id"], r["pos"], r["fingerprint"]) for r in sel}
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    # a short doc fully embedded in a long one: containment ~1.0 but
+    # Jaccard well below 0.5 — the case the asymmetric query exists for
+    from mpi_word_count_spark.queries.dedup_queries import q_containment_dups
+
+    excerpt = "the quick brown fox jumps over the lazy dog today"
+    filler = " ".join(f"filler{i} pad{i} extra{i}" for i in range(20))
+    rows = [
+        (1, excerpt),
+        (2, f"{filler} {excerpt} {filler}"),
+        (3, "completely unrelated content about engines and shuffles again"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.createOrReplaceTempView("_containment_docs")
+
+    from mpi_word_count_spark.operators.dedup import (
+        _shared_shingle_pairs,
+        _shingle_index,
+        ngram_jaccard_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    sh = _shingle_index(df, 3, "doc_id", "text", None)
+    sizes = {r["doc_id"]: r["n"] for r in
+             sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    shared = {(r["d1"], r["d2"]): r["inter"]
+              for r in _shared_shingle_pairs(sh).collect()}
+    inter = shared[(1, 2)]
+    containment_1_in_2 = inter / sizes[1]
+    jaccard = inter / (sizes[1] + sizes[2] - inter)
+    assert containment_1_in_2 >= 0.9      # excerpt detected
+    assert jaccard < 0.5                  # symmetric Jaccard misses it
+    assert 3 not in {d for pair in shared for d in pair}
