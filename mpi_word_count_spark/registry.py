@@ -194,6 +194,11 @@ _PRIORITY = [
     "streaming_model_scores",
     "config_delimiters_wordcount",
     "streaming_synth_wordcount",
+    # round-4 CONTINUATION additions (each hash-verified at
+    # sf0.001/0.01/0.1 as it landed; 193-query state fully swept at
+    # sf0.1, sf0.01, and partitions=7 — COVERAGE.md): never
+    # driver-verified, so they belong in the round-5 budget head
+    # alongside the other never-green entries above
     "ppjoin_dups",
     "positional_index",
     "vocab_growth",
