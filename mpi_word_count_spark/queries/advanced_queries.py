@@ -840,3 +840,64 @@ def q_events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("direction"),
         )
     )
+
+
+@register(
+    "event_type_transitions",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT prev_type, event_type AS next_type, count(*) AS n
+        FROM ordered WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    marg AS (
+        SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_from
+        FROM pairs GROUP BY 1
+    )
+    SELECT p.prev_type, p.next_type, p.n,
+           CAST((10000 * p.n) // m.n_from AS BIGINT) AS prob_bp
+    FROM pairs p JOIN marg m ON p.prev_type = m.prev_type
+    """,
+)
+def q_event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (the behavioral bigram
+    LM): counts of consecutive (prev → next) event types within each
+    user's timeline, with the row-conditional probability in integer
+    basis points — the statistic behind next-action models and
+    funnel-shape drift monitoring. The lag order is total
+    ((ts, event_id) — event_id breaks timestamp ties), so the result
+    is partitioning-invariant.
+
+    Scale shape: ONE user-keyed window shuffle (state = one previous
+    row per user), then aggregates over the |types|² transition
+    cells — constant-sized output however large the event log.
+    """
+    from pyspark.sql import Window
+
+    ev = table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = ordered.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    marg = pairs.groupBy("prev_type").agg(
+        F.sum("n").cast("bigint").alias("n_from")
+    )
+    return (
+        pairs.join(F.broadcast(marg), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.expr("(10000 * n) div n_from").alias("prob_bp"),
+        )
+    )

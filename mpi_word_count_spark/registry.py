@@ -215,6 +215,7 @@ _PRIORITY = [
     "containment_dups",
     "split_leakage_audit",
     "incremental_wordcount",
+    "event_type_transitions",
     # no-oracle rows-only entries (tolerance-tested vs exact twins)
     "approx_distinct_words",
     "approx_value_quantiles",
