@@ -527,3 +527,29 @@ def test_containment_catches_excerpt_jaccard_misses(spark):
     assert containment_1_in_2 >= 0.9      # excerpt detected
     assert jaccard < 0.5                  # symmetric Jaccard misses it
     assert 3 not in {d for pair in shared for d in pair}
+
+
+def test_new_operators_degenerate_inputs(spark):
+    """Degenerate inputs must yield empty results, not errors: empty
+    corpus, all-delimiter docs, docs shorter than the gram/shingle
+    width."""
+    from mpi_word_count_spark.operators.dedup import (
+        ppjoin_pairs,
+        sorted_neighborhood_pairs,
+        winnowing_fingerprints,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert ppjoin_pairs(empty).count() == 0
+    assert sorted_neighborhood_pairs(empty).count() == 0
+    assert winnowing_fingerprints(empty).count() == 0
+
+    degenerate = spark.createDataFrame(
+        [(1, ""), (2, "   ,,;; "), (3, "ab"), (4, "one two three")],
+        "doc_id long, text string",
+    )
+    # 3-gram shingle sets: only doc 4 has one shingle; no pairs anywhere
+    assert ppjoin_pairs(degenerate).count() == 0
+    assert sorted_neighborhood_pairs(degenerate).count() >= 0  # no raise
+    # k=4 grams need >= 4 tokens; w=5 windows need >= 8 grams
+    assert winnowing_fingerprints(degenerate, k=4, w=5).count() == 0
