@@ -901,3 +901,72 @@ def q_event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(10000 * n) div n_from").alias("prob_bp"),
         )
     )
+
+
+@register(
+    "transition_dwell_times",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER w AS prev_type,
+               date_diff('second', lag(ts) OVER w, ts) AS dwell_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    ranked AS (
+        SELECT prev_type, event_type AS next_type, dwell_s,
+               row_number() OVER (PARTITION BY prev_type, event_type
+                                  ORDER BY dwell_s) AS rn,
+               count(*) OVER (PARTITION BY prev_type, event_type) AS n
+        FROM ordered WHERE prev_type IS NOT NULL
+    )
+    SELECT prev_type, next_type,
+           CAST(max(n) AS BIGINT) AS n_transitions,
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN dwell_s END) AS BIGINT)
+               AS p50_dwell_s,
+           CAST(max(CASE WHEN rn = (n * 9 + 9) // 10 THEN dwell_s END)
+                AS BIGINT) AS p90_dwell_s
+    FROM ranked GROUP BY 1, 2
+    """,
+)
+def q_transition_dwell_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dwell-time distribution per event transition: DISCRETE
+    p50/p90 seconds between consecutive events of each (prev → next)
+    type pair — the timing companion to event_type_transitions
+    (which action users stall before). Discrete row_number-selected
+    order statistics (the ship_latency_percentiles idiom), so the
+    verdict is engine-exact; truncation to whole seconds keeps the
+    sort key integer.
+
+    Scale shape: one user-keyed window (lag), one transition-keyed
+    window (rank) — the second partitions on |types|² keys, so at
+    100 TB it reruns per (pair, day) to bound partition width, same
+    as the latency query.
+    """
+    from pyspark.sql import Window
+
+    ev = table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("dwell_s"),
+    ).filter(F.col("prev_type").isNotNull())
+    wp = Window.partitionBy("prev_type", "next_type")
+    ranked = ordered.select(
+        "prev_type",
+        "next_type",
+        "dwell_s",
+        F.row_number().over(wp.orderBy("dwell_s")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    pick = lambda expr: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.expr(expr), F.col("dwell_s"))
+    ).cast("bigint")
+    return ranked.groupBy("prev_type", "next_type").agg(
+        F.max("n").cast("bigint").alias("n_transitions"),
+        pick("(n + 1) div 2").alias("p50_dwell_s"),
+        pick("(n * 9 + 9) div 10").alias("p90_dwell_s"),
+    )

@@ -216,6 +216,7 @@ _PRIORITY = [
     "split_leakage_audit",
     "incremental_wordcount",
     "event_type_transitions",
+    "transition_dwell_times",
     # no-oracle rows-only entries (tolerance-tested vs exact twins)
     "approx_distinct_words",
     "approx_value_quantiles",
