@@ -755,3 +755,120 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("row")
     ).select("row.*")
+
+
+COVERAGE_ROUNDS = 5
+
+
+def _greedy_coverage_oracle(rounds: int = COVERAGE_ROUNDS) -> str:
+    ctes = [
+        f"""src_sh AS (
+        SELECT DISTINCT source, unnest(list_distinct(list_transform(
+                   range(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+        FROM (SELECT source,
+                     list_filter(string_split_regex(lower(text), '{sql_regex()}'),
+                                 x -> x <> '') AS t
+              FROM documents)
+    )""",
+        "cov_0(shingle) AS (SELECT '' WHERE 1 = 0)",
+        "picks_0(round, source, new_shingles) AS "
+        "(SELECT 0, '', 0::BIGINT WHERE 1 = 0)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""cnt_{r} AS (
+        SELECT s.source, CAST(count(*) AS BIGINT) AS cnt
+        FROM src_sh s
+        WHERE s.source NOT IN (SELECT source FROM picks_{r - 1})
+          AND s.shingle NOT IN (SELECT shingle FROM cov_{r - 1})
+        GROUP BY 1
+    )"""
+        )
+        ctes.append(
+            f"b_{r} AS (SELECT source, cnt FROM cnt_{r} "
+            f"ORDER BY cnt DESC, source ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"""cov_{r} AS (
+        SELECT shingle FROM cov_{r - 1}
+        UNION
+        SELECT shingle FROM src_sh
+        WHERE source IN (SELECT source FROM b_{r})
+    )"""
+        )
+        ctes.append(
+            f"""picks_{r} AS (
+        SELECT * FROM picks_{r - 1}
+        UNION ALL
+        SELECT {r}, source, cnt FROM b_{r}
+    )"""
+        )
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH {chain}
+    SELECT round, source, new_shingles,
+           CAST(sum(new_shingles) OVER (ORDER BY round
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_coverage
+    FROM picks_{rounds}
+    """
+
+
+@register("greedy_source_coverage", oracle=_greedy_coverage_oracle())
+def q_greedy_source_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy max-coverage source selection: pick, over 5 rounds, the
+    source contributing the most NOT-YET-COVERED shingles (ties by
+    source name) — the submodular-maximization step behind "which
+    feeds should we license/crawl first", with the classic (1−1/e)
+    greedy guarantee. The oracle UNROLLS all five greedy rounds as
+    chained CTEs (the BPE-merge/k-means/PageRank oracle technique
+    applied to a data-dependent selection loop), so even the
+    iterative pick sequence is value-hash-verified.
+
+    Scale shape: per round, ONE anti-join of the (source, shingle)
+    table against the covered set (vocabulary-bounded) and a 20-row
+    argmax pulled to the driver — the loop state is source names,
+    never corpus data.
+    """
+    from mpi_word_count_spark.operators import release_caches, track_cache, widen
+    from mpi_word_count_spark.operators.dedup import (
+        shingles_from_tokens,
+        tokens_col,
+    )
+
+    docs = table(spark, "documents", sf_dir)
+    toks = widen(docs).select("source", tokens_col("text").alias("_toks"))
+    src_sh = track_cache(
+        toks.select(
+            "source",
+            F.explode(shingles_from_tokens(F.col("_toks"), 3)).alias("shingle"),
+        ).distinct()
+    )
+    chosen: list[str] = []
+    covered = None
+    rows = []
+    cum = 0
+    for r in range(1, COVERAGE_ROUNDS + 1):
+        remaining = src_sh
+        if chosen:
+            remaining = remaining.filter(~F.col("source").isin(chosen))
+        if covered is not None:
+            remaining = remaining.join(covered, "shingle", "left_anti")
+        counts = remaining.groupBy("source").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        best = counts.orderBy(F.desc("cnt"), F.asc("source")).first()
+        chosen.append(best["source"])
+        cum += best["cnt"]
+        rows.append((r, best["source"], best["cnt"], cum))
+        picked = src_sh.filter(F.col("source") == best["source"]).select(
+            "shingle"
+        )
+        covered = track_cache(
+            picked if covered is None else covered.union(picked).distinct()
+        )
+    out = spark.createDataFrame(
+        rows, "round int, source string, new_shingles bigint, cum_coverage bigint"
+    )
+    release_caches()
+    return out

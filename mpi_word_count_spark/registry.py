@@ -217,6 +217,7 @@ _PRIORITY = [
     "incremental_wordcount",
     "event_type_transitions",
     "transition_dwell_times",
+    "greedy_source_coverage",
     # no-oracle rows-only entries (tolerance-tested vs exact twins)
     "approx_distinct_words",
     "approx_value_quantiles",
