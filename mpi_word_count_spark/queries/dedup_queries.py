@@ -975,3 +975,124 @@ def q_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000 * inter) div n_contained").alias("containment_milli"),
         )
     )
+
+
+def _minhash_estimate_oracle() -> str:
+    matches = " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END"
+        for i in range(NUM_HASHES)
+    )
+    return f"""
+    WITH {_minhash_base_ctes()},
+    candidates AS (
+        SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+    ),
+    est AS (
+        SELECT c.d1, c.d2, CAST({matches} AS BIGINT) AS sig_matches
+        FROM candidates c
+        JOIN sig a ON c.d1 = a.doc_id
+        JOIN sig b ON c.d2 = b.doc_id
+    ),
+    exact AS (
+        SELECT c.d1, c.d2, count(*) AS inter
+        FROM candidates c
+        JOIN sh sa ON sa.doc_id = c.d1
+        JOIN sh sb ON sb.doc_id = c.d2 AND sa.shingle = sb.shingle
+        GROUP BY 1, 2
+    )
+    SELECT e.d1, e.d2, e.sig_matches,
+           round(coalesce(x.inter, 0) * 1.0
+                 / (za.n_shingles + zb.n_shingles - coalesce(x.inter, 0)), 4)
+               AS exact_jaccard
+    FROM est e
+    LEFT JOIN exact x ON e.d1 = x.d1 AND e.d2 = x.d2
+    JOIN sizes za ON e.d1 = za.doc_id
+    JOIN sizes zb ON e.d2 = zb.doc_id
+    """
+
+
+@register("minhash_estimate_audit", oracle=_minhash_estimate_oracle())
+def q_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality audit for the MinHash pipeline: per LSH
+    candidate pair, the signature agreement count (the engine's
+    Jaccard ESTIMATE is sig_matches/16) beside the exact shingle
+    Jaccard — the table that justifies (or retunes) the 16-hash /
+    8-band geometry on the actual corpus. sig_matches is an integer
+    and exact_jaccard uses the standard rounded ratio, so the audit
+    itself is value-hash-verified.
+
+    Scale shape: candidates come from the banded equi-join (never
+    all pairs); the estimate join touches 17-long signature rows and
+    the exact join only candidate docs' shingles — the
+    minhash_lsh_dups verification shape with one extra 16-column
+    comparison.
+    """
+    from mpi_word_count_spark.functions.hashing import universal_coeffs  # noqa: F401
+    from mpi_word_count_spark.operators.dedup import (
+        band_keys,
+        minhash_signatures,
+    )
+    from mpi_word_count_spark.operators import track_cache
+
+    docs = table(spark, "documents", sf_dir)
+    sig = track_cache(minhash_signatures(docs))
+    bands = band_keys(sig)
+    bx, by = bands.alias("x"), bands.alias("y")
+    candidates = (
+        bx.join(
+            by,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .distinct()
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    matches = sum(
+        F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
+        for i in range(NUM_HASHES)
+    )
+    est = (
+        candidates.join(a, F.col("d1") == F.col("a.doc_id"))
+        .join(b, F.col("d2") == F.col("b.doc_id"))
+        .select(
+            "d1",
+            "d2",
+            matches.cast("bigint").alias("sig_matches"),
+            F.col("a.n_shingles").alias("na"),
+            F.col("b.n_shingles").alias("nb"),
+        )
+    )
+    from mpi_word_count_spark.operators.dedup import doc_shingles
+
+    cand_ids = candidates.select(F.col("d1").alias("doc_id")).union(
+        candidates.select("d2")
+    ).distinct()
+    sh = doc_shingles(docs.join(F.broadcast(cand_ids), "doc_id", "left_semi"))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    exact = (
+        candidates.join(sa, F.col("d1") == F.col("sa.doc_id"))
+        .join(
+            sb,
+            (F.col("d2") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        est.join(exact, ["d1", "d2"], "left")
+        .select(
+            "d1",
+            "d2",
+            "sig_matches",
+            F.round(
+                F.coalesce(F.col("inter"), F.lit(0))
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("inter"), F.lit(0))),
+                4,
+            ).alias("exact_jaccard"),
+        )
+    )

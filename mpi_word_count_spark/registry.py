@@ -218,6 +218,7 @@ _PRIORITY = [
     "event_type_transitions",
     "transition_dwell_times",
     "greedy_source_coverage",
+    "minhash_estimate_audit",
     # no-oracle rows-only entries (tolerance-tested vs exact twins)
     "approx_distinct_words",
     "approx_value_quantiles",
