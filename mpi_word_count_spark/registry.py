@@ -219,6 +219,7 @@ _PRIORITY = [
     "transition_dwell_times",
     "greedy_source_coverage",
     "minhash_estimate_audit",
+    "ann_recall_audit",
     # no-oracle rows-only entries (tolerance-tested vs exact twins)
     "approx_distinct_words",
     "approx_value_quantiles",
