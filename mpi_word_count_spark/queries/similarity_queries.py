@@ -724,3 +724,68 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("recall_milli"),
     )
+
+
+def _ann_recall_ladder_oracle() -> str:
+    from mpi_word_count_spark import registry
+
+    bf_sql = registry._REGISTRY["ann_bruteforce"][1]
+    methods = {
+        "lsh": registry._REGISTRY["ann_lsh"][1],
+        "lsh_multiprobe": registry._REGISTRY["ann_lsh_multiprobe"][1],
+        "ivf": registry._REGISTRY["ann_ivf"][1],
+    }
+    selects = "\n    UNION ALL\n".join(
+        f"""    SELECT '{name}' AS method,
+           CAST((1000 * count(ap.neighbor_id))
+                // ({N_QUERIES} * {TOP_K}) AS BIGINT) AS recall_milli,
+           CAST(count(ap.neighbor_id) AS BIGINT) AS n_hits
+    FROM bf LEFT JOIN (SELECT * FROM ({sql}) t) ap
+      ON bf.q_id = ap.q_id AND bf.neighbor_id = ap.neighbor_id"""
+        for name, sql in methods.items()
+    )
+    return f"""
+    WITH bf AS (SELECT * FROM ({bf_sql}) t)
+{selects}
+    """
+
+
+@register("ann_recall_ladder", oracle=_ann_recall_ladder_oracle())
+def q_ann_recall_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN recall ladder: aggregate recall@5 (integer milli) of
+    each served index variant — single-probe LSH, multi-probe LSH,
+    IVF(nprobe=2) — against the exact top-5, in ONE three-row
+    artifact. The accuracy/cost trade the per-query audit
+    (ann_recall_audit) breaks down is summarized here; the oracle
+    composes all four pipelines' full SQL (including the unrolled
+    k-means training) into one statement.
+    """
+    bf = ann_bruteforce(spark, sf_dir).select("q_id", "neighbor_id")
+    methods = {
+        "lsh": ann_lsh,
+        "lsh_multiprobe": ann_lsh_multiprobe,
+        "ivf": ann_ivf,
+    }
+    out = None
+    for name, fn in methods.items():
+        ap = fn(spark, sf_dir).select(
+            F.col("q_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+        )
+        agg = (
+            bf.join(
+                ap,
+                (F.col("q_id") == F.col("a_qid"))
+                & (F.col("neighbor_id") == F.col("a_nid")),
+                "left",
+            )
+            .agg(
+                F.lit(name).alias("method"),
+                F.expr(f"(1000 * count(a_nid)) div ({N_QUERIES} * {TOP_K})")
+                .cast("bigint")
+                .alias("recall_milli"),
+                F.count("a_nid").cast("bigint").alias("n_hits"),
+            )
+            .select("method", "recall_milli", "n_hits")
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out

@@ -220,6 +220,7 @@ _PRIORITY = [
     "greedy_source_coverage",
     "minhash_estimate_audit",
     "ann_recall_audit",
+    "ann_recall_ladder",
     # no-oracle rows-only entries (tolerance-tested vs exact twins)
     "approx_distinct_words",
     "approx_value_quantiles",
