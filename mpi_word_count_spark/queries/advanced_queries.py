@@ -970,3 +970,81 @@ def q_transition_dwell_times(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick("(n + 1) div 2").alias("p50_dwell_s"),
         pick("(n * 9 + 9) div 10").alias("p90_dwell_s"),
     )
+
+
+@register(
+    "udtf_char_ngrams",
+    oracle="""
+    SELECT gram, count(*) AS n FROM (
+        SELECT substr(s, i, 3) AS gram
+        FROM (SELECT substr(lower(text), 1, 200) AS s FROM documents),
+             UNNEST(generate_series(1, greatest(length(s) - 2, 0))) AS t(i)
+    ) GROUP BY gram ORDER BY gram
+    """,
+)
+def q_udtf_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python user-defined TABLE function (Spark 4 UDTF) — the one
+    Python extension surface the engine hadn't exercised: a row-to-
+    rows generator invoked through SQL `LATERAL`, here emitting
+    character trigrams of each document's first 200 chars (the
+    language-ID feature primitive, cf. operators/textanalysis lang_id
+    which inlines the same trigrams as JVM expressions).
+
+    Scale shape: the UDTF fans out ≤198 rows per document inside the
+    scan stage (no shuffle until the count agg), and the 200-char cap
+    bounds per-row work; for full-text trigrams at 100 TB the JVM
+    sequence/transform/explode twin in textanalysis.py is the fast
+    path — this entry exists to verify the UDTF surface itself
+    against an oracle.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="gram: string")
+    class CharNgrams:
+        def eval(self, text: str):  # noqa: ANN001
+            if text is None:
+                return
+            s = text.lower()[:200]
+            for i in range(len(s) - 2):
+                yield (s[i : i + 3],)
+
+    spark.udtf.register("char_ngrams", CharNgrams)
+    table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT gram, count(*) AS n
+        FROM documents, LATERAL char_ngrams(text)
+        GROUP BY gram ORDER BY gram
+        """
+    )
+
+
+@register(
+    "lateral_order_stats",
+    oracle="""
+    SELECT c.c_custkey, s.n_orders, round(s.max_price, 2) AS max_price
+    FROM customer c,
+    LATERAL (SELECT count(*) AS n_orders, max(o_totalprice) AS max_price
+             FROM orders o WHERE o.o_custkey = c.c_custkey) s
+    """,
+)
+def q_lateral_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL:2016 lateral join) — the last
+    unexercised decorrelation path: an aggregate subquery in the FROM
+    clause referencing the outer row. Catalyst decorrelates it into
+    the same left-outer aggregate join the window/groupBy twins use
+    (customer_order_counts_outer), so the surface is free at scale;
+    the zero-order customer keeps a row with (0, NULL) because an
+    ungrouped aggregate always yields one row — the semantic that
+    distinguishes LATERAL from a plain inner join.
+    """
+    for name in ("customer", "orders"):
+        table(spark, name, sf_dir).createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, s.n_orders, round(s.max_price, 2) AS max_price
+        FROM customer c,
+        LATERAL (SELECT count(*) AS n_orders, max(o_totalprice) AS max_price
+                 FROM orders o WHERE o.o_custkey = c.c_custkey) s
+        """
+    )

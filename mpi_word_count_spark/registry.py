@@ -221,6 +221,8 @@ _PRIORITY = [
     "minhash_estimate_audit",
     "ann_recall_audit",
     "ann_recall_ladder",
+    "udtf_char_ngrams",
+    "lateral_order_stats",
     # no-oracle rows-only entries (tolerance-tested vs exact twins)
     "approx_distinct_words",
     "approx_value_quantiles",
