@@ -1048,3 +1048,49 @@ def q_lateral_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  FROM orders o WHERE o.o_custkey = c.c_custkey) s
         """
     )
+
+
+@register(
+    "hof_array_sampler",
+    oracle="""
+    SELECT vec_id,
+           CAST(length(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+           round(sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2,
+           length(list_filter(embedding, x -> x > 0.5)) > 0 AS has_big,
+           array_to_string(list_transform(embedding[1:3],
+               x -> CAST(CAST(round(CAST(x AS DOUBLE) * 20000) AS BIGINT)
+                         AS VARCHAR)), ',') AS head_scaled
+    FROM embeddings
+    """,
+)
+def q_hof_array_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order-function surface in one projection:
+    `filter`/`size`, `aggregate` (fold), `exists`, `transform`/`slice`
+    — the lambda expressions that keep array work JVM-side instead of
+    in Python UDFs (SURVEY.md §2.6 extension surface; the ANN/dedup
+    operators use these same primitives in anger, this entry verifies
+    the primitives themselves against DuckDB's list lambdas).
+
+    The sliced head is emitted as a CSV of half-up-rounded scaled
+    integers because the driver canonicalizer rejects array cells;
+    scaling to ints sidesteps cross-engine float-to-string formatting.
+    Scale shape: pure scan-local expression work, no shuffle, codegen
+    throughout — the cheapest possible 100 TB plan for per-row array
+    metrics.
+    """
+    table(spark, "embeddings", sf_dir).createOrReplaceTempView("embeddings")
+    return spark.sql(
+        """
+        SELECT vec_id,
+               size(filter(embedding, x -> x > 0)) AS n_pos,
+               round(sqrt(aggregate(embedding, 0D,
+                   (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                   4) AS l2,
+               exists(embedding, x -> x > 0.5) AS has_big,
+               concat_ws(',', transform(slice(embedding, 1, 3),
+                   x -> CAST(CAST(round(CAST(x AS DOUBLE) * 20000) AS BIGINT)
+                             AS STRING))) AS head_scaled
+        FROM embeddings
+        """
+    )

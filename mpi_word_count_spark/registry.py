@@ -223,6 +223,7 @@ _PRIORITY = [
     "ann_recall_ladder",
     "udtf_char_ngrams",
     "lateral_order_stats",
+    "hof_array_sampler",
     # no-oracle rows-only entries (tolerance-tested vs exact twins)
     "approx_distinct_words",
     "approx_value_quantiles",
