@@ -340,3 +340,31 @@ def test_hybrid_rrf_rankings_reduce_before_fusion(spark):
     assert plan.count("+- BroadcastNestedLoopJoin") <= 1
     assert "CartesianProduct" not in plan
     assert "FullOuter" in plan and "SortMergeJoin FullOuter" in plan
+
+
+def test_hof_sampler_is_scan_local(spark):
+    """The array-HOF projection must stay inside the scan stage: no
+    Exchange, no Python evaluation — every lambda is a JVM codegen
+    expression."""
+    plan = plan_of(spark, "hof_array_sampler")
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no BatchEvalPython / ArrowEvalPython
+
+
+def test_udtf_ngrams_aggregates_after_generate(spark):
+    """The UDTF fans out inside the scan stage; the only shuffle is
+    the trigram count aggregation (partial agg before the exchange)."""
+    plan = plan_of(spark, "udtf_char_ngrams")
+    assert "PythonUDTF" in plan or "Generate" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # agg + sort
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_lateral_subquery_decorrelates_to_aggregate_join(spark):
+    """Catalyst must decorrelate the LATERAL aggregate subquery into
+    an aggregate-then-join plan — never a per-row nested loop over
+    the orders table."""
+    plan = plan_of(spark, "lateral_order_stats")
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+    assert "Join" in plan
