@@ -113,6 +113,93 @@ def pagerank_fixed_point(
     return ranks
 
 
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counting by degree-ordered orientation — the
+    standard scalable algorithm (node-iterator++ / compact-forward):
+    orient every undirected edge from the endpoint that is SMALLER in
+    the total order (degree, node-id), enumerate wedges only out of
+    each edge's low end, and close them against the oriented edge set.
+    Orientation caps every node's out-degree at O(√m) regardless of
+    how skewed the real degree distribution is, so the wedge fan-out
+    is Σ C(outdeg, 2) = O(m^1.5) worst case instead of the hub-killer
+    Σ C(deg, 2) — this is why the oriented form survives power-law
+    graphs at 100 TB where the naive wedge join dies on the first hub.
+
+    edges: DataFrame[a: long, b: long] — undirected, deduplicated,
+    a < b (one row per edge). Returns DataFrame[node, degree,
+    triangles] with every node present (0 triangles kept).
+
+    The order key packs (degree, id) into one int64 — degree·2³² + id
+    — so the orientation is a plain column comparison; valid while
+    degree < 2³¹ and id < 2³², beyond which compare the pair
+    lexicographically instead (two comparisons, same plan shape).
+
+    Shuffle ledger: degree count (1), two id-keyed joins to attach
+    order keys (broadcastable while |V| ≪ |E|), wedge self-join on
+    src (1), closing equi-join on (v, w) (1), per-node count (1) —
+    every one an equi-join or partial-aggregated exchange; no
+    CartesianProduct anywhere (plan-audited in tests/test_graph.py).
+    """
+    both = edges.select(F.col("a").alias("node")).union(
+        edges.select(F.col("b").alias("node"))
+    )
+    deg = both.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    ordk = deg.select(
+        "node", (F.col("degree") * F.lit(2**32) + F.col("node")).alias("ord")
+    )
+    oriented = (
+        edges.join(
+            ordk.select(F.col("node").alias("a"), F.col("ord").alias("ord_a")),
+            "a",
+        )
+        .join(
+            ordk.select(F.col("node").alias("b"), F.col("ord").alias("ord_b")),
+            "b",
+        )
+        .select(
+            F.when(F.col("ord_a") < F.col("ord_b"), F.col("a"))
+            .otherwise(F.col("b"))
+            .alias("src"),
+            F.when(F.col("ord_a") < F.col("ord_b"), F.col("b"))
+            .otherwise(F.col("a"))
+            .alias("dst"),
+            F.greatest("ord_a", "ord_b").alias("dst_ord"),
+        )
+    )
+    e1 = oriented.select(
+        "src", F.col("dst").alias("v"), F.col("dst_ord").alias("v_ord")
+    )
+    e2 = oriented.select(
+        "src", F.col("dst").alias("w"), F.col("dst_ord").alias("w_ord")
+    )
+    # wedge (src; v, w) counted once via v <ₒ w; a triangle's closing
+    # edge {v, w} is stored oriented v→w for exactly that ordering, so
+    # one equi-join on (v, w) closes it — each triangle found exactly
+    # once, at its lowest-order vertex
+    wedges = (
+        e1.join(e2, "src")
+        .filter(F.col("v_ord") < F.col("w_ord"))
+        .select("src", "v", "w")
+    )
+    closing = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tris = wedges.join(closing, ["v", "w"]).select("src", "v", "w")
+    tri_nodes = (
+        tris.select(F.col("src").alias("node"))
+        .union(tris.select(F.col("v").alias("node")))
+        .union(tris.select(F.col("w").alias("node")))
+    )
+    tcount = tri_nodes.groupBy("node").agg(
+        F.count(F.lit(1)).alias("triangles")
+    )
+    return deg.join(tcount, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+    )
+
+
 def trade_graph_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """The customer–supplier trade graph: an undirected bipartite edge
     (customer c ↔ supplier s) wherever some order of c has a lineitem

@@ -22,6 +22,7 @@ from mpi_word_count_spark.operators.graph import (
     DEFAULT_SCALE,
     pagerank_fixed_point,
     trade_graph_edges,
+    triangle_counts,
 )
 from mpi_word_count_spark.registry import register
 from mpi_word_count_spark.tables import table
@@ -218,3 +219,115 @@ def q_keyword_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank_fixed_point(edges)
     return ranks.select(F.col("node").alias("word"), "rank_fp")
+
+
+@register(
+    "supplier_graph_triangles",
+    oracle="""
+    WITH s AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e AS (
+        SELECT a.l_suppkey AS ea, b.l_suppkey AS eb
+        FROM s a
+        JOIN s b ON a.l_orderkey = b.l_orderkey
+                AND a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 3
+    ),
+    deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS degree
+        FROM (SELECT ea AS node FROM e UNION ALL SELECT eb FROM e)
+        GROUP BY 1
+    ),
+    ok AS (SELECT node, degree * 4294967296 + node AS ordk FROM deg),
+    oe AS (
+        SELECT CASE WHEN oa.ordk < ob.ordk THEN e.ea ELSE e.eb END AS src,
+               CASE WHEN oa.ordk < ob.ordk THEN e.eb ELSE e.ea END AS dst,
+               greatest(oa.ordk, ob.ordk) AS dst_ord
+        FROM e
+        JOIN ok oa ON oa.node = e.ea
+        JOIN ok ob ON ob.node = e.eb
+    ),
+    tri AS (
+        SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+        FROM oe e1
+        JOIN oe e2 ON e1.src = e2.src AND e1.dst_ord < e2.dst_ord
+        JOIN oe e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+    ),
+    tc AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS triangles
+        FROM (SELECT u AS node FROM tri
+              UNION ALL SELECT v FROM tri
+              UNION ALL SELECT w FROM tri)
+        GROUP BY 1
+    )
+    SELECT d.node AS suppkey, d.degree,
+           CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+           CAST(CASE WHEN d.degree >= 2
+                THEN (20000 * coalesce(t.triangles, 0))
+                     // (d.degree * (d.degree - 1))
+                ELSE 0 END AS BIGINT) AS clustering_bp
+    FROM deg d LEFT JOIN tc t ON t.node = d.node
+    """,
+)
+def q_supplier_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts + local clustering coefficient per supplier over
+    the co-supply backbone graph: an edge between two suppliers that
+    appear together in >= 3 orders (the same min-support cut as
+    supplier_basket_rules, which keeps the graph a sparse backbone
+    instead of the near-complete raw co-occurrence graph).
+
+    Clustering coefficient is emitted in integer basis points —
+    20000·tri div (deg·(deg−1)) — so the hash comparison is exact;
+    tightly-knit supplier communities (high clustering_bp) are where
+    basket RULES generalize, while high-degree/low-clustering nodes
+    are pure hubs.
+
+    Scale shape: edges generate in-row per basket (advanced_queries
+    pattern, fan-out bounded by basket size), then the oriented wedge
+    join is O(m^1.5) worst-case by the degree-orientation argument in
+    operators/graph.py:triangle_counts — never the raw hub wedge
+    explosion. The all-join DuckDB oracle replicates the SAME
+    orientation arithmetic, so the hash verifies wedge enumeration,
+    closure, and the coefficient's integer division bit for bit.
+    """
+    li = table(spark, "lineitem", sf_dir)
+    s = li.select("l_orderkey", "l_suppkey").distinct()
+    baskets = (
+        s.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
+    ss = F.col("ss")
+    pairs_col = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ss) - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size(ss)),
+                lambda j: F.struct(
+                    F.element_at(ss, i).alias("a"),
+                    F.element_at(ss, j).alias("b"),
+                ),
+            ),
+        )
+    )
+    edges = (
+        baskets.select(F.explode(pairs_col).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 3)
+        .select("a", "b")
+    )
+    out = triangle_counts(edges)
+    return out.select(
+        F.col("node").alias("suppkey"),
+        "degree",
+        "triangles",
+        F.when(
+            F.col("degree") >= 2,
+            F.expr("(20000 * triangles) div (degree * (degree - 1))"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("clustering_bp"),
+    )

@@ -224,6 +224,7 @@ _PRIORITY = [
     "udtf_char_ngrams",
     "lateral_order_stats",
     "hof_array_sampler",
+    "supplier_graph_triangles",
     # no-oracle rows-only entries (tolerance-tested vs exact twins)
     "approx_distinct_words",
     "approx_value_quantiles",

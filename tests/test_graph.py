@@ -75,3 +75,43 @@ def test_iteration_plan_has_no_quadratic_join(spark):
     # re-deriving it
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triangle_counts_match_bruteforce(spark):
+    from itertools import combinations
+
+    from mpi_word_count_spark.operators.graph import triangle_counts
+
+    # K4 on {0..3} + a pendant (3—4) + a triangle-free path (5—6—7)
+    edges = [
+        (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+        (3, 4), (5, 6), (6, 7),
+    ]
+    eset = {frozenset(e) for e in edges}
+    nodes = sorted({n for e in edges for n in e})
+    expect = {}
+    for n in nodes:
+        deg = sum(1 for e in eset if n in e)
+        nbrs = [m for m in nodes if frozenset((n, m)) in eset]
+        tri = sum(
+            1 for a, b in combinations(nbrs, 2) if frozenset((a, b)) in eset
+        )
+        expect[n] = (deg, tri)
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r["node"]: (r["degree"], r["triangles"])
+        for r in triangle_counts(df).collect()
+    }
+    assert got == expect  # K4 nodes: 3 triangles each; path: 0
+
+
+def test_triangle_plan_is_all_equi_joins(spark):
+    from mpi_word_count_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame([(0, 1), (1, 2), (0, 2)], "a long, b long")
+    plan = (
+        triangle_counts(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
