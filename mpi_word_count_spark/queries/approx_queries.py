@@ -1,10 +1,19 @@
-"""Approximate-sketch queries (rows-only driver checks).
+"""Approximate-sketch queries with tolerance-band oracles.
 
-HLL / KLL sketches are engine-specific (Spark's HyperLogLog++ vs
-DuckDB's approx algorithms produce different estimates), so these
-register WITHOUT oracles by design; exact twins with full oracles
-exist alongside (word_doc_frequency, order_price_percentiles).
-At 100 TB these are the variants you actually run first.
+HLL / GK sketch ESTIMATES are engine-specific (Spark's HyperLogLog++
+vs DuckDB's approx algorithms produce different numbers), so the raw
+estimate can never be value-hash-compared across engines. Instead
+each sketch query emits (a) the EXACT answer over the same rows and
+(b) a boolean asserting the sketch estimate sits inside the sketch's
+published error envelope of that exact answer. The DuckDB oracle
+computes the identical exact values and literal TRUE — the driver
+hash then verifies both the exact computation cross-engine AND the
+estimator's error bound. The exact columns exist only to make the
+sketch verifiable; the production variant at 100 TB runs the sketch
+alone (constant memory per group, mergeable partial states).
+
+The only remaining no-oracle entry in this package era is
+compression_ratios (zlib has no DuckDB equivalent at all).
 """
 
 from __future__ import annotations
@@ -18,25 +27,84 @@ from mpi_word_count_spark.tables import table
 from mpi_word_count_spark.tokenizer import tokenize
 
 
-@register("approx_distinct_words")  # no oracle: engine-specific sketch
+@register(
+    "approx_distinct_words",
+    oracle=f"""
+    SELECT lang,
+           count(DISTINCT word) AS exact_distinct_words,
+           TRUE AS within_tolerance
+    FROM (
+        SELECT lang,
+               lower(unnest(regexp_split_to_array(text, '{sql_regex()}'))) AS word
+        FROM documents
+    ) WHERE word <> ''
+    GROUP BY lang
+    """,
+)
 def q_approx_distinct_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) per language — constant memory
-    per group at any cardinality."""
+    per group at any cardinality — verified against the exact
+    countDistinct over the same rows: within_tolerance asserts
+    |approx-exact|/exact <= 3*rsd (three standard errors of the HLL++
+    estimator). The oracle recomputes the exact counts and expects
+    the band to hold, so a hash match proves both."""
     docs = table(spark, "documents", sf_dir)
     toks = tokenize(docs, col="text", keep=["lang"])
-    return toks.groupBy("lang").agg(
-        F.approx_count_distinct("word", rsd=0.01).alias("approx_distinct_words")
+    agg = toks.groupBy("lang").agg(
+        F.countDistinct("word").alias("exact_distinct_words"),
+        F.approx_count_distinct("word", rsd=0.01).alias("est"),
     )
+    return agg.select(
+        "lang",
+        "exact_distinct_words",
+        (
+            F.abs(F.col("est") - F.col("exact_distinct_words"))
+            / F.col("exact_distinct_words")
+            <= F.lit(3 * 0.01)
+        ).alias("within_tolerance"),
+    ).orderBy("lang")
 
 
-@register("approx_value_quantiles")  # no oracle: engine-specific sketch
+@register(
+    "approx_value_quantiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5)::DOUBLE, 2) AS p50,
+           round(quantile_cont(value, 0.99)::DOUBLE, 2) AS p99,
+           TRUE AS p50_in_band,
+           TRUE AS p99_in_band
+    FROM events GROUP BY event_type
+    """,
+)
 def q_approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile per event_type — the sketch twin of
-    order_price_percentiles."""
+    """approx_percentile (Greenwald-Khanna, accuracy=10000) per
+    event_type — the sketch twin of order_price_percentiles —
+    verified in-band: the GK guarantee is rank error <= n/accuracy
+    (1e-4), so each estimate must lie between the exact interpolated
+    percentiles at q±0.005, a 50x safety margin that is still a tight
+    value claim. Exact p50/p99 (percentile ≡ DuckDB quantile_cont)
+    are hash-compared; the bands are asserted on both sides."""
     e = table(spark, "events", sf_dir)
-    return e.groupBy("event_type").agg(
-        F.round(F.expr("approx_percentile(value, 0.5, 10000)"), 2).alias("p50"),
-        F.round(F.expr("approx_percentile(value, 0.99, 10000)"), 2).alias("p99"),
+    agg = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(value, 0.99)"), 2).alias("p99"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("a50"),
+        F.expr("approx_percentile(value, 0.99, 10000)").alias("a99"),
+        F.expr("percentile(value, 0.495)").alias("lo50"),
+        F.expr("percentile(value, 0.505)").alias("hi50"),
+        F.expr("percentile(value, 0.985)").alias("lo99"),
+        F.expr("percentile(value, 0.995)").alias("hi99"),
+    )
+    return agg.select(
+        "event_type",
+        "p50",
+        "p99",
+        ((F.col("a50") >= F.col("lo50")) & (F.col("a50") <= F.col("hi50"))).alias(
+            "p50_in_band"
+        ),
+        ((F.col("a99") >= F.col("lo99")) & (F.col("a99") <= F.col("hi99"))).alias(
+            "p99_in_band"
+        ),
     )
 
 
@@ -59,38 +127,78 @@ def q_salted_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_count(toks, ["word"], salt_buckets=16)
 
 
-@register("hll_sketch_rollup")  # no oracle: engine-specific sketch bytes
+@register(
+    "hll_sketch_rollup",
+    oracle=f"""
+    WITH tk AS (
+        SELECT lang, word FROM (
+            SELECT lang,
+                   lower(unnest(regexp_split_to_array(text, '{sql_regex()}')))
+                       AS word
+            FROM documents
+        ) WHERE word <> ''
+    )
+    SELECT lang, exact_distinct_words, TRUE AS within_tolerance FROM (
+        SELECT lang, count(DISTINCT word) AS exact_distinct_words
+        FROM tk GROUP BY lang
+        UNION ALL
+        SELECT 'ALL', count(DISTINCT word) FROM tk
+    ) ORDER BY lang
+    """,
+)
 def q_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup — the pattern that actually runs at
-    100 TB: per-group HLL sketches (hll_sketch_agg) are built in ONE
+    100 TB: per-group HLL sketches (hll_sketch_agg) are built in one
     pass, then UNIONED (hll_union_agg) for the rollup row instead of
-    re-scanning the corpus for the global distinct. The per-lang rows
-    carry the sketch estimates; the 'ALL' row is the union estimate —
+    re-scanning the corpus for the global distinct. The 'ALL' row is
     a re-aggregation of kilobyte sketch states, not data.
 
-    Tolerance-verified against exact countDistinct in
-    tests/test_approx_tolerance.py (HLL++ 3-sigma envelope); no DuckDB
-    oracle because sketch binaries are engine-specific.
+    Driver verification: each row carries the exact distinct count
+    over the same rows plus within_tolerance = |est-exact|/exact <=
+    3*rsd (lgConfigK=12 → rsd ≈ 1.04/√4096 ≈ 1.6%). Sketches are fed
+    the cached distinct (lang, word) pairs — HLL state is identical
+    on a deduplicated stream (insert is idempotent), and the cache
+    lets the exact branch reuse the same single corpus scan. The
+    exact columns exist only for verification; production runs the
+    sketch branch alone.
     """
     from mpi_word_count_spark.operators import track_cache
 
     docs = table(spark, "documents", sf_dir)
     toks = tokenize(docs, col="text", keep=["lang"])
-    # cache the kilobyte sketch states: both the per-lang branch and
-    # the union row consume them — without this the corpus is scanned
-    # and sketched twice (verified: two FileScan nodes, no reuse)
+    # one corpus scan + one distinct shuffle feeds every branch:
+    # per-lang sketches, per-lang exact, and the global exact
+    pairs = track_cache(toks.distinct())
     sketches = track_cache(
-        toks.groupBy("lang").agg(F.hll_sketch_agg("word").alias("sk"))
+        pairs.groupBy("lang").agg(F.hll_sketch_agg("word").alias("sk"))
     )
-    per_lang = sketches.select(
-        "lang", F.hll_sketch_estimate("sk").alias("approx_distinct_words")
+    est_lang = sketches.select(
+        "lang", F.hll_sketch_estimate("sk").alias("est")
     )
-    total = sketches.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
-            "approx_distinct_words"
+    est_all = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).select(F.lit("ALL").alias("lang"), "est")
+    exact_lang = pairs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("exact_distinct_words")
+    )
+    exact_all = pairs.agg(
+        F.countDistinct("word").alias("exact_distinct_words")
+    ).select(F.lit("ALL").alias("lang"), "exact_distinct_words")
+    rsd = 1.04 / (2**12) ** 0.5
+    return (
+        exact_lang.unionByName(exact_all)
+        .join(est_lang.unionByName(est_all), "lang")
+        .select(
+            "lang",
+            "exact_distinct_words",
+            (
+                F.abs(F.col("est") - F.col("exact_distinct_words"))
+                / F.col("exact_distinct_words")
+                <= F.lit(3 * rsd)
+            ).alias("within_tolerance"),
         )
-    ).select(F.lit("ALL").alias("lang"), "approx_distinct_words")
-    return per_lang.unionByName(total).orderBy("lang")
+        .orderBy("lang")
+    )
 
 
 def _cms_oracle() -> str:

@@ -106,9 +106,12 @@ _PRIORITY = [
     "events_variant_stats",
     "cogrouped_user_totals",
     "partitioned_events_rollup",
-    "q11_important_parts",
-    "q12_ship_priority",
-    "q16_supplier_counts",
+    # the three sketch queries upgraded from rows-only to full
+    # tolerance-band verification (exact values hash-compared, sketch
+    # asserted in-band) — never had a real driver comparison before
+    "approx_distinct_words",
+    "approx_value_quantiles",
+    "hll_sketch_rollup",
     "q20_excess_suppliers",
     "q21_waiting_suppliers",
     "q2_min_cost_supplier",
@@ -225,11 +228,16 @@ _PRIORITY = [
     "lateral_order_stats",
     "hof_array_sampler",
     "supplier_graph_triangles",
-    # no-oracle rows-only entries (tolerance-tested vs exact twins)
-    "approx_distinct_words",
-    "approx_value_quantiles",
+    # demoted from the r4 budget to fund the sketch upgrades above:
+    # TPC-H gap queries whose mechanics mirror already-driver-green
+    # family members (q12≈q4 join-agg, q11≈q15 HAVING-over-groups,
+    # q16≈q13 distinct counts); sweep-green at sf0.1, head of round 5
+    "q11_important_parts",
+    "q12_ship_priority",
+    "q16_supplier_counts",
+    # the one remaining no-oracle rows-only entry (zlib has no DuckDB
+    # equivalent; thresholds unit-tested on synthetic text)
     "compression_ratios",
-    "hll_sketch_rollup",
     # older greens worth an eventual refresh: streaming_wordcount's
     # r1/r2 row predates the streaming-source rework (documents table,
     # not affected by the events-ts change); running_revenue got its
