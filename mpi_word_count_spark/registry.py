@@ -112,6 +112,12 @@ _PRIORITY = [
     "approx_distinct_words",
     "approx_value_quantiles",
     "hll_sketch_rollup",
+    # the governance/web-extraction family added this round, all with
+    # full value-hash oracles on deterministically planted fixtures
+    "user_erasure_audit",
+    "html_boilerplate_strip",
+    "unicode_nfc_stats",
+    "url_domain_stats",
     "q20_excess_suppliers",
     "q21_waiting_suppliers",
     "q2_min_cost_supplier",
@@ -121,11 +127,14 @@ _PRIORITY = [
     "scd2_customer_upsert",
     "segment_dedup_summary",
     "semantic_dedup",
+    # --- below the budget line: round-5 rotation ---------------------
+    # never-verified entries displaced by the governance family above
+    # (zero-sum 50-row budget): all four are sweep-green at sf0.1 and
+    # lead the round-5 queue
     "session_concurrency_hourly",
     "shuffled_shards",
     "training_shard_manifest",
     "unigram_logprob_scores",
-    # --- below the budget line: round-5 rotation ---------------------
     # demoted from the r4 budget to make room for the voided events
     # family: single-table relational aggregates whose mechanics are
     # identical to already-driver-green family members; sweep-green
@@ -327,6 +336,7 @@ def _load_all() -> None:
         bpe_queries,
         curation_queries,
         dedup_queries,
+        governance_queries,
         graph_queries,
         inference_queries,
         join_queries,
