@@ -225,6 +225,75 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
 
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Fixed-round k-core peeling: repeatedly delete nodes of degree
+    < k (with their edges) for exactly `rounds` synchronous rounds,
+    then report the survivors with their within-subgraph degree. The
+    k-core is the standard dense-community backbone (the third member
+    of the degeneracy family beside triangles and components); fixed
+    rounds — not convergence-tested — for the same reasons as
+    pagerank_fixed_point above: every job identical, and an unrolled
+    SQL oracle can replicate the loop exactly. If the peel converges
+    earlier, the remaining rounds are no-ops (semi joins that keep
+    everything), so the fixed-round result EQUALS the true k-core
+    whenever `rounds` covers the peel depth — convergence at the
+    configured depth is asserted per-scale in tests/test_graph.py.
+
+    edges: DataFrame[a: long, b: long] — undirected, deduplicated,
+    one row per edge (a < b). Returns DataFrame[node, core_degree].
+
+    Scale shape: each round is one partial-aggregated degree count
+    plus two semi joins keyed on the shrinking survivor set — the
+    peel only ever removes rows, so per-round cost is monotonically
+    non-increasing. Lineage truncates EVERY round (not pagerank's
+    every-3): round i+1 references round i's edge set THREE times
+    (the degree scan and both semi-join probes of the keep set), so
+    an untruncated analyzed plan grows ~3^rounds — the exact
+    plan-doubling hazard dup_clusters documents, one power worse.
+    PageRank can amortize because its chain references each round
+    exactly once; a peel cannot. The input edge set is materialized
+    up front for the same reason (round 0 already reads it three
+    times; measured at sf0.1: 47.7s without the base checkpoint,
+    9s with — the un-truncated round-0 plan re-ran the upstream
+    edge-building join once per reference)."""
+    e = edges.localCheckpoint()
+    track_releaser(lambda df=e: _unpersist_local_ckpt(df))
+    live_ckpts: list[DataFrame] = []
+    for i in range(rounds):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .union(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        e = e.join(
+            keep.withColumnRenamed("node", "a"), "a", "left_semi"
+        ).join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+        if (
+            checkpoint_every
+            and (i + 1) % checkpoint_every == 0
+            and i + 1 < rounds
+        ):
+            e = e.localCheckpoint()
+            for prev in live_ckpts:
+                _unpersist_local_ckpt(prev)
+            live_ckpts = [e]
+    for kept in live_ckpts:
+        track_releaser(lambda df=kept: _unpersist_local_ckpt(df))
+    return (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )
+
+
 def trade_graph_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """The customer–supplier trade graph: an undirected bipartite edge
     (customer c ↔ supplier s) wherever some order of c has a lineitem

@@ -20,6 +20,7 @@ from mpi_word_count_spark.operators.graph import (
     DAMPING_NUM,
     DEFAULT_ITERATIONS,
     DEFAULT_SCALE,
+    kcore_peel,
     pagerank_fixed_point,
     trade_graph_edges,
     triangle_counts,
@@ -331,3 +332,92 @@ def q_supplier_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("clustering_bp"),
     )
+
+
+_KCORE_K = 10
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    """Unroll the fixed-round peel: one (degree-filter, edge-filter)
+    CTE pair per round — the same device as the pagerank oracles, but
+    every CTE is MATERIALIZED: each round references its predecessor
+    THREE times (degree scan + both endpoint probes), so the default
+    inlining would re-plan the base join 3^rounds times — the oracle
+    twin of the per-round lineage truncation kcore_peel needs."""
+    parts = [
+        "e0 AS MATERIALIZED ("
+        "SELECT DISTINCT o_custkey * 2 AS ea, l_suppkey * 2 + 1 AS eb"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey)"
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT node FROM"
+            f" (SELECT ea AS node FROM e{i}"
+            f" UNION ALL SELECT eb AS node FROM e{i})"
+            f" GROUP BY node HAVING count(*) >= {k})"
+        )
+        parts.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT ea, eb FROM e{i}"
+            f" JOIN d{i} da ON da.node = e{i}.ea"
+            f" JOIN d{i} db ON db.node = e{i}.eb)"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+               AS node_type,
+           node // 2 AS entity_key,
+           CAST(count(*) AS BIGINT) AS core_degree
+    FROM (SELECT ea AS node FROM e{rounds}
+          UNION ALL SELECT eb AS node FROM e{rounds})
+    GROUP BY 1, 2
+    ORDER BY node_type, entity_key
+    """
+    )
+
+
+@register("trade_graph_kcore", oracle=_kcore_oracle())
+def q_trade_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10-core of the bipartite customer↔supplier trade graph:
+    survivors of fixed-round degree peeling, with their within-core
+    degree — the degeneracy-family backbone extractor (dense-community
+    pruning, the standard pre-filter before community detection or
+    fraud analysis; peeling thin-degree nodes removes the noise
+    fringe that dominates power-law graphs).
+
+    Third member of the iterative-graph family beside the
+    fixed-work-per-round Pregel loop (trade_graph_pagerank) and the
+    contraction loop (dedup_clusters_twostar): the peel's per-round
+    work only ever SHRINKS (each round is one partial-aggregated
+    degree count + two semi joins on the survivor set), the loop
+    pattern that makes degeneracy algorithms cheap at 100 TB. Rounds
+    are fixed at 4 — measured convergence depth is 2 at sf0.001/0.01/
+    0.1 (extra rounds are keep-everything no-ops), and convergence at
+    this depth is asserted against a rounds+1 run in tests — so the
+    DuckDB oracle unrolls the identical recurrence and the survivor
+    set + every core degree value-hash-match. Node ids pack entity
+    type by parity (graph.py:trade_graph_edges); the output decodes
+    them back to (node_type, entity_key)."""
+    o = table(spark, "orders", sf_dir)
+    li = table(spark, "lineitem", sf_dir)
+    # one row per undirected edge; the bipartite column roles make the
+    # a<b orientation dedup unnecessary (customer ids are even,
+    # supplier ids odd — the endpoint sets are disjoint)
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    core = kcore_peel(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+    return core.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node div 2").alias("entity_key"),
+        "core_degree",
+    ).orderBy("node_type", "entity_key")

@@ -118,6 +118,9 @@ _PRIORITY = [
     "html_boilerplate_strip",
     "unicode_nfc_stats",
     "url_domain_stats",
+    # the degeneracy-family graph op added this round (unrolled-CTE
+    # oracle like the pagerank family)
+    "trade_graph_kcore",
     "q20_excess_suppliers",
     "q21_waiting_suppliers",
     "q2_min_cost_supplier",
@@ -126,14 +129,14 @@ _PRIORITY = [
     "repetition_scores",
     "scd2_customer_upsert",
     "segment_dedup_summary",
-    "semantic_dedup",
     # --- below the budget line: round-5 rotation ---------------------
-    # never-verified entries displaced by the governance family above
-    # (zero-sum 50-row budget): all four are sweep-green at sf0.1 and
-    # lead the round-5 queue
+    # never-verified entries displaced by the governance family and
+    # the k-core query above (zero-sum 50-row budget): all are
+    # sweep-green at sf0.1 and lead the round-5 queue
+    "semantic_dedup",
+    "training_shard_manifest",
     "session_concurrency_hourly",
     "shuffled_shards",
-    "training_shard_manifest",
     "unigram_logprob_scores",
     # demoted from the r4 budget to make room for the voided events
     # family: single-table relational aggregates whose mechanics are

@@ -10,6 +10,8 @@ from collections import defaultdict
 
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_DIR
+
 from mpi_word_count_spark.operators.graph import (
     DAMPING_DEN,
     DAMPING_NUM,
@@ -112,6 +114,86 @@ def test_triangle_plan_is_all_equi_joins(spark):
     df = spark.createDataFrame([(0, 1), (1, 2), (0, 2)], "a long, b long")
     plan = (
         triangle_counts(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kcore_path_peels_to_empty_cycle_survives(spark):
+    """The defining k-core cascade: a path has NO 2-core (endpoints
+    peel first, exposing new endpoints every round — a genuinely
+    multi-round cascade), while a cycle IS its own 2-core (every node
+    keeps degree 2, nothing ever peels)."""
+    from mpi_word_count_spark.operators.graph import kcore_peel
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "a long, b long"
+    )
+    # 8-node path, k=2: peel depth is ceil(n/2) = 4 rounds
+    assert kcore_peel(path, k=2, rounds=4).count() == 0
+
+    cycle = spark.createDataFrame(
+        [(i, (i + 1) % 8) for i in range(8)], "a long, b long"
+    )
+    got = {
+        r["node"]: r["core_degree"]
+        for r in kcore_peel(cycle, k=2, rounds=4).collect()
+    }
+    assert got == {i: 2 for i in range(8)}
+
+
+def test_kcore_fixed_rounds_cover_convergence(spark):
+    """The registered query's fixed depth must COVER the fixture's
+    peel depth: one extra round changes nothing, so the fixed-round
+    result equals the true k-core."""
+    from mpi_word_count_spark.queries.graph_queries import (
+        _KCORE_K,
+        _KCORE_ROUNDS,
+    )
+    from mpi_word_count_spark.operators.graph import kcore_peel
+    from mpi_word_count_spark.tables import table
+
+    o = table(spark, "orders", SF_DIR)
+    li = table(spark, "lineitem", SF_DIR)
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    at_rounds = {
+        (r["node"], r["core_degree"])
+        for r in kcore_peel(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS).collect()
+    }
+    one_more = {
+        (r["node"], r["core_degree"])
+        for r in kcore_peel(
+            edges, k=_KCORE_K, rounds=_KCORE_ROUNDS + 1
+        ).collect()
+    }
+    assert at_rounds == one_more
+    assert at_rounds  # the fixture 10-core is non-empty
+    # and the peel is non-vacuous: some node was actually removed
+    all_nodes = (
+        edges.select(F.col("a").alias("n"))
+        .union(edges.select(F.col("b").alias("n")))
+        .distinct()
+        .count()
+    )
+    assert len(at_rounds) < all_nodes
+
+
+def test_kcore_plan_has_no_quadratic_join(spark):
+    from mpi_word_count_spark.operators.graph import kcore_peel
+
+    df = spark.createDataFrame([(0, 1), (1, 2), (0, 2)], "a long, b long")
+    plan = (
+        kcore_peel(df, k=2, rounds=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
