@@ -546,3 +546,76 @@ def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_urls"), F.asc("domain"))
     )
+
+
+# the domain blocklist: a TABLE (at crawl scale it's millions of rows
+# — spam/SEO/adult domain lists), tiny next to the corpus, so it
+# broadcasts; never an in-row literal array
+_BLOCKED_DOMAINS = ("cdn1.assets.net", "cdn3.assets.net")
+
+
+@register(
+    "blocklist_filter_stats",
+    oracle=f"""
+    WITH {_url_augmented_cte()},
+    blocklist(domain) AS (VALUES {", ".join(
+        f"('{d}')" for d in _BLOCKED_DOMAINS
+    )}),
+    hits AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(text, '{_URL_DOMAIN_RE}', 1))
+                   AS domain
+        FROM aug
+    ),
+    blocked AS (
+        SELECT DISTINCT h.doc_id
+        FROM hits h JOIN blocklist b ON h.domain = b.domain
+    )
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(bl.doc_id) AS BIGINT) AS n_blocked,
+           CAST(count(*) - count(bl.doc_id) AS BIGINT) AS n_kept
+    FROM documents d LEFT JOIN blocked bl ON d.doc_id = bl.doc_id
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """,
+)
+def q_blocklist_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist filtering — the policy step the URL census
+    (url_domain_stats) feeds: a document is dropped when ANY of its
+    URLs points at a blocklisted domain. Per-language kept/blocked
+    counts are the curation-funnel row this stage contributes.
+
+    Scale shape: the blocklist is a broadcast table (millions of
+    domains ≪ the corpus), probed by an equi-join on the exploded
+    in-row domain extraction; the blocked-doc set collapses to
+    DISTINCT doc_id before the corpus-side left join, so the only
+    corpus-keyed shuffle carries doc ids, never text."""
+    docs = table(spark, "documents", sf_dir)
+    aug = _url_augment(docs)
+    blocklist = docs.sparkSession.createDataFrame(
+        [(d,) for d in _BLOCKED_DOMAINS], "domain string"
+    )
+    hits = aug.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all("text", F.lit(_URL_DOMAIN_RE), F.lit(1))
+        ).alias("domain"),
+    )
+    blocked = (
+        hits.join(F.broadcast(blocklist), "domain", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("blocked", F.lit(1))
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(blocked, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("blocked").alias("n_blocked"),
+            (F.count(F.lit(1)) - F.count("blocked")).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )

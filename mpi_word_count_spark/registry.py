@@ -118,6 +118,7 @@ _PRIORITY = [
     "html_boilerplate_strip",
     "unicode_nfc_stats",
     "url_domain_stats",
+    "blocklist_filter_stats",
     # the degeneracy-family graph op added this round (unrolled-CTE
     # oracle like the pagerank family)
     "trade_graph_kcore",
@@ -128,8 +129,8 @@ _PRIORITY = [
     "quota_sample_per_source",
     "repetition_scores",
     "scd2_customer_upsert",
-    "segment_dedup_summary",
     # --- below the budget line: round-5 rotation ---------------------
+    "segment_dedup_summary",
     # never-verified entries displaced by the governance family and
     # the k-core query above (zero-sum 50-row budget): all are
     # sweep-green at sf0.1 and lead the round-5 queue

@@ -154,3 +154,38 @@ def test_erasure_mod_keeps_request_table_small(spark):
     n = c.count()
     n_req = c.filter(F.col("c_custkey") % _ERASURE_MOD == 0).count()
     assert 0 < n_req < n * 0.05
+
+
+def test_blocklist_filter_nonvacuous(spark):
+    from mpi_word_count_spark.queries.governance_queries import (
+        q_blocklist_filter_stats,
+    )
+
+    rows = q_blocklist_filter_stats(spark, SF_DIR).collect()
+    assert rows
+    total_blocked = sum(r["n_blocked"] for r in rows)
+    total_kept = sum(r["n_kept"] for r in rows)
+    assert total_blocked > 0 and total_kept > 0
+    for r in rows:
+        assert r["n_docs"] == r["n_blocked"] + r["n_kept"]
+
+
+def test_blocklist_broadcasts_and_never_shuffles_text(spark):
+    import contextlib
+    import io
+
+    from mpi_word_count_spark.queries.governance_queries import (
+        q_blocklist_filter_stats,
+    )
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q_blocklist_filter_stats(spark, SF_DIR).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # no exchange in the plan may carry the text column: the corpus-
+    # keyed shuffles are doc_id-only
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
