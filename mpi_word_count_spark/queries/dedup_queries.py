@@ -1096,3 +1096,157 @@ def q_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-method agreement audit
+# ---------------------------------------------------------------------------
+
+_AGREEMENT_METHODS = ("exact", "minhash", "ngram", "simhash")
+
+
+def _agreement_pair_sqls() -> dict[str, str]:
+    """Each method's dup-PAIR set as standalone SQL: the exact pairs
+    inline (same-md5 self-join, d1 < d2), the near-dup methods by
+    reusing the REGISTERED oracles of the corresponding queries
+    verbatim — the matrix is an audit of exactly the configurations
+    this engine serves, so the oracle must compose those oracles, not
+    re-derive approximations of them."""
+    from mpi_word_count_spark.registry import _REGISTRY
+
+    def pairs(name: str) -> str:
+        return f"SELECT DISTINCT d1, d2 FROM ({_REGISTRY[name][1]})"
+
+    return {
+        "exact": (
+            "SELECT a.doc_id AS d1, b.doc_id AS d2 FROM documents a "
+            "JOIN documents b ON md5(a.text) = md5(b.text) "
+            "AND a.doc_id < b.doc_id"
+        ),
+        "minhash": pairs("minhash_lsh_dups"),
+        "ngram": pairs("ngram_jaccard_dups"),
+        "simhash": pairs("simhash_banded_dups"),
+    }
+
+
+def _agreement_oracle() -> str:
+    ctes = ",\n    ".join(
+        f"p_{m} AS MATERIALIZED ({sql})"
+        for m, sql in _agreement_pair_sqls().items()
+    )
+    union = "\n        UNION ALL ".join(
+        f"SELECT '{m}' AS method, d1, d2 FROM p_{m}"
+        for m in _AGREEMENT_METHODS
+    )
+    return f"""
+    WITH {ctes},
+    all_pairs AS MATERIALIZED (
+        {union}
+    ),
+    sizes AS (SELECT method, count(*) AS n FROM all_pairs GROUP BY 1)
+    SELECT x.method AS method_a, y.method AS method_b,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           CAST(count(*) AS BIGINT) AS n_common,
+           CAST(1000 * count(*) // (sa.n + sb.n - count(*)) AS BIGINT)
+               AS agreement_milli
+    FROM all_pairs x
+    JOIN all_pairs y ON x.d1 = y.d1 AND x.d2 = y.d2
+                     AND x.method <= y.method
+    JOIN sizes sa ON sa.method = x.method
+    JOIN sizes sb ON sb.method = y.method
+    GROUP BY 1, 2, sa.n, sb.n
+    ORDER BY 1, 2
+    """
+
+
+@register("dedup_method_agreement", oracle=_agreement_oracle())
+def q_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-method agreement matrix: for every pair of served
+    text-dedup methods (exact md5, MinHash-LSH, n-gram Jaccard,
+    banded SimHash — the ones sharing the doc_id pair space), the
+    sizes of their duplicate-pair sets, the intersection, and the
+    pair-set Jaccard in integer milli — the audit that tells a
+    curation owner which methods are interchangeable and which catch
+    DIFFERENT duplicate classes (exact ⊆ every near-dup set; SimHash's
+    Hamming≤3 band vs MinHash's 0.7-Jaccard band overlap but neither
+    contains the other). Composes the REGISTERED pipelines on both
+    sides: the Spark plan calls the same query functions the driver
+    verifies individually, and the oracle embeds their registered SQL
+    verbatim, so the matrix is certified for exactly the served
+    configurations.
+
+    Scale shape: each method's pair set is dup-pair-sized (≪ corpus);
+    the matrix joins run on (d1, d2) keys over those small sets, and
+    the output is |methods|² rows. Cost is dominated by running the
+    member pipelines once each — exactly the nightly-audit price."""
+    members = {
+        "exact": _exact_pairs_df(spark, sf_dir),
+        "minhash": q_minhash_lsh_dups(spark, sf_dir),
+        "ngram": q_ngram_jaccard_dups(spark, sf_dir),
+        "simhash": q_simhash_banded_dups(spark, sf_dir),
+    }
+    allp = None
+    for m in _AGREEMENT_METHODS:
+        part = (
+            members[m]
+            .select("d1", "d2")
+            .distinct()
+            .select(F.lit(m).alias("method"), "d1", "d2")
+        )
+        allp = part if allp is None else allp.unionByName(part)
+    allp = allp.cache()
+    sizes = allp.groupBy("method").agg(F.count(F.lit(1)).alias("n"))
+    x = allp.alias("x")
+    y = allp.alias("y")
+    common = (
+        x.join(
+            y,
+            (F.col("x.d1") == F.col("y.d1"))
+            & (F.col("x.d2") == F.col("y.d2"))
+            & (F.col("x.method") <= F.col("y.method")),
+        )
+        .groupBy(
+            F.col("x.method").alias("method_a"),
+            F.col("y.method").alias("method_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    from mpi_word_count_spark.operators import track_cache
+
+    track_cache(allp)
+    return (
+        common.join(
+            sizes.select(
+                F.col("method").alias("method_a"), F.col("n").alias("n_a")
+            ),
+            "method_a",
+        )
+        .join(
+            sizes.select(
+                F.col("method").alias("method_b"), F.col("n").alias("n_b")
+            ),
+            "method_b",
+        )
+        .select(
+            "method_a",
+            "method_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.expr("1000 * n_common div (n_a + n_b - n_common)")
+            .cast("bigint")
+            .alias("agreement_milli"),
+        )
+        .orderBy("method_a", "method_b")
+    )
+
+
+def _exact_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate doc pairs (same md5, d1 < d2) — the pair-space
+    form of exact_dedup's cluster output, for the agreement matrix."""
+    docs = table(spark, "documents", sf_dir).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    a = docs.select(F.col("doc_id").alias("d1"), "h")
+    b = docs.select(F.col("doc_id").alias("d2"), "h")
+    return a.join(b, "h").filter(F.col("d1") < F.col("d2")).select("d1", "d2")

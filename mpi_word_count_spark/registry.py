@@ -130,6 +130,9 @@ _PRIORITY = [
     "repetition_scores",
     "scd2_customer_upsert",
     # --- below the budget line: round-5 rotation ---------------------
+    # the cross-method dedup agreement matrix composes three pipelines
+    # already driver-verified individually; its own row leads round 5
+    "dedup_method_agreement",
     "segment_dedup_summary",
     # never-verified entries displaced by the governance family and
     # the k-core query above (zero-sum 50-row budget): all are

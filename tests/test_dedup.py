@@ -553,3 +553,24 @@ def test_new_operators_degenerate_inputs(spark):
     assert sorted_neighborhood_pairs(degenerate).count() >= 0  # no raise
     # k=4 grams need >= 4 tokens; w=5 windows need >= 8 grams
     assert winnowing_fingerprints(degenerate, k=4, w=5).count() == 0
+
+
+def test_dedup_method_agreement_matrix_properties(spark):
+    """Diagonal = method pair-set size with agreement 1000; the
+    intersection never exceeds either side; methods are emitted in
+    canonical (method_a <= method_b) order."""
+    from mpi_word_count_spark.queries.dedup_queries import (
+        q_dedup_method_agreement,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = q_dedup_method_agreement(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["method_a"] <= r["method_b"]
+        assert r["n_common"] <= min(r["n_a"], r["n_b"])
+        if r["method_a"] == r["method_b"]:
+            assert r["n_common"] == r["n_a"] == r["n_b"]
+            assert r["agreement_milli"] == 1000
+    # at least one off-diagonal comparison materialized
+    assert any(r["method_a"] != r["method_b"] for r in rows)
