@@ -1378,3 +1378,118 @@ def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= RRF_TOPK)
         .drop("_rn")
     )
+
+
+def _phrase_search_oracle() -> str:
+    return f"""
+    WITH {_TOKS_CTE},
+    posted AS (
+        SELECT doc_id, t[i] AS token, i AS pos
+        FROM toks, unnest(range(1, len(t) + 1)) g(i)
+    ),
+    grams AS (
+        SELECT t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS gram
+        FROM toks, unnest(range(1, len(t) - 1)) g(i)
+    ),
+    top AS (
+        SELECT gram FROM grams GROUP BY gram
+        ORDER BY count(*) DESC, gram ASC LIMIT 1
+    ),
+    w AS (
+        SELECT gram,
+               string_split(gram, ' ')[1] AS w1,
+               string_split(gram, ' ')[2] AS w2,
+               string_split(gram, ' ')[3] AS w3
+        FROM top
+    ),
+    hits AS (
+        SELECT p1.doc_id, p1.pos, w.gram
+        FROM w
+        JOIN posted p1 ON p1.token = w.w1
+        JOIN posted p2 ON p2.token = w.w2
+                      AND p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+        JOIN posted p3 ON p3.token = w.w3
+                      AND p3.doc_id = p1.doc_id AND p3.pos = p1.pos + 2
+    )
+    SELECT doc_id, gram AS phrase,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(pos) AS BIGINT) AS first_pos
+    FROM hits GROUP BY 1, 2 ORDER BY doc_id
+    """
+
+
+@register("phrase_search", oracle=_phrase_search_oracle())
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase query — the consumer the
+    positional_index postings exist for: find every occurrence of a
+    3-word phrase as the document-at-a-time intersection of three
+    posting streams joined on (doc_id, adjusted position). The phrase
+    is data-derived (the corpus's globally most frequent trigram,
+    tie-broken lexicographically) so the query is self-contained and
+    non-vacuous at every scale.
+
+    Scale shape: the phrase row is a 1-row broadcast; each posting
+    stream is pre-filtered to ONE token before any join, so the
+    position joins run over per-token posting lists (tf-bounded),
+    never the full postings table; position adjacency is expressed as
+    pure equi-join keys (pos, pos-1, pos-2) — no range join, no
+    in-row array intersection fallback. At 100 TB the postings would
+    be bucketed by token so these joins co-locate (see
+    positional_index); the trigram-selection subplan is the bigram
+    machinery one gram wider and reduces to a TakeOrderedAndProject.
+    """
+    from mpi_word_count_spark.operators import widen
+    from mpi_word_count_spark.operators.dedup import tokens_col
+
+    docs = table(spark, "documents", sf_dir)
+    toks = widen(docs).select("doc_id", tokens_col("text").alias("_toks"))
+    posted = toks.select(
+        "doc_id", F.posexplode("_toks").alias("pos0", "token")
+    ).select("doc_id", "token", (F.col("pos0") + 1).alias("pos"))
+
+    tri = F.when(
+        F.size("_toks") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("_toks"), i),
+                F.element_at(F.col("_toks"), i + 1),
+                F.element_at(F.col("_toks"), i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top = (
+        toks.select(F.explode(tri).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("gram"))
+        .limit(1)
+        .select(
+            "gram",
+            F.split("gram", " ").getItem(0).alias("w1"),
+            F.split("gram", " ").getItem(1).alias("w2"),
+            F.split("gram", " ").getItem(2).alias("w3"),
+        )
+    )
+    phrase = F.broadcast(top)
+    p1 = posted.join(phrase, posted["token"] == phrase["w1"]).select(
+        "doc_id", "pos", "gram"
+    )
+    p2 = posted.join(phrase.select("w2"), posted["token"] == F.col("w2")).select(
+        F.col("doc_id").alias("d2"), (F.col("pos") - 1).alias("k2")
+    )
+    p3 = posted.join(phrase.select("w3"), posted["token"] == F.col("w3")).select(
+        F.col("doc_id").alias("d3"), (F.col("pos") - 2).alias("k3")
+    )
+    hits = p1.join(
+        p2, (F.col("doc_id") == F.col("d2")) & (F.col("pos") == F.col("k2"))
+    ).join(p3, (F.col("doc_id") == F.col("d3")) & (F.col("pos") == F.col("k3")))
+    return (
+        hits.groupBy("doc_id", F.col("gram").alias("phrase"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("pos").cast("bigint").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )

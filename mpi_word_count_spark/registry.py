@@ -133,6 +133,8 @@ _PRIORITY = [
     # the cross-method dedup agreement matrix composes three pipelines
     # already driver-verified individually; its own row leads round 5
     "dedup_method_agreement",
+    # the positional-index consumer (document-at-a-time phrase join)
+    "phrase_search",
     "segment_dedup_summary",
     # never-verified entries displaced by the governance family and
     # the k-core query above (zero-sum 50-row budget): all are

@@ -458,3 +458,36 @@ def test_positional_index_positions(spark):
     assert got[("not", 1)] == (1, 4, "4")
     assert got[("be", 2)] == (1, 1, "1")
     assert len(got) == 5
+
+
+def test_phrase_search_matches_inline_scan(spark):
+    """The index-join phrase matcher must agree with a direct in-row
+    scan for the same trigram, and every hit must be a real adjacency
+    (first_pos anchored 1-based)."""
+    from tests.conftest import SF_DIR
+
+    from mpi_word_count_spark.operators.dedup import tokens_col
+    from mpi_word_count_spark.queries.text_queries import q_phrase_search
+    from mpi_word_count_spark.tables import table
+
+    rows = q_phrase_search(spark, SF_DIR).collect()
+    assert rows
+    phrase = rows[0]["phrase"]
+    w = phrase.split(" ")
+    assert len(w) == 3
+    docs = table(spark, "documents", SF_DIR)
+    toks = {
+        r["doc_id"]: r["t"]
+        for r in docs.select("doc_id", tokens_col("text").alias("t")).collect()
+    }
+    expect = {}
+    for did, t in toks.items():
+        hits = [
+            i + 1
+            for i in range(len(t) - 2)
+            if t[i] == w[0] and t[i + 1] == w[1] and t[i + 2] == w[2]
+        ]
+        if hits:
+            expect[did] = (len(hits), hits[0])
+    got = {r["doc_id"]: (r["n_occurrences"], r["first_pos"]) for r in rows}
+    assert got == expect
