@@ -81,6 +81,14 @@ HEADLINE = [
     "label_centroid_spread",
     "data_quality_report",
     "events_ohlc_hourly",
+    # round-4 continuation part 3: governance + degeneracy + IR
+    "user_erasure_audit",
+    "html_boilerplate_strip",
+    "unicode_nfc_stats",
+    "blocklist_filter_stats",
+    "trade_graph_kcore",
+    "dedup_method_agreement",
+    "phrase_search",
 ]
 
 
