@@ -81,13 +81,16 @@ HEADLINE = [
     "label_centroid_spread",
     "data_quality_report",
     "events_ohlc_hourly",
-    # round-4 continuation part 3: governance + degeneracy + IR
+    # round-4 continuation part 3: governance + degeneracy + IR.
+    # dedup_method_agreement is deliberately NOT here: it re-runs
+    # three pipelines the list already times individually (its 9s is
+    # the nightly-audit composition price, measured once in SCALE.md,
+    # not a plan to track round-over-round)
     "user_erasure_audit",
     "html_boilerplate_strip",
     "unicode_nfc_stats",
     "blocklist_filter_stats",
     "trade_graph_kcore",
-    "dedup_method_agreement",
     "phrase_search",
 ]
 
