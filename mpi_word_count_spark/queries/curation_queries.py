@@ -872,3 +872,95 @@ def q_greedy_source_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     release_caches()
     return out
+
+
+def _contrastive_oracle() -> str:
+    from mpi_word_count_spark.registry import _REGISTRY
+
+    mh = _REGISTRY["minhash_lsh_dups"][1]
+    neg = sql_hash32(
+        "CAST(p.d1 AS VARCHAR) || ':' || CAST(p.d2 AS VARCHAR)", "neg"
+    )
+    return f"""
+    WITH pairs AS MATERIALIZED (SELECT DISTINCT d1, d2 FROM ({mh})),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    trip AS (
+        SELECT p.d1 AS anchor, p.d2 AS positive,
+               {neg} % n.n_docs AS negative
+        FROM pairs p CROSS JOIN n
+    )
+    SELECT t.anchor, t.positive, t.negative,
+           (t.negative <> t.anchor AND t.negative <> t.positive
+            AND qa.d1 IS NULL AND qp.d1 IS NULL) AS negative_clean
+    FROM trip t
+    LEFT JOIN pairs qa ON qa.d1 = least(t.anchor, t.negative)
+                      AND qa.d2 = greatest(t.anchor, t.negative)
+    LEFT JOIN pairs qp ON qp.d1 = least(t.positive, t.negative)
+                      AND qp.d2 = greatest(t.positive, t.negative)
+    ORDER BY anchor, positive
+    """
+
+
+@register("contrastive_triplets", oracle=_contrastive_oracle())
+def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training triplets from the dedup signal: every
+    MinHash near-dup pair becomes (anchor, positive); the negative is
+    a deterministic hash-draw over the dense doc_id space —
+    hash32("neg:" + d1:d2) mod n_docs — so the SAME triplet set is
+    reproducible on any engine or re-run (the property epoch-seeded
+    training pipelines need; cf. epoch_shuffled_batches). Rather than
+    silently fixing hash collisions, each triplet carries
+    negative_clean: false when the draw hit the anchor/positive or a
+    known near-dup of either — trainers filter on it, and the flag
+    itself is value-hash-verified.
+
+    Scale shape: the pair set is dup-pair-sized; n_docs is a 1-row
+    broadcast; the two clean-check probes are equi-joins against the
+    (small) pair set on (least, greatest) keys. Nothing corpus-sized
+    shuffles — the corpus contributes only its count."""
+    from mpi_word_count_spark.functions.hashing import hash32
+    from mpi_word_count_spark.queries.dedup_queries import q_minhash_lsh_dups
+
+    pairs = q_minhash_lsh_dups(spark, sf_dir).select("d1", "d2").distinct()
+    from mpi_word_count_spark.operators import track_cache
+
+    pairs = track_cache(pairs)
+    n = table(spark, "documents", sf_dir).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    trip = pairs.crossJoin(F.broadcast(n)).select(
+        F.col("d1").alias("anchor"),
+        F.col("d2").alias("positive"),
+        (
+            hash32(F.concat_ws(":", F.col("d1"), F.col("d2")), seed="neg")
+            % F.col("n_docs")
+        ).alias("negative"),
+    )
+    qa = pairs.select(F.col("d1").alias("qa1"), F.col("d2").alias("qa2"))
+    qp = pairs.select(F.col("d1").alias("qp1"), F.col("d2").alias("qp2"))
+    return (
+        trip.join(
+            F.broadcast(qa),
+            (F.least("anchor", "negative") == F.col("qa1"))
+            & (F.greatest("anchor", "negative") == F.col("qa2")),
+            "left",
+        )
+        .join(
+            F.broadcast(qp),
+            (F.least("positive", "negative") == F.col("qp1"))
+            & (F.greatest("positive", "negative") == F.col("qp2")),
+            "left",
+        )
+        .select(
+            "anchor",
+            "positive",
+            "negative",
+            (
+                (F.col("negative") != F.col("anchor"))
+                & (F.col("negative") != F.col("positive"))
+                & F.col("qa1").isNull()
+                & F.col("qp1").isNull()
+            ).alias("negative_clean"),
+        )
+        .orderBy("anchor", "positive")
+    )

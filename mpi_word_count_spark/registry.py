@@ -135,6 +135,8 @@ _PRIORITY = [
     "dedup_method_agreement",
     # the positional-index consumer (document-at-a-time phrase join)
     "phrase_search",
+    # training-pair construction composing the verified dedup signal
+    "contrastive_triplets",
     "segment_dedup_summary",
     # never-verified entries displaced by the governance family and
     # the k-core query above (zero-sum 50-row budget): all are

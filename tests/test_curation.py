@@ -179,3 +179,40 @@ def test_token_budget_selection_matches_global_greedy(spark):
         want[doc_id] = (score, n, cum)
     assert got == want
     assert max(c for _, _, c in got.values()) <= TOKEN_BUDGET
+
+
+def test_contrastive_triplets_properties(spark):
+    """Negatives are deterministic, in-range, and the clean flag is
+    honest: a triplet marked clean must have a negative that is not
+    the anchor/positive and not a known near-dup of either."""
+    from tests.conftest import SF_DIR
+
+    from mpi_word_count_spark.queries.curation_queries import (
+        q_contrastive_triplets,
+    )
+    from mpi_word_count_spark.queries.dedup_queries import q_minhash_lsh_dups
+    from mpi_word_count_spark.tables import table
+
+    rows = q_contrastive_triplets(spark, SF_DIR).collect()
+    assert rows
+    again = q_contrastive_triplets(spark, SF_DIR).collect()
+    assert rows == again  # deterministic end to end
+    n_docs = table(spark, "documents", SF_DIR).count()
+    dup_pairs = {
+        (r["d1"], r["d2"]) for r in q_minhash_lsh_dups(spark, SF_DIR).collect()
+    }
+    assert {(r["anchor"], r["positive"]) for r in rows} == dup_pairs
+    for r in rows:
+        assert 0 <= r["negative"] < n_docs
+        clean = (
+            r["negative"] != r["anchor"]
+            and r["negative"] != r["positive"]
+            and (min(r["anchor"], r["negative"]), max(r["anchor"], r["negative"]))
+            not in dup_pairs
+            and (
+                min(r["positive"], r["negative"]),
+                max(r["positive"], r["negative"]),
+            )
+            not in dup_pairs
+        )
+        assert r["negative_clean"] == clean
