@@ -236,26 +236,28 @@ _ENTITY_RE = r"&[a-z]+;"
 _WS_RE = r"\s+"
 
 
-def _html_augmented_cte() -> str:
+def _html_augmented_cte(src: str = "documents") -> str:
     """Deterministic markup wrapper (DuckDB side): every even doc_id
     is wrapped in a realistic page shell — head with script+style
     blocks (content must vanish entirely), nav/footer boilerplate,
     an HTML entity — odd doc_ids stay plain so the no-op branch is
-    exercised on the same run."""
-    return """
+    exercised on the same run. `src` is any relation with
+    (doc_id, text) — the batch oracle reads `documents`, the
+    streaming-parity oracle the regenerated synth corpus."""
+    return f"""
     aug AS (
         SELECT doc_id,
                CASE WHEN doc_id % 2 = 0 THEN
                    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
                    || '</title><script type="text/javascript">var id='
                    || CAST(doc_id AS VARCHAR) || ';track();</script>'
-                   || '<style>.m{color:red;}</style></head><body>'
+                   || '<style>.m{{color:red;}}</style></head><body>'
                    || '<nav><a href="/">Home</a>|<a href="/a">About</a></nav><p>'
                    || text
                    || '</p><footer>&copy; example.org '
                    || CAST(doc_id AS VARCHAR) || '</footer></body></html>'
                ELSE text END AS text
-        FROM documents
+        FROM {src}
     )"""
 
 
@@ -619,3 +621,64 @@ def q_blocklist_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def _streaming_html_oracle() -> str:
+    from mpi_word_count_spark.sources.synthetic import sql_synth_corpus_cte
+
+    return f"""
+    WITH {sql_synth_corpus_cte(1000, "synth")},
+    docs AS (
+        SELECT doc_id, string_agg(word, ' ' ORDER BY i) AS text
+        FROM synth_words GROUP BY doc_id
+    ),
+    {_html_augmented_cte("docs")},
+    ex AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(regexp_replace(
+                    regexp_replace(regexp_replace(text,
+                        '{_SCRIPT_RE}', ' ', 'g'),
+                        '{_STYLE_RE}', ' ', 'g'),
+                        '{_TAG_RE}', ' ', 'g'),
+                        '{_ENTITY_RE}', ' ', 'g'),
+                        '{_WS_RE}', ' ', 'g')) AS extracted
+        FROM aug
+    )
+    SELECT doc_id,
+           (doc_id % 2 = 0) AS had_markup,
+           CAST(length(extracted) AS BIGINT) AS extracted_len,
+           md5(extracted) AS extracted_hash
+    FROM ex
+    """
+
+
+@register("streaming_html_extract", oracle=_streaming_html_oracle())
+def q_streaming_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING web extraction: the synth connector emits documents
+    in 5 micro-batches, each page is markup-wrapped (the deterministic
+    doc_id-derived shell — the crawl-ingest simulation) and stripped
+    ON ARRIVAL by the same strip_html expression chain the batch query
+    uses — append mode, zero streaming state, no shuffle. The oracle
+    regenerates the corpus, wraps, and strips in batch SQL, so
+    batch/stream parity of the extraction path is value-hash-verified:
+    the same operator expression serves both modes, the property that
+    lets one curation codebase run backfill and ingest."""
+    from mpi_word_count_spark.sources.synthetic import register_synth_source
+    from mpi_word_count_spark.streaming.core import run_to_completion
+
+    register_synth_source(spark)
+    stream = (
+        spark.readStream.format("synthcorpus")
+        .option("n_docs", 1000)
+        .option("seed", "synth")
+        .option("batch_docs", 200)
+        .load()
+    )
+    ex = strip_html(_html_augment(stream))
+    out = ex.select(
+        "doc_id",
+        (F.col("doc_id") % 2 == 0).alias("had_markup"),
+        F.length("extracted").cast("bigint").alias("extracted_len"),
+        F.md5("extracted").alias("extracted_hash"),
+    )
+    return run_to_completion(out, "append")

@@ -137,6 +137,8 @@ _PRIORITY = [
     "phrase_search",
     # training-pair construction composing the verified dedup signal
     "contrastive_triplets",
+    # streaming twin of the batch extraction (batch/stream parity)
+    "streaming_html_extract",
     "segment_dedup_summary",
     # never-verified entries displaced by the governance family and
     # the k-core query above (zero-sum 50-row budget): all are

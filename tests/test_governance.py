@@ -189,3 +189,40 @@ def test_blocklist_broadcasts_and_never_shuffles_text(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text" not in line, line
+
+
+def test_streaming_html_extract_matches_batch_path(spark):
+    """The stream must produce EXACTLY what the batch expression chain
+    produces over the same synth corpus — batch/stream parity of the
+    extraction operator itself, independent of the SQL oracle."""
+    from mpi_word_count_spark.queries.governance_queries import (
+        _html_augment,
+        q_streaming_html_extract,
+        strip_html,
+    )
+    from mpi_word_count_spark.sources.synthetic import register_synth_source
+
+    got = {
+        r["doc_id"]: (r["had_markup"], r["extracted_len"], r["extracted_hash"])
+        for r in q_streaming_html_extract(spark, SF_DIR).collect()
+    }
+    register_synth_source(spark)
+    batch = (
+        spark.read.format("synthcorpus")
+        .option("n_docs", 1000)
+        .option("seed", "synth")
+        .load()
+    )
+    ex = strip_html(_html_augment(batch))
+    want = {
+        r["doc_id"]: (
+            r["doc_id"] % 2 == 0,
+            len(r["extracted"]),
+            None,
+        )
+        for r in ex.collect()
+    }
+    assert set(got) == set(want) and len(got) == 1000
+    for did, (markup, length, _) in want.items():
+        assert got[did][0] == markup
+        assert got[did][1] == length
