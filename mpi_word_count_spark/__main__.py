@@ -49,9 +49,23 @@ def main(argv: list[str] | None = None) -> int:
         help="list registered query names and exit",
     )
     ap.add_argument(
+        "--run",
+        metavar="QUERY",
+        default=None,
+        help="execute a registered query against --sf-dir and print "
+        "the first --limit rows in the console-sink format",
+    )
+    ap.add_argument(
+        "--limit",
+        type=int,
+        default=20,
+        metavar="N",
+        help="row cap for --run output (default 20)",
+    )
+    ap.add_argument(
         "--sf-dir",
         default="/root/testdata/sf0.001",
-        help="fixture directory for --explain",
+        help="fixture directory for --explain / --run",
     )
     ap.add_argument(
         "--delimiters",
@@ -94,6 +108,26 @@ def main(argv: list[str] | None = None) -> int:
             )
         spark = get_spark(app_name="explain")
         queries[args.explain](spark, args.sf_dir).explain("formatted")
+        return 0
+    if args.run:
+        from mpi_word_count_spark import registry
+        from mpi_word_count_spark.session import get_spark
+
+        queries = registry.queries()
+        if args.run not in queries:
+            ap.error(f"unknown query {args.run!r} (see --list-queries)")
+        if args.limit < 1:
+            ap.error("--limit must be >= 1")
+        spark = get_spark(app_name=f"run:{args.run}")
+        df = queries[args.run](spark, args.sf_dir)
+        # key/value console format for 2-col results (the reference's
+        # sink, word_count_mpi.c:122-129); tabular show() otherwise
+        if len(df.columns) == 2:
+            from mpi_word_count_spark.sinks import show_console
+
+            show_console(df, limit=args.limit)
+        else:
+            df.show(n=args.limit, truncate=False)
         return 0
     if not args.path:
         ap.error("--path is required (or use --explain / --list-queries)")

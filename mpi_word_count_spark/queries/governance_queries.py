@@ -229,8 +229,8 @@ def post_delete_orphans(
 
 # RE2- and Java-regex-portable patterns: (?s) dotall, non-greedy
 # block bodies, no backreferences, no lookaround.
-_SCRIPT_RE = r"(?s)<script[^>]*>.*?</script>"
-_STYLE_RE = r"(?s)<style[^>]*>.*?</style>"
+_SCRIPT_RE = r"(?is)<script[^>]*>.*?</script>"
+_STYLE_RE = r"(?is)<style[^>]*>.*?</style>"
 _TAG_RE = r"<[^>]+>"
 _ENTITY_RE = r"&[a-z]+;"
 _WS_RE = r"\s+"

@@ -226,3 +226,46 @@ def test_streaming_html_extract_matches_batch_path(spark):
     for did, (markup, length, _) in want.items():
         assert got[did][0] == markup
         assert got[did][1] == length
+
+
+def _model_strip_html(text: str) -> str:
+    """Pure-Python model of the strip_html regex chain (same patterns,
+    Python re — a third regex engine beside Java and RE2, so a
+    three-way agreement pins the pattern semantics, not an engine
+    quirk)."""
+    import re
+
+    out = re.sub(r"(?is)<script[^>]*>.*?</script>", " ", text)
+    out = re.sub(r"(?is)<style[^>]*>.*?</style>", " ", out)
+    out = re.sub(r"<[^>]+>", " ", out)
+    out = re.sub(r"&[a-z]+;", " ", out)
+    return re.sub(r"\s+", " ", out).strip()
+
+
+def test_strip_html_matches_python_model_on_random_markup(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    # fragments biased toward pathological nesting/unterminated tags
+    frag = st.sampled_from(
+        [
+            "plain words here",
+            "<p>", "</p>", "<script>", "</script>", "<script src='x'>",
+            "<style>", "</style>", "a<b", "b>c", "&copy;", "&nbsp;",
+            "&notanentity", "< notatag >", "<SCRIPT>", "x\ny",
+            "<div class='a b'>", "<!-- comment -->", "<br/>", "&amp;",
+        ]
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(parts=st.lists(frag, min_size=1, max_size=12))
+    def _inner(parts):
+        texts = ["".join(parts)]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r["extracted"] for r in strip_html(df).collect()}
+        want = {i: _model_strip_html(t) for i, t in enumerate(texts)}
+        assert got == want
+
+    _inner()
