@@ -1094,3 +1094,111 @@ def q_hof_array_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
         """
     )
+
+
+def _ab_oracle() -> str:
+    from mpi_word_count_spark.functions.hashing import sql_hash32
+
+    assign = sql_hash32("CAST(user_id AS VARCHAR)", "ab")
+    mean = sql_portable_round("sum_v / n_events", 4)
+    sd = sql_portable_round(
+        "sqrt((sumsq_v - sum_v * sum_v / n_events) / (n_events - 1))", 4
+    )
+    return f"""
+    WITH assigned AS (
+        SELECT CASE WHEN {assign} % 2 = 0 THEN 'control'
+                    ELSE 'treatment' END AS variant,
+               user_id, value
+        FROM events
+    ),
+    agg AS (
+        SELECT variant,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               sum(value) AS sum_v,
+               sum(value * value) AS sumsq_v
+        FROM assigned GROUP BY 1
+    ),
+    stats AS (
+        SELECT variant, n_events, n_users,
+               {mean} AS mean_value, {sd} AS stddev_value
+        FROM agg
+    ),
+    ctl AS (SELECT mean_value AS m0 FROM stats WHERE variant = 'control')
+    SELECT s.variant, s.n_events, s.n_users, s.mean_value, s.stddev_value,
+           CAST(floor(1000.0 * (s.mean_value - ctl.m0) / ctl.m0 + 0.5)
+                AS BIGINT) AS lift_milli
+    FROM stats s CROSS JOIN ctl
+    ORDER BY s.variant
+    """
+
+
+@register("ab_test_readout", oracle=_ab_oracle())
+def q_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout over the event stream: users are
+    assigned to control/treatment by a DETERMINISTIC portable hash
+    (md5-derived, seed 'ab') — the assignment every experimentation
+    platform needs to reproduce across engines, backfills, and SQL
+    audits (never Math.random, never row order). Per variant: event
+    and distinct-user counts, mean and sample stddev of the metric,
+    and lift vs control in integer milli.
+
+    Scale shape: one scan + one 2-group aggregate (count-distinct adds
+    the usual Expand); the 2-row variant table broadcasts to itself
+    for the lift join. Nothing but the aggregate ever shuffles, and
+    the readout is O(variants) however large the event log."""
+    from mpi_word_count_spark.functions.hashing import hash32
+    from mpi_word_count_spark.functions.parity import portable_round
+
+    e = table(spark, "events", sf_dir)
+    assigned = e.select(
+        F.when(
+            hash32(F.col("user_id").cast("string"), seed="ab") % 2 == 0,
+            F.lit("control"),
+        )
+        .otherwise(F.lit("treatment"))
+        .alias("variant"),
+        "user_id",
+        "value",
+    )
+    agg = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("value").alias("sum_v"),
+        F.sum(F.col("value") * F.col("value")).alias("sumsq_v"),
+    )
+    stats = agg.select(
+        "variant",
+        "n_events",
+        "n_users",
+        portable_round(F.col("sum_v") / F.col("n_events")).alias("mean_value"),
+        portable_round(
+            F.sqrt(
+                (
+                    F.col("sumsq_v")
+                    - F.col("sum_v") * F.col("sum_v") / F.col("n_events")
+                )
+                / (F.col("n_events") - 1)
+            )
+        ).alias("stddev_value"),
+    )
+    ctl = stats.filter(F.col("variant") == "control").select(
+        F.col("mean_value").alias("m0")
+    )
+    return (
+        stats.crossJoin(F.broadcast(ctl))
+        .select(
+            "variant",
+            "n_events",
+            "n_users",
+            "mean_value",
+            "stddev_value",
+            F.floor(
+                F.lit(1000.0) * (F.col("mean_value") - F.col("m0")) / F.col("m0")
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("lift_milli"),
+        )
+        .orderBy("variant")
+    )

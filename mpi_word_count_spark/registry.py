@@ -139,6 +139,8 @@ _PRIORITY = [
     "contrastive_triplets",
     # streaming twin of the batch extraction (batch/stream parity)
     "streaming_html_extract",
+    # deterministic-assignment experiment readout
+    "ab_test_readout",
     "segment_dedup_summary",
     # never-verified entries displaced by the governance family and
     # the k-core query above (zero-sum 50-row budget): all are

@@ -123,3 +123,22 @@ def test_discrete_percentile_selection(spark):
     }
     # ceil-rank picks: p50 -> 5th (3), p90 -> 9th (8), p99 -> 10th (9)
     assert picks == {"p50": 3, "p90": 8, "p99": 9}
+
+
+def test_ab_assignment_deterministic_and_balanced(spark):
+    """The hash assignment must be reproducible (same user -> same
+    variant on every run) and roughly balanced; the lift column must
+    anchor to control = 0."""
+    from tests.conftest import SF_DIR
+
+    from mpi_word_count_spark.queries.advanced_queries import q_ab_test_readout
+
+    rows = {r["variant"]: r for r in q_ab_test_readout(spark, SF_DIR).collect()}
+    again = {r["variant"]: r for r in q_ab_test_readout(spark, SF_DIR).collect()}
+    assert rows == again
+    assert set(rows) == {"control", "treatment"}
+    assert rows["control"]["lift_milli"] == 0
+    total_users = rows["control"]["n_users"] + rows["treatment"]["n_users"]
+    for v in rows.values():
+        assert 0.3 <= v["n_users"] / total_users <= 0.7
+        assert v["n_events"] > 0 and v["stddev_value"] > 0
