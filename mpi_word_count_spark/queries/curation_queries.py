@@ -964,3 +964,119 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor", "positive")
     )
+
+
+def _vocab_drift_oracle() -> str:
+    return f"""
+    WITH v2docs AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 17 = 0 THEN text || ' revised drift'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 19 <> 0
+    ),
+    w1 AS (
+        SELECT lower(unnest(regexp_split_to_array(text, '{sql_regex()}')))
+            AS word
+        FROM documents
+    ),
+    w2 AS (
+        SELECT lower(unnest(regexp_split_to_array(text, '{sql_regex()}')))
+            AS word
+        FROM v2docs
+    ),
+    c1 AS (SELECT word, count(*) AS n FROM w1 WHERE word <> '' GROUP BY 1),
+    c2 AS (SELECT word, count(*) AS n FROM w2 WHERE word <> '' GROUP BY 1),
+    tot AS (
+        SELECT (SELECT sum(n) FROM c1) AS n1, (SELECT sum(n) FROM c2) AS n2
+    ),
+    joined AS (
+        SELECT coalesce(c1.word, c2.word) AS word,
+               coalesce(c1.n, 0) AS count_v1,
+               coalesce(c2.n, 0) AS count_v2,
+               tot.n1, tot.n2
+        FROM c1 FULL OUTER JOIN c2 ON c1.word = c2.word
+        CROSS JOIN tot
+    )
+    SELECT word,
+           CAST(count_v1 AS BIGINT) AS count_v1,
+           CAST(count_v2 AS BIGINT) AS count_v2,
+           CAST(1000000 * count_v1 // n1 AS BIGINT) AS share_v1_ppm,
+           CAST(1000000 * count_v2 // n2 AS BIGINT) AS share_v2_ppm,
+           CAST(abs(count_v1 * n2 - count_v2 * n1) AS BIGINT) AS tv_num
+    FROM joined
+    ORDER BY tv_num DESC, word ASC
+    LIMIT 10
+    """
+
+
+@register("vocab_drift_monitor", oracle=_vocab_drift_oracle())
+def q_vocab_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift audit between two snapshots: the top-10 words by
+    total-variation contribution — the refresh-time monitor that
+    catches a scraper change, a new spam source, or a broken filter
+    before a model trains on it (v2 is derived deterministically, the
+    snapshot_diff device, with a planted token so the drift is
+    non-trivial). ALL drift arithmetic is integer-exact: per-word
+    shares in ppm by integer division, and the ranking key is the
+    cross-multiplied TV numerator |c1*N2 - c2*N1| (int64-safe: counts
+    x corpus totals stay far under 2^63 at any realistic vocabulary),
+    so the hash verifies every rank and value bit for bit.
+
+    Scale shape: two flagship wordcount aggregations (vocabulary-sized
+    after map-side partial agg), one full-outer vocab join, two 1-row
+    total broadcasts; top-10 is a TakeOrderedAndProject, never a
+    global sort."""
+    from mpi_word_count_spark.tokenizer import tokenize
+
+    docs = table(spark, "documents", sf_dir)
+    v2 = docs.filter(F.col("doc_id") % 19 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.concat("text", F.lit(" revised drift")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    c1 = (
+        tokenize(docs, col="text")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n1c"))
+    )
+    c2 = (
+        tokenize(v2, col="text")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n2c"))
+    )
+    t1 = c1.agg(F.sum("n1c").alias("n1"))
+    t2 = c2.agg(F.sum("n2c").alias("n2"))
+    joined = (
+        c1.join(c2, "word", "full")
+        .select(
+            "word",
+            F.coalesce("n1c", F.lit(0)).alias("count_v1"),
+            F.coalesce("n2c", F.lit(0)).alias("count_v2"),
+        )
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+    )
+    return (
+        joined.select(
+            "word",
+            F.col("count_v1").cast("bigint").alias("count_v1"),
+            F.col("count_v2").cast("bigint").alias("count_v2"),
+            F.expr("1000000 * count_v1 div n1").cast("bigint").alias(
+                "share_v1_ppm"
+            ),
+            F.expr("1000000 * count_v2 div n2").cast("bigint").alias(
+                "share_v2_ppm"
+            ),
+            F.abs(
+                F.col("count_v1") * F.col("n2") - F.col("count_v2") * F.col("n1")
+            )
+            .cast("bigint")
+            .alias("tv_num"),
+        )
+        .orderBy(F.desc("tv_num"), F.asc("word"))
+        .limit(10)
+    )

@@ -141,6 +141,8 @@ _PRIORITY = [
     "streaming_html_extract",
     # deterministic-assignment experiment readout
     "ab_test_readout",
+    # integer-exact snapshot drift audit
+    "vocab_drift_monitor",
     "segment_dedup_summary",
     # never-verified entries displaced by the governance family and
     # the k-core query above (zero-sum 50-row budget): all are

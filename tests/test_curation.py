@@ -216,3 +216,23 @@ def test_contrastive_triplets_properties(spark):
             not in dup_pairs
         )
         assert r["negative_clean"] == clean
+
+
+def test_vocab_drift_monitor_finds_planted_tokens(spark):
+    from tests.conftest import SF_DIR
+
+    from mpi_word_count_spark.queries.curation_queries import (
+        q_vocab_drift_monitor,
+    )
+
+    rows = q_vocab_drift_monitor(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    words = [r["word"] for r in rows]
+    # the planted v2-only tokens must be the top movers (absent in v1)
+    assert "drift" in words and "revised" in words
+    for r in rows:
+        if r["word"] in ("drift", "revised"):
+            assert r["count_v1"] == 0 and r["count_v2"] > 0
+    # ranking is by tv_num descending
+    tvs = [r["tv_num"] for r in rows]
+    assert tvs == sorted(tvs, reverse=True)
