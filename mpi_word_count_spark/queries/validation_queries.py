@@ -479,3 +479,87 @@ def q_events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(drift, F.col("h"))), "yyyy-MM-dd HH:mm:ss"
         ).alias("first_drift_hour"),
     )
+
+
+_EWMA_LAGS = 16  # binary-weight window: 2^-1 .. 2^-16 of prior hours
+
+
+def _ewma_oracle() -> str:
+    num = " + ".join(
+        f"coalesce(lag(n, {k}) OVER w, 0) * {1 << (_EWMA_LAGS - k)}"
+        for k in range(1, _EWMA_LAGS + 1)
+    )
+    den = (1 << _EWMA_LAGS) - 1
+    return f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    sm AS (
+        SELECT event_type, h, n,
+               CAST((1000 * ({num})) // {den} AS BIGINT) AS ewma_milli,
+               row_number() OVER w AS rn
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY h)
+    )
+    SELECT event_type,
+           strftime(h, '%Y-%m-%d %H:00:00') AS hour,
+           CAST(n AS BIGINT) AS n_events,
+           ewma_milli,
+           (rn > {_EWMA_LAGS} AND 1000 * n > 2 * ewma_milli) AS spike
+    FROM sm
+    ORDER BY event_type, hour
+    """
+
+
+@register("events_ewma_hourly", oracle=_ewma_oracle())
+def q_events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted hourly volume monitor — the smoothing
+    complement of events_cusum_drift (CUSUM finds sustained level
+    shifts; EWMA + a 2x threshold finds short bursts against the
+    smoothed baseline). The smoothing is the α=1/2 EWMA truncated at
+    16 lags and computed in EXACT integer arithmetic: binary weights
+    2^(16-k) over the prior 16 hourly counts, one integer division by
+    2^16-1 at the end — no float pow(), no per-step rounding
+    recursion, identical on every engine (the same
+    make-the-recurrence-exact move as integer PageRank and the
+    prefix-min CUSUM). Missing history counts as zero, and the spike
+    flag only arms after a full 16-hour warmup, so cold-start rows
+    can never page anyone.
+
+    Scale shape: one pushed-projection scan into a partial-aggregated
+    (type, hour) count — the only corpus-sized work — then ONE window
+    pass over the bucket table (hours x types, dashboard-sized at any
+    event volume) evaluating all 16 lags in a single frame."""
+    from pyspark.sql import Window
+
+    e = table(spark, "events", sf_dir)
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    num = None
+    for k in range(1, _EWMA_LAGS + 1):
+        term = F.coalesce(F.lag("n", k).over(w), F.lit(0)).cast("bigint") * F.lit(
+            1 << (_EWMA_LAGS - k)
+        )
+        num = term if num is None else num + term
+    den = (1 << _EWMA_LAGS) - 1
+    # integer `div`, never float `/` + cast: a float quotient landing
+    # an ulp above an integer would truncate differently than the
+    # oracle's exact integer floor division
+    sm = (
+        hourly.withColumn("num_i", num)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("ewma_milli", F.expr(f"(1000 * num_i) div {den}"))
+    )
+    return sm.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:00:00").alias("hour"),
+        F.col("n").cast("bigint").alias("n_events"),
+        "ewma_milli",
+        (
+            (F.col("rn") > _EWMA_LAGS)
+            & (F.lit(1000) * F.col("n") > F.lit(2) * F.col("ewma_milli"))
+        ).alias("spike"),
+    ).orderBy("event_type", "hour")

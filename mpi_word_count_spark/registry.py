@@ -143,6 +143,8 @@ _PRIORITY = [
     "ab_test_readout",
     # integer-exact snapshot drift audit
     "vocab_drift_monitor",
+    # integer-exact EWMA burst monitor (the CUSUM complement)
+    "events_ewma_hourly",
     "segment_dedup_summary",
     # never-verified entries displaced by the governance family and
     # the k-core query above (zero-sum 50-row budget): all are

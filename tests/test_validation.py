@@ -95,3 +95,66 @@ def test_ohlc_picks_first_and_last_by_time_then_id(spark):
     assert got["open"] == 10.0  # earliest ts, lowest id
     assert got["close"] == 5.0  # latest ts
     assert got["high"] == 20.0 and got["low"] == 5.0
+
+
+def test_ewma_exactness_on_known_series(spark):
+    """Hand-computable case: constant series -> ewma equals the level
+    (up to the truncated-window deficit during warmup), and a planted
+    3x burst after warmup must flag."""
+    from datetime import datetime, timezone
+
+    from mpi_word_count_spark.queries.validation_queries import _EWMA_LAGS
+
+    # build 20 hourly buckets of 64 events, then one hour of 192
+    rows = []
+    eid = 0
+    for h in range(21):
+        n = 192 if h == 20 else 64
+        for i in range(n):
+            rows.append(
+                (
+                    eid,
+                    datetime(2024, 1, 1, tzinfo=timezone.utc).replace(hour=0)
+                    .fromtimestamp(1704067200 + h * 3600 + i, tz=timezone.utc),
+                    1,
+                    "burst",
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.createOrReplaceTempView("_ewma_fixture")
+
+    import mpi_word_count_spark.queries.validation_queries as vq
+    from mpi_word_count_spark import tables
+
+    orig = tables.table
+    try:
+        tables.table = lambda spark_, name, sf_dir: (
+            df if name == "events" else orig(spark_, name, sf_dir)
+        )
+        vq_table = vq.table
+        vq.table = tables.table
+        out = {
+            r["hour"]: r
+            for r in vq.q_events_ewma_hourly(spark, "unused").collect()
+        }
+    finally:
+        tables.table = orig
+        vq.table = vq_table
+    hours = sorted(out)
+    # fully warmed constant rows: ewma == 64000 milli exactly
+    warmed_constant = hours[_EWMA_LAGS : 20]
+    assert warmed_constant
+    for h in warmed_constant:
+        # sum_{k=1..16} 64*2^(16-k) = 64*(2^16-1) -> exactly 64.000
+        assert out[h]["ewma_milli"] == 64000, (h, out[h])
+        assert not out[h]["spike"]
+    # the burst hour: 192 > 2 * 64 -> spike
+    assert out[hours[20]]["n_events"] == 192
+    assert out[hours[20]]["spike"]
