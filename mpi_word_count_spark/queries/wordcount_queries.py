@@ -529,3 +529,45 @@ def q_incremental_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("word")
     )
+
+
+@register(
+    "manifest_sink_roundtrip",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def manifest_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source WRITER roundtrip: documents →
+    `manifestsink` (per-task uniquely-named JSONL files + one atomic
+    `_MANIFEST.json` commit naming exactly the committed files — the
+    Iceberg-lite two-phase protocol, sources/manifest_sink.py) →
+    manifest-resolved read-back → per-lang summary. Lossless roundtrip
+    through the write/commit path means the summary equals the same
+    aggregate on the source table; stray-file invisibility and the
+    commit protocol itself are locked in tests/test_governance.py and
+    the smoke asserts in tests/test_connectors_bucketing.py."""
+    from mpi_word_count_spark.sources.manifest_sink import (
+        read_manifest_jsonl,
+        register_manifest_sink,
+    )
+
+    register_manifest_sink(spark)
+    docs = table(spark, "documents", sf_dir).select("doc_id", "lang", "text")
+    path = _scratch_path(sf_dir, "docs_manifest_jsonl")
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)  # scratch is per-(sf, artifact)
+    docs.write.format("manifestsink").option("path", path).mode(
+        "append"
+    ).save()
+    back = read_manifest_jsonl(
+        spark, path, "doc_id BIGINT, lang STRING, text STRING"
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )

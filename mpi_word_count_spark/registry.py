@@ -145,6 +145,8 @@ _PRIORITY = [
     "vocab_drift_monitor",
     # integer-exact EWMA burst monitor (the CUSUM complement)
     "events_ewma_hourly",
+    # Python Data Source API, writer direction (two-phase commit)
+    "manifest_sink_roundtrip",
     "segment_dedup_summary",
     # never-verified entries displaced by the governance family and
     # the k-core query above (zero-sum 50-row budget): all are

@@ -382,3 +382,52 @@ def test_binaryfile_source_feeds_media_kernels(spark, tmp_path):
         for r in phash_media(direct).collect()
     }
     assert got == want and len(got) == 3
+
+
+def test_manifest_sink_two_phase_commit(spark, tmp_path):
+    """The writer's commit protocol: per-task unique files, one atomic
+    manifest naming exactly the committed files; stray files (failed
+    attempts, concurrent writers) stay invisible to manifest-resolved
+    reads; the manifest's row accounting matches reality."""
+    import json
+    import os
+
+    from mpi_word_count_spark.sources.manifest_sink import (
+        JSONL_MANIFEST,
+        read_manifest,
+        read_manifest_jsonl,
+        register_manifest_sink,
+    )
+    from mpi_word_count_spark.tables import table
+    from tests.conftest import SF_DIR
+
+    register_manifest_sink(spark)
+    docs = table(spark, "documents", SF_DIR).select("doc_id", "lang")
+    path = str(tmp_path / "msink")
+    docs.repartition(4).write.format("manifestsink").option(
+        "path", path
+    ).mode("append").save()
+
+    m = read_manifest(path)
+    assert m["total_rows"] == docs.count()
+    assert len(m["files"]) == 4
+    # every manifest entry exists on disk with the counted rows
+    for f in m["files"]:
+        full = os.path.join(path, f["file"])
+        with open(full, encoding="utf-8") as fh:
+            lines = fh.readlines()
+        assert len(lines) == f["rows"]
+        json.loads(lines[0])  # valid JSONL
+
+    # a stray file from a failed attempt must never leak into reads
+    with open(os.path.join(path, "part-00000-attempt-999.jsonl"), "w") as fh:
+        fh.write('{"doc_id": -1, "lang": "xx"}\n')
+    back = read_manifest_jsonl(spark, path, "doc_id BIGINT, lang STRING")
+    assert back.count() == docs.count()
+    assert back.filter("doc_id = -1").count() == 0
+
+    # read-back content equals the source exactly
+    src = {(r["doc_id"], r["lang"]) for r in docs.collect()}
+    got = {(r["doc_id"], r["lang"]) for r in back.collect()}
+    assert got == src
+    assert os.path.exists(os.path.join(path, JSONL_MANIFEST))
