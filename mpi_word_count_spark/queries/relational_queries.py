@@ -1131,3 +1131,60 @@ def q_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("wau").cast("bigint").alias("wau"),
         )
     )
+
+
+@register(
+    "decimal_pricing_summary",
+    oracle="""
+    WITH d AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(l_quantity      AS DECIMAL(12,2)) AS qty,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+               CAST(l_discount      AS DECIMAL(4,2))  AS disc,
+               CAST(l_tax           AS DECIMAL(4,2))  AS tax
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(qty)   AS DOUBLE) AS sum_qty,
+           CAST(sum(price) AS DOUBLE) AS sum_base_price,
+           CAST(sum(price * (1 - disc)) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(price * (1 - disc) * (1 + tax)) AS DOUBLE)
+               AS sum_charge,
+           count(*) AS count_order
+    FROM d GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_decimal_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1's money math in EXACT decimal arithmetic — the warehouse
+    requirement the double-typed fixture schema papers over: every
+    monetary value casts to a fixed-scale DECIMAL at the scan, all
+    products and sums run in exact decimal (no summation-order last-bit
+    drift, so NO defensive pre-aggregation rounding anywhere in the
+    plan — contrast q1_pricing_summary, which must round double sums),
+    and only the final presentation casts back to double. That last
+    cast exists for the driver's pandas canonicalizer (object-dtype
+    Decimal cells vs DuckDB's float64 landing would type-mismatch the
+    value hash; oracle.py's docstring documents the class) and is
+    deterministic — both engines convert the same exact decimal.
+
+    Plan shape is identical to Q1: pushed scan filter, Tungsten
+    partial+final hash agg; decimal aggregation buffers are fixed-width
+    Java BigDecimal/int128 states, same exchange volume."""
+    li = table(spark, "lineitem", sf_dir)
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    disc_price = price * (F.lit(1).cast("decimal(3,2)") - disc)
+    charge = disc_price * (F.lit(1).cast("decimal(3,2)") + tax)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )

@@ -147,6 +147,8 @@ _PRIORITY = [
     "events_ewma_hourly",
     # Python Data Source API, writer direction (two-phase commit)
     "manifest_sink_roundtrip",
+    # exact-decimal money arithmetic (no defensive rounding anywhere)
+    "decimal_pricing_summary",
     "segment_dedup_summary",
     # never-verified entries displaced by the governance family and
     # the k-core query above (zero-sum 50-row budget): all are

@@ -84,3 +84,63 @@ def test_range_join(spark):
     got = range_join(points, ranges, "x", "lo", "hi", bucket_width=10.0)
     pairs = sorted((r["id"], r["name"]) for r in got.collect())
     assert pairs == [(1, "lo"), (1, "wide"), (2, "mid"), (2, "wide"), (3, "wide")]
+
+
+def test_decimal_pricing_summary_is_exact(spark):
+    """The decimal plan's sums must equal an exact Python-Decimal
+    recomputation to the last digit (no float drift anywhere), and
+    agree with Q1's rounded double sums at 2dp."""
+    from decimal import Decimal
+
+    from tests.conftest import SF_DIR
+
+    from mpi_word_count_spark.queries.relational_queries import (
+        q1_pricing_summary,
+        q_decimal_pricing_summary,
+    )
+    from mpi_word_count_spark.tables import table
+
+    got = {
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for r in q_decimal_pricing_summary(spark, SF_DIR).collect()
+    }
+    rows = (
+        table(spark, "lineitem", SF_DIR)
+        .filter("l_shipdate <= timestamp '1998-09-02'")
+        .select(
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax",
+        )
+        .collect()
+    )
+    q2 = lambda v, s: Decimal(str(round(v, s)))  # noqa: E731
+    exact: dict = {}
+    for r in rows:
+        k = (r["l_returnflag"], r["l_linestatus"])
+        price = q2(r["l_extendedprice"], 2)
+        disc = q2(r["l_discount"], 2)
+        tax = q2(r["l_tax"], 2)
+        e = exact.setdefault(
+            k, {"qty": Decimal(0), "base": Decimal(0), "disc": Decimal(0),
+                "charge": Decimal(0), "n": 0}
+        )
+        e["qty"] += q2(r["l_quantity"], 2)
+        e["base"] += price
+        dp = price * (1 - disc)
+        e["disc"] += dp
+        e["charge"] += dp * (1 + tax)
+        e["n"] += 1
+    assert set(got) == set(exact)
+    for k, e in exact.items():
+        g = got[k]
+        assert g["count_order"] == e["n"]
+        assert g["sum_qty"] == float(e["qty"])
+        assert g["sum_base_price"] == float(e["base"])
+        assert g["sum_disc_price"] == float(e["disc"])
+        assert g["sum_charge"] == float(e["charge"])
+    q1 = {
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for r in q1_pricing_summary(spark, SF_DIR).collect()
+    }
+    for k in got:
+        assert abs(got[k]["sum_charge"] - q1[k]["sum_charge"]) < 0.02
