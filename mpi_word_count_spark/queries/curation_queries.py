@@ -1080,3 +1080,64 @@ def q_vocab_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tv_num"), F.asc("word"))
         .limit(10)
     )
+
+
+def _temperature_mixture_oracle() -> str:
+    w = "sqrt(CAST(n_docs AS DOUBLE))"
+    share = sql_portable_round(f"{w} / tot_w", 6)
+    return f"""
+    WITH counts AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1
+    ),
+    tot AS (
+        SELECT sum({w}) AS tot_w,
+               CAST(sum(n_docs) AS BIGINT) AS total_docs
+        FROM counts
+    )
+    SELECT lang, n_docs,
+           CAST(1000000 * n_docs // total_docs AS BIGINT)
+               AS natural_share_ppm,
+           {share} AS sampled_share,
+           CAST(floor(total_docs * {w} / tot_w) AS BIGINT) AS planned_docs
+    FROM counts CROSS JOIN tot
+    ORDER BY lang
+    """
+
+
+@register("temperature_mixture_plan", oracle=_temperature_mixture_oracle())
+def q_temperature_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual sampling plan (the
+    mBERT/XLM-R rule): sampled share ∝ n_lang^(1/T), flattening the
+    head so low-resource languages are not drowned — here T = 2, so
+    the weight is sqrt(n), an IEEE-exact unary on both engines (no
+    pow(x, 0.5) libm variance; general T would need a float pow whose
+    last bit can differ across libm builds). Natural shares stay in
+    exact integer ppm; the sampled share is floored at 6dp; planned
+    doc counts floor against the same total.
+
+    Complements mixture_plan (explicit target distribution) with the
+    distribution-free temperature rule. One groupBy over the corpus
+    + a 1-row broadcast of totals; output is |langs| rows."""
+    docs = table(spark, "documents", sf_dir)
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = F.sqrt(F.col("n_docs").cast("double"))
+    tot = counts.agg(
+        F.sum(w).alias("tot_w"),
+        F.sum("n_docs").cast("bigint").alias("total_docs"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.expr("1000000 * n_docs div total_docs")
+            .cast("bigint")
+            .alias("natural_share_ppm"),
+            portable_round(w / F.col("tot_w"), 6).alias("sampled_share"),
+            F.floor(F.col("total_docs") * w / F.col("tot_w"))
+            .cast("bigint")
+            .alias("planned_docs"),
+        )
+        .orderBy("lang")
+    )

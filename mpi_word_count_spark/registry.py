@@ -149,6 +149,8 @@ _PRIORITY = [
     "manifest_sink_roundtrip",
     # exact-decimal money arithmetic (no defensive rounding anywhere)
     "decimal_pricing_summary",
+    # T=2 multilingual sampling plan (sqrt weights, libm-safe)
+    "temperature_mixture_plan",
     "segment_dedup_summary",
     # never-verified entries displaced by the governance family and
     # the k-core query above (zero-sum 50-row budget): all are

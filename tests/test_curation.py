@@ -236,3 +236,28 @@ def test_vocab_drift_monitor_finds_planted_tokens(spark):
     # ranking is by tv_num descending
     tvs = [r["tv_num"] for r in rows]
     assert tvs == sorted(tvs, reverse=True)
+
+
+def test_temperature_mixture_flattens_toward_uniform(spark):
+    """T=2 sampling must sit strictly between the natural distribution
+    and uniform: head languages shrink, tail languages grow, shares
+    sum to ~1, planned docs conserve the total within rounding."""
+    from tests.conftest import SF_DIR
+
+    from mpi_word_count_spark.queries.curation_queries import (
+        q_temperature_mixture_plan,
+    )
+
+    rows = q_temperature_mixture_plan(spark, SF_DIR).collect()
+    n_langs = len(rows)
+    uniform = 1.0 / n_langs
+    total_share = sum(r["sampled_share"] for r in rows)
+    assert abs(total_share - 1.0) < 1e-3
+    total = sum(r["n_docs"] for r in rows)
+    assert total - n_langs <= sum(r["planned_docs"] for r in rows) <= total
+    for r in rows:
+        nat = r["natural_share_ppm"] / 1e6
+        if nat > uniform:
+            assert uniform < r["sampled_share"] < nat, r
+        elif nat < uniform:
+            assert nat < r["sampled_share"] < uniform, r
