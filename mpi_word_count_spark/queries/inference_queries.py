@@ -7,6 +7,7 @@ formula and replays the identical integer dot product in SQL.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from mpi_word_count_spark.functions.hashing import sql_hash32
 from mpi_word_count_spark.functions.parity import sql_portable_round
@@ -124,3 +125,74 @@ def q_streaming_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return run_to_completion(hashed_linear_scores_stateless(stream), "append")
+
+
+def _scorer_agreement_oracle() -> str:
+    # force text_queries' registrations: _load_all imports this module
+    # first (alphabetical), so quality_scores wouldn't be in the
+    # registry yet at decoration time
+    from mpi_word_count_spark.queries import text_queries  # noqa: F401
+    from mpi_word_count_spark.registry import _REGISTRY
+
+    heur = _REGISTRY["quality_scores"][1]
+    model = _REGISTRY["model_quality_scores"][1]
+    return f"""
+    WITH heur AS MATERIALIZED (
+        SELECT doc_id, quality_score >= 0.44 AS heuristic_keep
+        FROM ({heur})
+    ),
+    model AS MATERIALIZED (
+        SELECT doc_id, keep AS model_keep FROM ({model})
+    ),
+    j AS (
+        SELECT h.heuristic_keep, m.model_keep
+        FROM heur h JOIN model m ON h.doc_id = m.doc_id
+    ),
+    tot AS (SELECT count(*) AS n FROM j)
+    SELECT heuristic_keep, model_keep,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(1000 * count(*) // tot.n AS BIGINT) AS share_milli
+    FROM j CROSS JOIN tot
+    GROUP BY heuristic_keep, model_keep, tot.n
+    ORDER BY heuristic_keep, model_keep
+    """
+
+
+@register("quality_scorer_agreement", oracle=_scorer_agreement_oracle())
+def q_quality_scorer_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble-filter audit: the 2x2 confusion between the two
+    quality gates this engine serves — the heuristic scorer
+    (stopword/length/alpha ratios, gated at 0.44, the corpus median, so both branches populate)
+    and the hashed-linear model scorer's keep decision. The
+    off-diagonal cells are the review queue: documents one gate keeps
+    and the other drops are exactly where a curation owner tunes
+    thresholds or retrains (the filter-side companion of
+    lang_confusion_matrix). Composes the REGISTERED pipelines on both
+    sides — the oracle embeds their registered SQL verbatim, so the
+    matrix certifies the served configurations.
+
+    Scale shape: both scorers are single-pass per-doc projections;
+    the audit joins two doc-keyed boolean tables and emits at most 4
+    rows with integer milli shares."""
+    from mpi_word_count_spark.queries.text_queries import q_quality_scores
+
+    heur = q_quality_scores(spark, sf_dir).select(
+        "doc_id", (F.col("quality_score") >= 0.44).alias("heuristic_keep")
+    )
+    model = q_model_quality_scores(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("model_keep")
+    )
+    j = heur.join(model, "doc_id")
+    tot = j.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        j.groupBy("heuristic_keep", "model_keep")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "heuristic_keep",
+            "model_keep",
+            "n_docs",
+            F.expr("1000 * n_docs div n").cast("bigint").alias("share_milli"),
+        )
+        .orderBy("heuristic_keep", "model_keep")
+    )

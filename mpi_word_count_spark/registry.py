@@ -151,6 +151,8 @@ _PRIORITY = [
     "decimal_pricing_summary",
     # T=2 multilingual sampling plan (sqrt weights, libm-safe)
     "temperature_mixture_plan",
+    # heuristic-vs-model filter confusion (the ensemble audit)
+    "quality_scorer_agreement",
     "segment_dedup_summary",
     # never-verified entries displaced by the governance family and
     # the k-core query above (zero-sum 50-row budget): all are

@@ -81,3 +81,21 @@ def test_plan_broadcasts_weights_no_cartesian(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quality_scorer_agreement_accounting(spark):
+    """All four confusion cells populate on the fixture, counts sum to
+    the corpus, and milli shares are the integer-floored ratios."""
+    from tests.conftest import SF_DIR
+
+    from mpi_word_count_spark.queries.inference_queries import (
+        q_quality_scorer_agreement,
+    )
+    from mpi_word_count_spark.tables import table
+
+    rows = q_quality_scorer_agreement(spark, SF_DIR).collect()
+    assert len(rows) == 4
+    n = table(spark, "documents", SF_DIR).count()
+    assert sum(r["n_docs"] for r in rows) == n
+    for r in rows:
+        assert r["share_milli"] == 1000 * r["n_docs"] // n
