@@ -1188,3 +1188,71 @@ def q_decimal_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+@register(
+    "join_size_estimate",
+    oracle="""
+    WITH co AS (
+        SELECT o_orderkey AS k, count(*) AS n FROM orders GROUP BY 1
+    ),
+    cl AS (
+        SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY 1
+    ),
+    est AS (
+        SELECT CAST(sum(co.n * cl.n) AS BIGINT) AS predicted_rows,
+               CAST(count(*) AS BIGINT) AS n_join_keys,
+               CAST(max(co.n * cl.n) AS BIGINT) AS max_key_fanout
+        FROM co JOIN cl ON co.k = cl.k
+    ),
+    act AS (
+        SELECT CAST(count(*) AS BIGINT) AS actual_rows
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    )
+    SELECT predicted_rows, actual_rows, n_join_keys, max_key_fanout,
+           predicted_rows = actual_rows AS exact_match
+    FROM est CROSS JOIN act
+    """,
+)
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from per-key count tables — the
+    query-planning primitive behind join reordering and shuffle-size
+    forecasts: |A ⋈ B| = Σ_k c_A(k)·c_B(k), computed WITHOUT
+    executing the wide join (the count tables are each one
+    partial-aggregated pass, and their join carries one row per
+    distinct key — at 100 TB that is the difference between planning
+    a join and paying for it). The audit row also executes the real
+    join once and asserts prediction == actuality plus the max
+    per-key fanout (the skew number AQE's skew-join split keys off).
+    All integer arithmetic, so the hash verifies the identity itself.
+    """
+    o = table(spark, "orders", sf_dir)
+    li = table(spark, "lineitem", sf_dir)
+    co = o.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_o")
+    )
+    cl = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_l")
+    )
+    est = co.join(cl, "k").agg(
+        F.sum(F.col("n_o") * F.col("n_l")).cast("bigint").alias(
+            "predicted_rows"
+        ),
+        F.count(F.lit(1)).alias("n_join_keys"),
+        F.max(F.col("n_o") * F.col("n_l")).cast("bigint").alias(
+            "max_key_fanout"
+        ),
+    )
+    act = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .agg(F.count(F.lit(1)).alias("actual_rows"))
+    )
+    return est.crossJoin(F.broadcast(act)).select(
+        "predicted_rows",
+        "actual_rows",
+        "n_join_keys",
+        "max_key_fanout",
+        (F.col("predicted_rows") == F.col("actual_rows")).alias(
+            "exact_match"
+        ),
+    )

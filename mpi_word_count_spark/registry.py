@@ -153,6 +153,8 @@ _PRIORITY = [
     "temperature_mixture_plan",
     # heuristic-vs-model filter confusion (the ensemble audit)
     "quality_scorer_agreement",
+    # cardinality-estimation identity audit (plan, don't pay)
+    "join_size_estimate",
     "segment_dedup_summary",
     # never-verified entries displaced by the governance family and
     # the k-core query above (zero-sum 50-row budget): all are
