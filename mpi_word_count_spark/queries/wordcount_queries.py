@@ -571,3 +571,57 @@ def manifest_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.length("text")).alias("total_chars"),
     )
+
+
+@register(
+    "jsonl_schema_evolution",
+    oracle="""
+    SELECT 1 AS batch,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_lang_nulls,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT 2,
+           CAST(count(*) AS BIGINT),
+           CAST(0 AS BIGINT),
+           CAST(sum(length(text)) AS BIGINT)
+    FROM documents WHERE doc_id % 2 = 1
+    ORDER BY batch
+    """,
+)
+def jsonl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution ingest: batch 1 landed BEFORE the pipeline
+    emitted `lang` (doc_id, text only); batch 2 carries the new
+    column. Both land under a hive-partitioned layout
+    (`batch=N/part-*.json`) and are read in ONE pass with the
+    UNIFIED EXPLICIT schema — never inference (a full extra pass at
+    100 TB, and inference would type batch 1's missing column away) —
+    with partition discovery supplying the batch column and the
+    missing column reading as null. The per-batch null accounting is
+    the ingest-health audit: batch 1 all-null lang, batch 2 none."""
+    docs = table(spark, "documents", sf_dir)
+    base = _scratch_path(sf_dir, "docs_evolving_jsonl")
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text").write.mode(
+        "overwrite"
+    ).json(f"{base}/batch=1")
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "text", "lang"
+    ).write.mode("overwrite").json(f"{base}/batch=2")
+    back = (
+        spark.read.schema("doc_id BIGINT, text STRING, lang STRING")
+        .option("basePath", base)
+        .json(base)
+    )
+    return (
+        back.groupBy(F.col("batch").cast("int").alias("batch"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("lang").isNull(), 1)).alias("n_lang_nulls"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+        .orderBy("batch")
+    )

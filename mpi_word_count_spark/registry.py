@@ -155,6 +155,8 @@ _PRIORITY = [
     "quality_scorer_agreement",
     # cardinality-estimation identity audit (plan, don't pay)
     "join_size_estimate",
+    # evolution-tolerant explicit-schema ingest over hive layout
+    "jsonl_schema_evolution",
     "segment_dedup_summary",
     # never-verified entries displaced by the governance family and
     # the k-core query above (zero-sum 50-row budget): all are
