@@ -368,3 +368,40 @@ def test_lateral_subquery_decorrelates_to_aggregate_join(spark):
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan
     assert "Join" in plan
+
+
+def test_no_cartesian_product_anywhere_in_the_registry(spark):
+    """Registry-wide guard: NO registered query's physical plan may
+    contain a CartesianProduct. 1-row broadcast crossJoins compile to
+    BroadcastNestedLoopJoin (constant side, fine at any scale) — a
+    CartesianProduct means two genuinely multi-row relations paired
+    without keys, which no query here should ever need. Side-effecting
+    queries (streaming run-to-completion, sink roundtrips) are skipped:
+    their plan properties are asserted in their own tests and building
+    them here would execute writes."""
+    skip_prefixes = ("streaming_",)
+    skip_exact = {
+        "csv_roundtrip",
+        "jsonl_roundtrip",
+        "xml_roundtrip",
+        "orc_roundtrip",
+        "manifest_sink_roundtrip",
+        "jsonl_schema_evolution",
+        "rdd_wordcount",
+        "synthetic_corpus_wordcount",
+        "incremental_wordcount",
+        "compaction_manifest",
+        "console_lines",
+    }
+    offenders = []
+    for name in sorted(QUERIES):
+        if name.startswith(skip_prefixes) or name in skip_exact:
+            continue
+        try:
+            plan = plan_of(spark, name)
+        except Exception as exc:  # noqa: BLE001 — surface as failure
+            offenders.append(f"{name}: explain failed: {exc}")
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
