@@ -1256,3 +1256,50 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_match"
         ),
     )
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _correlations_oracle() -> str:
+    from mpi_word_count_spark.functions.parity import sql_portable_round
+
+    rows = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            rows.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+                f"{sql_portable_round(f'corr({a}, {b})', 4)} AS pearson_r "
+                "FROM lineitem"
+            )
+    return " UNION ALL ".join(rows) + " ORDER BY col_a, col_b"
+
+
+@register("lineitem_correlations", oracle=_correlations_oracle())
+def q_lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations across the lineitem measures —
+    the feature-redundancy screen run before any modeling on fact
+    columns (quantity/price correlation tells you whether both belong
+    in a model; near-zero discount/tax correlations confirm the
+    generator's independence). ALL six pairs compute in ONE aggregate
+    pass over one scan (Spark evaluates the corr co-moment states
+    side by side — never one scan per pair, which is what a naive
+    loop issues); output is pairs², constant in table size. Floats
+    floored at 4dp on both engines (co-moment summation order
+    differs)."""
+    li = table(spark, "lineitem", sf_dir)
+    from mpi_word_count_spark.functions.parity import portable_round
+
+    aggs = []
+    names = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            aggs.append(portable_round(F.corr(a, b), 4).alias(f"r_{a}_{b}"))
+            names.append((a, b))
+    wide = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{a}', '{b}', r_{a}_{b}" for a, b in names
+    )
+    return wide.selectExpr(
+        f"stack({len(names)}, {stack}) AS (col_a, col_b, pearson_r)"
+    ).orderBy("col_a", "col_b")

@@ -157,6 +157,8 @@ _PRIORITY = [
     "join_size_estimate",
     # evolution-tolerant explicit-schema ingest over hive layout
     "jsonl_schema_evolution",
+    # one-pass pairwise correlation matrix
+    "lineitem_correlations",
     "segment_dedup_summary",
     # never-verified entries displaced by the governance family and
     # the k-core query above (zero-sum 50-row budget): all are
