@@ -789,3 +789,75 @@ def q_ann_recall_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = agg if out is None else out.unionByName(agg)
     return out
+
+
+@register(
+    "ann_filtered",
+    oracle=f"""
+    WITH scored AS (
+        SELECT q.vec_id AS q_id, q.label, v.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                            v.embedding::DOUBLE[]), 4) AS cosine
+        FROM embeddings q
+        JOIN embeddings v ON q.label = v.label AND q.vec_id <> v.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT q_id, label, neighbor_id, cosine, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — the production ANN shape ('nearest
+    neighbors matching a metadata predicate', here: same label as the
+    query): the predicate is not a post-filter over an unfiltered
+    top-k (which silently returns < k or wrong neighbors) but the
+    JOIN KEY itself, so only predicate-satisfying candidates are ever
+    scored. At scale the corpus is partitioned by the filter column
+    (the ann_lsh_partitioned layout) and the label equi-join prunes
+    to matching partitions — the filter costs a partition lookup,
+    not a scan. Exact within the filtered set; self excluded; ties
+    break on id."""
+    from mpi_word_count_spark.operators.similarity import dot, norm
+    from mpi_word_count_spark.operators.relational import topk_per_group
+
+    emb = table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label"),
+        F.col("embedding").alias("q_vec"),
+        norm(F.col("embedding")).alias("q_norm"),
+    )
+    v = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        F.col("embedding").alias("n_vec"),
+        norm(F.col("embedding")).alias("n_norm"),
+    )
+    scored = (
+        v.join(
+            F.broadcast(q),
+            (F.col("n_label") == F.col("label"))
+            & (F.col("neighbor_id") != F.col("q_id")),
+        )
+        .select(
+            "q_id",
+            "label",
+            "neighbor_id",
+            F.round(
+                dot(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("q_norm") * F.col("n_norm")),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    return topk_per_group(
+        scored,
+        ["q_id", "label"],
+        [F.desc("cosine"), F.asc("neighbor_id")],
+        k=TOP_K,
+        rank_col="rank",
+    )

@@ -159,6 +159,8 @@ _PRIORITY = [
     "jsonl_schema_evolution",
     # one-pass pairwise correlation matrix
     "lineitem_correlations",
+    # predicate-as-join-key filtered vector search
+    "ann_filtered",
     "segment_dedup_summary",
     # never-verified entries displaced by the governance family and
     # the k-core query above (zero-sum 50-row budget): all are

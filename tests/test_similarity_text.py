@@ -491,3 +491,45 @@ def test_phrase_search_matches_inline_scan(spark):
             expect[did] = (len(hits), hits[0])
     got = {r["doc_id"]: (r["n_occurrences"], r["first_pos"]) for r in rows}
     assert got == expect
+
+
+def test_ann_filtered_respects_predicate(spark):
+    """Every returned neighbor must share the query's label, and the
+    result must equal the bruteforce top-k computed over ONLY the
+    label-matching subset (the post-filter-of-unfiltered-topk bug
+    this query exists to avoid returns fewer/different rows)."""
+    from tests.conftest import SF_DIR
+
+    from mpi_word_count_spark.operators.similarity import ann_bruteforce_topk
+    from mpi_word_count_spark.queries.similarity_queries import (
+        N_QUERIES,
+        TOP_K,
+        ann_filtered,
+    )
+    from mpi_word_count_spark.tables import table
+    from pyspark.sql import functions as F
+
+    rows = ann_filtered(spark, SF_DIR).collect()
+    assert len(rows) == N_QUERIES * TOP_K
+    emb = table(spark, "embeddings", SF_DIR)
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    for r in rows:
+        assert labels[r["q_id"]] == r["label"]
+        assert labels[r["neighbor_id"]] == r["label"]
+
+    # per-label bruteforce replication for one query
+    q0 = rows[0]["q_id"]
+    lab = labels[q0]
+    sub = emb.filter(F.col("label") == lab)
+    want = {
+        (r["q_id"], r["neighbor_id"], r["rank"])
+        for r in ann_bruteforce_topk(
+            sub, sub.filter(F.col("vec_id") == q0), k=TOP_K
+        ).collect()
+    }
+    got = {
+        (r["q_id"], r["neighbor_id"], r["rank"])
+        for r in rows
+        if r["q_id"] == q0
+    }
+    assert got == want
