@@ -1493,3 +1493,102 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _intradoc_line_oracle() -> str:
+    return f"""
+    WITH {_TOKS_CTE},
+    lined AS (
+        SELECT doc_id,
+               list_transform(
+                   range(1, CAST(ceil(len(t) / 8.0) AS BIGINT) + 1),
+                   j -> array_to_string(t[(8 * (j - 1) + 1):(8 * j)], ' ')
+               ) AS lines0
+        FROM toks WHERE len(t) > 0
+    ),
+    planted AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN list_append(lines0, lines0[1])
+                    ELSE lines0 END AS lines
+        FROM lined
+    ),
+    deduped AS (
+        SELECT doc_id, lines,
+               list_filter(lines,
+                           (x, i) -> list_position(lines, x) = i) AS uniq
+        FROM planted
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(uniq) AS BIGINT) AS n_distinct_lines,
+           len(uniq) < len(lines) AS had_repeats,
+           md5(array_to_string(uniq, chr(10))) AS cleaned_hash
+    FROM deduped ORDER BY doc_id
+    """
+
+
+@register("intradoc_line_dedup", oracle=_intradoc_line_oracle())
+def q_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-line removal — C4's line-level
+    cleaning applied INSIDE each document (boilerplate lines repeat
+    within a page: nav crumbs, cookie banners, footers); the global
+    cross-document form is segment_dedup_summary. Lines derive
+    deterministically from the token array (8 tokens per line; every
+    3rd doc gets its first line re-appended as the planted repeat so
+    the op is non-vacuous), dedup keeps the FIRST occurrence in
+    order — array_distinct's order guarantee is not relied on:
+    both engines filter by first-position identity explicitly.
+
+    Scale shape: entirely in-row (sequence/slice/filter higher-order
+    functions, whole-stage codegen) — the only exchange is the
+    presentation ORDER BY; two explode-of-singleton Generate barriers
+    keep the tokenize+line-build chain evaluated once per row (the
+    CollapseProject alias trap). Per-doc output carries counts and
+    the cleaned-text md5, both value-hash verified."""
+    from mpi_word_count_spark.operators import widen
+    from mpi_word_count_spark.operators.dedup import tokens_col
+
+    toks = widen(table(spark, "documents", sf_dir)).select(
+        "doc_id", tokens_col("text").alias("t")
+    ).filter(F.size("t") > 0)
+    lines0 = F.transform(
+        F.sequence(F.lit(1), F.ceil(F.size("t") / F.lit(8.0)).cast("long")),
+        lambda j: F.array_join(
+            F.slice(F.col("t"), (j - 1) * 8 + 1, 8), " "
+        ),
+    )
+    # explode-of-singleton barriers: a Generate node blocks
+    # CollapseProject, so the tokenize+line-build chain evaluates ONCE
+    # per row instead of being inlined into every downstream lambda /
+    # size() reference (the O(n x refs) alias trap — see the simhash
+    # bucketing history); same device, zero extra rows
+    lined = toks.select(
+        "doc_id", F.explode(F.array(lines0)).alias("lines0")
+    )
+    planted = lined.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.concat(
+                        F.col("lines0"),
+                        F.array(F.element_at(F.col("lines0"), 1)),
+                    ),
+                ).otherwise(F.col("lines0"))
+            )
+        ).alias("lines"),
+    )
+    uniq = F.filter(
+        F.col("lines"),
+        lambda x, i: F.array_position(F.col("lines"), x) == i + 1,
+    )
+    out = planted.select("doc_id", "lines", uniq.alias("uniq"))
+    return out.select(
+        "doc_id",
+        F.size("lines").cast("bigint").alias("n_lines"),
+        F.size("uniq").cast("bigint").alias("n_distinct_lines"),
+        (F.size("uniq") < F.size("lines")).alias("had_repeats"),
+        F.md5(F.array_join("uniq", "\n")).alias("cleaned_hash"),
+    ).orderBy("doc_id")

@@ -161,6 +161,8 @@ _PRIORITY = [
     "lineitem_correlations",
     # predicate-as-join-key filtered vector search
     "ann_filtered",
+    # C4-style line cleaning, within-document form
+    "intradoc_line_dedup",
     "segment_dedup_summary",
     # never-verified entries displaced by the governance family and
     # the k-core query above (zero-sum 50-row budget): all are
