@@ -267,7 +267,7 @@ def q_training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _funnel_oracle() -> str:
+def _funnel_oracle(by_source: bool = False) -> str:
     from mpi_word_count_spark.functions.parity import sql_portable_round
 
     vocab_rows = ", ".join(
@@ -278,6 +278,9 @@ def _funnel_oracle() -> str:
     ar = "(CASE WHEN length(text) > 0 THEN "
     ar += "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text) "
     ar += "ELSE 0 END)"
+    src = "source, " if by_source else ""
+    grp = "GROUP BY source" if by_source else ""
+    order = "ORDER BY source, stage_no" if by_source else ""
     return f"""
     WITH toks AS (
         SELECT doc_id, lang, source, text,
@@ -298,7 +301,7 @@ def _funnel_oracle() -> str:
         ) WHERE rn = 1
     ),
     flags AS (
-        SELECT x.doc_id,
+        SELECT x.doc_id, x.source,
                ({sql_portable_round(ar, 4)} >= {MIN_ALPHA_RATIO}
                 AND len(t) >= {MIN_TOKENS}) AS g_q,
                (b.pred_lang IS NOT NULL AND b.pred_lang = x.lang) AS g_l,
@@ -306,21 +309,24 @@ def _funnel_oracle() -> str:
         FROM toks x LEFT JOIN best b ON x.doc_id = b.doc_id
     ),
     staged AS (
-        SELECT doc_id, g_q, g_l, (g_q AND g_l) AS s3,
+        SELECT doc_id, source, g_q, g_l, (g_q AND g_l) AS s3,
                row_number() OVER (
                    PARTITION BY h ORDER BY (g_q AND g_l) DESC, doc_id
                ) AS rn
         FROM flags
     )
     SELECT * FROM (
-        SELECT 1 AS stage_no, 'raw' AS stage, count(*) AS docs FROM staged
+        SELECT {src}1 AS stage_no, 'raw' AS stage, count(*) AS docs
+        FROM staged {grp}
         UNION ALL
-        SELECT 2, 'quality', count(*) FROM staged WHERE g_q
+        SELECT {src}2, 'quality', count(*) FROM staged WHERE g_q {grp}
         UNION ALL
-        SELECT 3, 'lang_agreement', count(*) FROM staged WHERE s3
+        SELECT {src}3, 'lang_agreement', count(*) FROM staged
+        WHERE s3 {grp}
         UNION ALL
-        SELECT 4, 'exact_dedup', count(*) FROM staged WHERE s3 AND rn = 1
-    )
+        SELECT {src}4, 'exact_dedup', count(*) FROM staged
+        WHERE s3 AND rn = 1 {grp}
+    ) {order}
     """
 
 
@@ -363,3 +369,51 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "3, 'lang_agreement', lang_agreement, 4, 'exact_dedup', exact_dedup) "
         "AS (stage_no, stage, docs)"
     )
+
+
+@register("source_funnel", oracle=_funnel_oracle(by_source=True))
+def q_source_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curation_funnel broken out per SOURCE — the ops view that says
+    WHICH feed is losing documents at which stage (a scraper whose
+    quality-gate survival collapses, a syndicated source whose docs
+    all dedup away against another feed). Same one-pass machinery:
+    gate flags + a GLOBAL dedup window (a doc deduped against another
+    source's copy still drops — survivors attribute to their own
+    source), then one conditional aggregate per source and an
+    unpivot; adds exactly one |sources|-keyed exchange over the
+    global funnel."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, "documents", sf_dir)
+    m = doc_metrics(docs, keep=["lang", "source"])
+    lid = predicted_language(docs).select("doc_id", "pred_lang")
+    flags = m.join(lid, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        (
+            (F.col("alpha_ratio") >= MIN_ALPHA_RATIO)
+            & (F.col("n_tokens") >= MIN_TOKENS)
+        ).alias("g_q"),
+        (
+            F.col("pred_lang").isNotNull()
+            & (F.col("pred_lang") == F.col("lang"))
+        ).alias("g_l"),
+        F.md5("_text").alias("h"),
+    )
+    staged = flags.withColumn("s3", F.col("g_q") & F.col("g_l"))
+    w = Window.partitionBy("h").orderBy(F.col("s3").desc(), F.col("doc_id"))
+    staged = staged.withColumn("rn", F.row_number().over(w))
+    agg = staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("raw"),
+        F.sum(F.col("g_q").cast("long")).alias("quality"),
+        F.sum(F.col("s3").cast("long")).alias("lang_agreement"),
+        F.sum((F.col("s3") & (F.col("rn") == 1)).cast("long")).alias(
+            "exact_dedup"
+        ),
+    )
+    return agg.selectExpr(
+        "source",
+        "stack(4, 1, 'raw', raw, 2, 'quality', quality, "
+        "3, 'lang_agreement', lang_agreement, 4, 'exact_dedup', exact_dedup) "
+        "AS (stage_no, stage, docs)",
+    ).orderBy("source", "stage_no")

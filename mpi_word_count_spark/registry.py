@@ -163,6 +163,8 @@ _PRIORITY = [
     "ann_filtered",
     # C4-style line cleaning, within-document form
     "intradoc_line_dedup",
+    # the per-source curation funnel (which feed loses docs where)
+    "source_funnel",
     "segment_dedup_summary",
     # never-verified entries displaced by the governance family and
     # the k-core query above (zero-sum 50-row budget): all are
