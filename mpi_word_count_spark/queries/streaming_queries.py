@@ -410,3 +410,88 @@ def q_streaming_trending_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         rank_col="rank",
     ).select("window_start_us", F.col("rank").cast("int").alias("rank"), "word", "n")
+
+
+@register(
+    "streaming_unattributed_clicks",
+    oracle="""
+    WITH wm AS (
+        SELECT least(
+                   (SELECT max(ts) FROM events WHERE event_type = 'click'),
+                   (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+               ) - INTERVAL 210 MINUTE AS cutoff
+    ),
+    c AS (
+        SELECT user_id, ts, event_id FROM events, wm
+        WHERE event_type = 'click' AND ts < wm.cutoff
+    ),
+    m AS (
+        SELECT c.user_id, c.event_id,
+               count(p.event_id) AS n_purch
+        FROM c LEFT JOIN events p
+          ON p.event_type = 'purchase' AND p.user_id = c.user_id
+         AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(count(CASE WHEN n_purch > 0 THEN 1 END) AS BIGINT)
+               AS n_attributed,
+           CAST(count(CASE WHEN n_purch = 0 THEN 1 END) AS BIGINT)
+               AS n_unattributed
+    FROM m GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_streaming_unattributed_clicks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the semantics the
+    inner attribution join can't show: a click with NO purchase in
+    its 1-hour window emits as a null-padded row only when the
+    watermark passes the window end (state-expiry emission). The
+    batch oracle can only see clicks whose expiry provably happened
+    before the finite stream drained, so both sides restrict to
+    clicks older than least(max click ts, max purchase ts) − 3.5h —
+    strictly inside the final join watermark (min of the two 2-hour
+    side watermarks) plus the 1-hour window, with 30 minutes of
+    margin so no row sits on the expiry boundary. Within the cutoff,
+    stream and batch agree exactly: per-user attributed vs
+    unattributed click counts."""
+    from mpi_word_count_spark.streaming.queries import (
+        click_attribution_outer,
+    )
+    from mpi_word_count_spark.tables import table
+
+    clicks = stream_table(spark, "events", sf_dir)
+    purchases = stream_table(spark, "events", sf_dir)
+    pairs = run_to_completion(
+        click_attribution_outer(clicks, purchases), "append"
+    )
+    ev = table(spark, "events", sf_dir)
+    cutoff = (
+        ev.agg(
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            ).alias("m")
+        )
+        .select(
+            (F.col("m") - F.expr("INTERVAL 210 MINUTE")).alias("cutoff")
+        )
+    )
+    flagged = (
+        pairs.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("c_ts") < F.col("cutoff"))
+        .groupBy("c_user", "c_event")
+        .agg(F.count("p_event").alias("n_purch"))
+    )
+    return (
+        flagged.groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count(F.when(F.col("n_purch") > 0, 1)).alias("n_attributed"),
+            F.count(F.when(F.col("n_purch") == 0, 1)).alias(
+                "n_unattributed"
+            ),
+        )
+        .orderBy("user_id")
+    )

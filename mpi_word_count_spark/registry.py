@@ -165,6 +165,8 @@ _PRIORITY = [
     "intradoc_line_dedup",
     # the per-source curation funnel (which feed loses docs where)
     "source_funnel",
+    # stream-stream LEFT OUTER join (watermark-expiry null emission)
+    "streaming_unattributed_clicks",
     "segment_dedup_summary",
     # never-verified entries displaced by the governance family and
     # the k-core query above (zero-sum 50-row budget): all are

@@ -322,3 +322,41 @@ def windowed_rule_counts(
         .select(F.col("w.start").alias("window_start"), "*")
         .drop("w")
     )
+
+
+def click_attribution_outer(
+    clicks: DataFrame, purchases: DataFrame
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click emits —
+    matched pairs immediately, UNMATCHED clicks as null-padded rows
+    once the watermark passes the end of their 1-hour attribution
+    window (the state-expiry emission inner joins never exercise;
+    Spark's no-data micro-batches flush the final expirations when a
+    finite source drains). State stays bounded exactly as in the
+    inner form: two-sided watermarks + the time-bound join condition.
+    """
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_event"),
+        )
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_event"),
+        )
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    )

@@ -355,3 +355,18 @@ def test_synth_stream_checkpoint_resume(spark, tmp_path):
     run_once(200)   # restart with more data: must resume at 100
     got2 = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert got2 == list(range(200))  # exactly once: no dupes, no gaps
+
+
+def test_outer_attribution_emits_unmatched_clicks(spark):
+    """The LEFT OUTER stream-stream join must emit null-padded rows
+    for expired unmatched clicks — both attribution outcomes must be
+    non-vacuously present within the deterministic cutoff."""
+    from mpi_word_count_spark.queries.streaming_queries import (
+        q_streaming_unattributed_clicks,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = q_streaming_unattributed_clicks(spark, SF_DIR).collect()
+    assert rows
+    assert sum(r["n_attributed"] for r in rows) > 0
+    assert sum(r["n_unattributed"] for r in rows) > 0
