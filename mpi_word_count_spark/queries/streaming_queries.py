@@ -495,3 +495,122 @@ def q_streaming_unattributed_clicks(
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "attribution_model_comparison",
+    oracle="""
+    WITH touches AS (
+        SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+               row_number() OVER (
+                   PARTITION BY p.event_id ORDER BY c.ts ASC, c.event_id ASC
+               ) AS rn_first,
+               row_number() OVER (
+                   PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC
+               ) AS rn_last
+        FROM events p
+        JOIN events c
+          ON c.event_type = 'click' AND c.user_id = p.user_id
+         AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 24 HOUR
+        WHERE p.event_type = 'purchase'
+    ),
+    credit AS (
+        SELECT purchase_id,
+               max(CASE WHEN rn_first = 1 THEN click_id END) AS first_click,
+               max(CASE WHEN rn_last = 1 THEN click_id END) AS last_click
+        FROM touches GROUP BY 1
+    ),
+    shared AS (
+        SELECT CAST(count(CASE WHEN first_click = last_click THEN 1 END)
+                    AS BIGINT) AS n_single_touch
+        FROM credit
+    )
+    SELECT model, n_purchases, n_credited_clicks, n_single_touch FROM (
+        SELECT 'first_touch' AS model,
+               CAST(count(*) AS BIGINT) AS n_purchases,
+               CAST(count(DISTINCT first_click) AS BIGINT)
+                   AS n_credited_clicks
+        FROM credit
+        UNION ALL
+        SELECT 'last_touch', CAST(count(*) AS BIGINT),
+               CAST(count(DISTINCT last_click) AS BIGINT)
+        FROM credit
+    ) CROSS JOIN shared
+    ORDER BY model
+    """,
+)
+def q_attribution_model_comparison(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-touch vs last-touch attribution over the click→purchase
+    graph (24-hour lookback): per purchase, the earliest and latest
+    preceding click by the same user — deterministic tie-breaks on
+    (ts, event_id) both directions — rolled up to how many purchases
+    each model attributes, how many DISTINCT clicks receive credit
+    under each (last-touch concentrates credit on fewer clicks when
+    users re-click), and how many purchases are single-touch (the
+    population where model choice cannot matter). The marketing-
+    analytics twin of the streaming attribution joins, batch form.
+
+    Scale shape: the user-keyed interval join is time-bounded (the
+    same constraint that bounds streaming state bounds batch fan-out:
+    per purchase, only that user's clicks in 24h); BOTH rankings ride
+    one window pass over the touch table; output is 2 rows."""
+    from mpi_word_count_spark.tables import table
+    from pyspark.sql.window import Window
+
+    ev = table(spark, "events", sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    touches = p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOUR")),
+    )
+    w_first = Window.partitionBy("purchase_id").orderBy(
+        F.col("c_ts").asc(), F.col("click_id").asc()
+    )
+    w_last = Window.partitionBy("purchase_id").orderBy(
+        F.col("c_ts").desc(), F.col("click_id").desc()
+    )
+    ranked = touches.select(
+        "purchase_id",
+        "click_id",
+        F.row_number().over(w_first).alias("rn_first"),
+        F.row_number().over(w_last).alias("rn_last"),
+    )
+    credit = ranked.groupBy("purchase_id").agg(
+        F.max(F.when(F.col("rn_first") == 1, F.col("click_id"))).alias(
+            "first_click"
+        ),
+        F.max(F.when(F.col("rn_last") == 1, F.col("click_id"))).alias(
+            "last_click"
+        ),
+    )
+    shared = credit.agg(
+        F.count(
+            F.when(F.col("first_click") == F.col("last_click"), 1)
+        ).alias("n_single_touch")
+    )
+    first = credit.agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.countDistinct("first_click").alias("n_credited_clicks"),
+    ).select(F.lit("first_touch").alias("model"), "n_purchases", "n_credited_clicks")
+    last = credit.agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.countDistinct("last_click").alias("n_credited_clicks"),
+    ).select(F.lit("last_touch").alias("model"), "n_purchases", "n_credited_clicks")
+    return (
+        first.unionByName(last)
+        .crossJoin(F.broadcast(shared))
+        .orderBy("model")
+    )

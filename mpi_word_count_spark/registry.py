@@ -167,6 +167,8 @@ _PRIORITY = [
     "source_funnel",
     # stream-stream LEFT OUTER join (watermark-expiry null emission)
     "streaming_unattributed_clicks",
+    # first-vs-last-touch credit comparison (batch attribution twin)
+    "attribution_model_comparison",
     "segment_dedup_summary",
     # never-verified entries displaced by the governance family and
     # the k-core query above (zero-sum 50-row budget): all are
