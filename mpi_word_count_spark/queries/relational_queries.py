@@ -1303,3 +1303,77 @@ def q_lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(names)}, {stack}) AS (col_a, col_b, pearson_r)"
     ).orderBy("col_a", "col_b")
+
+
+# per-event-type inactivity gaps for dynamic sessionization (seconds):
+# transactional events keep sessions alive longer than browse events
+_DYN_GAPS = {"click": 900, "view": 900, "purchase": 3600, "refund": 3600}
+_DYN_GAP_DEFAULT = 1800
+
+
+def _dyn_gap_sql(col: str = "event_type") -> str:
+    whens = " ".join(
+        f"WHEN {col} = '{t}' THEN {g}" for t, g in sorted(_DYN_GAPS.items())
+    )
+    return f"(CASE {whens} ELSE {_DYN_GAP_DEFAULT} END)"
+
+
+@register(
+    "dynamic_gap_sessions",
+    oracle=f"""
+    WITH g AS (
+        SELECT user_id, ts, event_id,
+               epoch(ts) + {_dyn_gap_sql()} AS expiry
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, event_id,
+               CASE WHEN max(expiry) OVER (
+                        PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                    OR epoch(ts) >= max(expiry) OVER (
+                        PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    )
+                    THEN 1 ELSE 0 END AS is_new
+        FROM g
+    )
+    SELECT user_id,
+           CAST(sum(is_new) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM marked GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap sessionization: each event extends its session by
+    an inactivity window that depends on the EVENT — transactional
+    events (purchase/refund, 1h) hold sessions open longer than
+    browse events (click/view, 15 min) — the per-event-gap form of
+    F.session_window Spark supports natively (a gap COLUMN, not a
+    constant). The session count uses the interval-merge semantics
+    session_window defines: a new session starts exactly when an
+    event's time reaches past every previous event's expiry, i.e.
+    the running MAX of (ts + gap) over preceding rows — not just the
+    previous row's expiry (a long-gap event can bridge over a short-
+    gap one). The oracle replicates that recurrence with a running-
+    max window; the Spark side uses the native session_window so the
+    API itself is what gets verified.
+
+    Scale shape: one user-keyed exchange for the session window —
+    identical state/shuffle class to fixed-gap sessionization; gap
+    lookup is an in-row CASE."""
+    e = table(spark, "events", sf_dir)
+    gap_expr = F.expr(_dyn_gap_sql("event_type"))
+    sessions = e.groupBy(
+        F.session_window("ts", F.concat(gap_expr, F.lit(" seconds"))),
+        "user_id",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n").cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

@@ -169,6 +169,8 @@ _PRIORITY = [
     "streaming_unattributed_clicks",
     # first-vs-last-touch credit comparison (batch attribution twin)
     "attribution_model_comparison",
+    # native session_window with a per-event DYNAMIC gap column
+    "dynamic_gap_sessions",
     "segment_dedup_summary",
     # never-verified entries displaced by the governance family and
     # the k-core query above (zero-sum 50-row budget): all are

@@ -144,3 +144,49 @@ def test_decimal_pricing_summary_is_exact(spark):
     }
     for k in got:
         assert abs(got[k]["sum_charge"] - q1[k]["sum_charge"]) < 0.02
+
+
+def test_dynamic_gap_bridging_semantics(spark):
+    """A long-gap event must hold the session open ACROSS a later
+    short-gap event's expiry (running-max semantics, not
+    previous-row): purchase at t=0 (1h gap) then click at t=20min
+    (15min gap) then click at t=50min — prev-row logic would split at
+    t=50min (20min+15min < 50min), but the purchase's 1h window
+    bridges it: ONE session. A fourth event past every expiry starts
+    session two."""
+    from datetime import datetime, timezone
+
+    from mpi_word_count_spark import tables
+    from mpi_word_count_spark.queries import relational_queries as rq
+
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+    def at(minutes):
+        return datetime.fromtimestamp(
+            t0.timestamp() + 60 * minutes, tz=timezone.utc
+        )
+
+    df = spark.createDataFrame(
+        [
+            (1, at(0), 7, "purchase", 1.0, "{}"),
+            (2, at(20), 7, "click", 1.0, "{}"),
+            (3, at(50), 7, "click", 1.0, "{}"),
+            (4, at(200), 7, "click", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    orig = tables.table
+    rq_table = rq.table
+    try:
+        tables.table = lambda s, name, sf: (
+            df if name == "events" else orig(s, name, sf)
+        )
+        rq.table = tables.table
+        rows = rq.q_dynamic_gap_sessions(spark, "unused").collect()
+    finally:
+        tables.table = orig
+        rq.table = rq_table
+    assert len(rows) == 1
+    assert rows[0]["n_sessions"] == 2
+    assert rows[0]["n_events"] == 4
