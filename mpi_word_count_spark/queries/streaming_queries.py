@@ -614,3 +614,67 @@ def q_attribution_model_comparison(
         .crossJoin(F.broadcast(shared))
         .orderBy("model")
     )
+
+
+@register(
+    "streaming_dynamic_sessions",
+    oracle=f"""
+    WITH g AS (
+        SELECT user_id, ts, event_id,
+               epoch(ts) + (CASE WHEN event_type = 'click' THEN 900
+                                 WHEN event_type = 'view' THEN 900
+                                 WHEN event_type = 'purchase' THEN 3600
+                                 WHEN event_type = 'refund' THEN 3600
+                                 ELSE 1800 END) AS expiry
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, event_id,
+               CASE WHEN max(expiry) OVER (
+                        PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                    OR epoch(ts) >= max(expiry) OVER (
+                        PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    )
+                    THEN 1 ELSE 0 END AS is_new
+        FROM g
+    )
+    SELECT user_id,
+           CAST(sum(is_new) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM marked GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_streaming_dynamic_sessions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic-gap session windows under STREAMING execution — the
+    state-merging case fixed gaps never hit: as events arrive out of
+    micro-batch order within the watermark, the state store must
+    merge session windows whose extents depend on each member event's
+    own gap. Complete mode over the finite source; the oracle is the
+    identical running-max-of-expiry batch recurrence, so streaming
+    merge behavior is value-hash-verified against batch semantics
+    (and dynamic_gap_sessions proves the same oracle against the
+    batch session_window)."""
+    from mpi_word_count_spark.queries.relational_queries import _dyn_gap_sql
+
+    ev = stream_table(spark, "events", sf_dir)
+    gap_col = F.concat(
+        F.expr(_dyn_gap_sql("event_type")), F.lit(" seconds")
+    )
+    sess = (
+        ev.groupBy(F.session_window("ts", gap_col).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    done = run_to_completion(sess, "complete")
+    return (
+        done.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n").cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

@@ -171,6 +171,8 @@ _PRIORITY = [
     "attribution_model_comparison",
     # native session_window with a per-event DYNAMIC gap column
     "dynamic_gap_sessions",
+    # its streaming twin (state-store window merging under dyn gaps)
+    "streaming_dynamic_sessions",
     "segment_dedup_summary",
     # never-verified entries displaced by the governance family and
     # the k-core query above (zero-sum 50-row budget): all are
