@@ -1202,3 +1202,152 @@ def q_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+_ZAUDIT_FILES = 64
+
+
+def _zorder_audit_oracle() -> str:
+    from mpi_word_count_spark.operators.layout import morton_key_sql
+
+    return f"""
+    WITH base AS (
+        SELECT event_id, ts,
+               CAST(user_id % 256 AS BIGINT) AS xb,
+               CAST(dayofyear(ts) % 256 AS BIGINT) AS yb
+        FROM events
+    ),
+    keyed AS (
+        SELECT *, {morton_key_sql("xb", "yb")} AS zkey FROM base
+    ),
+    filed AS (
+        SELECT 'zorder' AS layout, xb, yb,
+               ntile({_ZAUDIT_FILES}) OVER (ORDER BY zkey, event_id) AS f
+        FROM keyed
+        UNION ALL
+        SELECT 'linear_ts', xb, yb,
+               ntile({_ZAUDIT_FILES}) OVER (ORDER BY ts, event_id) AS f
+        FROM keyed
+    ),
+    stats AS (
+        SELECT layout, f,
+               min(xb) AS lo_x, max(xb) AS hi_x,
+               min(yb) AS lo_y, max(yb) AS hi_y
+        FROM filed GROUP BY 1, 2
+    ),
+    px AS (SELECT DISTINCT xb AS probe FROM base),
+    py AS (SELECT DISTINCT yb AS probe FROM base),
+    tx AS (
+        SELECT s.layout, 'user_bucket' AS dimension,
+               CAST(count(DISTINCT p.probe) AS BIGINT) AS n_probes,
+               CAST(count(*) AS BIGINT) AS files_touched
+        FROM px p JOIN stats s ON p.probe BETWEEN s.lo_x AND s.hi_x
+        GROUP BY 1
+    ),
+    ty AS (
+        SELECT s.layout, 'day_bucket' AS dimension,
+               CAST(count(DISTINCT p.probe) AS BIGINT) AS n_probes,
+               CAST(count(*) AS BIGINT) AS files_touched
+        FROM py p JOIN stats s ON p.probe BETWEEN s.lo_y AND s.hi_y
+        GROUP BY 1
+    )
+    SELECT layout, dimension, n_probes, files_touched,
+           CAST(1000 * files_touched // n_probes AS BIGINT)
+               AS avg_files_per_probe_milli
+    FROM (SELECT * FROM tx UNION ALL SELECT * FROM ty)
+    ORDER BY layout, dimension
+    """
+
+
+@register("zorder_skipping_audit", oracle=_zorder_audit_oracle())
+def q_zorder_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping effectiveness, MEASURED: simulate a 64-file table
+    under two physical layouts — z-order (Morton over user×day) and
+    time-linear — compute each file's min/max zone map per dimension,
+    and for every occurring point predicate count how many files its
+    value range fails to exclude. The quantified case for OPTIMIZE
+    ZORDER: the linear layout skips nothing on the non-sort dimension
+    (every file's user range spans everything), while z-order bounds
+    BOTH dimensions; the all-integer output is the exact
+    files-per-probe cost a reader pays under each layout.
+
+    Scale shape: the audit's global sorts ARE the layout writes being
+    simulated (a real OPTIMIZE pays exactly them); zone-map stats are
+    64 rows per layout, probes are at most 256 per dimension, so
+    everything after the two window passes is dashboard-sized."""
+    from mpi_word_count_spark.operators.layout import morton_key_sql
+    from pyspark.sql.window import Window
+
+    base = table(spark, "events", sf_dir).select(
+        "event_id",
+        "ts",
+        F.expr("CAST(user_id % 256 AS BIGINT)").alias("xb"),
+        F.expr("CAST(dayofyear(ts) % 256 AS BIGINT)").alias("yb"),
+    )
+    keyed = base.withColumn("zkey", F.expr(morton_key_sql("xb", "yb")))
+    filed = keyed.select(
+        F.lit("zorder").alias("layout"),
+        "xb",
+        "yb",
+        F.ntile(_ZAUDIT_FILES)
+        .over(Window.orderBy("zkey", "event_id"))
+        .alias("f"),
+    ).unionByName(
+        keyed.select(
+            F.lit("linear_ts").alias("layout"),
+            "xb",
+            "yb",
+            F.ntile(_ZAUDIT_FILES)
+            .over(Window.orderBy("ts", "event_id"))
+            .alias("f"),
+        )
+    )
+    stats = filed.groupBy("layout", "f").agg(
+        F.min("xb").alias("lo_x"),
+        F.max("xb").alias("hi_x"),
+        F.min("yb").alias("lo_y"),
+        F.max("yb").alias("hi_y"),
+    )
+    px = base.select(F.col("xb").alias("probe")).distinct()
+    py = base.select(F.col("yb").alias("probe")).distinct()
+    tx = (
+        px.join(
+            stats,
+            (F.col("probe") >= F.col("lo_x"))
+            & (F.col("probe") <= F.col("hi_x")),
+        )
+        .groupBy("layout")
+        .agg(
+            F.countDistinct("probe").alias("n_probes"),
+            F.count(F.lit(1)).alias("files_touched"),
+        )
+        .select("layout", F.lit("user_bucket").alias("dimension"),
+                "n_probes", "files_touched")
+    )
+    ty = (
+        py.join(
+            stats,
+            (F.col("probe") >= F.col("lo_y"))
+            & (F.col("probe") <= F.col("hi_y")),
+        )
+        .groupBy("layout")
+        .agg(
+            F.countDistinct("probe").alias("n_probes"),
+            F.count(F.lit(1)).alias("files_touched"),
+        )
+        .select("layout", F.lit("day_bucket").alias("dimension"),
+                "n_probes", "files_touched")
+    )
+    return (
+        tx.unionByName(ty)
+        .select(
+            "layout",
+            "dimension",
+            "n_probes",
+            "files_touched",
+            F.expr("1000 * files_touched div n_probes")
+            .cast("bigint")
+            .alias("avg_files_per_probe_milli"),
+        )
+        .orderBy("layout", "dimension")
+    )

@@ -173,6 +173,8 @@ _PRIORITY = [
     "dynamic_gap_sessions",
     # its streaming twin (state-store window merging under dyn gaps)
     "streaming_dynamic_sessions",
+    # measured zone-map skipping: zorder vs linear layout
+    "zorder_skipping_audit",
     "segment_dedup_summary",
     # never-verified entries displaced by the governance family and
     # the k-core query above (zero-sum 50-row budget): all are

@@ -142,3 +142,38 @@ def test_ab_assignment_deterministic_and_balanced(spark):
     for v in rows.values():
         assert 0.3 <= v["n_users"] / total_users <= 0.7
         assert v["n_events"] > 0 and v["stddev_value"] > 0
+
+
+def test_zorder_audit_shows_the_layout_tradeoff(spark):
+    """Structural claims of the skipping audit: the time-linear layout
+    skips (almost) nothing on the non-sort dimension; z-order bounds
+    both dimensions, beating linear off-dimension while conceding the
+    sort dimension; nothing exceeds the file budget."""
+    from tests.conftest import SF_DIR
+
+    from mpi_word_count_spark.queries.advanced_queries import (
+        _ZAUDIT_FILES,
+        q_zorder_skipping_audit,
+    )
+
+    rows = {
+        (r["layout"], r["dimension"]): r
+        for r in q_zorder_skipping_audit(spark, SF_DIR).collect()
+    }
+    assert len(rows) == 4
+    for r in rows.values():
+        assert r["files_touched"] <= r["n_probes"] * _ZAUDIT_FILES
+    lin_user = rows[("linear_ts", "user_bucket")]
+    z_user = rows[("zorder", "user_bucket")]
+    lin_day = rows[("linear_ts", "day_bucket")]
+    z_day = rows[("zorder", "day_bucket")]
+    # off-dimension: z-order must skip dramatically better
+    assert z_user["avg_files_per_probe_milli"] < lin_user[
+        "avg_files_per_probe_milli"
+    ] / 2
+    # linear skips ~nothing off-dimension (> 75% of files touched)
+    assert lin_user["avg_files_per_probe_milli"] > _ZAUDIT_FILES * 1000 * 3 // 4
+    # sort dimension: linear wins there (the trade z-order makes)
+    assert lin_day["avg_files_per_probe_milli"] <= z_day[
+        "avg_files_per_probe_milli"
+    ]
