@@ -166,3 +166,53 @@ def compact_partitions(
         files_after = sum(f.endswith(".parquet") for f in os.listdir(dst))
         manifest.append((value, n_rows, files_before, files_after))
     return manifest
+
+
+def hilbert_xy2d(x: int, y: int, bits: int = 8) -> int:
+    """Pure-Python Hilbert curve index (the classic xy2d loop) — the
+    reference both engine implementations are verified against."""
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def hilbert_steps_sql(bits: int = 8) -> str:
+    """DuckDB CTE chain computing hilbert d for every row of a CTE
+    `hp0(xb, yb)` — one MATERIALIZED step per bit (the loop state
+    (x, y, d) would blow up exponentially if inlined as one nested
+    expression; materializing each step keeps it linear — the same
+    inlining hazard as the k-core oracle). Final CTE: `hkeys(xb, yb,
+    hkey)`."""
+    parts = ["h0 AS MATERIALIZED (SELECT xb, yb, xb AS x, yb AS y, CAST(0 AS BIGINT) AS d FROM hp0)"]
+    step = 0
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        prev = f"h{step}"
+        step += 1
+        parts.append(
+            f"""h{step} AS MATERIALIZED (
+        SELECT xb, yb,
+               CASE WHEN (y & {s}) = 0 THEN
+                    (CASE WHEN (x & {s}) > 0 THEN {s} - 1 - y ELSE y END)
+                    ELSE x END AS x,
+               CASE WHEN (y & {s}) = 0 THEN
+                    (CASE WHEN (x & {s}) > 0 THEN {s} - 1 - x ELSE x END)
+                    ELSE y END AS y,
+               d + {s * s} * xor(3 * (CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END),
+                                 (CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)) AS d
+        FROM {prev})"""
+        )
+    parts.append(
+        f"hkeys AS MATERIALIZED (SELECT xb, yb, d AS hkey FROM h{step})"
+    )
+    return ",\n    ".join(parts)

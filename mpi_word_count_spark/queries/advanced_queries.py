@@ -1351,3 +1351,159 @@ def q_zorder_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout", "dimension")
     )
+
+
+def _hilbert_audit_oracle() -> str:
+    from mpi_word_count_spark.operators.layout import (
+        hilbert_steps_sql,
+        morton_key_sql,
+    )
+
+    return f"""
+    WITH base AS (
+        SELECT event_id, ts,
+               CAST(user_id % 256 AS BIGINT) AS xb,
+               CAST(dayofyear(ts) % 256 AS BIGINT) AS yb
+        FROM events
+    ),
+    hp0 AS (SELECT DISTINCT xb, yb FROM base),
+    {hilbert_steps_sql(8)},
+    keyed AS (
+        SELECT b.event_id, b.ts, b.xb, b.yb,
+               {morton_key_sql("b.xb", "b.yb")} AS zkey,
+               k.hkey
+        FROM base b JOIN hkeys k ON b.xb = k.xb AND b.yb = k.yb
+    ),
+    filed AS (
+        SELECT 'hilbert' AS layout, xb, yb,
+               ntile({_ZAUDIT_FILES}) OVER (ORDER BY hkey, event_id) AS f
+        FROM keyed
+        UNION ALL
+        SELECT 'zorder', xb, yb,
+               ntile({_ZAUDIT_FILES}) OVER (ORDER BY zkey, event_id) AS f
+        FROM keyed
+        UNION ALL
+        SELECT 'linear_ts', xb, yb,
+               ntile({_ZAUDIT_FILES}) OVER (ORDER BY ts, event_id) AS f
+        FROM keyed
+    ),
+    stats AS (
+        SELECT layout, f,
+               min(xb) AS lo_x, max(xb) AS hi_x,
+               min(yb) AS lo_y, max(yb) AS hi_y
+        FROM filed GROUP BY 1, 2
+    ),
+    px AS (SELECT DISTINCT xb AS probe FROM base),
+    py AS (SELECT DISTINCT yb AS probe FROM base),
+    t AS (
+        SELECT s.layout, 'user_bucket' AS dimension,
+               CAST(count(DISTINCT p.probe) AS BIGINT) AS n_probes,
+               CAST(count(*) AS BIGINT) AS files_touched
+        FROM px p JOIN stats s ON p.probe BETWEEN s.lo_x AND s.hi_x
+        GROUP BY 1
+        UNION ALL
+        SELECT s.layout, 'day_bucket',
+               CAST(count(DISTINCT p.probe) AS BIGINT),
+               CAST(count(*) AS BIGINT)
+        FROM py p JOIN stats s ON p.probe BETWEEN s.lo_y AND s.hi_y
+        GROUP BY 1
+    )
+    SELECT layout, dimension, n_probes, files_touched,
+           CAST(1000 * files_touched // n_probes AS BIGINT)
+               AS avg_files_per_probe_milli
+    FROM t ORDER BY layout, dimension
+    """
+
+
+@register("hilbert_skipping_audit", oracle=_hilbert_audit_oracle())
+def q_hilbert_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The zorder_skipping_audit extended with a HILBERT layout — the
+    space-filling curve without Morton's quadrant jumps (every Hilbert
+    step is unit distance, so file extents are tighter boxes). The
+    curve index is computed once per DISTINCT (x, y) cell — the
+    bounded 2^16 domain, not the event table — via a vectorized
+    pandas_udf running the classic xy2d bit loop (numpy-at-Arrow-batch
+    speed; a single nested SQL expression would grow exponentially
+    with bit depth, see hilbert_steps_sql), then broadcast-joined back
+    to events; bit-for-bit parity of all three implementations
+    (python loop / SQL step chain / kernel) is locked on the full grid
+    in tests/test_analytics_ops.py."""
+    from mpi_word_count_spark.operators.layout import morton_key_sql
+    from pyspark.sql.window import Window
+
+    base = table(spark, "events", sf_dir).select(
+        "event_id",
+        "ts",
+        F.expr("CAST(user_id % 256 AS BIGINT)").alias("xb"),
+        F.expr("CAST(dayofyear(ts) % 256 AS BIGINT)").alias("yb"),
+    )
+    from pyspark.sql.functions import pandas_udf
+
+    def _hkey(xs, ys):  # two pd.Series -> pd.Series (Arrow batch)
+        from mpi_word_count_spark.operators.layout import hilbert_xy2d
+
+        return xs.combine(ys, lambda a, b: hilbert_xy2d(int(a), int(b)))
+
+    hkey = pandas_udf(_hkey, "long")
+    pairs = (
+        base.select("xb", "yb")
+        .distinct()
+        .select("xb", "yb", hkey(F.col("xb"), F.col("yb")).alias("hkey"))
+    )
+    keyed = base.join(F.broadcast(pairs), ["xb", "yb"]).withColumn(
+        "zkey", F.expr(morton_key_sql("xb", "yb"))
+    )
+    layouts = [
+        ("hilbert", ["hkey", "event_id"]),
+        ("zorder", ["zkey", "event_id"]),
+        ("linear_ts", ["ts", "event_id"]),
+    ]
+    filed = None
+    for name, order in layouts:
+        part = keyed.select(
+            F.lit(name).alias("layout"),
+            "xb",
+            "yb",
+            F.ntile(_ZAUDIT_FILES).over(Window.orderBy(*order)).alias("f"),
+        )
+        filed = part if filed is None else filed.unionByName(part)
+    stats = filed.groupBy("layout", "f").agg(
+        F.min("xb").alias("lo_x"),
+        F.max("xb").alias("hi_x"),
+        F.min("yb").alias("lo_y"),
+        F.max("yb").alias("hi_y"),
+    )
+    px = base.select(F.col("xb").alias("probe")).distinct()
+    py = base.select(F.col("yb").alias("probe")).distinct()
+
+    def probe(pdf, lo, hi, dim):
+        return (
+            pdf.join(
+                stats,
+                (F.col("probe") >= F.col(lo)) & (F.col("probe") <= F.col(hi)),
+            )
+            .groupBy("layout")
+            .agg(
+                F.countDistinct("probe").alias("n_probes"),
+                F.count(F.lit(1)).alias("files_touched"),
+            )
+            .select(
+                "layout",
+                F.lit(dim).alias("dimension"),
+                "n_probes",
+                "files_touched",
+            )
+        )
+
+    t = probe(px, "lo_x", "hi_x", "user_bucket").unionByName(
+        probe(py, "lo_y", "hi_y", "day_bucket")
+    )
+    return t.select(
+        "layout",
+        "dimension",
+        "n_probes",
+        "files_touched",
+        F.expr("1000 * files_touched div n_probes")
+        .cast("bigint")
+        .alias("avg_files_per_probe_milli"),
+    ).orderBy("layout", "dimension")

@@ -175,6 +175,8 @@ _PRIORITY = [
     "streaming_dynamic_sessions",
     # measured zone-map skipping: zorder vs linear layout
     "zorder_skipping_audit",
+    # + the hilbert layout (unit-step curve, tighter file boxes)
+    "hilbert_skipping_audit",
     "segment_dedup_summary",
     # never-verified entries displaced by the governance family and
     # the k-core query above (zero-sum 50-row budget): all are
