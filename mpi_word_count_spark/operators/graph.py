@@ -67,6 +67,7 @@ def pagerank_fixed_point(
     iterations: int = DEFAULT_ITERATIONS,
     scale: int = DEFAULT_SCALE,
     checkpoint_every: int = DEFAULT_CHECKPOINT_EVERY,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-round integer-fixed-point PageRank.
 
@@ -97,31 +98,61 @@ def pagerank_fixed_point(
     base = (scale * (DAMPING_DEN - DAMPING_NUM)) // DAMPING_DEN
 
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # personalized (seeded) PageRank: teleport mass restarts ONLY at
+    # the seed set — base and r0 are per-node conditionals on seed
+    # membership (a broadcast of the tiny seed table); ranks become
+    # relevance-to-the-seeds instead of global centrality. seeds:
+    # DataFrame[node: long] or None for the uniform/global form.
+    seed_set = (
+        F.broadcast(seeds.select(F.col("node").alias("_seed")).distinct())
+        if seeds is not None
+        else None
+    )
     # adjacency with out-degree attached once: per-round work is then a
     # single equi-join on src + one aggregated shuffle on dst; this one
     # IS checkpointed eagerly — every round scans it, so materializing
     # it once is pure win
     adj = edges.join(deg, "src").localCheckpoint()
 
-    ranks = deg.select(F.col("src").alias("node")).withColumn(
-        "rank_fp", F.lit(scale).cast("long")
-    )
+    nodes = deg.select(F.col("src").alias("node"))
+    if seed_set is None:
+        ranks = nodes.withColumn("rank_fp", F.lit(scale).cast("long"))
+    else:
+        ranks = nodes.join(
+            seed_set, nodes["node"] == F.col("_seed"), "left"
+        ).select(
+            "node",
+            F.when(F.col("_seed").isNotNull(), F.lit(scale))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("rank_fp"),
+        )
     live_ckpts: list[DataFrame] = []
     for i in range(iterations):
         contrib = adj.join(ranks, adj["src"] == ranks["node"]).select(
             F.col("dst"), F.expr("rank_fp div outdeg").alias("c")
         )
-        ranks = (
-            contrib.groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-            .select(
+        agg = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        if seed_set is None:
+            ranks = agg.select(
                 F.col("dst").alias("node"),
                 (
                     F.lit(base)
                     + F.expr(f"({DAMPING_NUM} * s) div {DAMPING_DEN}")
                 ).alias("rank_fp"),
             )
-        )
+        else:
+            ranks = agg.join(
+                seed_set, agg["dst"] == F.col("_seed"), "left"
+            ).select(
+                F.col("dst").alias("node"),
+                (
+                    F.when(F.col("_seed").isNotNull(), F.lit(base)).otherwise(
+                        F.lit(0)
+                    )
+                    + F.expr(f"({DAMPING_NUM} * s) div {DAMPING_DEN}")
+                ).alias("rank_fp"),
+            )
         if (
             checkpoint_every
             and (i + 1) % checkpoint_every == 0

@@ -29,24 +29,29 @@ from mpi_word_count_spark.registry import register
 from mpi_word_count_spark.tables import table
 
 
-def _pagerank_rounds(iterations: int, scale: int) -> str:
+def _pagerank_rounds(
+    iterations: int, scale: int, base_sql: str | None = None
+) -> str:
     """The unrolled integer PageRank recurrence as chained CTEs
     r1..rN over generic `bi` (edge rows, multiplicity = weight),
     `deg`, and `r0` CTEs — shared by every pagerank oracle so the
-    recurrence text cannot drift between graphs."""
+    recurrence text cannot drift between graphs. base_sql overrides
+    the per-node teleport term (referencing `b.dst`) — the
+    personalized form restricts it to the seed set."""
     base = (scale * (DAMPING_DEN - DAMPING_NUM)) // DAMPING_DEN
+    bterm = base_sql if base_sql is not None else str(base)
     rounds = []
     for i in range(1, iterations + 1):
         rounds.append(
             f"""r{i} AS (
         SELECT b.dst AS node,
-               CAST({base}
+               CAST({bterm}
                  + ({DAMPING_NUM} * sum(r.rank_fp // d.outdeg))
                    // {DAMPING_DEN} AS BIGINT) AS rank_fp
         FROM bi b
         JOIN r{i - 1} r ON b.src = r.node
         JOIN deg d ON d.src = b.src
-        GROUP BY 1
+        GROUP BY 1, b.dst
     )"""
         )
     return ",\n    ".join(rounds)
@@ -421,3 +426,74 @@ def q_trade_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("node div 2").alias("entity_key"),
         "core_degree",
     ).orderBy("node_type", "entity_key")
+
+
+_PPR_SEED_MAX_CUSTKEY = 5
+
+
+def _ppr_oracle(
+    iterations: int = DEFAULT_ITERATIONS, scale: int = DEFAULT_SCALE
+) -> str:
+    base = (scale * (DAMPING_DEN - DAMPING_NUM)) // DAMPING_DEN
+    seed_pred = (
+        f"(b.dst % 2 = 0 AND b.dst // 2 BETWEEN 1 AND "
+        f"{_PPR_SEED_MAX_CUSTKEY})"
+    )
+    chain = _pagerank_rounds(
+        iterations,
+        scale,
+        base_sql=f"(CASE WHEN {seed_pred} THEN {base} ELSE 0 END)",
+    )
+    return f"""
+    WITH e AS (
+        SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    bi AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    deg AS (SELECT src, count(*) AS outdeg FROM bi GROUP BY 1),
+    r0 AS (
+        SELECT DISTINCT src AS node,
+               CAST(CASE WHEN src % 2 = 0
+                          AND src // 2 BETWEEN 1 AND {_PPR_SEED_MAX_CUSTKEY}
+                    THEN {scale} ELSE 0 END AS BIGINT) AS rank_fp
+        FROM bi
+    ),
+    {chain}
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+               AS node_type,
+           node // 2 AS key,
+           rank_fp
+    FROM r{iterations}
+    WHERE rank_fp > 0
+    """
+
+
+@register("personalized_pagerank", oracle=_ppr_oracle())
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank: teleport mass restarts only at a seed
+    set (customers 1-5) instead of uniformly, so rank becomes
+    relevance-to-the-seeds — the recommendation/expansion primitive
+    ('suppliers these customers gravitate to', seed-based retrieval,
+    trust propagation) rather than global centrality. Same integer
+    fixed-point Pregel loop with two per-node conditionals (r0 and the
+    teleport term — a broadcast of the tiny seed table per round);
+    zero-mass nodes (unreachable from the seeds within the round
+    horizon) are dropped from the output. The oracle unrolls the
+    identical seeded recurrence, so personalization is value-hash
+    verified exactly like the global form."""
+    orders = table(spark, "orders", sf_dir)
+    lineitem = table(spark, "lineitem", sf_dir)
+    seeds = spark.createDataFrame(
+        [(2 * k,) for k in range(1, _PPR_SEED_MAX_CUSTKEY + 1)],
+        "node long",
+    )
+    ranks = pagerank_fixed_point(
+        trade_graph_edges(orders, lineitem), seeds=seeds
+    )
+    return ranks.filter(F.col("rank_fp") > 0).select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node div 2").alias("key"),
+        F.col("rank_fp"),
+    )

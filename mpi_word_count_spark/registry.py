@@ -177,6 +177,8 @@ _PRIORITY = [
     "zorder_skipping_audit",
     # + the hilbert layout (unit-step curve, tighter file boxes)
     "hilbert_skipping_audit",
+    # seeded-teleport PageRank (relevance-to-seeds, not centrality)
+    "personalized_pagerank",
     "segment_dedup_summary",
     # never-verified entries displaced by the governance family and
     # the k-core query above (zero-sum 50-row budget): all are

@@ -197,3 +197,40 @@ def test_kcore_plan_has_no_quadratic_join(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_personalized_pagerank_concentrates_on_seeds(spark):
+    """Seeded teleport must rank the seeds' neighborhood above the
+    global form's flat profile: seeds hold the highest customer ranks,
+    and total mass is concentrated (top-5 customers carry a larger
+    rank share than under global pagerank)."""
+    from mpi_word_count_spark.queries.graph_queries import (
+        _PPR_SEED_MAX_CUSTKEY,
+        q_personalized_pagerank,
+        q_trade_graph_pagerank,
+    )
+    from tests.conftest import SF_DIR
+
+    ppr = {
+        (r["node_type"], r["key"]): r["rank_fp"]
+        for r in q_personalized_pagerank(spark, SF_DIR).collect()
+    }
+    seeds = {
+        ("customer", k) for k in range(1, _PPR_SEED_MAX_CUSTKEY + 1)
+    }
+    cust_ranks = sorted(
+        ((k, v) for k, v in ppr.items() if k[0] == "customer"),
+        key=lambda kv: -kv[1],
+    )
+    top5 = {k for k, _ in cust_ranks[:_PPR_SEED_MAX_CUSTKEY]}
+    assert top5 == seeds, top5
+    glob = {
+        (r["node_type"], r["key"]): r["rank_fp"]
+        for r in q_trade_graph_pagerank(spark, SF_DIR).collect()
+    }
+
+    def share(ranks):
+        tot = sum(ranks.values())
+        return sum(ranks.get(s, 0) for s in seeds) / tot
+
+    assert share(ppr) > 3 * share(glob)
