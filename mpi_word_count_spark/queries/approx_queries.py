@@ -355,3 +355,109 @@ def q_bloom_prefilter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "hll_set_intersection",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'click' AND value > 90),
+    b AS (SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'purchase' AND value > 90)
+    SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS exact_a,
+           CAST((SELECT count(*) FROM b) AS BIGINT) AS exact_b,
+           CAST((SELECT count(*) FROM a JOIN b USING (user_id)) AS BIGINT)
+               AS exact_intersection,
+           TRUE AS within_tolerance
+    """,
+)
+def q_hll_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA: estimate |A ∩ B| (high-value clickers who are
+    also high-value purchasers — genuinely partial overlap on the
+    fixture: 135/127 sides, 113 common at sf0.01) by inclusion-exclusion over HLL sketches — est(A) +
+    est(B) − est(A ∪ B), where the union estimate comes from MERGING
+    the two sketch states (hll_union), never from re-scanning — the
+    constant-memory way to intersect two 10-billion-user sets at
+    100 TB (each sketch is kilobytes; the exact join below exists
+    only to verify). Driver verification follows the sketch-family
+    pattern: exact values hash-compare cross-engine, and
+    within_tolerance asserts the estimate sits inside the compounded
+    envelope 3·rsd·(est_a + est_b + est_union) — inclusion-exclusion
+    ADDS absolute errors, so the band must widen accordingly (and
+    does: lgConfigK=12 → rsd ≈ 1.6%)."""
+    from mpi_word_count_spark.operators import track_cache
+
+    e = table(spark, "events", sf_dir)
+    # one scan: per-side sketches built as conditional aggregates
+    sk = e.agg(
+        F.hll_sketch_agg(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("value") > 90),
+                F.col("user_id"),
+            )
+        ).alias("sk_a"),
+        F.hll_sketch_agg(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 90),
+                F.col("user_id"),
+            )
+        ).alias("sk_b"),
+        F.countDistinct(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("value") > 90),
+                F.col("user_id"),
+            )
+        ).alias("exact_a"),
+        F.countDistinct(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 90),
+                F.col("user_id"),
+            )
+        ).alias("exact_b"),
+        F.countDistinct(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("value") > 90),
+                F.col("user_id"),
+            )
+        ).alias("_dummy"),
+    ).drop("_dummy")
+    sk = track_cache(sk)
+    est = sk.select(
+        "exact_a",
+        "exact_b",
+        F.hll_sketch_estimate("sk_a").alias("est_a"),
+        F.hll_sketch_estimate("sk_b").alias("est_b"),
+        F.hll_sketch_estimate(
+            F.hll_union("sk_a", "sk_b")
+        ).alias("est_u"),
+    )
+    exact_i = (
+        e.filter((F.col("event_type") == "click") & (F.col("value") > 90))
+        .select("user_id")
+        .distinct()
+        .join(
+            e.filter(
+                (F.col("event_type") == "purchase") & (F.col("value") > 90)
+            )
+            .select("user_id")
+            .distinct(),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    rsd = 1.04 / (2**12) ** 0.5
+    return est.crossJoin(F.broadcast(exact_i)).select(
+        F.col("exact_a").cast("bigint").alias("exact_a"),
+        F.col("exact_b").cast("bigint").alias("exact_b"),
+        F.col("exact_intersection").cast("bigint").alias(
+            "exact_intersection"
+        ),
+        (
+            F.abs(
+                (F.col("est_a") + F.col("est_b") - F.col("est_u"))
+                - F.col("exact_intersection")
+            )
+            <= F.lit(3 * rsd)
+            * (F.col("est_a") + F.col("est_b") + F.col("est_u"))
+        ).alias("within_tolerance"),
+    )

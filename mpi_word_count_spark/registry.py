@@ -179,6 +179,8 @@ _PRIORITY = [
     "hilbert_skipping_audit",
     # seeded-teleport PageRank (relevance-to-seeds, not centrality)
     "personalized_pagerank",
+    # mergeable-sketch set algebra (inclusion-exclusion intersection)
+    "hll_set_intersection",
     "segment_dedup_summary",
     # never-verified entries displaced by the governance family and
     # the k-core query above (zero-sum 50-row budget): all are

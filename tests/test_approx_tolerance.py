@@ -128,3 +128,37 @@ def test_bloom_no_false_negatives(spark):
         fp = sum(1 for r in negatives if r["might_contain"]) / len(negatives)
         assert fp < 0.5, fp
     del F
+
+
+def test_hll_intersection_in_band_and_exact(spark):
+    """The inclusion-exclusion estimate must sit inside the compounded
+    3-sigma envelope (the query's boolean), the exact side must match
+    an independent recomputation, and the sets must genuinely
+    partially overlap (non-degenerate fixture split)."""
+    from pyspark.sql import functions as F
+
+    from mpi_word_count_spark.queries.approx_queries import (
+        q_hll_set_intersection,
+    )
+    from mpi_word_count_spark.tables import table
+
+    row = q_hll_set_intersection(spark, SF_DIR).collect()[0]
+    assert row["within_tolerance"]
+    e = table(spark, "events", SF_DIR)
+    a = {
+        r["user_id"]
+        for r in e.filter(
+            (F.col("event_type") == "click") & (F.col("value") > 90)
+        ).select("user_id").distinct().collect()
+    }
+    b = {
+        r["user_id"]
+        for r in e.filter(
+            (F.col("event_type") == "purchase") & (F.col("value") > 90)
+        ).select("user_id").distinct().collect()
+    }
+    assert row["exact_a"] == len(a)
+    assert row["exact_b"] == len(b)
+    assert row["exact_intersection"] == len(a & b)
+    # genuinely partial overlap: neither set contains the other
+    assert a - b and b - a and a & b
