@@ -625,3 +625,54 @@ def jsonl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch")
     )
+
+
+@register(
+    "manifest_time_travel",
+    oracle="""
+    SELECT 1 AS version,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(length(text)) AS BIGINT)
+    FROM documents
+    ORDER BY version
+    """,
+)
+def manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL through retained manifests: two append commits to
+    the manifestsink (even docs, then odd docs) produce snapshots v1
+    and v2 — each version's manifest is retained, and reading AS OF a
+    version is nothing more than resolving that manifest (the entire
+    trick behind lakehouse time travel). The query reads BOTH
+    snapshots back and summarizes each: v1 sees only the first
+    commit's documents, v2 the union — proving commits are snapshot-
+    isolated (a reader pinned to v1 while v2 commits sees no change)
+    and append-consistent."""
+    from mpi_word_count_spark.sources.manifest_sink import (
+        read_manifest_jsonl,
+        register_manifest_sink,
+    )
+
+    register_manifest_sink(spark)
+    docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+    path = _scratch_path(sf_dir, "docs_time_travel")
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    docs.filter(F.col("doc_id") % 2 == 0).write.format("manifestsink").option(
+        "path", path
+    ).mode("append").save()
+    docs.filter(F.col("doc_id") % 2 == 1).write.format("manifestsink").option(
+        "path", path
+    ).mode("append").save()
+    schema = "doc_id BIGINT, text STRING"
+    out = None
+    for v in (1, 2):
+        snap = read_manifest_jsonl(spark, path, schema, version=v).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+        ).select(F.lit(v).alias("version"), "n_docs", "total_chars")
+        out = snap if out is None else out.unionByName(snap)
+    return out.orderBy("version")

@@ -181,6 +181,8 @@ _PRIORITY = [
     "personalized_pagerank",
     # mergeable-sketch set algebra (inclusion-exclusion intersection)
     "hll_set_intersection",
+    # snapshot isolation + AS-OF reads via retained manifests
+    "manifest_time_travel",
     "segment_dedup_summary",
     # never-verified entries displaced by the governance family and
     # the k-core query above (zero-sum 50-row budget): all are

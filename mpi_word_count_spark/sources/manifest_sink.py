@@ -70,20 +70,39 @@ try:
             return JsonlFileCommit(fname, n_rows, n_bytes)
 
         def commit(self, messages) -> None:
-            files = [
+            new_files = [
                 {"file": m.filename, "rows": m.n_rows, "bytes": m.n_bytes}
                 for m in messages
                 if m is not None
             ]
+            # snapshot semantics (append mode): the new version carries
+            # every file of the previous snapshot plus this job's files
+            # — and every version's manifest is RETAINED, which is all
+            # time travel is: read AS OF version = resolve that
+            # manifest. Single-writer protocol (object-store CAS on the
+            # latest pointer generalizes it to concurrent committers).
+            try:
+                prev = read_manifest(self.path)
+            except FileNotFoundError:
+                prev = {"files": [], "version": 0}
+            files = list(prev["files"]) + new_files
             files.sort(key=lambda d: d["file"])
             manifest = {
+                "version": prev.get("version", 0) + 1,
                 "files": files,
                 "total_rows": sum(f["rows"] for f in files),
             }
-            tmp = os.path.join(self.path, JSONL_MANIFEST + ".tmp")
+            versioned = os.path.join(
+                self.path, f"_MANIFEST-v{manifest['version']}.json"
+            )
+            tmp = versioned + ".tmp"
             with open(tmp, "w", encoding="utf-8") as fh:
                 json.dump(manifest, fh)
-            os.replace(tmp, os.path.join(self.path, JSONL_MANIFEST))
+            os.replace(tmp, versioned)
+            tmp2 = os.path.join(self.path, JSONL_MANIFEST + ".tmp")
+            with open(tmp2, "w", encoding="utf-8") as fh:
+                json.dump(manifest, fh)
+            os.replace(tmp2, os.path.join(self.path, JSONL_MANIFEST))
 
         def abort(self, messages) -> None:  # pragma: no cover - driver kill
             # data files are garbage until a manifest names them; no
@@ -116,17 +135,22 @@ def register_manifest_sink(spark) -> None:
     spark.dataSource.register(ManifestJsonlDataSource)
 
 
-def read_manifest(path: str) -> dict:
-    with open(os.path.join(path, JSONL_MANIFEST), encoding="utf-8") as fh:
+def read_manifest(path: str, version: int | None = None) -> dict:
+    """Latest manifest, or a specific retained snapshot (time travel:
+    `version=N` resolves `_MANIFEST-vN.json`)."""
+    name = JSONL_MANIFEST if version is None else f"_MANIFEST-v{version}.json"
+    with open(os.path.join(path, name), encoding="utf-8") as fh:
         return json.load(fh)
 
 
-def read_manifest_jsonl(spark, path: str, schema: str):
+def read_manifest_jsonl(spark, path: str, schema: str, version: int | None = None):
     """Manifest-resolved read: ONLY files the committed manifest names
     are visible — a stray file from a failed attempt never leaks into
-    results (tested with a planted orphan)."""
+    results (tested with a planted orphan). `version` reads an older
+    retained snapshot (time travel)."""
     files = [
-        os.path.join(path, f["file"]) for f in read_manifest(path)["files"]
+        os.path.join(path, f["file"])
+        for f in read_manifest(path, version)["files"]
     ]
     if not files:
         return spark.createDataFrame([], schema)
