@@ -678,3 +678,88 @@ def q_streaming_dynamic_sessions(
         )
         .orderBy("user_id")
     )
+
+
+def _streaming_manifest_oracle() -> str:
+    from mpi_word_count_spark.sources.synthetic import sql_synth_corpus_cte
+
+    return f"""
+    WITH {sql_synth_corpus_cte(1000, "synth")},
+    docs AS (
+        SELECT doc_id, string_agg(word, ' ' ORDER BY i) AS text
+        FROM synth_words GROUP BY doc_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(5 AS BIGINT) AS n_commits
+    FROM docs
+    """
+
+
+@register("streaming_manifest_ingest", oracle=_streaming_manifest_oracle())
+def q_streaming_manifest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE streaming ingestion through the custom writer: the
+    synth connector's 5 micro-batches each commit one manifest
+    snapshot via foreachBatch, with the batch id recorded in the
+    manifest so a REPLAYED batch (sink committed, checkpoint WAL
+    didn't) no-ops instead of double-appending — the same idempotence
+    contract as the foreachBatch parquet sink, implemented in the
+    commit protocol itself (replay's orphan files are vacuum fodder,
+    never data). The final snapshot must contain every document
+    exactly once, and the manifest version count must equal the batch
+    count; the oracle regenerates the corpus in SQL."""
+    import shutil
+
+    from mpi_word_count_spark.queries.wordcount_queries import _scratch_path
+    from mpi_word_count_spark.sources.manifest_sink import (
+        read_manifest,
+        read_manifest_jsonl,
+        register_manifest_sink,
+    )
+    from mpi_word_count_spark.sources.synthetic import register_synth_source
+
+    register_synth_source(spark)
+    register_manifest_sink(spark)
+    path = _scratch_path(sf_dir, "stream_manifest_ingest")
+    shutil.rmtree(path, ignore_errors=True)
+    stream = (
+        spark.readStream.format("synthcorpus")
+        .option("n_docs", 1000)
+        .option("seed", "synth")
+        .option("batch_docs", 200)
+        .load()
+    )
+
+    def sink(batch_df, batch_id):
+        batch_df.write.format("manifestsink").option("path", path).option(
+            "batch_id", batch_id
+        ).mode("append").save()
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation", f"{path}_ckpt"
+        )
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    shutil.rmtree(f"{path}_ckpt", ignore_errors=True)
+
+    back = read_manifest_jsonl(spark, path, "doc_id BIGINT, text STRING")
+    n_commits = read_manifest(path)["version"]
+    return back.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("doc_id").alias("n_distinct_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+    ).select(
+        "n_docs",
+        "n_distinct_docs",
+        "total_chars",
+        F.lit(n_commits).cast("bigint").alias("n_commits"),
+    )

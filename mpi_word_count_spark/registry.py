@@ -183,6 +183,8 @@ _PRIORITY = [
     "hll_set_intersection",
     # snapshot isolation + AS-OF reads via retained manifests
     "manifest_time_travel",
+    # exactly-once streaming ingest through the custom writer
+    "streaming_manifest_ingest",
     "segment_dedup_summary",
     # never-verified entries displaced by the governance family and
     # the k-core query above (zero-sum 50-row budget): all are

@@ -47,6 +47,12 @@ try:
             if not self.path:
                 raise ValueError("manifestsink requires a 'path' option")
             self.fields = [f.name for f in schema.fields]
+            # streaming exactly-once: when foreachBatch passes its
+            # batch id, a REPLAYED batch (sink committed but the
+            # checkpoint WAL didn't) is recognized and its commit
+            # no-ops — the replay's data files become vacuum fodder
+            bid = options.get("batch_id")
+            self.batch_id = int(bid) if bid is not None else None
 
         def write(self, iterator) -> "JsonlFileCommit":
             from pyspark import TaskContext
@@ -85,6 +91,11 @@ try:
                 prev = read_manifest(self.path)
             except FileNotFoundError:
                 prev = {"files": [], "version": 0}
+            if (
+                self.batch_id is not None
+                and prev.get("batch_id", -1) >= self.batch_id
+            ):
+                return  # replayed micro-batch: already committed
             files = list(prev["files"]) + new_files
             files.sort(key=lambda d: d["file"])
             manifest = {
@@ -92,6 +103,8 @@ try:
                 "files": files,
                 "total_rows": sum(f["rows"] for f in files),
             }
+            if self.batch_id is not None:
+                manifest["batch_id"] = self.batch_id
             versioned = os.path.join(
                 self.path, f"_MANIFEST-v{manifest['version']}.json"
             )
@@ -155,3 +168,23 @@ def read_manifest_jsonl(spark, path: str, schema: str, version: int | None = Non
     if not files:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).json(files)
+
+
+def vacuum_candidates(path: str, keep_versions: int = 1) -> list[str]:
+    """The janitor companion to time travel: data files on disk that
+    NO retained manifest references (aborted/failed attempts, or files
+    only reachable from snapshots older than the retention horizon)
+    are safe to delete — visibility was always manifest-resolved, so
+    removing them can never change any retained snapshot's contents.
+    Returns the file names; deletion is the caller's (audited) act."""
+    latest = read_manifest(path)
+    keep_from = max(1, latest["version"] - keep_versions + 1)
+    referenced: set[str] = set()
+    for v in range(keep_from, latest["version"] + 1):
+        referenced.update(f["file"] for f in read_manifest(path, v)["files"])
+    on_disk = {
+        f
+        for f in os.listdir(path)
+        if f.endswith(".jsonl") and not f.startswith("_")
+    }
+    return sorted(on_disk - referenced)

@@ -431,3 +431,90 @@ def test_manifest_sink_two_phase_commit(spark, tmp_path):
     got = {(r["doc_id"], r["lang"]) for r in back.collect()}
     assert got == src
     assert os.path.exists(os.path.join(path, JSONL_MANIFEST))
+
+
+def test_manifest_time_travel_and_vacuum(spark, tmp_path):
+    """Snapshot isolation: v1 is immutable while v2 commits; vacuum
+    lists exactly the unreferenced files (planted orphan), and with
+    full retention nothing referenced is ever a candidate."""
+    import os
+
+    from mpi_word_count_spark.sources.manifest_sink import (
+        read_manifest,
+        read_manifest_jsonl,
+        register_manifest_sink,
+        vacuum_candidates,
+    )
+    from mpi_word_count_spark.tables import table
+    from tests.conftest import SF_DIR
+
+    register_manifest_sink(spark)
+    docs = table(spark, "documents", SF_DIR).select("doc_id")
+    path = str(tmp_path / "tt")
+    docs.filter("doc_id % 2 = 0").write.format("manifestsink").option(
+        "path", path
+    ).mode("append").save()
+    v1 = read_manifest_jsonl(spark, path, "doc_id BIGINT", version=1).count()
+    docs.filter("doc_id % 2 = 1").write.format("manifestsink").option(
+        "path", path
+    ).mode("append").save()
+    # v1 unchanged after the second commit (snapshot isolation)
+    assert (
+        read_manifest_jsonl(spark, path, "doc_id BIGINT", version=1).count()
+        == v1
+    )
+    assert (
+        read_manifest_jsonl(spark, path, "doc_id BIGINT", version=2).count()
+        == docs.count()
+    )
+    assert read_manifest(path)["version"] == 2
+
+    # orphan from a failed attempt: vacuum's only candidate under
+    # full retention
+    orphan = os.path.join(path, "part-00000-attempt-777.jsonl")
+    with open(orphan, "w") as fh:
+        fh.write('{"doc_id": -1}\n')
+    assert vacuum_candidates(path, keep_versions=2) == [
+        "part-00000-attempt-777.jsonl"
+    ]
+    # retention horizon 1: v1-only files are STILL referenced by v2
+    # (append snapshots are supersets), so only the orphan remains
+    assert vacuum_candidates(path, keep_versions=1) == [
+        "part-00000-attempt-777.jsonl"
+    ]
+
+
+def test_manifest_sink_replayed_batch_is_idempotent(spark, tmp_path):
+    """The streaming exactly-once contract: committing the SAME
+    batch_id twice (sink committed, checkpoint WAL lost — Spark
+    replays the batch) must not change the snapshot; the replay's
+    files become vacuum candidates, never data."""
+    from mpi_word_count_spark.sources.manifest_sink import (
+        read_manifest,
+        read_manifest_jsonl,
+        register_manifest_sink,
+        vacuum_candidates,
+    )
+    from mpi_word_count_spark.tables import table
+    from tests.conftest import SF_DIR
+
+    register_manifest_sink(spark)
+    docs = table(spark, "documents", SF_DIR).select("doc_id")
+    path = str(tmp_path / "replay")
+
+    def commit_batch(df, bid):
+        df.write.format("manifestsink").option("path", path).option(
+            "batch_id", bid
+        ).mode("append").save()
+
+    commit_batch(docs.filter("doc_id < 100"), 0)
+    commit_batch(docs.filter("doc_id >= 100"), 1)
+    m1 = read_manifest(path)
+    n1 = read_manifest_jsonl(spark, path, "doc_id BIGINT").count()
+    # replay batch 1 (same batch_id): commit must no-op
+    commit_batch(docs.filter("doc_id >= 100"), 1)
+    m2 = read_manifest(path)
+    assert m2 == m1  # version, files, totals all unchanged
+    assert read_manifest_jsonl(spark, path, "doc_id BIGINT").count() == n1
+    # the replay's data files exist on disk but only as vacuum fodder
+    assert vacuum_candidates(path, keep_versions=m2["version"])
