@@ -386,6 +386,7 @@ def test_no_cartesian_product_anywhere_in_the_registry(spark):
         "xml_roundtrip",
         "orc_roundtrip",
         "manifest_sink_roundtrip",
+        "manifest_time_travel",
         "jsonl_schema_evolution",
         "rdd_wordcount",
         "synthetic_corpus_wordcount",
