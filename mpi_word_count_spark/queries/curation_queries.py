@@ -1141,3 +1141,111 @@ def q_temperature_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_NEYMAN_BUDGET = 1000
+
+
+def _neyman_oracle() -> str:
+    sd = (
+        "sqrt((sumsq - sum_v * sum_v / n) / (n - 1))"
+    )
+    return f"""
+    WITH s AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(value) AS sum_v,
+               sum(value * value) AS sumsq
+        FROM events GROUP BY 1
+    ),
+    w AS (
+        SELECT event_type, n,
+               CAST(floor(1000.0 * {sd} + 0.5) AS BIGINT) AS sd_milli
+        FROM s
+    ),
+    t AS (SELECT sum(n * sd_milli) AS tot FROM w),
+    alloc AS (
+        SELECT w.event_type, w.n, w.sd_milli,
+               ({_NEYMAN_BUDGET} * w.n * w.sd_milli) // t.tot AS base_alloc,
+               ({_NEYMAN_BUDGET} * w.n * w.sd_milli) % t.tot AS rem
+        FROM w CROSS JOIN t
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (ORDER BY rem DESC, event_type ASC) AS rr,
+               {_NEYMAN_BUDGET} - sum(base_alloc) OVER () AS shortfall
+        FROM alloc
+    )
+    SELECT event_type, n AS stratum_rows, sd_milli,
+           CAST(base_alloc + CASE WHEN rr <= shortfall THEN 1 ELSE 0 END
+                AS BIGINT) AS sample_size
+    FROM ranked ORDER BY event_type
+    """
+
+
+@register("neyman_allocation_plan", oracle=_neyman_oracle())
+def q_neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman (variance-optimal) stratified-sample allocation: split a
+    fixed labeling/eval budget across strata proportionally to
+    N_h·S_h — high-variance strata get more samples, the classical
+    minimum-variance design for estimating the population mean (the
+    budget-allocation complement of quota_sample_per_source's equal
+    quotas). Stddevs quantize to integer milli BEFORE allocation, so
+    the entire plan — integer floor allocations plus largest-remainder
+    distribution of the shortfall (deterministic remainder-then-name
+    ranking) — is bit-identical cross-engine and sums exactly to the
+    budget. One aggregate scan; everything after is |strata|-sized."""
+    from pyspark.sql.window import Window
+
+    e = table(spark, "events", sf_dir)
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sum_v"),
+        F.sum(F.col("value") * F.col("value")).alias("sumsq"),
+    )
+    sd = F.sqrt(
+        (F.col("sumsq") - F.col("sum_v") * F.col("sum_v") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    w = s.select(
+        "event_type",
+        "n",
+        F.floor(F.lit(1000.0) * sd + F.lit(0.5)).cast("bigint").alias(
+            "sd_milli"
+        ),
+    )
+    tot = w.agg(F.sum(F.col("n") * F.col("sd_milli")).alias("tot"))
+    alloc = w.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n",
+        "sd_milli",
+        F.expr(f"({_NEYMAN_BUDGET} * n * sd_milli) div tot").alias(
+            "base_alloc"
+        ),
+        ((F.lit(_NEYMAN_BUDGET) * F.col("n") * F.col("sd_milli")) % F.col("tot")).alias(
+            "rem"
+        ),
+    )
+    win_rank = Window.orderBy(F.desc("rem"), F.asc("event_type"))
+    win_all = Window.partitionBy()
+    ranked = alloc.select(
+        "event_type",
+        "n",
+        "sd_milli",
+        "base_alloc",
+        F.row_number().over(win_rank).alias("rr"),
+        (F.lit(_NEYMAN_BUDGET) - F.sum("base_alloc").over(win_all)).alias(
+            "shortfall"
+        ),
+    )
+    return ranked.select(
+        "event_type",
+        F.col("n").alias("stratum_rows"),
+        "sd_milli",
+        (
+            F.col("base_alloc")
+            + F.when(F.col("rr") <= F.col("shortfall"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("sample_size"),
+    ).orderBy("event_type")

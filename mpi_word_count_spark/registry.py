@@ -185,6 +185,8 @@ _PRIORITY = [
     "manifest_time_travel",
     # exactly-once streaming ingest through the custom writer
     "streaming_manifest_ingest",
+    # variance-optimal stratified budget allocation
+    "neyman_allocation_plan",
     "segment_dedup_summary",
     # never-verified entries displaced by the governance family and
     # the k-core query above (zero-sum 50-row budget): all are

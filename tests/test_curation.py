@@ -261,3 +261,21 @@ def test_temperature_mixture_flattens_toward_uniform(spark):
             assert uniform < r["sampled_share"] < nat, r
         elif nat < uniform:
             assert nat < r["sampled_share"] < uniform, r
+
+
+def test_neyman_allocation_sums_to_budget_and_orders_by_nh_sh(spark):
+    from tests.conftest import SF_DIR
+
+    from mpi_word_count_spark.queries.curation_queries import (
+        _NEYMAN_BUDGET,
+        q_neyman_allocation_plan,
+    )
+
+    rows = q_neyman_allocation_plan(spark, SF_DIR).collect()
+    assert sum(r["sample_size"] for r in rows) == _NEYMAN_BUDGET
+    # allocations follow N_h * S_h ordering within +-1 (largest
+    # remainder can flip exact ties only)
+    weighted = sorted(rows, key=lambda r: -r["stratum_rows"] * r["sd_milli"])
+    sizes = [r["sample_size"] for r in weighted]
+    assert all(a >= b - 1 for a, b in zip(sizes, sizes[1:]))
+    assert all(r["sample_size"] > 0 for r in rows)
