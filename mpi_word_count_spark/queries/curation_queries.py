@@ -1249,3 +1249,152 @@ def q_neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sample_size"),
     ).orderBy("event_type")
+
+
+def _ring_points_sql(n_shards: int, vnodes: int) -> str:
+    rows = ", ".join(
+        f"({s}, {v})" for s in range(n_shards) for v in range(vnodes)
+    )
+    return f"(VALUES {rows}) AS vn(shard, v)"
+
+
+def _consistent_hash_oracle() -> str:
+    doc_pt = sql_hash32("CAST(doc_id AS VARCHAR)", "ring")
+
+    def ring(n: int, name: str) -> str:
+        pt = sql_hash32(
+            "CAST(shard AS VARCHAR) || ':' || CAST(v AS VARCHAR)", "vnode"
+        )
+        return f"""
+    {name} AS MATERIALIZED (
+        SELECT shard, {pt} AS pt FROM {_ring_points_sql(n, 32)}
+    )"""
+
+    def assign(ring_name: str, out: str) -> str:
+        # successor on the ring: smallest vnode point >= doc point,
+        # wrapping to the globally smallest point
+        return f"""
+    {out} AS MATERIALIZED (
+        SELECT d.doc_id,
+               coalesce(
+                   (SELECT r.shard FROM {ring_name} r
+                    WHERE r.pt >= d.pt ORDER BY r.pt, r.shard LIMIT 1),
+                   (SELECT r.shard FROM {ring_name} r
+                    ORDER BY r.pt, r.shard LIMIT 1)
+               ) AS shard
+        FROM dpts d
+    )"""
+
+    return f"""
+    WITH dpts AS MATERIALIZED (
+        SELECT doc_id, {doc_pt} AS pt FROM documents
+    ),
+    {ring(16, "ring16").strip()},
+    {ring(17, "ring17").strip()},
+    {assign("ring16", "a16").strip()},
+    {assign("ring17", "a17").strip()},
+    ring_moved AS (
+        SELECT count(*) AS moved FROM a16 JOIN a17 USING (doc_id)
+        WHERE a16.shard <> a17.shard
+    ),
+    mod_moved AS (
+        SELECT count(*) AS moved FROM documents
+        WHERE {doc_pt} % 16 <> {doc_pt} % 17
+    ),
+    n AS (SELECT count(*) AS total FROM documents)
+    SELECT 'consistent_ring' AS scheme,
+           CAST(n.total AS BIGINT) AS n_docs,
+           CAST(ring_moved.moved AS BIGINT) AS docs_moved,
+           CAST(1000 * ring_moved.moved // n.total AS BIGINT) AS moved_milli
+    FROM ring_moved, n
+    UNION ALL
+    SELECT 'mod_hash', CAST(n.total AS BIGINT),
+           CAST(mod_moved.moved AS BIGINT),
+           CAST(1000 * mod_moved.moved // n.total AS BIGINT)
+    FROM mod_moved, n
+    ORDER BY scheme
+    """
+
+
+@register("consistent_hash_resharding", oracle=_consistent_hash_oracle())
+def q_consistent_hash_resharding(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Consistent hashing vs mod-hash under RESHARDING, measured: grow
+    16 shards to 17 and count documents that move. Mod-hash reshuffles
+    ~16/17 of the corpus (every residue class shifts); the consistent
+    ring (md5 points, 32 virtual nodes per shard, successor
+    assignment) moves only the arc the new shard claims — ~1/17 —
+    which at 100 TB is the difference between copying the whole
+    corpus and copying 6%% of it. All ring arithmetic is the portable
+    md5 hash family, so assignments and both movement counts
+    hash-verify bit for bit.
+
+    Scale shape: the ring is shards×vnodes rows (a broadcast); the
+    successor lookup compiles to a min-aggregate over the tiny ring
+    per doc point (never a sort of the corpus); both assignments and
+    the movement counts ride one scan plus broadcast joins."""
+    from mpi_word_count_spark.functions.hashing import hash32
+
+    docs = table(spark, "documents", sf_dir)
+    dpts = docs.select(
+        "doc_id", hash32(F.col("doc_id").cast("string"), seed="ring").alias("pt")
+    )
+
+    def ring_df(n: int) -> DataFrame:
+        rows = [(s, v) for s in range(n) for v in range(32)]
+        vn = spark.createDataFrame(rows, "shard int, v int")
+        return vn.select(
+            "shard",
+            hash32(
+                F.concat_ws(":", F.col("shard"), F.col("v")), seed="vnode"
+            ).alias("pt"),
+        )
+
+    def assign(ring: DataFrame, out_col: str) -> DataFrame:
+        r = F.broadcast(ring.select(F.col("shard"), F.col("pt").alias("rpt")))
+        # successor = min (rpt, shard) among rpt >= pt; wrap = global min
+        succ = (
+            dpts.join(r, F.col("rpt") >= F.col("pt"), "left")
+            .groupBy("doc_id", "pt")
+            .agg(
+                F.min(F.struct("rpt", "shard")).alias("s")
+            )
+            .select("doc_id", F.col("s.shard").alias("succ"))
+        )
+        wrap = ring.orderBy("pt", "shard").limit(1).select(
+            F.col("shard").alias("wrap_shard")
+        )
+        return succ.crossJoin(F.broadcast(wrap)).select(
+            "doc_id",
+            F.coalesce("succ", "wrap_shard").alias(out_col),
+        )
+
+    a16 = assign(ring_df(16), "s16")
+    a17 = assign(ring_df(17), "s17")
+    joined = a16.join(a17, "doc_id")
+    ring_stats = joined.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("s16") != F.col("s17"), 1)).alias("docs_moved"),
+    ).select(
+        F.lit("consistent_ring").alias("scheme"),
+        "n_docs",
+        "docs_moved",
+        F.expr("1000 * docs_moved div n_docs").cast("bigint").alias(
+            "moved_milli"
+        ),
+    )
+    mod_stats = dpts.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("pt") % 16 != F.col("pt") % 17, 1)).alias(
+            "docs_moved"
+        ),
+    ).select(
+        F.lit("mod_hash").alias("scheme"),
+        "n_docs",
+        "docs_moved",
+        F.expr("1000 * docs_moved div n_docs").cast("bigint").alias(
+            "moved_milli"
+        ),
+    )
+    return ring_stats.unionByName(mod_stats).orderBy("scheme")

@@ -187,6 +187,8 @@ _PRIORITY = [
     "streaming_manifest_ingest",
     # variance-optimal stratified budget allocation
     "neyman_allocation_plan",
+    # minimal-movement resharding, measured vs mod-hash
+    "consistent_hash_resharding",
     "segment_dedup_summary",
     # never-verified entries displaced by the governance family and
     # the k-core query above (zero-sum 50-row budget): all are

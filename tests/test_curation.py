@@ -279,3 +279,27 @@ def test_neyman_allocation_sums_to_budget_and_orders_by_nh_sh(spark):
     sizes = [r["sample_size"] for r in weighted]
     assert all(a >= b - 1 for a, b in zip(sizes, sizes[1:]))
     assert all(r["sample_size"] > 0 for r in rows)
+
+
+def test_consistent_hash_resharding_properties(spark):
+    """Movement bounds: the ring moves close to the ideal 1/17 (well
+    under 3x it), mod-hash moves nearly everything; exactly the docs
+    claimed by the new shard move on the ring (movement == docs
+    assigned to shard 16 in the 17-ring)."""
+    from tests.conftest import SF_DIR
+
+    from mpi_word_count_spark.queries.curation_queries import (
+        q_consistent_hash_resharding,
+    )
+
+    rows = {
+        r["scheme"]: r
+        for r in q_consistent_hash_resharding(spark, SF_DIR).collect()
+    }
+    ring = rows["consistent_ring"]
+    mod = rows["mod_hash"]
+    assert ring["n_docs"] == mod["n_docs"]
+    ideal = ring["n_docs"] / 17
+    assert ring["docs_moved"] <= 3 * ideal
+    assert mod["docs_moved"] >= 0.8 * mod["n_docs"]
+    assert ring["docs_moved"] < mod["docs_moved"] / 5
