@@ -196,3 +196,81 @@ def q_quality_scorer_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("heuristic_keep", "model_keep")
     )
+
+
+def _wilson_oracle() -> str:
+    from mpi_word_count_spark.queries import text_queries  # noqa: F401
+    from mpi_word_count_spark.registry import _REGISTRY
+
+    heur = _REGISTRY["quality_scores"][1]
+    z2 = "3.8416"  # z^2 for z = 1.96
+    p = "(CAST(k AS DOUBLE) / n)"
+    center = f"({p} + {z2} / (2 * n)) / (1 + {z2} / n)"
+    half = (
+        f"(1.96 * sqrt({p} * (1 - {p}) / n + {z2} / (4.0 * n * n)))"
+        f" / (1 + {z2} / n)"
+    )
+    pr = sql_portable_round
+    return f"""
+    WITH scored AS MATERIALIZED (
+        SELECT q.doc_id, d.lang,
+               CAST(q.quality_score >= 0.44 AS INT) AS kept
+        FROM ({heur}) q JOIN documents d ON q.doc_id = d.doc_id
+    ),
+    agg AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(kept) AS BIGINT) AS k
+        FROM scored GROUP BY 1
+    )
+    SELECT lang, n AS n_docs, k AS n_kept,
+           {pr(p, 4)} AS keep_rate,
+           {pr(f"greatest({center} - {half}, 0.0)", 4)} AS ci_lo,
+           {pr(f"least({center} + {half}, 1.0)", 4)} AS ci_hi
+    FROM agg ORDER BY lang
+    """
+
+
+@register("keep_rate_wilson_ci", oracle=_wilson_oracle())
+def q_keep_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-gate keep rates WITH UNCERTAINTY: the
+    Wilson 95% score interval around each rate — the statistically
+    honest gate report (a 60% rate over 40 docs and over 40,000 docs
+    are different facts; Wald intervals misbehave at extreme rates and
+    small n, Wilson does not). z is the fixed 1.96 constant and sqrt
+    is IEEE-exact, so the only float variance is summation-free
+    arithmetic on exact integer (k, n) — floored at 4dp on both
+    engines. Composes the registered heuristic scorer; one per-doc
+    projection + one |langs|-keyed aggregate."""
+    from mpi_word_count_spark.queries.text_queries import q_quality_scores
+
+    docs = table(spark, "documents", sf_dir).select("doc_id", "lang")
+    scored = (
+        q_quality_scores(spark, sf_dir)
+        .select("doc_id", (F.col("quality_score") >= 0.44).alias("kept"))
+        .join(docs, "doc_id")
+    )
+    agg = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("kept").cast("int")).alias("k"),
+    )
+    from mpi_word_count_spark.functions.parity import portable_round
+
+    n = F.col("n").cast("double")
+    k = F.col("k").cast("double")
+    z2 = F.lit(3.8416)
+    p = k / n
+    center = (p + z2 / (2 * n)) / (F.lit(1) + z2 / n)
+    half = (
+        F.lit(1.96)
+        * F.sqrt(p * (F.lit(1) - p) / n + z2 / (F.lit(4.0) * n * n))
+    ) / (F.lit(1) + z2 / n)
+    return agg.select(
+        "lang",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("k").cast("bigint").alias("n_kept"),
+        portable_round(p, 4).alias("keep_rate"),
+        portable_round(F.greatest(center - half, F.lit(0.0)), 4).alias(
+            "ci_lo"
+        ),
+        portable_round(F.least(center + half, F.lit(1.0)), 4).alias("ci_hi"),
+    ).orderBy("lang")

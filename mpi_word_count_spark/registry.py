@@ -189,6 +189,8 @@ _PRIORITY = [
     "neyman_allocation_plan",
     # minimal-movement resharding, measured vs mod-hash
     "consistent_hash_resharding",
+    # uncertainty-aware gate report (Wilson score intervals)
+    "keep_rate_wilson_ci",
     "segment_dedup_summary",
     # never-verified entries displaced by the governance family and
     # the k-core query above (zero-sum 50-row budget): all are

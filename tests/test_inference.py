@@ -99,3 +99,24 @@ def test_quality_scorer_agreement_accounting(spark):
     assert sum(r["n_docs"] for r in rows) == n
     for r in rows:
         assert r["share_milli"] == 1000 * r["n_docs"] // n
+
+
+def test_wilson_ci_properties(spark):
+    """The interval must contain the point estimate, be within [0, 1],
+    and SHRINK with n: the largest stratum's interval is narrower than
+    the smallest's (at comparable rates near 0.5 on this fixture)."""
+    from tests.conftest import SF_DIR
+
+    from mpi_word_count_spark.queries.inference_queries import (
+        q_keep_rate_wilson_ci,
+    )
+
+    rows = q_keep_rate_wilson_ci(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["ci_lo"] <= r["keep_rate"] <= r["ci_hi"] <= 1.0
+        assert r["n_kept"] <= r["n_docs"]
+    widths = {r["lang"]: (r["ci_hi"] - r["ci_lo"], r["n_docs"]) for r in rows}
+    biggest = max(widths.values(), key=lambda t: t[1])
+    smallest = min(widths.values(), key=lambda t: t[1])
+    assert biggest[0] < smallest[0]
