@@ -461,3 +461,92 @@ def q_hll_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("est_a") + F.col("est_b") + F.col("est_u"))
         ).alias("within_tolerance"),
     )
+
+
+def _bloom_fpr_oracle() -> str:
+    from mpi_word_count_spark.functions.parity import sql_portable_round
+    from mpi_word_count_spark.operators.sketches import (
+        BLOOM_BITS,
+        BLOOM_HASHES,
+    )
+    from mpi_word_count_spark.registry import _REGISTRY
+
+    bloom = _REGISTRY["bloom_prefilter_stats"][1]
+    pr = sql_portable_round
+    k, m = BLOOM_HASHES, BLOOM_BITS
+    theo = f"pow(1.0 - exp(-{k}.0 * n_inserted / {m}), {k})"
+    return f"""
+    WITH probes AS MATERIALIZED (SELECT * FROM ({bloom})),
+    n_ins AS (
+        SELECT CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_inserted
+        FROM documents WHERE doc_id % 5 <> 0
+    ),
+    agg AS (
+        SELECT CAST(count(CASE WHEN NOT in_corpus THEN 1 END) AS BIGINT)
+                   AS n_negatives,
+               CAST(count(CASE WHEN might_contain AND NOT in_corpus THEN 1
+                          END) AS BIGINT) AS n_false_positives,
+               CAST(count(CASE WHEN in_corpus AND NOT might_contain THEN 1
+                          END) AS BIGINT) AS n_false_negatives
+        FROM probes
+    )
+    SELECT a.n_negatives, a.n_false_positives, a.n_false_negatives,
+           {pr("CAST(a.n_false_positives AS DOUBLE) / a.n_negatives", 4)}
+               AS measured_fpr,
+           {pr(theo, 4)} AS theoretical_fpr
+    FROM agg a CROSS JOIN n_ins
+    """
+
+
+@register("bloom_fpr_audit", oracle=_bloom_fpr_oracle())
+def q_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom prefilter's error budget, MEASURED against theory:
+    false-positive rate over the true-negative probes vs the textbook
+    (1 − e^(−kn/m))^k for this filter's k hashes, m bits, and n
+    distinct inserted keys — the number a capacity planner sizes m by
+    — plus the structural zero false negatives (the property that
+    makes the prefilter SAFE: nothing real is ever skipped). Composes
+    the registered bloom pipeline verbatim; exp/pow run on exact
+    integer inputs with fixed constants, floored at 4dp."""
+    from mpi_word_count_spark.functions.parity import portable_round
+    from mpi_word_count_spark.operators.sketches import (
+        BLOOM_BITS,
+        BLOOM_HASHES,
+    )
+    from mpi_word_count_spark.queries.approx_queries import (
+        q_bloom_prefilter_stats,
+    )
+
+    probes = q_bloom_prefilter_stats(spark, sf_dir)
+    docs = table(spark, "documents", sf_dir)
+    n_ins = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_inserted"))
+    )
+    agg = probes.agg(
+        F.count(F.when(~F.col("in_corpus"), 1)).alias("n_negatives"),
+        F.count(
+            F.when(F.col("might_contain") & ~F.col("in_corpus"), 1)
+        ).alias("n_false_positives"),
+        F.count(
+            F.when(F.col("in_corpus") & ~F.col("might_contain"), 1)
+        ).alias("n_false_negatives"),
+    )
+    k, m = BLOOM_HASHES, BLOOM_BITS
+    theo = F.pow(
+        F.lit(1.0)
+        - F.exp(F.lit(-float(k)) * F.col("n_inserted") / F.lit(float(m))),
+        F.lit(float(k)),
+    )
+    return agg.crossJoin(F.broadcast(n_ins)).select(
+        "n_negatives",
+        "n_false_positives",
+        "n_false_negatives",
+        portable_round(
+            F.col("n_false_positives").cast("double") / F.col("n_negatives"),
+            4,
+        ).alias("measured_fpr"),
+        portable_round(theo, 4).alias("theoretical_fpr"),
+    )

@@ -191,6 +191,8 @@ _PRIORITY = [
     "consistent_hash_resharding",
     # uncertainty-aware gate report (Wilson score intervals)
     "keep_rate_wilson_ci",
+    # measured vs textbook Bloom error budget
+    "bloom_fpr_audit",
     "segment_dedup_summary",
     # never-verified entries displaced by the governance family and
     # the k-core query above (zero-sum 50-row budget): all are

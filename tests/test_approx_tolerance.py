@@ -162,3 +162,19 @@ def test_hll_intersection_in_band_and_exact(spark):
     assert row["exact_intersection"] == len(a & b)
     # genuinely partial overlap: neither set contains the other
     assert a - b and b - a and a & b
+
+
+def test_bloom_fpr_audit_properties(spark):
+    """Zero false negatives (the safety property), and the measured
+    FPR sits near the textbook (1-e^{-kn/m})^k for this load — within
+    a factor of 2, which at n_negatives~100 covers binomial noise."""
+    from mpi_word_count_spark.queries.approx_queries import (
+        q_bloom_fpr_audit,
+    )
+
+    r = q_bloom_fpr_audit(spark, SF_DIR).collect()[0]
+    assert r["n_false_negatives"] == 0
+    assert r["n_negatives"] > 0
+    assert r["theoretical_fpr"] > 0
+    assert r["measured_fpr"] <= 2 * r["theoretical_fpr"] + 0.05
+    assert r["measured_fpr"] >= r["theoretical_fpr"] / 2 - 0.05
