@@ -1507,3 +1507,74 @@ def q_hilbert_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("avg_files_per_probe_milli"),
     ).orderBy("layout", "dimension")
+
+
+# fixed two-sided alpha=0.05, power=0.80 normal quantiles — constants,
+# never computed (no erf/probit in either engine's deterministic core)
+_Z_ALPHA = 1.959964
+_Z_BETA = 0.841621
+_MDE_REL_MILLI = 10  # detect a 1% relative lift
+
+
+def _power_oracle() -> str:
+    from mpi_word_count_spark.functions.parity import sql_portable_round
+
+    pr = sql_portable_round
+    var = "(sumsq - sum_v * sum_v / n) / (n - 1)"
+    mean = "(sum_v / n)"
+    delta = f"({mean} * {_MDE_REL_MILLI} / 1000.0)"
+    req = (
+        f"ceil(2.0 * {(_Z_ALPHA + _Z_BETA) ** 2!r} * ({var})"
+        f" / ({delta} * {delta}))"
+    )
+    return f"""
+    WITH s AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               sum(value) AS sum_v, sum(value * value) AS sumsq
+        FROM events GROUP BY 1
+    )
+    SELECT event_type, n AS n_events,
+           {pr(mean, 4)} AS mean_value,
+           {pr(f"sqrt({var})", 4)} AS stddev_value,
+           CAST({req} AS BIGINT) AS required_n_per_arm,
+           n >= 2 * {req} AS powered_today
+    FROM s ORDER BY event_type
+    """
+
+
+@register("ab_power_analysis", oracle=_power_oracle())
+def q_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment sample-size planning: per metric stratum, the
+    events-per-arm needed to detect a 1% relative lift at alpha=0.05 /
+    80% power — n = 2(z_a+z_b)^2 sigma^2 / delta^2 with the normal
+    quantiles as FIXED constants (never computed: no probit in the
+    deterministic core of either engine), sigma^2 from the exact
+    integer-free co-moment identity, and a powered_today flag saying
+    whether current volume already suffices. The planning complement
+    of ab_test_readout: run the readout only where this says the
+    answer can exist. One aggregate scan; |strata| output rows."""
+    from mpi_word_count_spark.functions.parity import portable_round
+
+    e = table(spark, "events", sf_dir)
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sum_v"),
+        F.sum(F.col("value") * F.col("value")).alias("sumsq"),
+    )
+    n = F.col("n").cast("double")
+    var = (F.col("sumsq") - F.col("sum_v") * F.col("sum_v") / n) / (
+        n - F.lit(1.0)
+    )
+    mean = F.col("sum_v") / n
+    delta = mean * F.lit(_MDE_REL_MILLI / 1000.0)
+    req = F.ceil(
+        F.lit(2.0 * (_Z_ALPHA + _Z_BETA) ** 2) * var / (delta * delta)
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        portable_round(mean, 4).alias("mean_value"),
+        portable_round(F.sqrt(var), 4).alias("stddev_value"),
+        req.cast("bigint").alias("required_n_per_arm"),
+        (F.col("n") >= F.lit(2) * req).alias("powered_today"),
+    ).orderBy("event_type")

@@ -193,6 +193,8 @@ _PRIORITY = [
     "keep_rate_wilson_ci",
     # measured vs textbook Bloom error budget
     "bloom_fpr_audit",
+    # experiment sample-size planning (fixed-z power formula)
+    "ab_power_analysis",
     "segment_dedup_summary",
     # never-verified entries displaced by the governance family and
     # the k-core query above (zero-sum 50-row budget): all are
