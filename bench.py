@@ -2,9 +2,13 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
 (default sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE compact JSON line as the FINAL stdout line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>}
+Per-run hygiene metadata (3-run times, load1 before/after) is written
+to BENCH_meta.json alongside this script — NOT embedded in the stdout
+line, whose size must stay inside the driver's tail-capture window
+(round-4 lesson: "parsed": null).
 
 Each query executes fully via the noop sink (no driver collect — we
 measure the distributed plan, not result transfer, mirroring how the
@@ -142,6 +146,24 @@ def main() -> None:
         }
 
     total = round(sum(timings.values()), 3)
+    # Hygiene metadata (per-run times, load averages) goes to a
+    # SIDECAR file, never the stdout JSON: round 4's official bench
+    # record was lost ("parsed": null) because the embedded meta
+    # pushed the single line past the driver's tail-capture window.
+    # The compact line must be the LAST thing printed.
+    meta = {
+        "best_of": 3,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "load1_at_start": round(load1_at_start, 2),
+        "load1_at_end": round(os.getloadavg()[0], 2),
+        "runs": runs_meta,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_meta.json"),
+        "w",
+    ) as f:
+        json.dump(meta, f, indent=1)
+    spark.stop()
     print(
         json.dumps(
             {
@@ -150,16 +172,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "meta": {
-                    "best_of": 3,
-                    "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
-                    "load1_at_start": round(load1_at_start, 2),
-                    "runs": runs_meta,
-                },
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

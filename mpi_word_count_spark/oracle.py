@@ -45,7 +45,15 @@ def _cell(v):
     if isinstance(v, (int, np.integer)):
         return ("i", int(v))
     if isinstance(v, Decimal):
-        return ("f", round(float(v), 6))
+        # Distinct type class, deliberately: the driver hashes pandas
+        # frames where Spark DECIMAL columns land as object-dtype
+        # Decimal while DuckDB DECIMAL lands as float64 — those rows
+        # NEVER hash-equal at the gate even when numerically identical
+        # (events_rollup_cascade went red in round 4 exactly this way
+        # while this function's old ("f", ...) coercion scored it
+        # green locally). Queries must present decimals as DOUBLE on
+        # both sides (the q9_product_profit pattern).
+        return ("dec", round(float(v), 6))
     if isinstance(v, (bytes, bytearray)):
         return ("b", bytes(v))
     if isinstance(v, pd.Timestamp) or hasattr(v, "isoformat"):

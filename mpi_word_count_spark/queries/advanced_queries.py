@@ -515,8 +515,8 @@ def q_scd2_customer_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
            count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18, 6))) AS DECIMAL(24, 6))
-               AS total_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(18, 6))) AS DECIMAL(24, 6))
+               AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -531,7 +531,11 @@ def q_events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     guaranteed by DECIMAL accumulation — double sums would drift with
     the merge order, which is precisely what this query exists to
     prove safe. The oracle aggregates raw events directly at day
-    grain: cascade == direct is the mergeability proof."""
+    grain: cascade == direct is the mergeability proof. The final
+    presentation cast to DOUBLE (both sides) exists for the driver's
+    pandas canonicalizer — object-dtype Decimal cells vs DuckDB's
+    float64 landing type-mismatch the value hash (the
+    decimal_pricing_summary / q9_product_profit pattern; r4 red)."""
     e = table(spark, "events", sf_dir).select(
         F.date_trunc("minute", "ts").alias("minute"),
         "event_type",
@@ -560,7 +564,10 @@ def q_events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         "event_type",
         "n_events",
-        F.col("total_value").cast("decimal(24,6)").alias("total_value"),
+        F.col("total_value")
+        .cast("decimal(24,6)")
+        .cast("double")
+        .alias("total_value"),
     )
 
 

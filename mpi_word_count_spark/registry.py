@@ -60,9 +60,154 @@ _LOADED = False
 # whose defects were fixed this round come FIRST; long-green queries take
 # the later slots and rotate back in on subsequent rounds.
 _PRIORITY = [
-    # --- the 50-row driver budget, round 4 ---------------------------
+    # --- the 50-row driver budget, round 5 ---------------------------
+    # Names can repeat further down (dict insertion keeps the FIRST
+    # position), so this head block is exactly the round-5 budget; the
+    # round-4 block below it becomes the overflow tail. 125/244
+    # queries have never had a driver row (VERDICT r4 item 4); this
+    # head is all never-verified entries plus the queries whose
+    # implementation changed this round and so need fresh rows.
     # flagship: a fresh row EVERY round, whatever else rotates
     "wordcount",
+    # the one red row of CORRECTNESS_r04 (Decimal-vs-float64 pandas
+    # dtype mismatch; both sides now present DOUBLE) — re-verify
+    "events_rollup_cascade",
+    # implementations changed this round (global-rank windows removed
+    # per VERDICT items 5/6; winnowing POS_BASE fix per ADVICE;
+    # compression_ratios gains its tolerance-band oracle) — fresh rows
+    "bm25_scores",
+    "hybrid_rrf_retrieval",
+    "zipf_fit",
+    "winnowing_dups",
+    "compression_ratios",
+    "hll_set_intersection",
+    "ab_power_analysis",
+    # VERDICT item 4's named never-verified list: reference-parity ops
+    # O3/O5/O19 that have no driver row ever, the lakehouse family,
+    # the TPC-H gap set, and the headline dedup/graph/multimodal tail
+    "config_delimiters_wordcount",
+    "console_lines",
+    "rdd_wordcount",
+    "synthetic_corpus_wordcount",
+    "dedup_method_agreement",
+    "phrase_search",
+    "decimal_pricing_summary",
+    "manifest_sink_roundtrip",
+    "manifest_time_travel",
+    "streaming_manifest_ingest",
+    "semantic_dedup",
+    "trade_graph_pagerank",
+    "personalized_pagerank",
+    "media_phash_dups",
+    "q11_important_parts",
+    "q12_ship_priority",
+    "q16_supplier_counts",
+    # remaining never-verified entries, strongest-user-impact first
+    "contrastive_triplets",
+    "streaming_html_extract",
+    "ab_test_readout",
+    "vocab_drift_monitor",
+    "events_ewma_hourly",
+    "temperature_mixture_plan",
+    "quality_scorer_agreement",
+    "join_size_estimate",
+    "jsonl_schema_evolution",
+    "lineitem_correlations",
+    "ann_filtered",
+    "intradoc_line_dedup",
+    "source_funnel",
+    "streaming_unattributed_clicks",
+    "attribution_model_comparison",
+    "dynamic_gap_sessions",
+    "streaming_dynamic_sessions",
+    "zorder_skipping_audit",
+    "hilbert_skipping_audit",
+    "neyman_allocation_plan",
+    "consistent_hash_resharding",
+    "keep_rate_wilson_ci",
+    "bloom_fpr_audit",
+    "segment_dedup_summary",
+    "training_shard_manifest",
+    # --- below the budget line: round-6 rotation (never-verified) ----
+    "session_concurrency_hourly",
+    "shuffled_shards",
+    "unigram_logprob_scores",
+    "bucketed_revenue_by_status",
+    "lineitem_stats_moments",
+    "lineitem_unpivot_metrics",
+    "salted_segment_revenue",
+    "seq_length_histogram",
+    "trailing_week_revenue",
+    "user_event_funnel",
+    "value_gini_by_event_type",
+    "embedding_cluster_sizes",
+    "cluster_aware_split",
+    "bpe_merges",
+    "bpe_token_counts",
+    "skipgram_pmi",
+    "data_quality_report",
+    "events_ohlc_hourly",
+    "streaming_quality_windows",
+    "weighted_sample_by_length",
+    "curriculum_batches",
+    "curriculum_layout_audit",
+    "embedding_norms",
+    "label_centroid_spread",
+    "semantic_contamination",
+    "pii_redaction_stats",
+    "epoch_shuffled_batches",
+    "streaming_incremental_dedup",
+    "jsonl_roundtrip",
+    "orc_roundtrip",
+    "compaction_manifest",
+    "media_phash",
+    "table_profile",
+    "xml_roundtrip",
+    "snapshot_diff",
+    "supplier_basket_pairs",
+    "supplier_basket_rules",
+    "stupid_backoff_scores",
+    "bpe_fertility_by_lang",
+    "cluster_survivors",
+    "mixture_plan",
+    "user_retention_cohorts",
+    "events_value_outliers",
+    "customer_rfm_segments",
+    "trade_graph_degrees",
+    "embedding_dim_stats",
+    "ship_latency_percentiles",
+    "dau_wau",
+    "events_cusum_drift",
+    "streaming_trending_words",
+    "lang_confusion_matrix",
+    "char_entropy_scores",
+    "model_quality_scores",
+    "streaming_model_scores",
+    "streaming_synth_wordcount",
+    "ppjoin_dups",
+    "positional_index",
+    "vocab_growth",
+    "source_overlap_matrix",
+    "token_budget_selection",
+    "sorted_neighborhood_dups",
+    "events_seasonal_anomalies",
+    "keyword_pagerank",
+    "doc_novelty_scores",
+    "lang_source_pmi",
+    "containment_dups",
+    "split_leakage_audit",
+    "incremental_wordcount",
+    "event_type_transitions",
+    "transition_dwell_times",
+    "greedy_source_coverage",
+    "minhash_estimate_audit",
+    "ann_recall_audit",
+    "ann_recall_ladder",
+    "udtf_char_ngrams",
+    "lateral_order_stats",
+    "hof_array_sampler",
+    "supplier_graph_triangles",
+    # --- round-4 head (all have fresh r4 rows; rotate last) ----------
     # the two red rows of CORRECTNESS_r03 (events-ts bug, fixed):
     "streaming_session_counts",
     "streaming_stateful_totals",

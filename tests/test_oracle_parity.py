@@ -33,3 +33,21 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert df.columns == ["word", "count"]
+
+
+def test_cell_decimal_is_distinct_type_class():
+    """Regression for the round-4 driver red on events_rollup_cascade:
+    the driver's pandas value hash type-mismatches Spark object-dtype
+    Decimal cells against DuckDB float64 cells even when numerically
+    identical. oracle._cell used to coerce Decimal -> ("f", ...),
+    which scored such queries green locally while the driver scored
+    them red. Decimal must be its own type class so local sweeps
+    predict the gate."""
+    from decimal import Decimal
+
+    from mpi_word_count_spark.oracle import _cell
+
+    assert _cell(Decimal("4043.850000")) != _cell(4043.85)
+    assert _cell(Decimal("1.5")) == _cell(Decimal("1.50"))
+    # floats and ints stay distinct from each other too (HUGEINT class)
+    assert _cell(774.0) != _cell(774)
