@@ -1537,7 +1537,13 @@ def winnowing_fingerprints(
     grams = passage_windows(
         df, id_col=id_col, text_col=text_col, width=k, stride=1, with_pos=True
     )
-    POS_BASE = 10_000_000_000
+    # 9_999_999_999, NOT 10_000_000_000: the inverted position must
+    # stay ≤ 10 digits for EVERY pos ≥ 0, or lpad(..., 10) silently
+    # truncates (pos=0 under a base of 10^10 encoded as '1000000000',
+    # decoding to pos 9_000_000_000 and inverting the rightmost-on-tie
+    # rule — the round-5 ADVICE fix). With this base, pos=0 encodes as
+    # '9999999999' and the inversion is exact for all pos < 10^10.
+    POS_BASE = 9_999_999_999
     key = F.concat(
         F.col("passage_hash"),
         F.lpad((F.lit(POS_BASE) - F.col("pos")).cast("string"), 10, "0"),
@@ -1553,9 +1559,9 @@ def winnowing_fingerprints(
         .filter(F.col("pos") <= F.col("_n") - w)  # full windows only
         .select(
             "doc_id",
-            (F.lit(POS_BASE) - F.substring("_k", 33, 10).cast("bigint")).alias(
-                "pos"
-            ),
+            (
+                F.lit(POS_BASE) - F.substring("_k", 33, 10).cast("bigint")
+            ).alias("pos"),
             F.substring("_k", 1, 32).alias("fingerprint"),
         )
         .distinct()

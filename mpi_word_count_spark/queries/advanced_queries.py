@@ -1529,7 +1529,11 @@ def _power_oracle() -> str:
     pr = sql_portable_round
     var = "(sumsq - sum_v * sum_v / n) / (n - 1)"
     mean = "(sum_v / n)"
-    delta = f"({mean} * {_MDE_REL_MILLI} / 1000.0)"
+    # mean * 0.01 as ONE literal, matching the Spark side's
+    # F.lit(_MDE_REL_MILLI / 1000.0) exactly: (mean * 10) / 1000.0
+    # can differ from mean * 0.01 by 1 ulp, and the result feeds
+    # ceil() — a cliff that could flip required_n_per_arm cross-engine
+    delta = f"({mean} * {_MDE_REL_MILLI / 1000.0!r})"
     req = (
         f"ceil(2.0 * {(_Z_ALPHA + _Z_BETA) ** 2!r} * ({var})"
         f" / ({delta} * {delta}))"

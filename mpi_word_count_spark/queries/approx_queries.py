@@ -414,13 +414,7 @@ def q_hll_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("user_id"),
             )
         ).alias("exact_b"),
-        F.countDistinct(
-            F.when(
-                (F.col("event_type") == "click") & (F.col("value") > 90),
-                F.col("user_id"),
-            )
-        ).alias("_dummy"),
-    ).drop("_dummy")
+    )
     sk = track_cache(sk)
     est = sk.select(
         "exact_a",

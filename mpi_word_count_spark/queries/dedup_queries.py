@@ -808,7 +808,7 @@ WINNOW_W = 5   # grams per winnowing window
     ),
     keyed AS (
         SELECT doc_id, pos,
-               min(h || lpad(CAST(10000000000 - pos AS VARCHAR), 10, '0'))
+               min(h || lpad(CAST(9999999999 - pos AS VARCHAR), 10, '0'))
                    OVER (PARTITION BY doc_id ORDER BY pos
                          ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
                    AS k,
@@ -817,7 +817,7 @@ WINNOW_W = 5   # grams per winnowing window
     ),
     sel AS (
         SELECT DISTINCT doc_id,
-               10000000000 - CAST(substr(k, 33, 10) AS BIGINT) AS pos,
+               9999999999 - CAST(substr(k, 33, 10) AS BIGINT) AS pos,
                substr(k, 1, 32) AS fingerprint
         FROM keyed WHERE pos <= n - {WINNOW_W}
     )

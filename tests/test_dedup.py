@@ -574,3 +574,45 @@ def test_dedup_method_agreement_matrix_properties(spark):
             assert r["agreement_milli"] == 1000
     # at least one off-diagonal comparison materialized
     assert any(r["method_a"] != r["method_b"] for r in rows)
+
+
+def test_winnowing_pos_zero_decodes_exactly(spark):
+    """Regression for the POS_BASE truncation defect (round-5 ADVICE):
+    with a base of 10^10, pos=0 inverted to an 11-digit number that
+    lpad(..., 10) silently truncated, decoding to pos 9_000_000_000
+    and breaking ties toward the LEFT at position 0. Every decoded
+    position must lie inside the document's gram range, and a minimum
+    gram at position 0 must be selectable with its true position."""
+    from mpi_word_count_spark.operators.dedup import (
+        passage_windows,
+        winnowing_fingerprints,
+    )
+
+    k, w = 2, 2
+    rows = [(1, "aa bb cc dd ee"), (2, "zz yy xx ww vv uu tt ss")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n_grams = {
+        r["doc_id"]: r["n"]
+        for r in passage_windows(df, width=k, stride=1)
+        .groupBy("doc_id")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    sel = winnowing_fingerprints(df, k=k, w=w).collect()
+    assert sel, "winnowing selected nothing"
+    for r in sel:
+        assert 0 <= r["pos"] < n_grams[r["doc_id"]], (
+            f"doc {r['doc_id']}: decoded pos {r['pos']} outside "
+            f"[0, {n_grams[r['doc_id']]}) — POS_BASE truncation"
+        )
+    # pos 0 must be reachable and decode as 0, not 9_000_000_000:
+    # with w=1 every gram is its own window minimum, so position 0 is
+    # selected unconditionally — hash-independent
+    all_pos = {
+        (r["doc_id"], r["pos"])
+        for r in winnowing_fingerprints(df, k=k, w=1).collect()
+    }
+    for d, n in n_grams.items():
+        assert (d, 0) in all_pos, f"doc {d}: position 0 never selected"
+        assert {p for dd, p in all_pos if dd == d} == set(range(n))
