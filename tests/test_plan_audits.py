@@ -337,7 +337,12 @@ def test_hybrid_rrf_rankings_reduce_before_fusion(spark):
     # nested-loop is BM25's 1-row stats cross join (the house 1-row
     # broadcast pattern, same as bm25_scores)
     plan = plan_of(spark, "hybrid_rrf_retrieval")
-    assert plan.count("+- BroadcastNestedLoopJoin") <= 1
+    # the 1-row stats cross join appears once per pass of the BM25
+    # subtree — the bucket-offset rank reads it twice (counts pass +
+    # data pass; the identical exchange is reused at runtime). Both
+    # are BuildRight Cross against a single-row broadcast, fine at
+    # any scale; anything beyond those two is a regression.
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
     assert "CartesianProduct" not in plan
     assert "FullOuter" in plan and "SortMergeJoin FullOuter" in plan
 
@@ -406,3 +411,42 @@ def test_no_cartesian_product_anywhere_in_the_registry(spark):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def _unpartitioned_rank_windows(plan: str) -> list[str]:
+    """Every row_number() windowspecdefinition whose FIRST argument is
+    already an ordering spec (contains ASC/DESC) — i.e. a rank window
+    with NO partition columns, the single-partition scale anti-pattern.
+    Partitioned specs lead with bare partition columns instead."""
+    out = []
+    rest = plan
+    marker = "row_number() windowspecdefinition("
+    while marker in rest:
+        rest = rest.split(marker, 1)[1]
+        first_arg = rest.split(",", 1)[0]
+        if " ASC" in first_arg or " DESC" in first_arg:
+            out.append(first_arg.strip())
+    return out
+
+
+def test_retrieval_ranks_are_never_global_windows(spark):
+    """Round-4 verdict item 5: at 100 TB every term-matching document
+    funnels into ONE WindowExec partition under a global row_number.
+    bm25_scores must rank via the TakeOrdered heap (no rank window at
+    all); hybrid_rrf_retrieval's exact rank columns must come from the
+    bucket-offset decomposition (row_number windows partitioned by
+    bucket); zipf_fit may keep a rank window only over the
+    constant-bounded top-N head (TakeOrdered upstream)."""
+    bm = plan_of(spark, "bm25_scores")
+    assert "TakeOrderedAndProject" in bm
+    assert "row_number() windowspecdefinition(" not in bm
+    assert not _unpartitioned_rank_windows(bm)
+
+    rrf = plan_of(spark, "hybrid_rrf_retrieval")
+    assert "TakeOrderedAndProject" in rrf  # the final fusion top-k
+    assert "row_number() windowspecdefinition(" in rrf  # exact ranks
+    assert not _unpartitioned_rank_windows(rrf), rrf
+
+    zipf = plan_of(spark, "zipf_fit")
+    # the head truncation heap runs BEFORE the bounded rank window
+    assert "TakeOrderedAndProject" in zipf
