@@ -360,3 +360,90 @@ def curriculum_stages(
         hash32(F.col(id_col).cast("string"), seed + "o"), F.asc(id_col)
     )
     return staged.withColumn("pos", F.row_number().over(win))
+
+
+DSIR_BUCKETS = 4096  # hashed n-gram feature dimension (paper: 10^4)
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target_filter: Column,
+    num_buckets: int = DSIR_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every RAW
+    document by how target-like its hashed n-gram profile is, so a
+    top-k/threshold pass selects pretraining data matching a small
+    target distribution (a benchmark, a curated domain).
+
+    Features are unigrams + bigrams hashed into `num_buckets`
+    (hash-trick bag of n-grams). Two add-1-smoothed categorical
+    models are fit over the buckets — target p̂ and raw q̂ — and each
+    raw document scores
+
+        log w(doc) = Σ_grams  ln p̂[b(gram)] − ln q̂[b(gram)]
+
+    (the paper's importance log-ratio with counts folded into the
+    per-occurrence sum). Deterministic: md5-derived bucket hash, so
+    the DuckDB oracle replicates bit-for-bit up to float summation.
+
+    Returns (doc_id, n_feats, log_weight) for every raw (non-target)
+    document with at least one token.
+
+    Scale shape: the gram stream is generated once per side —
+    Generate (explode) blocks projection collapse, so the token array
+    is NOT re-inlined into the bigram lambda (the CollapseProject HOF
+    trap). Model fit is a partial-agg shuffle onto ≤ num_buckets
+    groups; the log-ratio table is ≤ num_buckets rows and BROADCASTS
+    to the scoring join; scoring is one doc_id shuffle. No corpus
+    self-join, nothing global.
+    """
+    from mpi_word_count_spark.operators.dedup import tokens_col
+
+    t = F.col("t")
+    bigrams = F.zip_with(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        target_filter.alias("_is_target"),
+        tokens_col(text_col).alias("t"),
+    )
+    feats = toks.select(
+        "doc_id",
+        "_is_target",
+        F.explode(F.concat(t, bigrams)).alias("g"),
+    ).select(
+        "doc_id",
+        "_is_target",
+        (hash32(F.col("g"), seed="dsir") % num_buckets).alias("b"),
+    )
+    counts = feats.groupBy("b").agg(
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("_is_target"), 0).otherwise(1)).alias("cr"),
+    )
+    totals = counts.agg(
+        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
+    )
+    ratio = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("ct") + 1.0) / (F.col("nt") + float(num_buckets)))
+            - F.log((F.col("cr") + 1.0) / (F.col("nr") + float(num_buckets)))
+        ).alias("r"),
+    )
+    from mpi_word_count_spark.functions.parity import portable_round
+
+    return (
+        feats.filter(~F.col("_is_target"))
+        .join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            portable_round(F.sum("r"), 4).alias("log_weight"),
+        )
+    )

@@ -1398,3 +1398,60 @@ def q_consistent_hash_resharding(
         ),
     )
     return ring_stats.unionByName(mod_stats).orderBy("scheme")
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '{sql_regex()}'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, unnest(t) AS g FROM toks
+        UNION ALL
+        SELECT doc_id,
+               unnest(list_transform(generate_series(2, len(t)),
+                                     i -> t[i - 1] || ' ' || t[i])) AS g
+        FROM toks WHERE len(t) >= 2
+    ),
+    feat AS (
+        SELECT doc_id, doc_id % {BENCH_MOD} = 0 AS is_target,
+               {sql_hash32("g", "dsir")} % 4096 AS b
+        FROM grams
+    ),
+    counts AS (
+        SELECT b,
+               sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+               sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS cr
+        FROM feat GROUP BY b
+    ),
+    tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM counts),
+    ratio AS (
+        SELECT b, ln((ct + 1.0) / (nt + 4096.0))
+                  - ln((cr + 1.0) / (nr + 4096.0)) AS r
+        FROM counts, tot
+    )
+    SELECT f.doc_id, count(*) AS n_feats,
+           {sql_portable_round("sum(r.r)", 4)} AS log_weight
+    FROM feat f JOIN ratio r USING (b)
+    WHERE NOT f.is_target
+    GROUP BY f.doc_id
+    """,
+)
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): every raw document's
+    hashed-ngram importance log-weight against the benchmark-set
+    target distribution (doc_id % BENCH_MOD = 0, the contamination
+    queries' target convention). Selection is then a deterministic
+    top-k/threshold over log_weight.
+
+    See operators/curation.dsir_importance_weights for the scale
+    argument: bucket-bounded model fit, broadcast log-ratio table,
+    one doc_id shuffle — no corpus self-join."""
+    from mpi_word_count_spark.operators.curation import dsir_importance_weights
+
+    docs = table(spark, "documents", sf_dir)
+    return dsir_importance_weights(docs, F.col("doc_id") % BENCH_MOD == 0)

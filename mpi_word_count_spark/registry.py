@@ -129,6 +129,9 @@ _PRIORITY = [
     "segment_dedup_summary",
     "training_shard_manifest",
     # --- below the budget line: round-6 rotation (never-verified) ----
+    # round-5 additions (hash-green at sf0.001/0.01/0.1 as they
+    # landed) lead the round-6 budget
+    "dsir_importance_weights",
     "session_concurrency_hourly",
     "shuffled_shards",
     "unigram_logprob_scores",

@@ -303,3 +303,37 @@ def test_consistent_hash_resharding_properties(spark):
     assert ring["docs_moved"] <= 3 * ideal
     assert mod["docs_moved"] >= 0.8 * mod["n_docs"]
     assert ring["docs_moved"] < mod["docs_moved"] / 5
+
+
+def test_dsir_weights_rank_targetlike_docs_higher(spark):
+    """Planted distribution shift: the target set talks about one
+    domain, raw docs either match it or don't. DSIR's importance
+    log-weight must rank the target-like raw document above the
+    off-domain one (the paper's selection property), and weights must
+    exist for every raw doc with tokens."""
+    from pyspark.sql import functions as F
+
+    from mpi_word_count_spark.operators.curation import (
+        dsir_importance_weights,
+    )
+
+    target_text = "solar panels convert sunlight into electric power"
+    rows = [
+        # target set (ids divisible by 7)
+        (0, target_text),
+        (7, "solar power arrays store sunlight energy in batteries"),
+        (14, "electric grids balance solar generation with demand"),
+        # raw: on-domain vs off-domain
+        (1, "solar panels and electric power from sunlight energy"),
+        (2, "medieval knights rode armored horses into castle sieges"),
+        (3, "the recipe folds butter into flour with cold water"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    w = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_importance_weights(
+            df, F.col("doc_id") % 7 == 0
+        ).collect()
+    }
+    assert set(w) == {1, 2, 3}
+    assert w[1] > w[2] and w[1] > w[3], w
