@@ -1455,3 +1455,99 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, "documents", sf_dir)
     return dsir_importance_weights(docs, F.col("doc_id") % BENCH_MOD == 0)
+
+
+DSIR_SAMPLE_K = 64
+
+
+def _dsir_cte() -> str:
+    """The DSIR weight pipeline as reusable CTE text (matches the
+    dsir_importance_weights oracle verbatim)."""
+    return f"""
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '{sql_regex()}'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, unnest(t) AS g FROM toks
+        UNION ALL
+        SELECT doc_id,
+               unnest(list_transform(generate_series(2, len(t)),
+                                     i -> t[i - 1] || ' ' || t[i])) AS g
+        FROM toks WHERE len(t) >= 2
+    ),
+    feat AS (
+        SELECT doc_id, doc_id % {BENCH_MOD} = 0 AS is_target,
+               {sql_hash32("g", "dsir")} % 4096 AS b
+        FROM grams
+    ),
+    counts AS (
+        SELECT b,
+               sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+               sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS cr
+        FROM feat GROUP BY b
+    ),
+    tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM counts),
+    ratio AS (
+        SELECT b, ln((ct + 1.0) / (nt + 4096.0))
+                  - ln((cr + 1.0) / (nr + 4096.0)) AS r
+        FROM counts, tot
+    ),
+    weights AS (
+        SELECT f.doc_id,
+               {sql_portable_round("sum(r.r)", 4)} AS log_weight
+        FROM feat f JOIN ratio r USING (b)
+        WHERE NOT f.is_target
+        GROUP BY f.doc_id
+    )"""
+
+
+@register(
+    "dsir_gumbel_sample",
+    oracle=f"""
+    WITH {_dsir_cte()}
+    SELECT doc_id, log_weight,
+           {sql_portable_round(
+               "log_weight - ln(-ln((" +
+               sql_hash32("CAST(doc_id AS VARCHAR)", "dsirg") +
+               " + 0.5) / 4294967296.0))", 4)} AS gumbel_key
+    FROM weights
+    ORDER BY {sql_portable_round(
+        "log_weight - ln(-ln((" +
+        sql_hash32("CAST(doc_id AS VARCHAR)", "dsirg") +
+        " + 0.5) / 4294967296.0))", 4)} DESC, doc_id ASC
+    LIMIT {DSIR_SAMPLE_K}
+    """,
+)
+def q_dsir_gumbel_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's actual selection rule: Gumbel-top-k resampling —
+    drawing k documents WITHOUT replacement with probability ∝ w(doc)
+    is exactly taking the top k by log w(doc) + Gumbel noise, and the
+    noise is the deterministic md5-uniform (sample_hash_u) pushed
+    through −ln(−ln(u)), so the sample is bit-reproducible across
+    engines, partitionings, and retries (the paper samples once for a
+    whole pretraining run — reproducibility is the requirement).
+
+    Scale shape: the weight pipeline's bounded shuffles plus ONE
+    TakeOrderedAndProject heap for the top-k — never a global sort or
+    rank window."""
+    from mpi_word_count_spark.operators.curation import (
+        dsir_importance_weights,
+        sample_hash_u,
+    )
+
+    docs = table(spark, "documents", sf_dir)
+    w = dsir_importance_weights(docs, F.col("doc_id") % BENCH_MOD == 0)
+    gumbel = -F.log(
+        -F.log(sample_hash_u(F.col("doc_id").cast("string"), "dsirg"))
+    )
+    keyed = w.select(
+        "doc_id",
+        "log_weight",
+        portable_round(F.col("log_weight") + gumbel, 4).alias("gumbel_key"),
+    )
+    return keyed.orderBy(F.desc("gumbel_key"), F.asc("doc_id")).limit(
+        DSIR_SAMPLE_K
+    )
