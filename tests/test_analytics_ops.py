@@ -228,3 +228,61 @@ def test_hilbert_no_worse_than_zorder_in_aggregate(spark):
     h = rows[("hilbert", "user_bucket")] + rows[("hilbert", "day_bucket")]
     z = rows[("zorder", "user_bucket")] + rows[("zorder", "day_bucket")]
     assert h <= z, (h, z)
+
+
+def test_bucketed_global_rank_equals_global_window(spark):
+    """The two-pass bucket-offset decomposition must reproduce the
+    exact global row_number for both directions and both bucket
+    styles (coarse float buckets for a desc score; identity buckets
+    for an asc integer key), including ties resolved by the
+    secondary id column."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mpi_word_count_spark.operators.ranking import bucketed_global_rank
+
+    rows = [
+        (i, float(v), k)
+        for i, (v, k) in enumerate(
+            [(3.14, 5), (2.71, 5), (3.14, 2), (0.0, 9), (10.5, 2),
+             (2.71, 7), (0.0, 9), (10.5, 1), (5.25, 3), (3.14, 5)]
+        )
+    ]
+    df = spark.createDataFrame(rows, "id long, score double, k int")
+
+    # desc(score) with coarse deciscore buckets
+    got = {
+        r["id"]: r["rank"]
+        for r in bucketed_global_rank(
+            df, -F.floor(F.col("score") * 10),
+            [F.desc("score"), F.asc("id")],
+        ).collect()
+    }
+    want = {
+        r["id"]: r["rank"]
+        for r in df.select(
+            "id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), F.asc("id")))
+            .alias("rank"),
+        ).collect()
+    }
+    assert got == want
+
+    # asc(k) with identity buckets
+    got_k = {
+        r["id"]: r["rank"]
+        for r in bucketed_global_rank(
+            df, F.col("k"), [F.asc("k"), F.asc("id")]
+        ).collect()
+    }
+    want_k = {
+        r["id"]: r["rank"]
+        for r in df.select(
+            "id",
+            F.row_number()
+            .over(Window.orderBy(F.asc("k"), F.asc("id")))
+            .alias("rank"),
+        ).collect()
+    }
+    assert got_k == want_k
