@@ -1551,3 +1551,78 @@ def q_dsir_gumbel_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.orderBy(F.desc("gumbel_key"), F.asc("doc_id")).limit(
         DSIR_SAMPLE_K
     )
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '{sql_regex()}'),
+                                  x -> x <> '')) AS tok
+        FROM documents
+    ),
+    vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT sum(c) AS n_total FROM vocab),
+    scores AS (
+        SELECT t.doc_id, round(avg(ln(v.c / tot.n_total)), 4) AS avg_logprob
+        FROM toks t JOIN vocab v USING (tok), tot
+        GROUP BY t.doc_id
+    ),
+    tiled AS (
+        SELECT s.doc_id, d.lang, s.avg_logprob,
+               ntile(3) OVER (PARTITION BY d.lang
+                              ORDER BY s.avg_logprob DESC, s.doc_id ASC)
+                   AS tile
+        FROM scores s JOIN documents d USING (doc_id)
+    )
+    SELECT lang,
+           CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                     ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           {sql_portable_round("avg(avg_logprob)", 4)} AS mean_logprob,
+           {sql_portable_round("min(avg_logprob)", 4)} AS min_logprob,
+           {sql_portable_round("max(avg_logprob)", 4)} AS max_logprob
+    FROM tiled GROUP BY 1, 2
+    """,
+)
+def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail partition (Wenzek et al. 2020): per
+    language, split documents into LM-score terciles — 'head' is the
+    most-fluent third that CCNet keeps for pretraining, 'tail' the
+    third it drops. Scorer is the corpus-unigram LM
+    (operators/textanalysis.unigram_logprob, the repo's CCNet-style
+    perplexity proxy); terciles via ntile(3) partitioned BY LANGUAGE
+    (deterministic doc_id tie-break), so no unpartitioned window —
+    per-lang partitions are exactly how CCNet shards its buckets.
+    Output is the per-(lang, bucket) profile: doc counts and the
+    score range each bucket spans."""
+    from pyspark.sql import Window
+
+    from mpi_word_count_spark.operators.textanalysis import unigram_logprob
+
+    docs = table(spark, "documents", sf_dir)
+    scores = unigram_logprob(docs)
+    tiled = scores.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "lang",
+        "avg_logprob",
+        F.ntile(3)
+        .over(
+            Window.partitionBy("lang").orderBy(
+                F.desc("avg_logprob"), F.asc("doc_id")
+            )
+        )
+        .alias("tile"),
+    )
+    return tiled.groupBy(
+        "lang",
+        F.when(F.col("tile") == 1, "head")
+        .when(F.col("tile") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        portable_round(F.avg("avg_logprob"), 4).alias("mean_logprob"),
+        portable_round(F.min("avg_logprob"), 4).alias("min_logprob"),
+        portable_round(F.max("avg_logprob"), 4).alias("max_logprob"),
+    )

@@ -132,6 +132,8 @@ _PRIORITY = [
     # round-5 additions (hash-green at sf0.001/0.01/0.1 as they
     # landed) lead the round-6 budget
     "dsir_importance_weights",
+    "dsir_gumbel_sample",
+    "ccnet_perplexity_buckets",
     "session_concurrency_hourly",
     "shuffled_shards",
     "unigram_logprob_scores",
