@@ -984,13 +984,19 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor is data-derived and deterministic), Frequency (orders),
     Monetary (total spend), rolled up to segment sizes.
 
-    NTILE's global sort is acceptable HERE and only here: it runs
-    over the customer DIMENSION (one row per customer), never the
-    fact table — the same dimension-vs-fact distinction the
-    curriculum query draws when it refuses NTILE over documents.
-    Every ntile ordering carries the custkey tiebreak so bucket
-    boundaries are total-order deterministic cross-engine."""
-    from pyspark.sql import Window
+    No global NTILE window even though this is the customer
+    DIMENSION (one row per customer): at 100 TB that dimension is
+    ~10⁸ rows, still too many for one WindowExec partition. Each
+    quintile is instead the closed form of SQL NTILE —
+    tile = (rank−1)·k DIV n + 1, exactly NTILE's
+    first-(n mod k)-groups-get-one-extra assignment — with rank from
+    the bucket-offset decomposition (operators/ranking) and n a 1-row
+    broadcast. Every rank ordering carries the custkey tiebreak so
+    bucket boundaries are total-order deterministic cross-engine; the
+    oracle keeps literal ntile(5), so the hash match PROVES the
+    closed form. Monetary buckets at $100 granularity (equal values
+    share a bucket; distinct-bucket table stays thousands of rows)."""
+    from mpi_word_count_spark.operators.ranking import bucketed_global_rank
 
     orders = table(spark, "orders", sf_dir)
     anchor = orders.agg(F.max("o_orderdate").alias("maxd"))
@@ -1003,19 +1009,35 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("monetary"),
         )
     )
-    scored = base.select(
-        F.ntile(5)
-        .over(Window.orderBy(F.asc("recency_days"), F.asc("o_custkey")))
-        .alias("r"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
-        .alias("f"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
-        .alias("m"),
+    n_row = base.agg(F.count(F.lit(1)).alias("_n"))
+    ranked = bucketed_global_rank(
+        base,
+        F.col("recency_days"),
+        [F.asc("recency_days"), F.asc("o_custkey")],
+        rank_col="_rr",
     )
-    return scored.groupBy("r", "f", "m").agg(
-        F.count(F.lit(1)).alias("n_customers")
+    ranked = bucketed_global_rank(
+        ranked,
+        -F.col("frequency"),
+        [F.desc("frequency"), F.asc("o_custkey")],
+        rank_col="_rf",
+    )
+    ranked = bucketed_global_rank(
+        ranked,
+        -F.floor(F.col("monetary") / 100),
+        [F.desc("monetary"), F.asc("o_custkey")],
+        rank_col="_rm",
+    )
+    tile = lambda rank: F.expr(f"CAST(({rank} - 1) * 5 DIV _n + 1 AS INT)")  # noqa: E731
+    return (
+        ranked.crossJoin(F.broadcast(n_row))
+        .select(
+            tile("_rr").alias("r"),
+            tile("_rf").alias("f"),
+            tile("_rm").alias("m"),
+        )
+        .groupBy("r", "f", "m")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
     )
 
 
