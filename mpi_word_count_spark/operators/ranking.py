@@ -55,3 +55,25 @@ def bucketed_global_rank(
         .withColumn(rank_col, F.col("_off") + F.row_number().over(w_in))
         .drop("_b", "_off")
     )
+
+
+def ntile_from_rank(rank: str, n: str, k: int):
+    """EXACT SQL NTILE(k) from a total-order row_number `rank` and the
+    partition size `n` (both SQL expressions over BIGINT columns) —
+    the closed form that lets NTILE run without its one-partition
+    window, pairing with bucketed_global_rank.
+
+    SQL NTILE front-loads the remainder: with q = n DIV k and
+    r = n % k, the first r groups take q+1 rows and the rest take q.
+    (The tempting floor((rank−1)·k/n)+1 spreads the remainder evenly
+    instead and diverges from NTILE whenever k ∤ n — caught by the
+    layout-audit oracles.) All arithmetic is integer (DIV/%), so the
+    result is bit-exact at any n."""
+    q = f"({n} DIV {k})"
+    r = f"({n} % {k})"
+    big = f"({r} * ({q} + 1))"
+    return F.expr(
+        f"CAST(CASE WHEN {rank} <= {big} "
+        f"THEN ({rank} - 1) DIV ({q} + 1) + 1 "
+        f"ELSE {r} + ({rank} - {big} - 1) DIV {q} + 1 END AS INT)"
+    )

@@ -1214,6 +1214,28 @@ def q_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ZAUDIT_FILES = 64
 
 
+def _ntile_files(keyed, n_row, layout: str, bucket, order_cols):
+    """One simulated-layout file assignment WITHOUT the global ntile
+    window: ntile(k) over a total order is the closed form
+    (rank−1)·k DIV n + 1 (SQL NTILE's first-groups-one-extra rule),
+    with rank from the bucket-offset decomposition and n a 1-row
+    broadcast. A real OPTIMIZE ZORDER pays a repartitionByRange sort,
+    not a one-partition window — this is the plan shape that
+    simulation should have too. The oracles keep literal ntile(), so
+    the hash match proves the closed form per layout."""
+    from mpi_word_count_spark.operators.ranking import bucketed_global_rank
+
+    from mpi_word_count_spark.operators.ranking import ntile_from_rank
+
+    r = bucketed_global_rank(keyed, bucket, order_cols, rank_col="_rk")
+    return r.crossJoin(F.broadcast(n_row)).select(
+        F.lit(layout).alias("layout"),
+        "xb",
+        "yb",
+        ntile_from_rank("_rk", "_n", _ZAUDIT_FILES).alias("f"),
+    )
+
+
 def _zorder_audit_oracle() -> str:
     from mpi_word_count_spark.operators.layout import morton_key_sql
 
@@ -1278,12 +1300,13 @@ def q_zorder_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOTH dimensions; the all-integer output is the exact
     files-per-probe cost a reader pays under each layout.
 
-    Scale shape: the audit's global sorts ARE the layout writes being
-    simulated (a real OPTIMIZE pays exactly them); zone-map stats are
-    64 rows per layout, probes are at most 256 per dimension, so
-    everything after the two window passes is dashboard-sized."""
+    Scale shape: file assignment is the closed-form ntile over
+    bucket-offset ranks (_ntile_files — zkey DIV 64 / calendar-day
+    buckets), never a one-partition window; a real OPTIMIZE pays a
+    repartitionByRange sort with exactly this distribution. Zone-map
+    stats are 64 rows per layout, probes at most 256 per dimension,
+    so everything downstream is dashboard-sized."""
     from mpi_word_count_spark.operators.layout import morton_key_sql
-    from pyspark.sql.window import Window
 
     base = table(spark, "events", sf_dir).select(
         "event_id",
@@ -1292,21 +1315,20 @@ def q_zorder_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(dayofyear(ts) % 256 AS BIGINT)").alias("yb"),
     )
     keyed = base.withColumn("zkey", F.expr(morton_key_sql("xb", "yb")))
-    filed = keyed.select(
-        F.lit("zorder").alias("layout"),
-        "xb",
-        "yb",
-        F.ntile(_ZAUDIT_FILES)
-        .over(Window.orderBy("zkey", "event_id"))
-        .alias("f"),
+    n_row = keyed.agg(F.count(F.lit(1)).alias("_n"))
+    filed = _ntile_files(
+        keyed,
+        n_row,
+        "zorder",
+        F.expr("zkey DIV 64"),
+        [F.asc("zkey"), F.asc("event_id")],
     ).unionByName(
-        keyed.select(
-            F.lit("linear_ts").alias("layout"),
-            "xb",
-            "yb",
-            F.ntile(_ZAUDIT_FILES)
-            .over(Window.orderBy("ts", "event_id"))
-            .alias("f"),
+        _ntile_files(
+            keyed,
+            n_row,
+            "linear_ts",
+            F.date_trunc("day", F.col("ts")),
+            [F.asc("ts"), F.asc("event_id")],
         )
     )
     stats = filed.groupBy("layout", "f").agg(
@@ -1436,7 +1458,6 @@ def q_hilbert_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (python loop / SQL step chain / kernel) is locked on the full grid
     in tests/test_analytics_ops.py."""
     from mpi_word_count_spark.operators.layout import morton_key_sql
-    from pyspark.sql.window import Window
 
     base = table(spark, "events", sf_dir).select(
         "event_id",
@@ -1460,19 +1481,19 @@ def q_hilbert_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = base.join(F.broadcast(pairs), ["xb", "yb"]).withColumn(
         "zkey", F.expr(morton_key_sql("xb", "yb"))
     )
+    n_row = keyed.agg(F.count(F.lit(1)).alias("_n"))
     layouts = [
-        ("hilbert", ["hkey", "event_id"]),
-        ("zorder", ["zkey", "event_id"]),
-        ("linear_ts", ["ts", "event_id"]),
+        ("hilbert", F.expr("hkey DIV 64"), [F.asc("hkey"), F.asc("event_id")]),
+        ("zorder", F.expr("zkey DIV 64"), [F.asc("zkey"), F.asc("event_id")]),
+        (
+            "linear_ts",
+            F.date_trunc("day", F.col("ts")),
+            [F.asc("ts"), F.asc("event_id")],
+        ),
     ]
     filed = None
-    for name, order in layouts:
-        part = keyed.select(
-            F.lit(name).alias("layout"),
-            "xb",
-            "yb",
-            F.ntile(_ZAUDIT_FILES).over(Window.orderBy(*order)).alias("f"),
-        )
+    for name, bucket, order in layouts:
+        part = _ntile_files(keyed, n_row, name, bucket, order)
         filed = part if filed is None else filed.unionByName(part)
     stats = filed.groupBy("layout", "f").agg(
         F.min("xb").alias("lo_x"),

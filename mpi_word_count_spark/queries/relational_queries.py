@@ -397,21 +397,41 @@ def priority_status_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution windows (ntile / percent_rank / cume_dist) over a
-    total order. The empty partition spec means ONE sort partition —
-    correct here because the output is per-row ranks over the whole
-    table; at 100 TB you'd bucket first (approx percentiles via
-    percentile_approx, already covered by order_price_percentiles) or
-    range-partition the sort."""
-    from pyspark.sql import Window
+    """Distribution stats (ntile / percent_rank / cume_dist) over a
+    total order — WITHOUT the one-partition sort window the trio
+    normally implies. The (o_totalprice, o_orderkey) ordering is
+    total (key is unique), so all three are closed forms of the
+    global row_number rank and the table size n:
 
-    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+        ntile(k)      = ntile_from_rank (exact front-loaded-remainder
+                        closed form, operators/ranking)
+        percent_rank  = (rank−1)/(n−1)
+        cume_dist     = rank/n
+
+    rank comes from the bucket-offset decomposition ($1000 price
+    buckets; equal prices share a bucket) and n is a 1-row broadcast.
+    The oracle keeps the literal window functions, so the hash match
+    proves all three identities at once."""
+    from mpi_word_count_spark.operators.ranking import (
+        bucketed_global_rank,
+        ntile_from_rank,
+    )
+
     o = table(spark, "orders", sf_dir)
-    return o.select(
+    n_row = o.agg(F.count(F.lit(1)).alias("_n"))
+    ranked = bucketed_global_rank(
+        o.select("o_orderkey", "o_totalprice"),
+        F.floor(F.col("o_totalprice") / 1000),
+        [F.asc("o_totalprice"), F.asc("o_orderkey")],
+        rank_col="_rk",
+    )
+    return ranked.crossJoin(F.broadcast(n_row)).select(
         "o_orderkey",
-        F.ntile(10).over(w).alias("decile"),
-        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        ntile_from_rank("_rk", "_n", 10).alias("decile"),
+        F.round(
+            (F.col("_rk") - 1) / (F.col("_n") - 1).cast("double"), 4
+        ).alias("pct_rank"),
+        F.round(F.col("_rk") / F.col("_n").cast("double"), 4).alias("cume"),
     )
 
 
@@ -987,16 +1007,19 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     No global NTILE window even though this is the customer
     DIMENSION (one row per customer): at 100 TB that dimension is
     ~10⁸ rows, still too many for one WindowExec partition. Each
-    quintile is instead the closed form of SQL NTILE —
-    tile = (rank−1)·k DIV n + 1, exactly NTILE's
-    first-(n mod k)-groups-get-one-extra assignment — with rank from
+    quintile is instead the closed form of SQL NTILE
+    (operators/ranking.ntile_from_rank — the exact
+    first-(n mod k)-groups-get-one-extra assignment) with rank from
     the bucket-offset decomposition (operators/ranking) and n a 1-row
     broadcast. Every rank ordering carries the custkey tiebreak so
     bucket boundaries are total-order deterministic cross-engine; the
     oracle keeps literal ntile(5), so the hash match PROVES the
     closed form. Monetary buckets at $100 granularity (equal values
     share a bucket; distinct-bucket table stays thousands of rows)."""
-    from mpi_word_count_spark.operators.ranking import bucketed_global_rank
+    from mpi_word_count_spark.operators.ranking import (
+        bucketed_global_rank,
+        ntile_from_rank,
+    )
 
     orders = table(spark, "orders", sf_dir)
     anchor = orders.agg(F.max("o_orderdate").alias("maxd"))
@@ -1028,7 +1051,7 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.desc("monetary"), F.asc("o_custkey")],
         rank_col="_rm",
     )
-    tile = lambda rank: F.expr(f"CAST(({rank} - 1) * 5 DIV _n + 1 AS INT)")  # noqa: E731
+    tile = lambda rank: ntile_from_rank(rank, "_n", 5)  # noqa: E731
     return (
         ranked.crossJoin(F.broadcast(n_row))
         .select(

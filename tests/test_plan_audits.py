@@ -341,8 +341,12 @@ def test_hybrid_rrf_rankings_reduce_before_fusion(spark):
     # subtree — the bucket-offset rank reads it twice (counts pass +
     # data pass; the identical exchange is reused at runtime). Both
     # are BuildRight Cross against a single-row broadcast, fine at
-    # any scale; anything beyond those two is a regression.
-    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    # any scale; anything beyond those two is a regression. Count the
+    # formatted-explain DETAIL headers "(N) BroadcastNestedLoopJoin"
+    # so each operator is counted once, not tree+detail twice.
+    import re
+
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 2
     assert "CartesianProduct" not in plan
     assert "FullOuter" in plan and "SortMergeJoin FullOuter" in plan
 
