@@ -1566,3 +1566,64 @@ def winnowing_fingerprints(
         )
         .distinct()
     )
+
+
+CDC_MOD = 16  # expected chunk length in tokens (boundary prob 1/16)
+
+
+def cdc_chunks(
+    df: DataFrame,
+    mod: int = CDC_MOD,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking (the LBFS/FastCDC idea at token
+    granularity): a chunk boundary falls BEFORE every token whose
+    hash ≡ 0 (mod `mod`), so expected chunk length is `mod` tokens
+    and — the property fixed-stride windowing cannot give — chunk
+    boundaries depend on CONTENT alone: inserting or deleting a
+    prefix re-aligns every chunk after the next boundary, so shifted
+    copies of a region still hash to the same chunks
+    (passage_windows' stride knob is positional and misses misaligned
+    copies; its sample_mod knob selects single windows, while CDC
+    partitions the whole document into verifiable units — the
+    dedup-storage formulation).
+
+    Returns (doc_id, chunk, start_pos, n_tokens, chunk_hash) — every
+    document fully partitioned into ordered chunks, chunk_hash = md5
+    of the space-joined tokens.
+
+    Scale shape: tokenize → posexplode is the narrow corpus pass; the
+    cumulative boundary count and the chunk re-assembly both run in
+    ONE window/groupBy keyed by doc_id — a single doc_id shuffle,
+    state bounded by document length, never corpus size. Chunk
+    assembly keeps token order via sort_array(collect_list(struct)),
+    deterministic under any partitioning.
+    """
+    posd = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_col(text_col)).alias("p0", "tok"),
+    ).select("doc_id", "tok", (F.col("p0") + 1).alias("pos"))
+    bd = posd.withColumn(
+        "_bd", (hash32(F.col("tok"), seed="cdc") % mod == 0).cast("int")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    ck = bd.withColumn("chunk", F.sum("_bd").over(w))
+    return (
+        ck.groupBy("doc_id", "chunk")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct("pos", "tok"))
+                        ),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("chunk_hash"),
+        )
+    )

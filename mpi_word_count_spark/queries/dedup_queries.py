@@ -1250,3 +1250,63 @@ def _exact_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = docs.select(F.col("doc_id").alias("d1"), "h")
     b = docs.select(F.col("doc_id").alias("d2"), "h")
     return a.join(b, "h").filter(F.col("d1") < F.col("d2")).select("d1", "d2")
+
+
+@register(
+    "cdc_chunk_dups",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '{sql_regex()}'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    posd AS (
+        SELECT doc_id, t[i] AS tok, i AS pos
+        FROM toks, unnest(range(1, len(t) + 1)) g(i)
+    ),
+    bd AS (
+        SELECT doc_id, tok, pos,
+               CASE WHEN {sql_hash32("tok", "cdc")} % 16 = 0
+                    THEN 1 ELSE 0 END AS b
+        FROM posd
+    ),
+    ck AS (
+        SELECT doc_id, tok, pos,
+               sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk
+        FROM bd
+    ),
+    chunks AS (
+        SELECT doc_id, chunk, count(*) AS n_tokens,
+               md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+        FROM ck GROUP BY 1, 2
+    )
+    SELECT chunk_hash,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           count(*) AS n_occurrences,
+           min(n_tokens) AS chunk_tokens
+    FROM chunks
+    GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def q_cdc_chunk_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate CONTENT-DEFINED chunks: partition
+    every document into CDC chunks (operators/dedup.cdc_chunks,
+    expected 16 tokens per chunk) and report chunks occurring in ≥ 2
+    documents. Because boundaries are content-defined, a copied
+    region is found even when its position shifts between documents —
+    the insertion-robust complement to duplicate_passages (every
+    window, position-free but 20× volume) and winnowing_dups
+    (sampled fingerprints with a density guarantee)."""
+    from mpi_word_count_spark.operators.dedup import cdc_chunks
+
+    ch = cdc_chunks(table(spark, "documents", sf_dir))
+    return (
+        ch.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("n_tokens").alias("chunk_tokens"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -134,6 +134,9 @@ _PRIORITY = [
     "dsir_importance_weights",
     "dsir_gumbel_sample",
     "ccnet_perplexity_buckets",
+    "cdc_chunk_dups",
+    "customer_rfm_segments",
+    "order_price_deciles",
     "session_concurrency_hourly",
     "shuffled_shards",
     "unigram_logprob_scores",

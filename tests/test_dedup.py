@@ -616,3 +616,48 @@ def test_winnowing_pos_zero_decodes_exactly(spark):
     for d, n in n_grams.items():
         assert (d, 0) in all_pos, f"doc {d}: position 0 never selected"
         assert {p for dd, p in all_pos if dd == d} == set(range(n))
+
+
+def test_cdc_chunks_realign_after_insertion(spark):
+    """The CDC property: chunk boundaries depend on content alone, so
+    a document copied with an inserted PREFIX still shares chunk
+    hashes with the original once past the first post-insertion
+    boundary — exactly what fixed-stride windows (stride=width) lose
+    to misalignment. Also: chunks partition each doc exactly (token
+    counts sum to doc length) and assembly order is deterministic."""
+    from pyspark.sql import functions as F
+
+    from mpi_word_count_spark.operators.dedup import cdc_chunks, tokens_col
+
+    body = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliet kilo lima mike november oscar papa quebec romeo "
+        "sierra tango uniform victor whiskey xray yankee zulu one "
+        "two three four five six seven eight nine ten eleven twelve"
+    )
+    rows = [
+        (1, body),
+        (2, "unrelated inserted preamble shifts every position " + body),
+        (3, "completely different words with no shared content at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ch = cdc_chunks(df, mod=4).cache()
+    by_doc = {}
+    for r in ch.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # partition exactness: per-doc chunk token counts sum to doc length
+    lens = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", F.size(tokens_col("text")).alias("n")
+        ).collect()
+    }
+    for d, chunks in by_doc.items():
+        assert sum(c["n_tokens"] for c in chunks) == lens[d]
+    # insertion robustness: docs 1 and 2 share chunk hashes; doc 3 none
+    h1 = {c["chunk_hash"] for c in by_doc[1]}
+    h2 = {c["chunk_hash"] for c in by_doc[2]}
+    h3 = {c["chunk_hash"] for c in by_doc[3]}
+    assert h1 & h2, "shifted copy shares no CDC chunks"
+    assert not (h3 & (h1 | h2))
+    ch.unpersist()
