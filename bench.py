@@ -96,6 +96,11 @@ HEADLINE = [
     "blocklist_filter_stats",
     "trade_graph_kcore",
     "phrase_search",
+    # round-5 additions: importance-resampling selection, CDC dedup,
+    # CCNet bucket partition
+    "dsir_importance_weights",
+    "cdc_chunk_dups",
+    "ccnet_perplexity_buckets",
 ]
 
 
