@@ -714,3 +714,88 @@ def semantic_dedup(
         "dup_of",
         F.col("dup_of").isNull().alias("kept"),
     )
+
+
+MARGIN_K = 4  # neighborhood size for the margin denominator (paper's k)
+
+
+def margin_alignment_pairs(
+    emb: DataFrame,
+    side_a,
+    side_b,
+    k: int = MARGIN_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based mutual-kNN alignment between two embedding sets
+    (Artetxe & Schwenk 2019, the bitext-mining scorer): a pair (a, b)
+    is emitted when a's nearest neighbor in B is b AND b's nearest in
+    A is a (the paper's 'intersection' strategy), scored by the RATIO
+    margin
+
+        margin(a,b) = cos(a,b) / ((deg_k(a) + deg_k(b)) / 2)
+
+    where deg_k is the mean cosine to the k nearest cross-set
+    neighbors — dividing out hubness, the reason raw cosine
+    thresholds fail at mining time. Returns (a_id, b_id, cosine,
+    margin), margin portable-rounded; thresholding is the consumer's
+    policy knob.
+
+    Shape: ONE scored A×B table feeds both kNN directions (cosine is
+    symmetric — the backward ranking is a second window over the same
+    pairs), both top-k windows partition by their query id. The
+    brute-force pairing is the EXACT baseline, same convention as
+    ann_bruteforce (broadcast the smaller side); at 100 TB you swap
+    the scored table for ANN candidates (ann_lsh/ann_ivf produce the
+    same (q, n, cosine) shape) and the margin machinery is unchanged.
+    """
+    from mpi_word_count_spark.functions.parity import portable_round
+
+    a = emb.filter(side_a).select(
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("a_vec"),
+        norm(F.col(vec_col)).alias("a_norm"),
+    )
+    b = emb.filter(side_b).select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("b_vec"),
+        norm(F.col(vec_col)).alias("b_norm"),
+    )
+    scored = b.crossJoin(F.broadcast(a)).select(
+        "a_id",
+        "b_id",
+        F.round(
+            dot(F.col("a_vec"), F.col("b_vec"))
+            / (F.col("a_norm") * F.col("b_norm")),
+            4,
+        ).alias("cosine"),
+    )
+    fwd = topk_per_group(
+        scored, ["a_id"], [F.desc("cosine"), F.asc("b_id")], k, rank_col="r"
+    )
+    bwd = topk_per_group(
+        scored, ["b_id"], [F.desc("cosine"), F.asc("a_id")], k, rank_col="r"
+    )
+    deg_a = fwd.groupBy("a_id").agg(F.avg("cosine").alias("deg_a"))
+    deg_b = bwd.groupBy("b_id").agg(F.avg("cosine").alias("deg_b"))
+    f1 = fwd.filter(F.col("r") == 1).select("a_id", "b_id", "cosine")
+    b1 = bwd.filter(F.col("r") == 1).select(
+        F.col("a_id").alias("_ba"), F.col("b_id").alias("_bb")
+    )
+    mutual = f1.join(
+        b1, (f1["a_id"] == b1["_ba"]) & (f1["b_id"] == b1["_bb"])
+    ).select("a_id", "b_id", "cosine")
+    return (
+        mutual.join(deg_a, "a_id")
+        .join(deg_b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "cosine",
+            portable_round(
+                F.col("cosine")
+                / ((F.col("deg_a") + F.col("deg_b")) / F.lit(2.0)),
+                4,
+            ).alias("margin"),
+        )
+    )

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mpi_word_count_spark.functions.parity import sql_portable_round
 from mpi_word_count_spark.operators.similarity import (
     ann_bruteforce_topk,
     ann_ivf_topk,
@@ -860,4 +861,65 @@ def ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.desc("cosine"), F.asc("neighbor_id")],
         k=TOP_K,
         rank_col="rank",
+    )
+
+
+MARGIN_LABEL_A = 0
+MARGIN_LABEL_B = 1
+
+
+@register(
+    "margin_knn_alignment",
+    oracle=f"""
+    WITH a AS (
+        SELECT vec_id, embedding FROM embeddings WHERE label = {MARGIN_LABEL_A}
+    ),
+    b AS (
+        SELECT vec_id, embedding FROM embeddings WHERE label = {MARGIN_LABEL_B}
+    ),
+    scored AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 4) AS c
+        FROM a, b
+    ),
+    fr AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY a_id ORDER BY c DESC, b_id ASC) AS r
+        FROM scored
+    ),
+    br AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY b_id ORDER BY c DESC, a_id ASC) AS r
+        FROM scored
+    ),
+    da AS (SELECT a_id, avg(c) AS d FROM fr WHERE r <= 4 GROUP BY a_id),
+    db AS (SELECT b_id, avg(c) AS d FROM br WHERE r <= 4 GROUP BY b_id),
+    f1 AS (SELECT a_id, b_id, c FROM fr WHERE r = 1),
+    b1 AS (SELECT a_id, b_id FROM br WHERE r = 1),
+    mutual AS (
+        SELECT f1.a_id, f1.b_id, f1.c
+        FROM f1 JOIN b1 ON f1.a_id = b1.a_id AND f1.b_id = b1.b_id
+    )
+    SELECT m.a_id, m.b_id, m.c AS cosine,
+           {sql_portable_round("m.c / ((da.d + db.d) / 2.0)", 4)} AS margin
+    FROM mutual m
+    JOIN da ON m.a_id = da.a_id
+    JOIN db ON m.b_id = db.b_id
+    """,
+)
+def margin_knn_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext-style mutual margin-kNN alignment between the label-0
+    and label-1 embedding sets (Artetxe & Schwenk 2019): mutual
+    nearest cross-set neighbors scored by the hubness-corrected ratio
+    margin. See operators/similarity.margin_alignment_pairs."""
+    from mpi_word_count_spark.operators.similarity import (
+        margin_alignment_pairs,
+    )
+
+    emb = table(spark, "embeddings", sf_dir)
+    return margin_alignment_pairs(
+        emb,
+        F.col("label") == MARGIN_LABEL_A,
+        F.col("label") == MARGIN_LABEL_B,
     )

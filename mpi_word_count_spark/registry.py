@@ -135,6 +135,7 @@ _PRIORITY = [
     "dsir_gumbel_sample",
     "ccnet_perplexity_buckets",
     "cdc_chunk_dups",
+    "margin_knn_alignment",
     "customer_rfm_segments",
     "order_price_deciles",
     "session_concurrency_hourly",

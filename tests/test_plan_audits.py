@@ -403,6 +403,16 @@ def test_no_cartesian_product_anywhere_in_the_registry(spark):
         "compaction_manifest",
         "console_lines",
     }
+    # Registry-wide rank-window guard shares the same plan pass: an
+    # unpartitioned row_number/rank/ntile window funnels its whole
+    # input through ONE WindowExec partition (the round-4 scale
+    # anti-pattern; the retrieval/RFM/decile/layout families were all
+    # rewritten off it in round 5). Allowlisted — input bounded by
+    # construction, justification at the definition site:
+    #   zipf_fit — rank window reads the top-100k TakeOrdered head
+    #   neyman_allocation_plan — largest-remainder apportionment over
+    #     STRATA rows (one per event_type), dashboard-sized
+    rank_allowed = {"zipf_fit", "neyman_allocation_plan"}
     offenders = []
     for name in sorted(QUERIES):
         if name.startswith(skip_prefixes) or name in skip_exact:
@@ -414,20 +424,28 @@ def test_no_cartesian_product_anywhere_in_the_registry(spark):
             continue
         if "CartesianProduct" in plan:
             offenders.append(name)
+        if name not in rank_allowed:
+            bad = _unpartitioned_rank_windows(plan)
+            if bad:
+                offenders.append(f"{name}: global rank window over {bad}")
     assert not offenders, offenders
 
 
 def _unpartitioned_rank_windows(plan: str) -> list[str]:
-    """Every row_number() windowspecdefinition whose FIRST argument is
-    already an ordering spec (contains ASC/DESC) — i.e. a rank window
-    with NO partition columns, the single-partition scale anti-pattern.
-    Partitioned specs lead with bare partition columns instead."""
+    """Every row_number()/rank()/dense_rank()/ntile(k)
+    windowspecdefinition whose FIRST argument is already an ordering
+    spec (contains ASC/DESC) — i.e. a rank window with NO partition
+    columns, the single-partition scale anti-pattern. Partitioned
+    specs lead with bare partition columns instead."""
+    import re
+
     out = []
-    rest = plan
-    marker = "row_number() windowspecdefinition("
-    while marker in rest:
-        rest = rest.split(marker, 1)[1]
-        first_arg = rest.split(",", 1)[0]
+    for m in re.finditer(
+        r"(?:row_number\(\)|rank\(\)|dense_rank\(\)|ntile\(\d+\))"
+        r" windowspecdefinition\(([^,)]+)",
+        plan,
+    ):
+        first_arg = m.group(1)
         if " ASC" in first_arg or " DESC" in first_arg:
             out.append(first_arg.strip())
     return out

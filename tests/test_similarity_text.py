@@ -533,3 +533,39 @@ def test_ann_filtered_respects_predicate(spark):
         if r["q_id"] == q0
     }
     assert got == want
+
+
+def test_margin_alignment_mutual_pairs_and_hubness(spark):
+    """Planted two-set alignment: a1<->b1 and a2<->b2 are true mutual
+    pairs; b3 is a HUB (moderately close to everything in A) that a
+    raw-cosine top-1 could latch onto, but the margin denominator
+    (mean top-k cosine) discounts it. True pairs must come back
+    mutual with margin > 1; no pair may involve the unmatched a3."""
+    from pyspark.sql import functions as F
+
+    from mpi_word_count_spark.operators.similarity import (
+        margin_alignment_pairs,
+    )
+
+    rows = [
+        # set A (label 0)
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.0, 1.0, 0.0, 0.0], 0),
+        (3, [0.0, 0.0, 0.0, 1.0], 0),   # unmatched in B
+        # set B (label 1)
+        (11, [0.98, 0.02, 0.0, 0.0], 1),   # aligns with 1
+        (12, [0.02, 0.98, 0.0, 0.0], 1),   # aligns with 2
+        (13, [0.5, 0.5, 0.5, 0.0], 1),     # hub: near everything in A
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        (r["a_id"], r["b_id"]): r["margin"]
+        for r in margin_alignment_pairs(
+            df, F.col("label") == 0, F.col("label") == 1, k=2
+        ).collect()
+    }
+    assert (1, 11) in got and (2, 12) in got
+    assert got[(1, 11)] > 1.0 and got[(2, 12)] > 1.0
+    assert not any(a == 3 for a, _ in got)
