@@ -10,7 +10,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mpi_word_count_spark.functions.hashing import sql_hash32
-from mpi_word_count_spark.functions.parity import sql_portable_round
+from mpi_word_count_spark.functions.parity import (
+    portable_round,
+    sql_portable_round,
+)
 from mpi_word_count_spark.operators.inference import (
     FEATURE_DIM,
     FEATURE_SEED,
@@ -274,3 +277,73 @@ def q_keep_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         portable_round(F.least(center + half, F.lit(1.0)), 4).alias("ci_hi"),
     ).orderBy("lang")
+
+
+def _calibration_oracle() -> str:
+    from mpi_word_count_spark.queries import text_queries  # noqa: F401
+    from mpi_word_count_spark.registry import _REGISTRY
+
+    heur = _REGISTRY["quality_scores"][1]
+    model = _REGISTRY["model_quality_scores"][1]
+    return f"""
+    WITH heur AS MATERIALIZED (
+        SELECT doc_id, quality_score >= 0.44 AS label
+        FROM ({heur})
+    ),
+    model AS MATERIALIZED (
+        SELECT doc_id, score FROM ({model})
+    ),
+    j AS (
+        SELECT CAST(floor(m.score * 5) AS BIGINT) AS bin,
+               m.score, h.label
+        FROM model m JOIN heur h ON m.doc_id = h.doc_id
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_label_keep,
+           CAST(1000 * sum(CASE WHEN label THEN 1 ELSE 0 END) // count(*)
+                AS BIGINT) AS keep_rate_milli,
+           {sql_portable_round("avg(score)", 4)} AS mean_score
+    FROM j GROUP BY bin
+    """
+
+
+@register("model_calibration_bins", oracle=_calibration_oracle())
+def q_model_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the served model scorer: bin documents
+    by the hashed-linear model's per-token score (fixed-width bins,
+    floor(score·5), scores live in [−1, 1] since weights are
+    per-token milli-integers in [−1000, 1000]) and report each bin's
+    empirical keep rate under the HEURISTIC gate — the label proxy
+    the scorer is meant to replace. A well-calibrated scorer shows
+    keep_rate rising monotonically with the bin; flat or inverted
+    bins are where threshold tuning or retraining happens. Composes
+    the two REGISTERED scorers (oracle embeds their registered SQL
+    verbatim), so the diagram certifies the served configurations —
+    the calibration companion of quality_scorer_agreement's 2×2.
+
+    Scale shape: two single-pass per-doc projections, one doc-keyed
+    join, then a ≤11-group aggregation — integer milli rates, no
+    windows."""
+    from mpi_word_count_spark.queries.text_queries import q_quality_scores
+
+    heur = q_quality_scores(spark, sf_dir).select(
+        "doc_id", (F.col("quality_score") >= 0.44).alias("label")
+    )
+    model = q_model_quality_scores(spark, sf_dir).select("doc_id", "score")
+    j = heur.join(model, "doc_id").select(
+        F.floor(F.col("score") * 5).cast("bigint").alias("bin"),
+        "score",
+        "label",
+    )
+    kept = F.sum(F.when(F.col("label"), 1).otherwise(0))
+    return j.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        kept.cast("bigint").alias("n_label_keep"),
+        F.expr(
+            "CAST(1000 * sum(CASE WHEN label THEN 1 ELSE 0 END)"
+            " DIV count(*) AS BIGINT)"
+        ).alias("keep_rate_milli"),
+        portable_round(F.avg("score"), 4).alias("mean_score"),
+    )

@@ -136,6 +136,7 @@ _PRIORITY = [
     "ccnet_perplexity_buckets",
     "cdc_chunk_dups",
     "margin_knn_alignment",
+    "model_calibration_bins",
     "customer_rfm_segments",
     "order_price_deciles",
     "session_concurrency_hourly",
