@@ -1663,3 +1663,68 @@ def q_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size("uniq") < F.size("lines")).alias("had_repeats"),
         F.md5(F.array_join("uniq", "\n")).alias("cleaned_hash"),
     ).orderBy("doc_id")
+
+
+@register(
+    "packing_efficiency_audit",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    starts AS (
+        SELECT doc_id, t, len(t) AS n, unnest(generate_series(0, len(t) - 1, 60)) AS s
+        FROM toks WHERE len(t) > 0
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST(s / 60 AS BIGINT) AS chunk_id,
+               CAST(least(120, n - s) AS BIGINT) AS n_chunk_tokens,
+               doc_id % 16 AS bucket
+        FROM starts
+    ),
+    placed AS (
+        SELECT bucket,
+               CAST(floor(coalesce(sum(n_chunk_tokens) OVER (
+                   PARTITION BY bucket ORDER BY doc_id ASC, chunk_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / 2048.0) AS BIGINT) AS seq_no,
+               n_chunk_tokens
+        FROM chunks
+    )
+    SELECT bucket,
+           CAST(count(DISTINCT seq_no) AS BIGINT) AS n_sequences,
+           CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens,
+           CAST((sum(n_chunk_tokens) + 2047) // 2048 AS BIGINT)
+               AS min_sequences,
+           CAST(1000 * sum(n_chunk_tokens)
+                // (count(DISTINCT seq_no) * 2048) AS BIGINT)
+               AS fill_rate_milli
+    FROM placed GROUP BY bucket
+    """,
+)
+def q_packing_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How good is the offset-packing layout, MEASURED: per bucket,
+    sequences actually emitted vs the bin-packing LOWER BOUND
+    ceil(tokens/budget), and the token fill rate of the emitted
+    sequences (milli). Offset packing never splits a bucket's token
+    stream, so its only waste is the final partial sequence per
+    bucket — n_sequences == min_sequences whenever the stream is
+    dense, and fill_rate quantifies padding the trainer pays.
+    Integer-exact; composes the REGISTERED packed_sequences pipeline
+    (same chunking/bucketing constants), so the audit certifies the
+    served layout.
+
+    Scale shape: the packing window partitions by bucket (16-way; at
+    100 TB you raise n_buckets with the cluster) and the audit adds
+    one ≤16-group aggregation."""
+    chunks = doc_chunks(table(spark, "documents", sf_dir), chunk_size=120, stride=60)
+    packed = pack_chunks(chunks, budget=2048, n_buckets=16)
+    return packed.groupBy("bucket").agg(
+        F.countDistinct("seq_no").alias("n_sequences"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.expr("CAST((sum(n_tokens) + 2047) DIV 2048 AS BIGINT)").alias(
+            "min_sequences"
+        ),
+        F.expr(
+            "CAST(1000 * sum(n_tokens)"
+            " DIV (count(DISTINCT seq_no) * 2048) AS BIGINT)"
+        ).alias("fill_rate_milli"),
+    )

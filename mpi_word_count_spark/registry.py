@@ -137,6 +137,7 @@ _PRIORITY = [
     "cdc_chunk_dups",
     "margin_knn_alignment",
     "model_calibration_bins",
+    "packing_efficiency_audit",
     "customer_rfm_segments",
     "order_price_deciles",
     "session_concurrency_hourly",
