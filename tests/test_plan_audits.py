@@ -472,3 +472,29 @@ def test_retrieval_ranks_are_never_global_windows(spark):
     zipf = plan_of(spark, "zipf_fit")
     # the head truncation heap runs BEFORE the bounded rank window
     assert "TakeOrderedAndProject" in zipf
+
+
+def test_dsir_model_fit_broadcasts_ratio_table(spark):
+    """DSIR's scale contract: the bucket log-ratio table (<=4096
+    rows) must reach the scoring join as a BROADCAST, and the model
+    fit must partial-aggregate before its exchange — never a shuffle
+    of raw grams to a single reducer, never a cartesian."""
+    for name in ("dsir_importance_weights", "dsir_gumbel_sample"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "partial_count" in plan or "HashAggregate" in plan, name
+    # the gumbel sample's top-k is a heap, not a sort or rank window
+    assert "TakeOrderedAndProject" in plan_of(spark, "dsir_gumbel_sample")
+
+
+def test_margin_alignment_windows_partition_by_query_id(spark):
+    """Margin mining scores ONE A-x-B table (broadcast nested-loop
+    against the broadcast side — the ann_bruteforce convention) and
+    both kNN rank windows must partition by their query id; the
+    registry-wide guard already rejects unpartitioned rank windows,
+    this pins the broadcast discipline too."""
+    plan = plan_of(spark, "margin_knn_alignment")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # scored A-x-B, one side broadcast
+    assert not _unpartitioned_rank_windows(plan), plan
