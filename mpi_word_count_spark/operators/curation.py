@@ -392,13 +392,17 @@ def dsir_importance_weights(
     Returns (doc_id, n_feats, log_weight) for every raw (non-target)
     document with at least one token.
 
-    Scale shape: the gram stream is generated once per side —
-    Generate (explode) blocks projection collapse, so the token array
-    is NOT re-inlined into the bigram lambda (the CollapseProject HOF
-    trap). Model fit is a partial-agg shuffle onto ≤ num_buckets
-    groups; the log-ratio table is ≤ num_buckets rows and BROADCASTS
-    to the scoring join; scoring is one doc_id shuffle. No corpus
-    self-join, nothing global.
+    Scale shape: the gram stream collapses to (doc, bucket) COUNTS
+    immediately (map-side combinable, ≤ num_buckets rows per doc
+    however long the doc), and everything downstream — the model fit,
+    the broadcast of the ≤ num_buckets log-ratio table, the scoring
+    join, the final doc_id shuffle — moves those thin count rows, not
+    raw grams. log w folds counts as Σ c_b·r_b on BOTH engines (the
+    oracle computes the identical product-sum, so grouping the sum
+    this way stays hash-exact). Generate (explode) blocks projection
+    collapse, so the token array is not re-inlined into the bigram
+    lambda (the CollapseProject HOF trap). No corpus self-join,
+    nothing global.
     """
     from mpi_word_count_spark.operators.dedup import tokens_col
 
@@ -422,9 +426,16 @@ def dsir_importance_weights(
         "_is_target",
         (hash32(F.col("g"), seed="dsir") % num_buckets).alias("b"),
     )
-    counts = feats.groupBy("b").agg(
-        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("ct"),
-        F.sum(F.when(F.col("_is_target"), 0).otherwise(1)).alias("cr"),
+    dbc = feats.groupBy("doc_id", "_is_target", "b").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    counts = dbc.groupBy("b").agg(
+        F.sum(F.when(F.col("_is_target"), F.col("cnt")).otherwise(0)).alias(
+            "ct"
+        ),
+        F.sum(F.when(F.col("_is_target"), 0).otherwise(F.col("cnt"))).alias(
+            "cr"
+        ),
     )
     totals = counts.agg(
         F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
@@ -439,11 +450,13 @@ def dsir_importance_weights(
     from mpi_word_count_spark.functions.parity import portable_round
 
     return (
-        feats.filter(~F.col("_is_target"))
+        dbc.filter(~F.col("_is_target"))
         .join(F.broadcast(ratio), "b")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_feats"),
-            portable_round(F.sum("r"), 4).alias("log_weight"),
+            F.sum("cnt").alias("n_feats"),
+            portable_round(F.sum(F.col("cnt") * F.col("r")), 4).alias(
+                "log_weight"
+            ),
         )
     )

@@ -1422,11 +1422,15 @@ def q_consistent_hash_resharding(
                {sql_hash32("g", "dsir")} % 4096 AS b
         FROM grams
     ),
+    dbc AS (
+        SELECT doc_id, is_target, b, count(*) AS cnt
+        FROM feat GROUP BY 1, 2, 3
+    ),
     counts AS (
         SELECT b,
-               sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
-               sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS cr
-        FROM feat GROUP BY b
+               sum(CASE WHEN is_target THEN cnt ELSE 0 END) AS ct,
+               sum(CASE WHEN is_target THEN 0 ELSE cnt END) AS cr
+        FROM dbc GROUP BY b
     ),
     tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM counts),
     ratio AS (
@@ -1434,9 +1438,9 @@ def q_consistent_hash_resharding(
                   - ln((cr + 1.0) / (nr + 4096.0)) AS r
         FROM counts, tot
     )
-    SELECT f.doc_id, count(*) AS n_feats,
-           {sql_portable_round("sum(r.r)", 4)} AS log_weight
-    FROM feat f JOIN ratio r USING (b)
+    SELECT f.doc_id, CAST(sum(f.cnt) AS BIGINT) AS n_feats,
+           {sql_portable_round("sum(f.cnt * r.r)", 4)} AS log_weight
+    FROM dbc f JOIN ratio r USING (b)
     WHERE NOT f.is_target
     GROUP BY f.doc_id
     """,
@@ -1483,11 +1487,15 @@ def _dsir_cte() -> str:
                {sql_hash32("g", "dsir")} % 4096 AS b
         FROM grams
     ),
+    dbc AS (
+        SELECT doc_id, is_target, b, count(*) AS cnt
+        FROM feat GROUP BY 1, 2, 3
+    ),
     counts AS (
         SELECT b,
-               sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
-               sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS cr
-        FROM feat GROUP BY b
+               sum(CASE WHEN is_target THEN cnt ELSE 0 END) AS ct,
+               sum(CASE WHEN is_target THEN 0 ELSE cnt END) AS cr
+        FROM dbc GROUP BY b
     ),
     tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM counts),
     ratio AS (
@@ -1497,8 +1505,8 @@ def _dsir_cte() -> str:
     ),
     weights AS (
         SELECT f.doc_id,
-               {sql_portable_round("sum(r.r)", 4)} AS log_weight
-        FROM feat f JOIN ratio r USING (b)
+               {sql_portable_round("sum(f.cnt * r.r)", 4)} AS log_weight
+        FROM dbc f JOIN ratio r USING (b)
         WHERE NOT f.is_target
         GROUP BY f.doc_id
     )"""
