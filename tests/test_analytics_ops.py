@@ -286,3 +286,37 @@ def test_bucketed_global_rank_equals_global_window(spark):
         ).collect()
     }
     assert got_k == want_k
+
+
+def test_ntile_from_rank_matches_spark_ntile(spark):
+    """The closed form must reproduce Spark's NTILE(k) bit-for-bit,
+    ESPECIALLY when k does not divide n (SQL front-loads the
+    remainder; the naive (rank-1)*k DIV n + 1 spreads it evenly and
+    diverges — the defect the layout-audit oracles caught)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mpi_word_count_spark.operators.ranking import ntile_from_rank
+
+    for n, k in [(10, 4), (5, 3), (7, 7), (3, 5), (16, 5), (100, 7)]:
+        df = spark.createDataFrame([(i,) for i in range(1, n + 1)], "id long")
+        w = Window.orderBy("id")
+        want = {
+            r["id"]: r["t"]
+            for r in df.select("id", F.ntile(k).over(w).alias("t")).collect()
+        }
+        got = {
+            r["id"]: r["t"]
+            for r in df.select(
+                "id",
+                F.row_number().over(w).alias("_rk"),
+                F.count(F.lit(1)).over(
+                    Window.rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                ).alias("_n"),
+            )
+            .select("id", ntile_from_rank("_rk", "_n", k).alias("t"))
+            .collect()
+        }
+        assert got == want, (n, k)
