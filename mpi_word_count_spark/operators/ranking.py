@@ -24,6 +24,7 @@ def bucketed_global_rank(
     bucket: Column,
     order_cols: list[Column],
     rank_col: str = "rank",
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """Exact global `row_number()` by `order_cols` with NO
     single-partition data window.
@@ -34,24 +35,38 @@ def bucketed_global_rank(
     bucket (e.g. bucket = -floor(score * 10) for a `desc(score)`
     ranking; bucket = key itself for an integer `asc(key)` ranking).
 
-    Pass 1 aggregates per-bucket counts and turns them into exclusive
-    cumulative offsets; that window IS unpartitioned, but it runs over
-    the distinct-bucket table (hundreds of rows — pick bucket
+    With `partition_cols`, the rank restarts per group — the grouped
+    twin for rankings whose PARTITION BY key is low-cardinality but
+    whose groups are huge (per-language, per-source: one language at
+    web scale is ~10⁹ docs, so `Window.partitionBy("lang")` is the
+    same single-partition funnel as no partition at all).
+
+    Pass 1 aggregates per-(group, bucket) counts and turns them into
+    exclusive cumulative offsets; that window is partitioned only by
+    the group (or unpartitioned), but it runs over the distinct
+    (group, bucket) table (hundreds of rows per group — pick bucket
     granularity accordingly), never over the data. Pass 2 broadcasts
     the offsets back and completes the rank with a row_number
-    partitioned BY bucket: rank = bucket offset + within-bucket row
+    partitioned BY (group, bucket): rank = offset + within-bucket row
     number. Cost: one partial-agg shuffle + one bucket-keyed window —
-    both scale with data/buckets, not data/1.
+    both scale with data/buckets, not data/groups.
     """
+    parts = list(partition_cols or [])
     b = df.withColumn("_b", bucket)
-    counts = b.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
-    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "_b", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    counts = b.groupBy(*parts, "_b").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = (
+        Window.partitionBy(*parts)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    w_in = Window.partitionBy("_b").orderBy(*order_cols)
+    offsets = counts.select(
+        *parts,
+        "_b",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+    )
+    w_in = Window.partitionBy(*parts, "_b").orderBy(*order_cols)
     return (
-        b.join(F.broadcast(offsets), "_b")
+        b.join(F.broadcast(offsets), parts + ["_b"])
         .withColumn(rank_col, F.col("_off") + F.row_number().over(w_in))
         .drop("_b", "_off")
     )

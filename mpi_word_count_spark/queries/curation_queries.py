@@ -1600,27 +1600,37 @@ def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     most-fluent third that CCNet keeps for pretraining, 'tail' the
     third it drops. Scorer is the corpus-unigram LM
     (operators/textanalysis.unigram_logprob, the repo's CCNet-style
-    perplexity proxy); terciles via ntile(3) partitioned BY LANGUAGE
-    (deterministic doc_id tie-break), so no unpartitioned window —
-    per-lang partitions are exactly how CCNet shards its buckets.
-    Output is the per-(lang, bucket) profile: doc counts and the
-    score range each bucket spans."""
-    from pyspark.sql import Window
-
+    perplexity proxy); terciles are the EXACT-NTILE closed form over
+    per-language bucket-offset ranks (deterministic doc_id
+    tie-break). Window.partitionBy("lang") would be no safer than an
+    unpartitioned window — one language at web scale is ~10⁹
+    documents through ONE WindowExec partition — so the rank
+    decomposes by (lang, deciscore bucket) and NTILE(3) folds from
+    (rank, per-lang n) via ntile_from_rank; the oracle keeps literal
+    ntile(3) OVER (PARTITION BY lang ...), so the hash match proves
+    the grouped decomposition. Output is the per-(lang, bucket)
+    profile: doc counts and the score range each bucket spans."""
+    from mpi_word_count_spark.operators.ranking import (
+        bucketed_global_rank,
+        ntile_from_rank,
+    )
     from mpi_word_count_spark.operators.textanalysis import unigram_logprob
 
     docs = table(spark, "documents", sf_dir)
     scores = unigram_logprob(docs)
-    tiled = scores.join(docs.select("doc_id", "lang"), "doc_id").select(
+    s = scores.join(docs.select("doc_id", "lang"), "doc_id")
+    lang_n = s.groupBy("lang").agg(F.count(F.lit(1)).alias("_n"))
+    ranked = bucketed_global_rank(
+        s,
+        -F.floor(F.col("avg_logprob") * 10),
+        [F.desc("avg_logprob"), F.asc("doc_id")],
+        rank_col="_rk",
+        partition_cols=["lang"],
+    )
+    tiled = ranked.join(F.broadcast(lang_n), "lang").select(
         "lang",
         "avg_logprob",
-        F.ntile(3)
-        .over(
-            Window.partitionBy("lang").orderBy(
-                F.desc("avg_logprob"), F.asc("doc_id")
-            )
-        )
-        .alias("tile"),
+        ntile_from_rank("_rk", "_n", 3).alias("tile"),
     )
     return tiled.groupBy(
         "lang",

@@ -320,3 +320,43 @@ def test_ntile_from_rank_matches_spark_ntile(spark):
             .collect()
         }
         assert got == want, (n, k)
+
+
+def test_bucketed_global_rank_grouped_matches_per_group_window(spark):
+    """partition_cols: rank restarts per group and must equal the
+    per-group row_number window, including ties and groups of
+    different sizes."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mpi_word_count_spark.operators.ranking import bucketed_global_rank
+
+    rows = [
+        (i, g, float(v))
+        for i, (g, v) in enumerate(
+            [("en", 3.1), ("en", 2.7), ("en", 3.1), ("en", 0.5),
+             ("de", 9.9), ("de", 1.1), ("fr", 4.4), ("fr", 4.4),
+             ("fr", 4.4), ("fr", 0.0), ("fr", 7.7)]
+        )
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    got = {
+        (r["g"], r["id"]): r["rank"]
+        for r in bucketed_global_rank(
+            df,
+            -F.floor(F.col("v") * 10),
+            [F.desc("v"), F.asc("id")],
+            partition_cols=["g"],
+        ).collect()
+    }
+    want = {
+        (r["g"], r["id"]): r["rank"]
+        for r in df.select(
+            "g",
+            "id",
+            F.row_number()
+            .over(Window.partitionBy("g").orderBy(F.desc("v"), F.asc("id")))
+            .alias("rank"),
+        ).collect()
+    }
+    assert got == want
