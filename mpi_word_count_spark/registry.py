@@ -60,15 +60,112 @@ _LOADED = False
 # whose defects were fixed this round come FIRST; long-green queries take
 # the later slots and rotate back in on subsequent rounds.
 _PRIORITY = [
-    # --- the 50-row driver budget, round 5 ---------------------------
+    # --- the 50-row driver budget, round 6 ---------------------------
     # Names can repeat further down (dict insertion keeps the FIRST
-    # position), so this head block is exactly the round-5 budget; the
-    # round-4 block below it becomes the overflow tail. 125/244
-    # queries have never had a driver row (VERDICT r4 item 4); this
-    # head is all never-verified entries plus the queries whose
-    # implementation changed this round and so need fresh rows.
+    # position), so this head block is exactly the round-6 budget; the
+    # earlier round blocks below become the overflow tail. 86/251
+    # queries had no driver row after round 5 (VERDICT r5 item 1); this
+    # head is the flagship + the one query rewritten in round 5 that
+    # still carries only pre-rewrite rows (order_price_deciles, NTILE
+    # decomposition) + the first 48 never-verified entries in the
+    # verdict's order (round-5-new ops first, then the alphabetical
+    # tail). Drains never-verified 86 -> 38.
     # flagship: a fresh row EVERY round, whatever else rotates
     "wordcount",
+    # rewritten in r5 (global NTILE -> grouped bucket-offset rank);
+    # its only rows (r1/r2) predate the rewrite
+    "order_price_deciles",
+    # round-5-new ops + rewritten NTILE consumers (VERDICT r5 item 1)
+    "training_shard_manifest",
+    "dsir_importance_weights",
+    "dsir_gumbel_sample",
+    "ccnet_perplexity_buckets",
+    "cdc_chunk_dups",
+    "margin_knn_alignment",
+    "model_calibration_bins",
+    "packing_efficiency_audit",
+    "customer_rfm_segments",
+    "curriculum_layout_audit",
+    # never-verified tail, prior-queue order
+    "session_concurrency_hourly",
+    "shuffled_shards",
+    "unigram_logprob_scores",
+    "bucketed_revenue_by_status",
+    "lineitem_stats_moments",
+    "lineitem_unpivot_metrics",
+    "salted_segment_revenue",
+    "seq_length_histogram",
+    "trailing_week_revenue",
+    "user_event_funnel",
+    "value_gini_by_event_type",
+    "embedding_cluster_sizes",
+    "cluster_aware_split",
+    "bpe_merges",
+    "bpe_token_counts",
+    "skipgram_pmi",
+    "data_quality_report",
+    "events_ohlc_hourly",
+    "streaming_quality_windows",
+    "weighted_sample_by_length",
+    "curriculum_batches",
+    "embedding_norms",
+    "label_centroid_spread",
+    "semantic_contamination",
+    "pii_redaction_stats",
+    "epoch_shuffled_batches",
+    "streaming_incremental_dedup",
+    "jsonl_roundtrip",
+    "orc_roundtrip",
+    "compaction_manifest",
+    "media_phash",
+    "table_profile",
+    "xml_roundtrip",
+    "snapshot_diff",
+    "supplier_basket_pairs",
+    "supplier_basket_rules",
+    "stupid_backoff_scores",
+    "bpe_fertility_by_lang",
+    # --- below the budget line: round-7 rotation (the remaining 38
+    # never-verified entries lead, in this order) ---------------------
+    "cluster_survivors",
+    "mixture_plan",
+    "user_retention_cohorts",
+    "events_value_outliers",
+    "trade_graph_degrees",
+    "embedding_dim_stats",
+    "ship_latency_percentiles",
+    "dau_wau",
+    "events_cusum_drift",
+    "streaming_trending_words",
+    "lang_confusion_matrix",
+    "char_entropy_scores",
+    "model_quality_scores",
+    "streaming_model_scores",
+    "streaming_synth_wordcount",
+    "ppjoin_dups",
+    "positional_index",
+    "vocab_growth",
+    "source_overlap_matrix",
+    "token_budget_selection",
+    "sorted_neighborhood_dups",
+    "events_seasonal_anomalies",
+    "keyword_pagerank",
+    "doc_novelty_scores",
+    "lang_source_pmi",
+    "containment_dups",
+    "split_leakage_audit",
+    "incremental_wordcount",
+    "event_type_transitions",
+    "transition_dwell_times",
+    "greedy_source_coverage",
+    "minhash_estimate_audit",
+    "ann_recall_audit",
+    "ann_recall_ladder",
+    "udtf_char_ngrams",
+    "lateral_order_stats",
+    "hof_array_sampler",
+    "supplier_graph_triangles",
+    # --- round-5 head (all green in CORRECTNESS_r05; rotate last) ----
     # the one red row of CORRECTNESS_r04 (Decimal-vs-float64 pandas
     # dtype mismatch; both sides now present DOUBLE) — re-verify
     "events_rollup_cascade",
