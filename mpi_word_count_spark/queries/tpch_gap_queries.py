@@ -213,12 +213,15 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11's HAVING-against-global-scalar: parts whose supply
     value (from NATION_3 suppliers) exceeds 3/2 the average part
-    value. The scalar is a window aggregate over an empty partition
-    spec on the ALREADY-aggregated per-part relation — no second scan
-    of lineitem, no driver round-trip, one extra single-partition
-    exchange of (#parts) rows. A fraction-of-total threshold (the
-    literal Q11 formulation) degenerates as the part domain grows;
-    average-relative keeps the selectivity stable at any SF.
+    value. The scalar is a 1-row (total, cnt) aggregate of the
+    per-part relation, broadcast back via crossJoin — the same
+    scan-once shape as a window over an empty partition spec but
+    WITHOUT funneling the per-part relation (SF×200k rows ≈ billions
+    at 100 TB) through a single WindowExec partition; the partial
+    aggregation tree reduces it instead (round-6 plan-guard fix). A
+    fraction-of-total threshold (the literal Q11 formulation)
+    degenerates as the part domain grows; average-relative keeps the
+    selectivity stable at any SF.
 
     The threshold comparison is exact: values are DECIMAL sums of
     2-decimal prices (order-independent, bit-identical across
@@ -233,10 +236,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("value"))
     )
-    w = Window.partitionBy()
-    staged = partval.withColumn("_total", F.sum("value").over(w)).withColumn(
-        "_cnt", F.count(F.lit(1)).over(w)
+    tot = partval.agg(
+        F.sum("value").alias("_total"), F.count(F.lit(1)).alias("_cnt")
     )
+    staged = partval.crossJoin(F.broadcast(tot))
     return (
         staged.filter(
             F.lit(Q11_AVG_MULT_DEN) * F.col("value") * F.col("_cnt")

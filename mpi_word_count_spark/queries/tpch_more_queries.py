@@ -368,12 +368,13 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier(s) achieving the maximum quarterly revenue: the
-    revenue CTE aggregates once and feeds both the scalar-max subquery
-    and the final join — in Spark, a window max over an empty
-    partition spec computes the global max WITHOUT a second scan or a
-    driver round-trip, and stays a single shuffle pipeline."""
-    from pyspark.sql import Window
-
+    revenue CTE aggregates once and feeds both the scalar-max (a
+    1-row aggregate broadcast back via crossJoin) and the final join.
+    Round-6 plan-guard fix: this was previously a window max over an
+    empty partition spec, which funnels the per-supplier relation
+    (SF×10k rows, ~1B at 100 TB) through ONE WindowExec partition;
+    the 1-row-broadcast shape reduces it through the partial-agg tree
+    instead and costs no second lineitem scan."""
     li = table(spark, "lineitem", sf_dir).filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -383,9 +384,10 @@ def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("total_revenue")
     )
-    best = revenue.withColumn(
-        "_max", F.max("total_revenue").over(Window.partitionBy())
-    ).filter(F.col("total_revenue") == F.col("_max"))
+    max_rev = revenue.agg(F.max("total_revenue").alias("_max"))
+    best = revenue.crossJoin(F.broadcast(max_rev)).filter(
+        F.col("total_revenue") == F.col("_max")
+    )
     s = table(spark, "supplier", sf_dir)
     return best.join(s, best.supplier_no == s.s_suppkey).select(
         "s_suppkey", "s_name", "total_revenue"

@@ -403,16 +403,17 @@ def test_no_cartesian_product_anywhere_in_the_registry(spark):
         "compaction_manifest",
         "console_lines",
     }
-    # Registry-wide rank-window guard shares the same plan pass: an
-    # unpartitioned row_number/rank/ntile window funnels its whole
-    # input through ONE WindowExec partition (the round-4 scale
-    # anti-pattern; the retrieval/RFM/decile/layout families were all
-    # rewritten off it in round 5). Allowlisted — input bounded by
-    # construction, justification at the definition site:
-    #   zipf_fit — rank window reads the top-100k TakeOrdered head
-    #   neyman_allocation_plan — largest-remainder apportionment over
-    #     STRATA rows (one per event_type), dashboard-sized
-    rank_allowed = {"zipf_fit", "neyman_allocation_plan"}
+    # Registry-wide window guard shares the same plan pass: ANY
+    # unpartitioned window — rank family (the round-4 scale
+    # anti-pattern) OR cumulative sum/avg/count (round-5 verdict item
+    # 3) — funnels its whole input through ONE WindowExec partition.
+    # Allowed only when the window input is an aggregate over a
+    # BOUNDED key, so the funneled relation is dashboard-sized at any
+    # corpus scale. Every allowlist entry names its bounded domain;
+    # the guard additionally asserts the flagged Window node's input
+    # is narrow (<=6 cols — the aggregated-bucket-table shape) and
+    # that a HashAggregate feeds it, so an allowlisted query that
+    # regresses to windowing a raw table still fails.
     offenders = []
     for name in sorted(QUERIES):
         if name.startswith(skip_prefixes) or name in skip_exact:
@@ -424,11 +425,103 @@ def test_no_cartesian_product_anywhere_in_the_registry(spark):
             continue
         if "CartesianProduct" in plan:
             offenders.append(name)
-        if name not in rank_allowed:
-            bad = _unpartitioned_rank_windows(plan)
-            if bad:
-                offenders.append(f"{name}: global rank window over {bad}")
+        flagged = _unpartitioned_window_nodes(plan)
+        if not flagged:
+            continue
+        if name not in UNPART_WINDOW_ALLOWED:
+            offenders.append(
+                f"{name}: unpartitioned window(s) {[a for _, a in flagged]}"
+                " — single-partition funnel; partition it, decompose via"
+                " operators/ranking.py, or allowlist with a boundedness"
+                " justification"
+            )
+            continue
+        for width, args in flagged:
+            if width > 6 or "HashAggregate" not in plan:
+                offenders.append(
+                    f"{name}: allowlisted but window input is {width} cols"
+                    f" / no aggregate upstream — not the bounded-bucket"
+                    f" shape ({args[:80]})"
+                )
     assert not offenders, offenders
+
+
+# Unpartitioned windows whose input is PROVABLY bounded: each value
+# names the bounded key the window's input is aggregated over (the
+# domain that stays dashboard-sized at 100 TB). Anything not listed
+# here fails test_no_cartesian_product_anywhere_in_the_registry.
+UNPART_WINDOW_ALLOWED = {
+    # rank family over bounded heads (round-5 allowlist, kept)
+    "zipf_fit": "rank over the top-100k TakeOrdered head",
+    "neyman_allocation_plan": (
+        "largest-remainder rank + cumsum over STRATA rows (one per"
+        " event_type)"
+    ),
+    # cumulative sums over aggregated bucket tables. The bucket-offset
+    # rank decomposition (operators/ranking.py) trades a global rank
+    # window over N rows for a partitioned rank + ONE cumsum over the
+    # per-bucket count table (|buckets| rows, fixed by quantization).
+    "customer_rfm_segments": (
+        "ranking.py bucket-offset cumsum over R/F/M value buckets"
+    ),
+    "order_price_deciles": (
+        "ranking.py bucket-offset cumsum over price buckets"
+    ),
+    "hybrid_rrf_retrieval": (
+        "ranking.py bucket-offset cumsum over score buckets"
+    ),
+    "hilbert_skipping_audit": (
+        "ranking.py bucket-offset cumsum over curve-key buckets"
+    ),
+    "zorder_skipping_audit": (
+        "ranking.py bucket-offset cumsum over curve-key buckets"
+    ),
+    "sorted_neighborhood_dups": (
+        "ranking.py bucket-offset cumsum over SNM sort-key buckets"
+    ),
+    "curriculum_batches": (
+        "cumsum over per-difficulty-bucket counts (quantized difficulty"
+        " domain, operators/curation.py)"
+    ),
+    "curriculum_layout_audit": "same bounded bucket cumsum as curriculum_batches",
+    "vocab_growth": "cumsum over corpus-order buckets (fixed bucket count)",
+    "session_concurrency_hourly": (
+        "cumsum of +1/-1 deltas over the HOUR domain (dataset timespan"
+        " in hours)"
+    ),
+    "seq_length_histogram": "cumsum over fixed histogram bucket edges",
+    "token_budget_selection": (
+        "cumsum over per-score-bucket token totals (score quantization"
+        " domain)"
+    ),
+}
+
+
+def _unpartitioned_window_nodes(plan: str) -> list[tuple[int, str]]:
+    """Every Window node in a formatted plan whose spec has NO
+    partition columns (first windowspecdefinition argument is already
+    an ordering spec or the frame itself), returned as (input_width,
+    window_args). Catches rank windows AND cumulative aggregates —
+    both funnel their whole input into one partition."""
+    import re
+
+    out = []
+    for node in re.finditer(
+        r"\(\d+\) Window(?:GroupLimit)?\s*\nInput \[(\d+)\][^\n]*\n"
+        r"Arguments: \[([^\n]*)\]",
+        plan,
+    ):
+        width, args = int(node.group(1)), node.group(2)
+        for spec in re.finditer(r"windowspecdefinition\(([^,)]+)", args):
+            first = spec.group(1).strip()
+            if (
+                " ASC" in first
+                or " DESC" in first
+                or first.startswith("specifiedwindowframe")
+            ):
+                out.append((width, args))
+                break
+    return out
 
 
 def _unpartitioned_rank_windows(plan: str) -> list[str]:
@@ -449,6 +542,40 @@ def _unpartitioned_rank_windows(plan: str) -> list[str]:
         if " ASC" in first_arg or " DESC" in first_arg:
             out.append(first_arg.strip())
     return out
+
+
+def test_unpartitioned_window_detector_fires(spark):
+    """Anti-vacuity check for the registry-wide guard: the detector
+    must flag a deliberately-global rank window AND a global cumsum,
+    and must NOT flag their partitioned twins."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).withColumn("g", F.col("id") % 5)
+
+    def fmt(frame):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            frame.explain("formatted")
+        return buf.getvalue()
+
+    global_rank = df.withColumn("r", F.row_number().over(Window.orderBy("id")))
+    assert _unpartitioned_window_nodes(fmt(global_rank))
+
+    global_cumsum = df.withColumn(
+        "c", F.sum("id").over(Window.orderBy("id"))
+    )
+    assert _unpartitioned_window_nodes(fmt(global_cumsum))
+
+    part_rank = df.withColumn(
+        "r", F.row_number().over(Window.partitionBy("g").orderBy("id"))
+    )
+    assert not _unpartitioned_window_nodes(fmt(part_rank))
+
+    part_cumsum = df.withColumn(
+        "c", F.sum("id").over(Window.partitionBy("g").orderBy("id"))
+    )
+    assert not _unpartitioned_window_nodes(fmt(part_cumsum))
 
 
 def test_retrieval_ranks_are_never_global_windows(spark):
