@@ -75,6 +75,10 @@ _PRIORITY = [
     # rewritten in r5 (global NTILE -> grouped bucket-offset rank);
     # its only rows (r1/r2) predate the rewrite
     "order_price_deciles",
+    # rewritten in r6 (global scalar window -> 1-row broadcast
+    # aggregate, the plan-guard fix); prior rows predate the rewrite
+    "q11_important_parts",
+    "q15_top_suppliers",
     # round-5-new ops + rewritten NTILE consumers (VERDICT r5 item 1)
     "training_shard_manifest",
     "dsir_importance_weights",
@@ -123,10 +127,10 @@ _PRIORITY = [
     "snapshot_diff",
     "supplier_basket_pairs",
     "supplier_basket_rules",
+    # --- below the budget line: round-7 rotation (the remaining
+    # never-verified entries lead, in this order) ---------------------
     "stupid_backoff_scores",
     "bpe_fertility_by_lang",
-    # --- below the budget line: round-7 rotation (the remaining 38
-    # never-verified entries lead, in this order) ---------------------
     "cluster_survivors",
     "mixture_plan",
     "user_retention_cohorts",
