@@ -119,8 +119,15 @@ corpus_path = os.path.join(
 assert os.path.exists(os.path.join(corpus_path, "_SUCCESS")), "prep did not run"
 
 def corpus():
-    # fresh n-way split per read so parallelism tracks local[n]
-    return spark.read.parquet(corpus_path).repartition(max(2 * n, 8))
+    # No repartition: Spark sizes file splits to defaultParallelism
+    # (maxSplitBytes = totalBytes/local[n]), so the 64-file corpus
+    # already scans n-wide. Round-6 finding: the unconditional
+    # repartition(2n) this used to do exchanges the FULL raw text and
+    # was the entire 16->32 "scaling sag" r5 blamed on the memory bus
+    # (sig stage 4.0s -> 2.5s at 32 threads once dropped); production
+    # pipelines use the conditional operators.widen(), which is a
+    # no-op whenever the scan is already cluster-wide.
+    return spark.read.parquet(corpus_path)
 
 # warm one tiny pipeline (JIT/codegen), then best-of-2 on the real one
 minhash_lsh_pairs(corpus().limit(200)).write.format("noop").mode("overwrite").save()
