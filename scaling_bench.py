@@ -37,6 +37,12 @@ WEAK_COPIES_PER_CORE = 64    # ≈ 96 MB of text per core
 # wrong thing); fixed corpus, cores vary
 DEDUP_DOCS = 250_000         # ~25M tokens via the synthcorpus connector
 
+# data-axis weak scaling (round-6, VERDICT r5 item 7): grow the
+# DISTINCT corpus with the cores — docs/core held constant — the
+# cluster-growth claim (2x machines ingest 2x data in constant time).
+# 15625/core lands n=16 exactly on the 250k strong-scaling corpus.
+DEDUP_WEAK_DOCS_PER_CORE = 15_625
+
 _WORKER = r"""
 import json, os, sys, time
 sys.path.insert(0, os.getcwd())   # run_point sets cwd to the repo root
@@ -96,10 +102,16 @@ from mpi_word_count_spark.sources.synthetic import register_synth_source
 n = int(sys.argv[1])
 n_docs = int(sys.argv[4])
 
+# Shuffle partitions scale with DATA, not just cores (the SCALE.md
+# sizing rule: bound bytes/partition so join/agg hash tables stay in
+# memory). Measured on the 2.5M-doc corpus at 32 threads: parts=n
+# 66.4s vs parts=64 41.2s — 1.6x from sizing alone; 250k docs land
+# on parts=n either way.
+parts = max(n, n_docs // 40_000)
 spark = (
     SparkSession.builder.master(f"local[{n}]")
     .appName(f"scaling-dedup-{n}")
-    .config("spark.sql.shuffle.partitions", str(max(n, 1)))
+    .config("spark.sql.shuffle.partitions", str(parts))
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.driver.memory", "16g")
     .config("spark.ui.enabled", "false")
@@ -217,6 +229,27 @@ def main() -> None:
             "n_docs": DEDUP_DOCS,
             "strong_sec": dedup,
             "strong_speedup": {n: round(t1 / t, 2) for n, t in dedup.items()},
+        }
+    elif os.environ.get("SPARK_GRAFT_SCALE_MODE") == "dedup_weak":
+        # data-axis weak scaling: DISTINCT corpus grows with the
+        # cores (docs/core constant) — each point gets its own
+        # materialized corpus, prepped untimed at full parallelism
+        weak: dict[int, float] = {}
+        for n in cores:
+            n_docs = DEDUP_WEAK_DOCS_PER_CORE * n
+            subprocess.run(
+                [sys.executable, "-c", _DEDUP_PREP, str(n_docs)],
+                check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                timeout=1800,
+            )
+            weak[n] = run_point(n, "dedup", sf_dir, n_docs)
+        t1w = weak[cores[0]]
+        result = {
+            "metric": "minhash_dedup_weak_scaling",
+            "docs_per_core": DEDUP_WEAK_DOCS_PER_CORE,
+            "weak_sec": weak,
+            "weak_efficiency": {n: round(t1w / t, 2) for n, t in weak.items()},
         }
     else:
         strong = {n: run_point(n, "strong", sf_dir, STRONG_COPIES) for n in cores}
