@@ -101,6 +101,11 @@ HEADLINE = [
     "dsir_importance_weights",
     "cdc_chunk_dups",
     "ccnet_perplexity_buckets",
+    # round-6 additions: the two remaining round-5 plan shapes worth
+    # tracking round-over-round (BNLJ margin mining with partitioned
+    # kNN windows; the packing-efficiency audit's bounded cumsum)
+    "margin_knn_alignment",
+    "packing_efficiency_audit",
 ]
 
 
