@@ -379,10 +379,18 @@ def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
-    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("total_revenue")
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+        # explicit, so BOTH consumers (max branch + supplier join) see
+        # the identical subplan: the join infers isnotnull(supplier_no)
+        # on its side only, which breaks canonical plan equality and
+        # with it the ReusedExchange — i.e. lineitem would scan twice
+        .filter(F.col("supplier_no").isNotNull())
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("_max"))
     best = revenue.crossJoin(F.broadcast(max_rev)).filter(

@@ -544,6 +544,23 @@ def _unpartitioned_rank_windows(plan: str) -> list[str]:
     return out
 
 
+def test_q11_q15_scalar_aggregates_reuse_the_exchange(spark):
+    """Round-6 rewrite contract: Q11/Q15 compute their global scalar
+    (total/max over the per-key aggregate) as a 1-row broadcast
+    aggregate instead of an unpartitioned window. The scalar branch
+    must read the per-key aggregate's shuffle via ReusedExchange —
+    ONE lineitem scan at runtime, not two. (Static explain doesn't
+    show reuse under AQE; assert on the executed plan.)"""
+    for name in ("q11_important_parts", "q15_top_suppliers"):
+        df = QUERIES[name](spark, SF_DIR)
+        df.collect()  # a noop write runs a SEPARATE execution; only
+        # an action on df itself finalizes df's own adaptive plan
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in executed, name
+        assert "ReusedExchange" in executed, name
+        assert "Window" not in executed, name
+
+
 def test_unpartitioned_window_detector_fires(spark):
     """Anti-vacuity check for the registry-wide guard: the detector
     must flag a deliberately-global rank window AND a global cumsum,
