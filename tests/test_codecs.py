@@ -127,3 +127,53 @@ def test_real_png_bytes_through_spark_kernel(spark):
     for i, img in imgs.items():
         assert (got[i]["width"], got[i]["height"]) == (img.shape[1], img.shape[0])
         assert abs(got[i]["mean_px"] - img.mean()) < 1e-4  # float32 mean
+
+
+def test_dhash_pixels_contract():
+    from mpi_word_count_spark.operators.multimodal import dhash_pixels
+
+    img = _gradient(32, 48).astype(np.float32)
+    bits = dhash_pixels(img)
+    assert bits.shape == (64,) and set(np.unique(bits)) <= {0, 1}
+    # deterministic
+    np.testing.assert_array_equal(bits, dhash_pixels(img))
+    # a horizontal gradient has every left<right -> all zero bits;
+    # its mirror all ones
+    ramp = np.tile(np.arange(64, dtype=np.float32), (16, 1))
+    assert dhash_pixels(ramp).sum() == 0
+    assert dhash_pixels(ramp[:, ::-1]).sum() == 64
+    # tiny and empty images do not crash
+    assert dhash_pixels(np.zeros((1, 1), np.float32)).sum() == 0
+    assert dhash_pixels(np.zeros((0, 0), np.float32)).sum() == 0
+
+
+def test_phash_decoded_media_finds_real_near_dups(spark):
+    """Real PNG payloads through the REAL decode path: a slightly
+    brightened copy must band-collide with its original via the same
+    phash_dups join phash_media uses; an unrelated image must not;
+    an undecodable payload is skipped, not fatal."""
+    from mpi_word_count_spark.operators.multimodal import (
+        phash_decoded_media,
+        phash_dups,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 200, size=(40, 40), dtype=np.uint8)
+    near = np.clip(base.astype(np.int64) + 3, 0, 255).astype(np.uint8)  # brightness
+    other = rng.integers(0, 256, size=(40, 40), dtype=np.uint8)
+    rows = [
+        (1, bytearray(codecs.encode_png(base))),
+        (2, bytearray(codecs.encode_png(near))),
+        (3, bytearray(codecs.encode_bmp(other))),
+        (4, bytearray(b"not an image at all")),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, media binary")
+    hashes = phash_decoded_media(media)
+    got = {r["media_id"] for r in hashes.collect()}
+    assert got == {1, 2, 3}  # the garbage payload is skipped
+    pairs = {
+        (r["media_id_1"], r["media_id_2"]): r["hamming"]
+        for r in phash_dups(hashes).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert not any(3 in p for p in pairs)
