@@ -177,3 +177,53 @@ def test_phash_decoded_media_finds_real_near_dups(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] <= 3
     assert not any(3 in p for p in pairs)
+
+
+# --- property tests: round-trip holds for ARBITRARY images ---------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _uint8_images(draw, max_h=12, max_w=12):
+    h = draw(st.integers(1, max_h))
+    w = draw(st.integers(1, max_w))
+    pixels = draw(
+        st.lists(st.integers(0, 255), min_size=h * w, max_size=h * w)
+    )
+    return np.array(pixels, dtype=np.uint8).reshape(h, w)
+
+
+@settings(max_examples=60, deadline=None)
+@given(img=_uint8_images(), data=st.data())
+def test_png_roundtrip_property(img, data):
+    filters = data.draw(
+        st.lists(
+            st.integers(0, 4), min_size=img.shape[0], max_size=img.shape[0]
+        )
+    )
+    out = codecs.decode_image(codecs.encode_png(img, filters=filters))
+    np.testing.assert_array_equal(out.astype(np.uint8), img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(img=_uint8_images())
+def test_bmp_pgm_roundtrip_property(img):
+    np.testing.assert_array_equal(
+        codecs.decode_image(codecs.encode_bmp(img)).astype(np.uint8), img
+    )
+    np.testing.assert_array_equal(
+        codecs.decode_image(codecs.encode_pgm(img)).astype(np.uint8), img
+    )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.floats(-1.0, 1.0, allow_nan=False, width=32), min_size=1, max_size=500
+    )
+)
+def test_wav_roundtrip_property(samples):
+    arr = np.array(samples, dtype=np.float32)
+    out = codecs.decode_audio(codecs.encode_wav(arr))
+    np.testing.assert_allclose(out, arr, atol=2 / 32768)
