@@ -75,9 +75,16 @@ def decode_audio(data: bytes) -> np.ndarray:
     """Decode PCM WAV bytes to float32 mono samples in [-1, 1]."""
     if sniff_media(data) != "wav":
         raise ValueError("not a RIFF/WAVE payload")
-    with wave.open(io.BytesIO(data)) as w:
-        n, width, channels = w.getnframes(), w.getsampwidth(), w.getnchannels()
-        raw = w.readframes(n)
+    try:
+        with wave.open(io.BytesIO(data)) as w:
+            n, width, channels = (
+                w.getnframes(),
+                w.getsampwidth(),
+                w.getnchannels(),
+            )
+            raw = w.readframes(n)
+    except wave.Error as exc:  # malformed/compressed RIFF: uniform error type
+        raise ValueError(f"undecodable WAV: {exc}") from exc
     if width == 2:
         samples = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
     elif width == 1:  # 8-bit WAV is unsigned
@@ -267,6 +274,9 @@ def _jpeg_dimensions(data: bytes) -> tuple[int, int]:
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
         marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte padding before a marker
+            pos += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue

@@ -227,3 +227,16 @@ def test_wav_roundtrip_property(samples):
     arr = np.array(samples, dtype=np.float32)
     out = codecs.decode_audio(codecs.encode_wav(arr))
     np.testing.assert_allclose(out, arr, atol=2 / 32768)
+
+
+def test_jpeg_fill_bytes_and_malformed_wav():
+    # JPEG with 0xFF fill padding before the SOF marker
+    sof = b"\xff\xc0" + (11).to_bytes(2, "big") + bytes([8]) + (
+        (5).to_bytes(2, "big") + (7).to_bytes(2, "big") + bytes([1, 1, 0x11, 0])
+    )
+    data = b"\xff\xd8" + b"\xff\xff\xff" + sof + b"\xff\xd9"
+    assert codecs.media_dimensions(data) == (7, 5, "jpeg")
+    # truncated RIFF/WAVE raises the uniform ValueError, not wave.Error
+    junk = b"RIFF" + b"\x10\x00\x00\x00" + b"WAVE" + b"junk"
+    with pytest.raises(ValueError):
+        codecs.decode_audio(junk)
