@@ -51,18 +51,33 @@ def sniff_media(data: bytes) -> str:
     return "unknown"
 
 
+def _as_value_error(fn, data: bytes) -> np.ndarray:
+    """Uniform error contract: every malformed-payload failure mode of
+    the inner decoders (struct.error on truncation, zlib.error on
+    corrupt IDAT, numpy buffer errors) surfaces as ValueError, so
+    callers distinguish exactly two cases — bad data (ValueError) and
+    env-bound format (NotImplementedError)."""
+    try:
+        return fn(data)
+    except (ValueError, NotImplementedError):
+        raise
+    except (struct.error, zlib.error, EOFError, IndexError) as exc:
+        raise ValueError(f"malformed payload: {exc}") from exc
+
+
 def decode_image(data: bytes) -> np.ndarray:
     """Decode PNG / BMP / PGM / PPM bytes to a float32 (H, W)
     grayscale array (mean over color channels). Raises ValueError on
-    malformed input and NotImplementedError for unsupported variants
-    (so callers can distinguish bad data from env-bound formats)."""
+    malformed input (including truncation — uniform across formats)
+    and NotImplementedError for unsupported variants (so callers can
+    distinguish bad data from env-bound formats)."""
     kind = sniff_media(data)
     if kind == "png":
-        return _decode_png(data)
+        return _as_value_error(_decode_png, data)
     if kind == "bmp":
-        return _decode_bmp(data)
+        return _as_value_error(_decode_bmp, data)
     if kind in ("pgm", "ppm"):
-        return _decode_netpbm(data)
+        return _as_value_error(_decode_netpbm, data)
     if kind == "jpeg":
         raise NotImplementedError(
             "JPEG entropy decode requires a codec library (libjpeg); "
@@ -83,7 +98,9 @@ def decode_audio(data: bytes) -> np.ndarray:
                 w.getnchannels(),
             )
             raw = w.readframes(n)
-    except wave.Error as exc:  # malformed/compressed RIFF: uniform error type
+    except (wave.Error, EOFError, struct.error) as exc:
+        # malformed/truncated/compressed RIFF: uniform error type
+        # (the stdlib chunk reader raises EOFError on truncation)
         raise ValueError(f"undecodable WAV: {exc}") from exc
     if width == 2:
         samples = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
@@ -99,21 +116,25 @@ def decode_audio(data: bytes) -> np.ndarray:
 def media_dimensions(data: bytes) -> tuple[int, int, str]:
     """(width, height, kind) from header bytes alone — no decode.
     Covers JPEG via its SOF marker, so dimension extraction works for
-    the format whose full decode is env-bound."""
+    the format whose full decode is env-bound. Truncated headers raise
+    ValueError (uniform with decode_image)."""
     kind = sniff_media(data)
-    if kind == "png":
-        if data[12:16] != b"IHDR":
-            raise ValueError("PNG missing IHDR")
-        w, h = struct.unpack(">II", data[16:24])
-        return w, h, kind
-    if kind == "bmp":
-        w, h = struct.unpack("<ii", data[18:26])
-        return w, abs(h), kind
-    if kind in ("pgm", "ppm"):
-        w, h, _maxval, _off = _netpbm_header(data)
-        return w, h, kind
-    if kind == "jpeg":
-        return _jpeg_dimensions(data) + (kind,)
+    try:
+        if kind == "png":
+            if data[12:16] != b"IHDR":
+                raise ValueError("PNG missing IHDR")
+            w, h = struct.unpack(">II", data[16:24])
+            return w, h, kind
+        if kind == "bmp":
+            w, h = struct.unpack("<ii", data[18:26])
+            return w, abs(h), kind
+        if kind in ("pgm", "ppm"):
+            w, h, _maxval, _off = _netpbm_header(data)
+            return w, h, kind
+        if kind == "jpeg":
+            return _jpeg_dimensions(data) + (kind,)
+    except struct.error as exc:
+        raise ValueError(f"truncated {kind} header: {exc}") from exc
     raise ValueError(f"no dimension parser for: {kind}")
 
 
@@ -213,6 +234,8 @@ def _decode_bmp(data: bytes) -> np.ndarray:
         raise NotImplementedError(f"{bpp}-bit BMP")
     top_down = height < 0
     height = abs(height)
+    if width <= 0 or height == 0:
+        raise ValueError(f"bad BMP dims: {width}x{height}")
     nch = bpp // 8
     row_bytes = (width * nch + 3) & ~3
     px = np.zeros((height, width, 3), dtype=np.float32)
@@ -246,7 +269,13 @@ def _netpbm_header(data: bytes) -> tuple[int, int, int, int]:
             while pos < len(data) and not data[pos : pos + 1].isspace():
                 pos += 1
             tokens.append(int(data[start:pos]))
-    return tokens[0], tokens[1], tokens[2], pos + 1  # one ws after maxval
+    width, height, maxval = tokens
+    # a negative dimension would reach numpy reshape as a WILDCARD
+    # (-3 behaves like -1) and silently decode garbage at a wrong
+    # shape — reject malformed headers loudly instead
+    if width <= 0 or height <= 0 or maxval <= 0:
+        raise ValueError(f"bad netpbm header dims: {width}x{height}/{maxval}")
+    return width, height, maxval, pos + 1  # one ws after maxval
 
 
 def _decode_netpbm(data: bytes) -> np.ndarray:

@@ -115,6 +115,9 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
             nbytes: list[int] = []
             for payload, meta in zip(pdf["media"], pdf["meta"]):
                 img = decode_media(bytes(payload), meta["mime"], fake=fake)
+                # audio decodes 1-D; pool over a (1, N) view so the
+                # kernel is media-kind agnostic
+                img = np.atleast_2d(img)
                 # deterministic pooled feature: row sums, fixed dim
                 pooled = img.sum(axis=1)[:FEATURE_DIM]
                 feats.append(pooled.astype(np.float32))
@@ -332,7 +335,7 @@ def resize_stub(media: DataFrame, height: int, width: int, fake: bool = True) ->
         for pdf in batches:
             out = []
             for payload, meta in zip(pdf["media"], pdf["meta"]):
-                img = decode_media(bytes(payload), meta["mime"], fake=fake)
+                img = np.atleast_2d(decode_media(bytes(payload), meta["mime"], fake=fake))
                 ys = np.linspace(0, img.shape[0] - 1, height).astype(int)
                 xs = np.linspace(0, img.shape[1] - 1, width).astype(int)
                 out.append(img[np.ix_(ys, xs)].astype(np.float32).tobytes())

@@ -102,12 +102,15 @@ from mpi_word_count_spark.sources.synthetic import register_synth_source
 n = int(sys.argv[1])
 n_docs = int(sys.argv[4])
 
-# Shuffle partitions scale with DATA, not just cores (the SCALE.md
-# sizing rule: bound bytes/partition so join/agg hash tables stay in
-# memory). Measured on the 2.5M-doc corpus at 32 threads: parts=n
-# 66.4s vs parts=64 41.2s — 1.6x from sizing alone; 250k docs land
-# on parts=n either way.
-parts = max(n, n_docs // 40_000)
+# Shuffle partitions scale with DATA once the corpus outgrows the
+# strong-scaling baseline (the SCALE.md sizing rule: bound
+# bytes/partition so join/agg hash tables stay in memory). Measured
+# on the 2.5M-doc corpus at 32 threads: parts=n 66.4s vs parts=64
+# 41.2s — 1.6x from sizing alone. The 250k strong-scaling corpus
+# keeps parts=n EXACTLY at every point so the published speedup
+# curve's protocol (and its t1 denominator) stays comparable
+# round-over-round.
+parts = n if n_docs <= 250_000 else max(n, n_docs // 40_000)
 spark = (
     SparkSession.builder.master(f"local[{n}]")
     .appName(f"scaling-dedup-{n}")

@@ -240,3 +240,66 @@ def test_jpeg_fill_bytes_and_malformed_wav():
     junk = b"RIFF" + b"\x10\x00\x00\x00" + b"WAVE" + b"junk"
     with pytest.raises(ValueError):
         codecs.decode_audio(junk)
+
+
+def test_uniform_value_error_on_truncation_and_corruption():
+    img = _gradient()
+    png = codecs.encode_png(img)
+    with pytest.raises(ValueError):
+        codecs.decode_image(png[:17])  # truncated inside IHDR
+    corrupt = bytearray(png)
+    corrupt[-20] ^= 0xFF  # flip a byte inside IDAT's deflate stream
+    with pytest.raises(ValueError):
+        codecs.decode_image(bytes(corrupt))
+    with pytest.raises(ValueError):
+        codecs.decode_image(codecs.encode_bmp(img)[:20])
+    with pytest.raises(ValueError):
+        codecs.decode_audio(codecs.encode_wav(np.zeros(100, np.float32))[:30])
+    with pytest.raises(ValueError):
+        codecs.media_dimensions(png[:17])
+    with pytest.raises(ValueError):
+        codecs.decode_image(b"P5\n-3 5\n255\n" + bytes(100))  # negative dim
+
+
+def test_phash_decoded_media_survives_truncated_payloads(spark):
+    """The 'never fail the task' contract under the REAL failure
+    modes of a crawl: truncation (struct.error inside the codec) and
+    bit corruption (zlib.error) — both must be skipped per item."""
+    from mpi_word_count_spark.operators.multimodal import phash_decoded_media
+
+    img = _gradient(16, 16)
+    png = codecs.encode_png(img)
+    corrupt = bytearray(png)
+    corrupt[-20] ^= 0xFF
+    rows = [
+        (1, bytearray(png)),
+        (2, bytearray(png[:17])),      # truncated mid-IHDR
+        (3, bytes(corrupt)),           # corrupted IDAT
+        (4, bytearray(b"\xff\xd8jpeg-ish")),  # env-bound format
+    ]
+    media = spark.createDataFrame(rows, "media_id long, media binary")
+    got = {r["media_id"] for r in phash_decoded_media(media).collect()}
+    assert got == {1}
+
+
+def test_extract_features_handles_audio_payloads(spark):
+    """fake=False decode returns 1-D for WAV; the pooled-feature and
+    resize kernels must not assume 2-D."""
+    from pyspark.sql import functions as F
+    from mpi_word_count_spark.operators.multimodal import (
+        extract_features,
+        resize_stub,
+    )
+
+    wav = codecs.encode_wav(np.linspace(-0.5, 0.5, 400).astype(np.float32))
+    png = codecs.encode_png(_gradient(8, 8))
+    media = spark.createDataFrame(
+        [(1, bytearray(wav), ("audio/wav", len(wav), "s")),
+         (2, bytearray(png), ("image/png", len(png), "s"))],
+        "media_id long, media binary, meta struct<mime:string,n_bytes:bigint,source:string>",
+    )
+    feats = {r["media_id"]: r for r in extract_features(media, fake=False).collect()}
+    assert len(feats) == 2 and all(len(r["feature"]) >= 1 for r in feats.values())
+    resized = resize_stub(media, 4, 4, fake=False).collect()
+    assert {r["media_id"] for r in resized} == {1, 2}
+    assert all(len(bytes(r["media"])) == 4 * 4 * 4 for r in resized)  # float32 4x4
