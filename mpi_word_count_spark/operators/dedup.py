@@ -299,6 +299,14 @@ def band_keys(
     equi-join key whatever rows_per_band is. Shared by the full-corpus
     pairing (minhash_lsh_pairs) and the incremental batch-vs-corpus
     pairing so the bucketing convention cannot drift between them."""
+    if num_hashes % num_bands != 0:
+        # silent floor division would band only num_bands*(h//b) of
+        # the signature columns — a different S-curve than requested,
+        # with the tail hashes paid for but never used
+        raise ValueError(
+            f"banding requires num_hashes % num_bands == 0, got "
+            f"{num_hashes} % {num_bands}"
+        )
     rows_per_band = num_hashes // num_bands
     return sig.select(
         "doc_id",
@@ -1459,7 +1467,13 @@ def sorted_neighborhood_pairs(
     neighborhood (right side emits its own and its predecessor
     bucket), so each candidate pair is produced exactly once.
     """
-    s = simhash(df, id_col, text_col)
+    from mpi_word_count_spark.operators import track_cache
+
+    # cached: the fingerprint table feeds BOTH the bucket-count branch
+    # and the ranked branch, whose exchanges hash on different keys —
+    # without the cache the full-corpus applyInPandas simhash pass
+    # executes twice (same convention as simhash_banded_pairs)
+    s = track_cache(simhash(df, id_col, text_col))
     bucket = F.shiftrightunsigned("simhash", SIMHASH_BITS - 8).alias("b")
     sb = s.select("doc_id", "simhash", bucket)
     counts = sb.groupBy("b").agg(F.count(F.lit(1)).alias("n"))

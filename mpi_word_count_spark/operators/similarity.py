@@ -193,6 +193,7 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_cap: int = 65536,
+    sample=None,
 ) -> list[list[float]]:
     """Deterministic Lloyd's k-means over an embedding column —
     trained DRIVER-SIDE on a deterministic sample, the FAISS-standard
@@ -212,6 +213,19 @@ def kmeans_centroids(
     analysis overhead — 8.6s at sf0.1 for 2000 vectors — and
     dominated every k-means query in the bench).
     """
+    if sample is None:
+        sample = train_sample(vectors, id_col, vec_col, train_cap)
+    if len(sample) == 0:
+        raise ValueError("kmeans_centroids: empty vector input")
+    return _lloyd(sample, k, iters)
+
+
+def train_sample(vectors, id_col="vec_id", vec_col="embedding", train_cap=65536):
+    """The deterministic quantizer-training sample: the `train_cap`
+    smallest-id vectors as a float64 ndarray (TakeOrdered heap, one
+    collect). Shared by the coarse and PQ quantizers so pipelines
+    that train BOTH (ann_ivfpq_topk) pay one job + one driver
+    transfer, not two identical ones."""
     import numpy as np
 
     rows = (
@@ -220,10 +234,7 @@ def kmeans_centroids(
         .limit(train_cap)
         .collect()
     )
-    if not rows:
-        raise ValueError("kmeans_centroids: empty vector input")
-    x = np.array([list(r["v"]) for r in rows], dtype=np.float64)
-    return _lloyd(x, k, iters)
+    return np.array([list(r["v"]) for r in rows], dtype=np.float64)
 
 
 def _lloyd(x, k: int, iters: int) -> list[list[float]]:
@@ -412,6 +423,7 @@ def pq_codebooks(
     vec_col: str = "embedding",
     dim: int = EMBED_DIM,
     train_cap: int = 65536,
+    sample=None,
 ) -> list[list[list[float]]]:
     """Per-subspace k-means codebooks (m subspaces × n_codes centroids
     × dim/m floats), trained driver-side on the same deterministic
@@ -421,17 +433,17 @@ def pq_codebooks(
     trainings; fixture corpora fit inside the cap so the unrolled SQL
     oracles train on the identical vector set. Driver holds
     m·n_codes·(dim/m) = dim·n_codes floats of codebook."""
-    import numpy as np
-
-    rows = (
-        vectors.select(F.col(id_col).alias("_id"), _as_double_list(vec_col))
-        .orderBy("_id")
-        .limit(train_cap)
-        .collect()
+    if dim % m != 0:
+        # a silent dim//m would train/encode/score on only m*(dim//m)
+        # dimensions and quietly degrade recall for the remainder
+        raise ValueError(f"PQ requires dim % m == 0, got dim={dim} m={m}")
+    x = (
+        train_sample(vectors, id_col, vec_col, train_cap)
+        if sample is None
+        else sample
     )
-    if not rows:
+    if len(x) == 0:
         raise ValueError("pq_codebooks: empty vector input")
-    x = np.array([list(r["v"]) for r in rows], dtype=np.float64)
     sub = dim // m
     return [
         _lloyd(x[:, s * sub : (s + 1) * sub], n_codes, iters)
@@ -580,10 +592,21 @@ def ann_ivfpq_topk(
     the recall cost of the coarser quantization, and determinism — the
     whole-pipeline oracle — is preserved).
     """
+    # ONE training-sample collect shared by both quantizers (they use
+    # the identical smallest-id sample; two TakeOrdered jobs + driver
+    # transfers for the same rows was the measured waste here)
+    sample = train_sample(vectors, id_col, vec_col)
     centroids = kmeans_centroids(
-        vectors, k=n_clusters, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
+        vectors,
+        k=n_clusters,
+        iters=kmeans_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        sample=sample,
     )
-    books = pq_codebooks(vectors, m, n_codes, pq_iters, id_col, vec_col, dim)
+    books = pq_codebooks(
+        vectors, m, n_codes, pq_iters, id_col, vec_col, dim, sample=sample
+    )
     coded = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         pq_codes_col(F.col(vec_col), books, dim).alias("codes"),
@@ -761,14 +784,21 @@ def margin_alignment_pairs(
         F.col(vec_col).alias("b_vec"),
         norm(F.col(vec_col)).alias("b_norm"),
     )
-    scored = b.crossJoin(F.broadcast(a)).select(
-        "a_id",
-        "b_id",
-        F.round(
-            dot(F.col("a_vec"), F.col("b_vec"))
-            / (F.col("a_norm") * F.col("b_norm")),
-            4,
-        ).alias("cosine"),
+    from mpi_word_count_spark.operators import track_cache
+
+    # cached: the docstring's "ONE scored A×B table" is only true with
+    # the cache — fwd and bwd exchange on DIFFERENT keys (a_id vs
+    # b_id), so without it the cross-join cosine fold runs twice
+    scored = track_cache(
+        b.crossJoin(F.broadcast(a)).select(
+            "a_id",
+            "b_id",
+            F.round(
+                dot(F.col("a_vec"), F.col("b_vec"))
+                / (F.col("a_norm") * F.col("b_norm")),
+                4,
+            ).alias("cosine"),
+        )
     )
     fwd = topk_per_group(
         scored, ["a_id"], [F.desc("cosine"), F.asc("b_id")], k, rank_col="r"
