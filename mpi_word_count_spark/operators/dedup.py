@@ -1570,7 +1570,13 @@ def winnowing_fingerprints(
         grams.select(
             "doc_id", "pos", wkey.alias("_k"), n_grams.alias("_n")
         )
-        .filter(F.col("pos") <= F.col("_n") - w)  # full windows only
+        # full windows only — EXCEPT docs with fewer than w grams,
+        # which would otherwise emit ZERO fingerprints and be
+        # invisible to every consumer (identical short docs would
+        # never match): Schleimer et al.'s degenerate case selects
+        # the min over all available grams, i.e. keep pos=0's
+        # (partition-clipped) window
+        .filter(F.col("pos") <= F.greatest(F.col("_n") - w, F.lit(0)))
         .select(
             "doc_id",
             (

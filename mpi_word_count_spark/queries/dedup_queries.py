@@ -819,7 +819,7 @@ WINNOW_W = 5   # grams per winnowing window
         SELECT DISTINCT doc_id,
                9999999999 - CAST(substr(k, 33, 10) AS BIGINT) AS pos,
                substr(k, 1, 32) AS fingerprint
-        FROM keyed WHERE pos <= n - {WINNOW_W}
+        FROM keyed WHERE pos <= greatest(n - {WINNOW_W}, 0)
     )
     SELECT fingerprint,
            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,

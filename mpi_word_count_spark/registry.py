@@ -79,6 +79,10 @@ _PRIORITY = [
     # aggregate, the plan-guard fix); prior rows predate the rewrite
     "q11_important_parts",
     "q15_top_suppliers",
+    # changed in r6 (short-doc degenerate-window fallback; identical
+    # on fixture data — oracle changed in lockstep — but the protocol
+    # is a fresh row after any implementation change)
+    "winnowing_dups",
     # round-5-new ops + rewritten NTILE consumers (VERDICT r5 item 1)
     "training_shard_manifest",
     "dsir_importance_weights",
@@ -126,9 +130,9 @@ _PRIORITY = [
     "xml_roundtrip",
     "snapshot_diff",
     "supplier_basket_pairs",
-    "supplier_basket_rules",
     # --- below the budget line: round-7 rotation (the remaining
     # never-verified entries lead, in this order) ---------------------
+    "supplier_basket_rules",
     "stupid_backoff_scores",
     "bpe_fertility_by_lang",
     "cluster_survivors",

@@ -661,3 +661,25 @@ def test_cdc_chunks_realign_after_insertion(spark):
     assert h1 & h2, "shifted copy shares no CDC chunks"
     assert not (h3 & (h1 | h2))
     ch.unpersist()
+
+
+def test_winnowing_short_docs_still_fingerprint(spark):
+    """Docs with fewer than w grams must emit exactly ONE fingerprint
+    (the min over all available grams — Schleimer et al.'s degenerate
+    window), so identical short documents still match; previously they
+    emitted zero and were invisible to every consumer."""
+    from mpi_word_count_spark.operators.dedup import winnowing_fingerprints
+
+    k, w = 4, 5
+    short = "alpha beta gamma delta epsilon zeta"  # 6 tokens -> 3 grams < w
+    df = spark.createDataFrame(
+        [(1, short), (2, short), (3, "totally different words here now ok")],
+        "doc_id long, text string",
+    )
+    fp = winnowing_fingerprints(df, k=k, w=w).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r["doc_id"], []).append((r["pos"], r["fingerprint"]))
+    assert len(by_doc[1]) == 1 and len(by_doc[2]) == 1 and len(by_doc[3]) == 1
+    assert by_doc[1] == by_doc[2]          # identical short docs match
+    assert by_doc[1] != by_doc[3]
