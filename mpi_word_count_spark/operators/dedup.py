@@ -471,11 +471,7 @@ def dup_clusters(
     from mpi_word_count_spark.operators import track_releaser
 
     e = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
-    edges = (
-        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint()
-    )
+    edges = _symmetrize(e).localCheckpoint()
     labels_ckpt = (
         edges.select(F.col("src").alias("v"))
         .distinct()
@@ -781,19 +777,22 @@ def embedding_band_keys(
     embedding_contamination. `extra_cols` carries flag columns through
     so callers can band once and split afterwards instead of
     instantiating the (heavy-to-codegen) banding expressions twice."""
-    from mpi_word_count_spark.functions.vector import dot
-    from mpi_word_count_spark.operators.similarity import EMBED_DIM, lsh_planes
+    from mpi_word_count_spark.operators.similarity import (
+        EMBED_DIM,
+        lsh_bucket_col,
+        lsh_planes,
+    )
 
     planes = lsh_planes(num_bands * planes_per_band, dim or EMBED_DIM)
 
     def band_bucket(vec: Column, b: int) -> Column:
-        acc = F.lit(0).cast("long")
-        for j in range(planes_per_band):
-            plane = planes[b * planes_per_band + j]
-            plane_lit = F.lit([float(x) for x in plane])
-            bit = F.when(dot(vec, plane_lit) >= 0, F.lit(1 << j)).otherwise(0)
-            acc = acc + bit.cast("long")
-        return acc
+        # band b's bucket = the ANN kernel over its plane slice — ONE
+        # sign-bit implementation (similarity.lsh_bucket_col) so dedup
+        # banding can never drift from ANN banding or their shared
+        # oracle convention
+        return lsh_bucket_col(
+            vec, planes[b * planes_per_band : (b + 1) * planes_per_band]
+        )
 
     return df.select(
         F.col(id_col).alias("_id"),
