@@ -326,7 +326,13 @@ def encode_png(gray: np.ndarray, filters: list[int] | None = None) -> bytes:
     tests can exercise every unfilter path with known pixels."""
     arr = np.asarray(gray, dtype=np.uint8)
     height, width = arr.shape
-    filters = filters or [0] * height
+    if filters is None:
+        filters = [0] * height
+    elif len(filters) != height:
+        # zip would silently truncate rows, yielding an IDAT whose
+        # length mismatches the IHDR dims — decode then fails with a
+        # confusing 'payload length mismatch'
+        raise ValueError(f"filters has {len(filters)} entries for height {height}")
     lines = []
     prev = np.zeros(width, dtype=np.int64)
     for y, ftype in zip(range(height), filters):

@@ -215,6 +215,78 @@ def _shared_shingle_pairs(sh: DataFrame) -> DataFrame:
     )
 
 
+def _jaccard_from_inter(
+    inter: DataFrame,
+    sizes: DataFrame,
+    threshold: float,
+    left: str,
+    right: str,
+    extra: tuple[str, ...] = (),
+) -> DataFrame:
+    """Shared tail of every exact-Jaccard verification: join per-doc
+    shingle counts onto a pair frame carrying the intersection count
+    `inter`, compute |A∩B| / (|A|+|B|−|A∩B|) rounded to 4 dp (the
+    cross-engine determinism contract), and keep pairs ≥ threshold.
+    One definition so a rounding/threshold change cannot diverge
+    between ngram_jaccard_pairs, minhash_lsh_pairs and
+    incremental_minhash_dups (the round-6 triplication hazard)."""
+    za, zb = sizes.alias("za"), sizes.alias("zb")
+    return (
+        inter.join(za, F.col(left) == F.col("za.doc_id"))
+        .join(zb, F.col(right) == F.col("zb.doc_id"))
+        .select(
+            left,
+            right,
+            *extra,
+            F.round(
+                F.col("inter")
+                / (F.col("za.n_shingles") + F.col("zb.n_shingles") - F.col("inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _verify_candidates_jaccard(
+    df: DataFrame,
+    candidates: DataFrame,
+    sizes: DataFrame,
+    threshold: float,
+    n: int,
+    id_col: str,
+    text_col: str,
+    left: str = "d1",
+    right: str = "d2",
+    extra: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exact-Jaccard verification of an LSH candidate-pair frame:
+    re-tokenize ONLY candidate docs (broadcast semi join on the
+    candidate ids — LSH keeps candidates sparse by design, so the
+    full-corpus tokenizations a naive plan pays become |candidates|
+    docs), count shared shingles per pair, then apply the shared
+    size-join + threshold tail. Returns (left, right, *extra, jaccard)
+    for pairs with exact Jaccard ≥ threshold."""
+    cand_ids = (
+        candidates.select(F.col(left).alias(id_col))
+        .union(candidates.select(F.col(right).alias(id_col)))
+        .distinct()
+    )
+    pruned = df.join(F.broadcast(cand_ids), id_col, "left_semi")
+    sh = doc_shingles(pruned, id_col, text_col, n)
+    sa_, sb_ = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        candidates.join(sa_, F.col(left) == F.col("sa.doc_id"))
+        .join(
+            sb_,
+            (F.col(right) == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy(left, right, *extra)
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return _jaccard_from_inter(inter, sizes, threshold, left, right, extra)
+
 
 def ngram_jaccard_pairs(
     df: DataFrame,
@@ -239,22 +311,7 @@ def ngram_jaccard_pairs(
     sh = _shingle_index(df, n, id_col, text_col, max_shingle_freq)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     shared = _shared_shingle_pairs(sh)
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    return (
-        shared.join(sa, F.col("d1") == F.col("sa.doc_id"))
-        .join(sb, F.col("d2") == F.col("sb.doc_id"))
-        .select(
-            "d1",
-            "d2",
-            F.round(
-                F.col("inter")
-                / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("inter")),
-                4,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _jaccard_from_inter(shared, sizes, threshold, "d1", "d2")
 
 
 def minhash_signatures(
@@ -379,47 +436,18 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    # Verification shingles: re-tokenize ONLY candidate docs. The
-    # candidate-id semi join is broadcast-sized (LSH keeps candidates
-    # sparse by design), so the second/third corpus tokenizations the
-    # naive plan pays become |candidates| docs, not |corpus|. The
-    # signature/banding subtree is recomputed for the id list, but it
-    # shuffles ~17 longs/doc — orders cheaper than tokenizing text.
-    cand_ids = (
-        candidates.select(F.col("d1").alias(id_col))
-        .union(candidates.select(F.col("d2").alias(id_col)))
-        .distinct()
-    )
-    pruned = df.join(F.broadcast(cand_ids), id_col, "left_semi")
-    sh = doc_shingles(pruned, id_col, text_col, n)
-    sizes = sig.select("doc_id", "n_shingles")
-    sa_ = sh.alias("sa")
-    sb_ = sh.alias("sb")
-    inter = (
-        candidates.join(sa_, F.col("d1") == F.col("sa.doc_id"))
-        .join(
-            sb_,
-            (F.col("d2") == F.col("sb.doc_id"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
-        )
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    za = sizes.alias("za")
-    zb = sizes.alias("zb")
-    return (
-        inter.join(za, F.col("d1") == F.col("za.doc_id"))
-        .join(zb, F.col("d2") == F.col("zb.doc_id"))
-        .select(
-            "d1",
-            "d2",
-            F.round(
-                F.col("inter")
-                / (F.col("za.n_shingles") + F.col("zb.n_shingles") - F.col("inter")),
-                4,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    # Verification re-tokenizes ONLY candidate docs (the semi join in
+    # the shared helper); the signature/banding subtree is recomputed
+    # for the id list, but it shuffles ~17 longs/doc — orders cheaper
+    # than tokenizing text.
+    return _verify_candidates_jaccard(
+        df,
+        candidates,
+        sig.select("doc_id", "n_shingles"),
+        threshold,
+        n,
+        id_col,
+        text_col,
     )
 
 
@@ -1259,39 +1287,18 @@ def incremental_minhash_dups(
         )
         .distinct()
     )
-    cand_ids = (
-        candidates.select(F.col("did").alias(id_col))
-        .union(candidates.select(F.col("other").alias(id_col)))
-        .distinct()
-    )
-    pruned = df.join(F.broadcast(cand_ids), id_col, "left_semi")
-    sh = doc_shingles(pruned, id_col, text_col, n)
-    sizes = sig.select("doc_id", "n_shingles")
-    sa_, sb_ = sh.alias("sa"), sh.alias("sb")
-    inter = (
-        candidates.join(sa_, F.col("did") == F.col("sa.doc_id"))
-        .join(
-            sb_,
-            (F.col("other") == F.col("sb.doc_id"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
-        )
-        .groupBy("did", "other", "other_is_batch")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    za, zb = sizes.alias("za"), sizes.alias("zb")
-    passed = (
-        inter.join(za, F.col("did") == F.col("za.doc_id"))
-        .join(zb, F.col("other") == F.col("zb.doc_id"))
-        .filter(
-            F.round(
-                F.col("inter")
-                / (F.col("za.n_shingles") + F.col("zb.n_shingles") - F.col("inter")),
-                4,
-            )
-            >= threshold
-        )
-        .select("did", "other", "other_is_batch")
-    )
+    passed = _verify_candidates_jaccard(
+        df,
+        candidates,
+        sig.select("doc_id", "n_shingles"),
+        threshold,
+        n,
+        id_col,
+        text_col,
+        left="did",
+        right="other",
+        extra=("other_is_batch",),
+    ).select("did", "other", "other_is_batch")
     agg = passed.groupBy("did").agg(
         F.min(F.when(~F.col("other_is_batch"), F.col("other"))).alias("c_min"),
         F.min(F.when(F.col("other_is_batch"), F.col("other"))).alias("b_min"),

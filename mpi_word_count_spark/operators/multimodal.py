@@ -98,9 +98,43 @@ def decode_media(data: bytes, mime: str, fake: bool = False) -> np.ndarray:
     )
 
 
+def _decode_counters(media: DataFrame) -> dict[str, Any]:
+    """Worker-updatable decoded/skipped accumulators, attached to every
+    fake=False kernel's output as `df.decode_stats`. A systemically
+    undecodable corpus (e.g. all-JPEG) otherwise returns an EMPTY
+    result indistinguishable from 'no media' — the no-silent-caps rule
+    demands the drop rate be observable. Values are populated once an
+    action runs the kernel."""
+    sc = media.sparkSession.sparkContext
+    return {"decoded": sc.accumulator(0), "skipped": sc.accumulator(0)}
+
+
+def _pool_feature(img: np.ndarray) -> np.ndarray:
+    """Deterministic pooled feature with a FIXED dimension: row sums,
+    nearest-neighbor resampled to exactly FEATURE_DIM bins (same index
+    arithmetic as dhash_pixels / resize_stub). Raw truncation
+    (`sums[:FEATURE_DIM]`) yielded ragged vectors for short images and
+    length-1 for 1-D audio — fixed-dim is the contract any downstream
+    cosine/k-means consumer needs, identical between the fake path
+    (16×16 histogram → identity resample) and real decodes."""
+    img = np.atleast_2d(img)  # audio decodes 1-D; pool a (1, N) view
+    sums = img.sum(axis=1)
+    n = len(sums)
+    idx = (
+        (np.arange(FEATURE_DIM, dtype=np.int64) * (n - 1)) // (FEATURE_DIM - 1)
+        if n > 1
+        else np.zeros(FEATURE_DIM, dtype=np.int64)
+    )
+    return sums[idx].astype(np.float32)
+
+
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """media → (media_id, n_bytes, feature: array<float>) via
-    mapInPandas (Arrow batches, iterator form)."""
+    mapInPandas (Arrow batches, iterator form). The feature is always
+    exactly FEATURE_DIM floats (see _pool_feature). With fake=False,
+    undecodable payloads are SKIPPED per item — same crawl-robustness
+    contract as phash_decoded_media — and counted in the returned
+    DataFrame's `decode_stats` accumulators."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -108,29 +142,38 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
             T.StructField("feature", T.ArrayType(T.FloatType()), True),
         ]
     )
+    counters = _decode_counters(media)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            ids: list[int] = []
             feats: list[Any] = []
             nbytes: list[int] = []
-            for payload, meta in zip(pdf["media"], pdf["meta"]):
-                img = decode_media(bytes(payload), meta["mime"], fake=fake)
-                # audio decodes 1-D; pool over a (1, N) view so the
-                # kernel is media-kind agnostic
-                img = np.atleast_2d(img)
-                # deterministic pooled feature: row sums, fixed dim
-                pooled = img.sum(axis=1)[:FEATURE_DIM]
-                feats.append(pooled.astype(np.float32))
+            for mid, payload, meta in zip(pdf["media_id"], pdf["media"], pdf["meta"]):
+                try:
+                    img = decode_media(bytes(payload), meta["mime"], fake=fake)
+                except (ValueError, NotImplementedError):
+                    if fake:
+                        raise  # the fake path decodes anything; never mask
+                    counters["skipped"] += 1
+                    continue
+                counters["decoded"] += 1
+                ids.append(int(mid))
+                feats.append(_pool_feature(img))
                 nbytes.append(len(payload))
+            # dtype=object: an all-skipped batch otherwise yields a
+            # float64 column Arrow cannot convert to list<float>
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"],
+                    "media_id": ids,
                     "n_bytes": nbytes,
-                    "feature": feats,
+                    "feature": pd.Series(feats, dtype=object),
                 }
             )
 
-    return media.mapInPandas(kernel, schema=out_schema)
+    out = media.mapInPandas(kernel, schema=out_schema)
+    out.decode_stats = counters
+    return out
 
 
 PHASH_BITS = 64
@@ -166,7 +209,10 @@ def phash_decoded_media(media: DataFrame) -> DataFrame:
     the banded-join pairing is decode-agnostic. Payloads that no
     pure-python codec handles are SKIPPED (yielded without a row)
     rather than failed: a 100 TB media crawl always carries undecodable
-    items, and dropping them must not kill the job."""
+    items, and dropping them must not kill the job. The drop rate is
+    observable via the returned DataFrame's `decode_stats`
+    accumulators (decoded/skipped) — an all-skipped corpus must not
+    read as 'no duplicates'."""
     out_schema = T.StructType(
         [T.StructField("media_id", T.LongType(), False)]
         + [
@@ -175,6 +221,7 @@ def phash_decoded_media(media: DataFrame) -> DataFrame:
         ]
     )
     weights = 1 << np.arange(_BAND_BITS - 1, -1, -1, dtype=np.int64)
+    counters = _decode_counters(media)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from mpi_word_count_spark.functions import codecs
@@ -185,7 +232,9 @@ def phash_decoded_media(media: DataFrame) -> DataFrame:
                 try:
                     img = codecs.decode_image(bytes(payload))
                 except (ValueError, NotImplementedError):
+                    counters["skipped"] += 1
                     continue  # undecodable item: skip, never fail the task
+                counters["decoded"] += 1
                 bits = dhash_pixels(img)
                 bands = bits.reshape(PHASH_BANDS, _BAND_BITS) @ weights
                 rows.append([int(mid), *(int(b) for b in bands)])
@@ -193,7 +242,9 @@ def phash_decoded_media(media: DataFrame) -> DataFrame:
                 rows, columns=["media_id"] + [f"b{i}" for i in range(PHASH_BANDS)]
             )
 
-    return media.select("media_id", "media").mapInPandas(kernel, schema=out_schema)
+    out = media.select("media_id", "media").mapInPandas(kernel, schema=out_schema)
+    out.decode_stats = counters
+    return out
 
 
 def phash_media(media: DataFrame) -> DataFrame:
@@ -321,7 +372,10 @@ def phash_dups(phash: DataFrame, max_hamming: int = PHASH_BANDS - 1) -> DataFram
 def resize_stub(media: DataFrame, height: int, width: int, fake: bool = True) -> DataFrame:
     """Resize kernel: decode → (fake) nearest-neighbor resample →
     re-encode as raw bytes. Demonstrates binary-in/binary-out batch
-    shape; swap the body for a real codec at deployment."""
+    shape; swap the body for a real codec at deployment. With
+    fake=False, undecodable payloads are skipped per item (same
+    contract as phash_decoded_media / extract_features) and counted in
+    the returned DataFrame's `decode_stats` accumulators."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -330,25 +384,41 @@ def resize_stub(media: DataFrame, height: int, width: int, fake: bool = True) ->
             T.StructField("width", T.IntegerType(), False),
         ]
     )
+    counters = _decode_counters(media)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for payload, meta in zip(pdf["media"], pdf["meta"]):
-                img = np.atleast_2d(decode_media(bytes(payload), meta["mime"], fake=fake))
+            ids: list[int] = []
+            out: list[bytes] = []
+            for mid, payload, meta in zip(pdf["media_id"], pdf["media"], pdf["meta"]):
+                try:
+                    img = np.atleast_2d(
+                        decode_media(bytes(payload), meta["mime"], fake=fake)
+                    )
+                except (ValueError, NotImplementedError):
+                    if fake:
+                        raise  # the fake path decodes anything; never mask
+                    counters["skipped"] += 1
+                    continue
+                counters["decoded"] += 1
                 ys = np.linspace(0, img.shape[0] - 1, height).astype(int)
                 xs = np.linspace(0, img.shape[1] - 1, width).astype(int)
+                ids.append(int(mid))
                 out.append(img[np.ix_(ys, xs)].astype(np.float32).tobytes())
+            # dtype=object: an all-skipped batch otherwise yields a
+            # float64 column Arrow cannot convert to binary
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"],
-                    "media": out,
+                    "media_id": ids,
+                    "media": pd.Series(out, dtype=object),
                     "height": height,
                     "width": width,
                 }
             )
 
-    return media.mapInPandas(kernel, schema=out_schema)
+    result = media.mapInPandas(kernel, schema=out_schema)
+    result.decode_stats = counters
+    return result
 
 
 def sample_frames(

@@ -491,43 +491,38 @@ def _adc_sq_dist(
     return total
 
 
-def ann_pq_topk(
+def _adc_scores(
+    pairs: DataFrame, codebooks: list[list[list[float]]], dim: int
+) -> DataFrame:
+    """ADC scoring of a (q_id, q_vec, neighbor_id, codes) candidate
+    frame: drop self-pairs, score each pair by asymmetric distance
+    rounded to 6 dp (the oracle-parity contract). One definition so
+    ann_pq_topk and ann_ivfpq_topk cannot drift on rounding or the
+    self-pair rule — only candidate GENERATION (broadcast cross join
+    vs inverted-list equi-join) differs between them."""
+    return pairs.filter(F.col("neighbor_id") != F.col("q_id")).select(
+        "q_id",
+        "neighbor_id",
+        F.round(
+            _adc_sq_dist(F.col("q_vec"), F.col("codes"), codebooks, dim), 6
+        ).alias("adc"),
+    )
+
+
+def _rerank_exact_topk(
+    adc: DataFrame,
     vectors: DataFrame,
     queries: DataFrame,
-    k: int = 5,
-    m: int = 8,
-    n_codes: int = 8,
-    iters: int = 3,
-    rerank: int = 25,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    dim: int = EMBED_DIM,
+    k: int,
+    rerank: int,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """PQ-ADC approximate top-k with exact re-ranking: corpus vectors
-    compress to m codes; candidate scoring reads codes only (8 bytes/
-    vector instead of 256 — at 100 TB the ADC scan touches 3% of the
-    bytes an exact scan reads); the top `rerank` candidates per query
-    are re-scored with exact cosine. Deterministic end to end, so the
-    oracle replicates codebooks, codes, ADC ranking, and re-rank."""
-    books = pq_codebooks(vectors, m, n_codes, iters, id_col, vec_col, dim)
-    coded = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        pq_codes_col(F.col(vec_col), books, dim).alias("codes"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
-    )
-    adc = (
-        coded.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "neighbor_id",
-            F.round(
-                _adc_sq_dist(F.col("q_vec"), F.col("codes"), books, dim), 6
-            ).alias("adc"),
-        )
-    )
+    """Shared rerank tail of the PQ family: keep the top `rerank`
+    candidates per query by ADC distance, re-score those with exact
+    cosine (queries broadcast; only |queries|·rerank corpus vectors
+    are ever read back at full precision), return the exact top-k with
+    a dense rank column."""
     cands = topk_per_group(
         adc, ["q_id"], [F.asc("adc"), F.asc("neighbor_id")], k=rerank,
         rank_col="_rn",
@@ -559,6 +554,36 @@ def ann_pq_topk(
         scored, ["q_id"], [F.desc("cosine"), F.asc("neighbor_id")], k=k,
         rank_col="rank",
     )
+
+
+def ann_pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 8,
+    iters: int = 3,
+    rerank: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """PQ-ADC approximate top-k with exact re-ranking: corpus vectors
+    compress to m codes; candidate scoring reads codes only (8 bytes/
+    vector instead of 256 — at 100 TB the ADC scan touches 3% of the
+    bytes an exact scan reads); the top `rerank` candidates per query
+    are re-scored with exact cosine. Deterministic end to end, so the
+    oracle replicates codebooks, codes, ADC ranking, and re-rank."""
+    books = pq_codebooks(vectors, m, n_codes, iters, id_col, vec_col, dim)
+    coded = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_codes_col(F.col(vec_col), books, dim).alias("codes"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    adc = _adc_scores(coded.crossJoin(F.broadcast(q)), books, dim)
+    return _rerank_exact_topk(adc, vectors, queries, k, rerank, id_col, vec_col)
 
 
 def ann_ivfpq_topk(
@@ -619,48 +644,8 @@ def ann_ivfpq_topk(
             probe_centroids_col(F.col(vec_col), centroids, nprobe)
         ).alias("_cluster"),
     )
-    adc = (
-        coded.join(F.broadcast(q), "_cluster")
-        .filter(F.col("neighbor_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "neighbor_id",
-            F.round(
-                _adc_sq_dist(F.col("q_vec"), F.col("codes"), books, dim), 6
-            ).alias("adc"),
-        )
-    )
-    cands = topk_per_group(
-        adc, ["q_id"], [F.asc("adc"), F.asc("neighbor_id")], k=rerank,
-        rank_col="_rn",
-    ).select("q_id", "neighbor_id")
-    v = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("n_vec"),
-        norm(F.col(vec_col)).alias("n_norm"),
-    )
-    qn = queries.select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("q_vec2"),
-        norm(F.col(vec_col)).alias("q_norm"),
-    )
-    scored = (
-        cands.join(v, "neighbor_id")
-        .join(F.broadcast(qn), "q_id")
-        .select(
-            "q_id",
-            "neighbor_id",
-            F.round(
-                dot(F.col("q_vec2"), F.col("n_vec"))
-                / (F.col("q_norm") * F.col("n_norm")),
-                4,
-            ).alias("cosine"),
-        )
-    )
-    return topk_per_group(
-        scored, ["q_id"], [F.desc("cosine"), F.asc("neighbor_id")], k=k,
-        rank_col="rank",
-    )
+    adc = _adc_scores(coded.join(F.broadcast(q), "_cluster"), books, dim)
+    return _rerank_exact_topk(adc, vectors, queries, k, rerank, id_col, vec_col)
 
 
 def semantic_dedup(

@@ -60,6 +60,71 @@ _LOADED = False
 # whose defects were fixed this round come FIRST; long-green queries take
 # the later slots and rotate back in on subsequent rounds.
 _PRIORITY = [
+    # --- the 50-row driver budget, round 7 ---------------------------
+    # The final evidence-debt drain (VERDICT r6 item 1): the flagship +
+    # ALL 41 never-driver-verified queries (each already judge-green at
+    # sf0.01 in the round-6 independent sweep) + the 8 queries whose
+    # implementations changed this round (the two paid-down refactors:
+    # shared exact-Jaccard verification and shared ADC+rerank tail; the
+    # fixed-dim pooled feature). Drains never-verified 41 -> 0.
+    # flagship: a fresh row EVERY round, whatever else rotates
+    "wordcount",
+    # the 41 never-verified queries, VERDICT r6 order
+    "ann_recall_audit",
+    "ann_recall_ladder",
+    "bpe_fertility_by_lang",
+    "char_entropy_scores",
+    "cluster_survivors",
+    "containment_dups",
+    "dau_wau",
+    "doc_novelty_scores",
+    "embedding_dim_stats",
+    "event_type_transitions",
+    "events_cusum_drift",
+    "events_seasonal_anomalies",
+    "events_value_outliers",
+    "greedy_source_coverage",
+    "hof_array_sampler",
+    "incremental_wordcount",
+    "keyword_pagerank",
+    "lang_confusion_matrix",
+    "lang_source_pmi",
+    "lateral_order_stats",
+    "minhash_estimate_audit",
+    "mixture_plan",
+    "model_quality_scores",
+    "positional_index",
+    "ppjoin_dups",
+    "ship_latency_percentiles",
+    "sorted_neighborhood_dups",
+    "source_overlap_matrix",
+    "split_leakage_audit",
+    "streaming_model_scores",
+    "streaming_synth_wordcount",
+    "streaming_trending_words",
+    "stupid_backoff_scores",
+    "supplier_basket_rules",
+    "supplier_graph_triangles",
+    "token_budget_selection",
+    "trade_graph_degrees",
+    "transition_dwell_times",
+    "udtf_char_ngrams",
+    "user_retention_cohorts",
+    "vocab_growth",
+    # round-7 implementation changes (fresh row after any change):
+    # shared exact-Jaccard verification helper touches these three...
+    "ngram_jaccard_dups",
+    "minhash_lsh_dups",
+    "incremental_minhash_dups",
+    # ...and their minhash_lsh_pairs-consuming cluster queries
+    "dedup_clusters",
+    "dedup_clusters_twostar",
+    # shared ADC-scoring + exact-rerank tail
+    "ann_pq",
+    "ann_ivfpq",
+    # fixed-dim pooled feature kernel (identity on the fake path, but
+    # the protocol is a fresh row after any implementation change)
+    "media_features",
     # --- the 50-row driver budget, round 6 ---------------------------
     # Names can repeat further down (dict insertion keeps the FIRST
     # position), so this head block is exactly the round-6 budget; the

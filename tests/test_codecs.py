@@ -299,7 +299,54 @@ def test_extract_features_handles_audio_payloads(spark):
         "media_id long, media binary, meta struct<mime:string,n_bytes:bigint,source:string>",
     )
     feats = {r["media_id"]: r for r in extract_features(media, fake=False).collect()}
-    assert len(feats) == 2 and all(len(r["feature"]) >= 1 for r in feats.values())
+    # fixed-dim contract: 1-D audio and an 8-row image both pool to
+    # exactly FEATURE_DIM floats (downstream cosine/k-means need this)
+    from mpi_word_count_spark.operators.multimodal import FEATURE_DIM
+
+    assert len(feats) == 2
+    assert all(len(r["feature"]) == FEATURE_DIM for r in feats.values())
     resized = resize_stub(media, 4, 4, fake=False).collect()
     assert {r["media_id"] for r in resized} == {1, 2}
     assert all(len(bytes(r["media"])) == 4 * 4 * 4 for r in resized)  # float32 4x4
+
+
+def test_feature_and_resize_skip_undecodable_and_count(spark):
+    """extract_features / resize_stub share phash_decoded_media's
+    per-item skip contract with fake=False, and all three expose the
+    drop rate via decode_stats accumulators (an all-skipped corpus
+    must not read as an empty-but-healthy result)."""
+    from mpi_word_count_spark.operators.multimodal import (
+        extract_features,
+        phash_decoded_media,
+        resize_stub,
+    )
+
+    png = codecs.encode_png(_gradient(8, 8))
+    rows = [
+        (1, bytearray(png), ("image/png", len(png), "s")),
+        (2, bytearray(png[:17]), ("image/png", 17, "s")),  # truncated
+        (3, bytearray(b"\xff\xd8jpeg-ish"), ("image/jpeg", 9, "s")),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, media binary, meta struct<mime:string,n_bytes:bigint,source:string>",
+    )
+    feats = extract_features(media, fake=False)
+    assert [r["media_id"] for r in feats.collect()] == [1]
+    assert feats.decode_stats["decoded"].value == 1
+    assert feats.decode_stats["skipped"].value == 2
+    resized = resize_stub(media, 4, 4, fake=False)
+    assert [r["media_id"] for r in resized.collect()] == [1]
+    assert resized.decode_stats["skipped"].value == 2
+    hashed = phash_decoded_media(media)
+    assert [r["media_id"] for r in hashed.collect()] == [1]
+    assert hashed.decode_stats["decoded"].value == 1
+    assert hashed.decode_stats["skipped"].value == 2
+
+
+def test_encode_png_rejects_mismatched_filter_list():
+    img = _gradient(6, 6)
+    with pytest.raises(ValueError, match="filters"):
+        codecs.encode_png(img, filters=[0, 1])  # 2 entries for height 6
+    # an explicit full-height list still works
+    assert codecs.decode_image(codecs.encode_png(img, filters=[1] * 6)).shape == (6, 6)
