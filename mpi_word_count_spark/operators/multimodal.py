@@ -9,9 +9,10 @@ each task processes a columnar batch.
 Codec libraries (PIL/ffmpeg/torchvision) are NOT in this container.
 Since round 6 the decode kernel is REAL anyway for every format
 stdlib+numpy can handle — PNG (full chunk walk + all five unfilter
-types), uncompressed BMP, PGM/PPM, PCM WAV, and JPEG header metadata
-(functions/codecs.py) — with NotImplementedError only for formats
-that genuinely need a codec library (JPEG entropy decode, video).
+types), uncompressed BMP, PGM/PPM, PCM WAV, and since round 7
+baseline grayscale JPEG (Huffman + dequant + IDCT in numpy;
+functions/codecs.py) — with NotImplementedError only for variants
+that genuinely need a codec library (color/progressive JPEG, video).
 The deterministic fake (`fake=True`) remains for fixtures whose
 payloads are text bytes rather than real media.
 
@@ -73,10 +74,11 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
 def decode_media(data: bytes, mime: str, fake: bool = False) -> np.ndarray:
     """Decode one media payload to an array.
 
-    REAL for formats decodable with stdlib+numpy (round-6): PNG, BMP,
-    PGM/PPM images → float32 (H, W) grayscale; PCM WAV audio → float32
-    1-D samples (functions/codecs.py, pure python). JPEG/video still
-    need codec libraries absent from this container — those raise
+    REAL for formats decodable with stdlib+numpy: PNG, BMP, PGM/PPM
+    and baseline grayscale JPEG images → float32 (H, W) grayscale;
+    PCM WAV audio → float32 1-D samples (functions/codecs.py, pure
+    python). Color/progressive JPEG and video still need codec
+    libraries absent from this container — those raise
     NotImplementedError (JPEG dimensions ARE parseable via
     codecs.media_dimensions). `fake=True` keeps the deterministic
     16×16 byte-histogram stub for fixtures whose payloads are opaque
@@ -94,7 +96,7 @@ def decode_media(data: bytes, mime: str, fake: bool = False) -> np.ndarray:
         return codecs.decode_image(data)
     raise NotImplementedError(
         f"no pure-python decoder for payload kind {kind!r} "
-        "(video/JPEG decode requires PIL/ffmpeg, absent here)"
+        "(video decode requires ffmpeg, absent here)"
     )
 
 

@@ -78,8 +78,10 @@ def test_jpeg_header_dimensions_without_decode():
     data = b"\xff\xd8" + app0 + sof + b"\xff\xd9"
     assert codecs.sniff_media(data) == "jpeg"
     assert codecs.media_dimensions(data) == (31, 17, "jpeg")
-    with pytest.raises(NotImplementedError):
-        codecs.decode_image(data)  # entropy decode is env-bound
+    # decode is REAL since round 7; a header-only file with no SOS
+    # scan is malformed data, not an env-bound format
+    with pytest.raises(ValueError, match="SOS"):
+        codecs.decode_image(data)
 
 
 def test_decode_media_dispatches_real_formats():
@@ -229,6 +231,107 @@ def test_wav_roundtrip_property(samples):
     np.testing.assert_allclose(out, arr, atol=2 / 32768)
 
 
+@settings(max_examples=50, deadline=None)
+@given(img=_uint8_images(max_h=20, max_w=20), data=st.data())
+def test_jpeg_roundtrip_property(img, data):
+    """JPEG is lossy, so the property is an ERROR BOUND, not equality:
+    each dequantized coefficient is off by at most quant/2 (encoder
+    rounding), every orthonormal-DCT basis amplitude is ≤ 1/4, so the
+    per-pixel reconstruction error is ≤ quant.sum()/8 — derived from
+    the actual quality-98 table, not an empirical fudge. Restart
+    intervals must not change the decode at all."""
+    quality = 98
+    scale = 200 - 2 * quality
+    quant = np.clip((codecs._JPEG_LUMA_QT * scale + 50) // 100, 1, 255)
+    bound = float(quant.sum()) / 8.0 + 0.5
+    enc = codecs.encode_jpeg_gray(img, quality=quality)
+    dec = codecs.decode_image(enc)
+    assert dec.shape == img.shape
+    assert float(np.abs(dec - img.astype(np.float32)).max()) <= bound
+    ri = data.draw(st.integers(1, 5))
+    with_rst = codecs.decode_image(
+        codecs.encode_jpeg_gray(img, quality=quality, restart_interval=ri)
+    )
+    np.testing.assert_array_equal(with_rst, dec)
+
+
+def test_jpeg_decode_real_gradient():
+    """Deterministic (non-property) check on a smooth image: high
+    quality keeps the decode within a few gray levels everywhere."""
+    y, x = np.mgrid[0:33, 0:41]
+    img = ((y * 7 + x * 3) % 180 + 30).astype(np.uint8)
+    dec = codecs.decode_image(codecs.encode_jpeg_gray(img, quality=98))
+    assert dec.shape == (33, 41)
+    assert float(np.abs(dec - img).max()) < 8.0
+    w, h, kind = codecs.media_dimensions(codecs.encode_jpeg_gray(img))
+    assert (w, h, kind) == (41, 33, "jpeg")
+
+
+def test_jpeg_unsupported_variants_raise_not_implemented():
+    base = codecs.encode_jpeg_gray(np.full((8, 8), 99, np.uint8))
+    progressive = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        codecs.decode_image(progressive)
+    # 3-component (color) SOF: rebuild the frame header
+    i = base.index(b"\xff\xc0")
+    seglen = 8 + 3 * 3
+    color_sof = (
+        b"\xff\xc0"
+        + seglen.to_bytes(2, "big")
+        + bytes([8])
+        + (8).to_bytes(2, "big")
+        + (8).to_bytes(2, "big")
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    )
+    old_len = 2 + int.from_bytes(base[i + 2 : i + 4], "big")
+    color = base[:i] + color_sof + base[i + old_len :]
+    with pytest.raises(NotImplementedError, match="multi-component"):
+        codecs.decode_image(color)
+
+
+def test_jpeg_truncation_and_corruption_raise_value_error():
+    enc = codecs.encode_jpeg_gray(
+        ((np.mgrid[0:17, 0:19][0] * 9) % 251).astype(np.uint8), quality=90
+    )
+    with pytest.raises(ValueError):
+        codecs.decode_image(enc[:40])  # truncated inside a segment
+    with pytest.raises(ValueError):
+        codecs.decode_image(enc[: len(enc) // 2])  # truncated entropy data
+    desync = enc[:2] + b"junk" + enc[2:]
+    with pytest.raises(ValueError):
+        codecs.decode_image(desync)
+
+
+def test_jpeg_through_spark_phash_kernel(spark):
+    """The real-decode Spark path now covers JPEG: a grayscale JPEG
+    near-duplicate pair is found by phash_decoded_media + phash_dups,
+    and the decode counters confirm nothing was skipped."""
+    from mpi_word_count_spark.operators.multimodal import (
+        phash_decoded_media,
+        phash_dups,
+    )
+
+    y, x = np.mgrid[0:32, 0:32]
+    img = ((y * 5 + x * 11) % 190 + 25).astype(np.uint8)
+    near = img.copy()
+    near[0, 0] = min(254, near[0, 0] + 1)  # one-pixel perturbation
+    far = ((x * 13 - y * 7) % 210).astype(np.uint8)
+    rows = [
+        (1, bytearray(codecs.encode_jpeg_gray(img, 95))),
+        (2, bytearray(codecs.encode_jpeg_gray(near, 95))),
+        (3, bytearray(codecs.encode_jpeg_gray(far, 95))),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, media binary")
+    hashed = phash_decoded_media(media)
+    pairs = {
+        (r["media_id_1"], r["media_id_2"])
+        for r in phash_dups(hashed, max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) not in pairs and (2, 3) not in pairs
+    assert hashed.decode_stats["decoded"].value > 0
+    assert hashed.decode_stats["skipped"].value == 0
+
+
 def test_jpeg_fill_bytes_and_malformed_wav():
     # JPEG with 0xFF fill padding before the SOF marker
     sof = b"\xff\xc0" + (11).to_bytes(2, "big") + bytes([8]) + (
@@ -275,7 +378,7 @@ def test_phash_decoded_media_survives_truncated_payloads(spark):
         (1, bytearray(png)),
         (2, bytearray(png[:17])),      # truncated mid-IHDR
         (3, bytes(corrupt)),           # corrupted IDAT
-        (4, bytearray(b"\xff\xd8jpeg-ish")),  # env-bound format
+        (4, bytearray(b"\xff\xd8jpeg-ish")),  # malformed JPEG (desync)
     ]
     media = spark.createDataFrame(rows, "media_id long, media binary")
     got = {r["media_id"] for r in phash_decoded_media(media).collect()}
