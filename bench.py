@@ -185,6 +185,14 @@ def main() -> None:
     # pushed the single line past the driver's tail-capture window.
     # The compact line must be the LAST thing printed.
     meta = {
+        # single-official-number policy (VERDICT r6 item 4): the
+        # driver-recorded BENCH_r{N}.json parsed from this script's
+        # final stdout line is THE round's official bench total.
+        # SCALE.md / COVERAGE.md cite that artifact; ad-hoc closing
+        # runs are hygiene checks and must not be quoted as totals.
+        "official": "BENCH_r{N}.json (driver-parsed from this stdout line)",
+        "total_sec_this_run": total,
+        "n_queries": len(HEADLINE),
         "best_of": 3,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
         **gate,

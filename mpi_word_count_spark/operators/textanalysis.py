@@ -175,6 +175,117 @@ def quality_scores(
     )
 
 
+# the 8 "required stop words" of the Gopher rule set (Rae et al. 2021,
+# "Scaling Language Models: ... Gopher", Appendix A) — a document must
+# contain at least 2 to pass the stop-word rule
+GOPHER_REQUIRED_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_BULLETS = ("-", "*", "•")  # line-start bullet characters
+
+
+def gopher_quality_flags(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The full Gopher quality-rule set (Rae et al. 2021 Appendix A)
+    as per-document boolean flags plus the measured ratios, so a
+    curation pipeline can tune/ablate individual rules instead of
+    consuming one blended score (quality_scores is the blended twin):
+
+      word_count_ok      50 ≤ n_words ≤ 100,000
+      word_len_ok        3 ≤ mean word length ≤ 10
+      symbol_ok          (#'s + ellipses) / n_words < 0.1
+      bullet_ok          < 90% of lines start with a bullet
+      ellipsis_ok        < 30% of lines end with an ellipsis
+      alpha_ok           ≥ 80% of words contain an alphabetic char
+      stops_ok           ≥ 2 of the 8 required stop words appear
+      keep               AND of all seven
+
+    Words are WHITESPACE tokens (the paper's unit), not the engine's
+    delimiter alphabet — quality rules must see punctuation glued to
+    words ('word...' is an ellipsis signal, not two tokens).
+
+    Plan shape: one narrow projection (two-phase so the word/line
+    arrays materialize once), no shuffle, no UDF — the rule set is
+    scan-speed work at 100 TB, exactly why these filters run FIRST in
+    production curation pipelines (C4/Gopher/RefinedWeb all lead with
+    them, ahead of any dedup shuffle)."""
+    from mpi_word_count_spark.functions.parity import portable_round
+    from mpi_word_count_spark.operators import widen
+
+    text = F.col("_text")
+    staged = widen(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        F.filter(
+            F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit("")
+        ).alias("_words"),
+        F.filter(
+            F.split(F.col(text_col), "\n"), lambda l: F.trim(l) != F.lit("")
+        ).alias("_lines"),
+    )
+    words, lines = F.col("_words"), F.col("_lines")
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    total_len = F.aggregate(
+        F.transform(words, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mean_word_len = F.when(n_words > 0, total_len / n_words).otherwise(F.lit(0.0))
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#")))
+    n_ell3 = (F.length(text) - F.length(F.replace(text, F.lit("...")))) / F.lit(3)
+    n_ell1 = F.length(text) - F.length(F.replace(text, F.lit("…")))
+    symbol_ratio = F.when(
+        n_words > 0, (n_hash + n_ell3 + n_ell1) / n_words
+    ).otherwise(F.lit(0.0))
+    bullet_arr = F.array(*[F.lit(b) for b in GOPHER_BULLETS])
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.array_contains(bullet_arr, F.substring(F.ltrim(l), 1, 1)),
+        )
+    )
+    n_ell_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"),
+        )
+    )
+    bullet_ratio = F.when(n_lines > 0, n_bullet / n_lines).otherwise(F.lit(0.0))
+    ellipsis_ratio = F.when(n_lines > 0, n_ell_lines / n_lines).otherwise(F.lit(0.0))
+    n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_ratio = F.when(n_words > 0, n_alpha_words / n_words).otherwise(F.lit(0.0))
+    stops_arr = F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPS])
+    n_stops = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(words, F.lower)), stops_arr
+        )
+    )
+    flags = {
+        "word_count_ok": (n_words >= 50) & (n_words <= 100_000),
+        "word_len_ok": (mean_word_len >= 3.0) & (mean_word_len <= 10.0),
+        "symbol_ok": symbol_ratio < 0.1,
+        "bullet_ok": bullet_ratio < 0.9,
+        "ellipsis_ok": ellipsis_ratio < 0.3,
+        "alpha_ok": alpha_ratio >= 0.8,
+        "stops_ok": n_stops >= 2,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return staged.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        portable_round(mean_word_len, 4).alias("mean_word_len"),
+        portable_round(symbol_ratio, 4).alias("symbol_ratio"),
+        portable_round(bullet_ratio, 4).alias("bullet_line_ratio"),
+        portable_round(ellipsis_ratio, 4).alias("ellipsis_line_ratio"),
+        portable_round(alpha_ratio, 4).alias("alpha_word_ratio"),
+        n_stops.cast("bigint").alias("n_required_stops"),
+        *[c.alias(name) for name, c in flags.items()],
+        keep.alias("keep"),
+    )
+
+
 def doc_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -141,6 +141,82 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_scores(table(spark, "documents", sf_dir))
 
 
+def _gopher_oracle() -> str:
+    from mpi_word_count_spark.operators.textanalysis import (
+        GOPHER_BULLETS,
+        GOPHER_REQUIRED_STOPS,
+    )
+
+    stops = ", ".join(f"'{s}'" for s in GOPHER_REQUIRED_STOPS)
+    bullets = ", ".join(f"'{b}'" for b in GOPHER_BULLETS)
+    mwl = "(CASE WHEN n_words > 0 THEN total_len / n_words ELSE 0 END)"
+    sym = "(CASE WHEN n_words > 0 THEN (n_hash + n_ell3 + n_ell1) / n_words ELSE 0 END)"
+    bul = "(CASE WHEN n_lines > 0 THEN n_bullet / n_lines ELSE 0 END)"
+    ell = "(CASE WHEN n_lines > 0 THEN n_ell_lines / n_lines ELSE 0 END)"
+    alp = "(CASE WHEN n_words > 0 THEN n_alpha_words / n_words ELSE 0 END)"
+    return f"""
+    WITH w AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+                   AS words,
+               list_filter(string_split(text, chr(10)), l -> trim(l) <> '')
+                   AS lines
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_words,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(list_aggregate(list_transform(words, x -> length(x)), 'sum')
+                    AS DOUBLE) AS total_len,
+               CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+                   AS n_hash,
+               (length(text) - length(replace(text, '...', ''))) / 3.0 AS n_ell3,
+               CAST(length(text) - length(replace(text, '…', '')) AS DOUBLE)
+                   AS n_ell1,
+               CAST(len(list_filter(lines,
+                    l -> list_contains([{bullets}], substring(ltrim(l), 1, 1))))
+                    AS DOUBLE) AS n_bullet,
+               CAST(len(list_filter(lines,
+                    l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+                    AS DOUBLE) AS n_ell_lines,
+               CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+                    AS DOUBLE) AS n_alpha_words,
+               CAST(len(list_intersect(
+                    list_distinct(list_transform(words, x -> lower(x))),
+                    [{stops}])) AS BIGINT) AS n_required_stops
+        FROM w
+    )
+    SELECT doc_id, n_words,
+           {sql_portable_round(mwl, 4)} AS mean_word_len,
+           {sql_portable_round(sym, 4)} AS symbol_ratio,
+           {sql_portable_round(bul, 4)} AS bullet_line_ratio,
+           {sql_portable_round(ell, 4)} AS ellipsis_line_ratio,
+           {sql_portable_round(alp, 4)} AS alpha_word_ratio,
+           n_required_stops,
+           (n_words BETWEEN 50 AND 100000) AS word_count_ok,
+           ({mwl} BETWEEN 3.0 AND 10.0) AS word_len_ok,
+           ({sym} < 0.1) AS symbol_ok,
+           ({bul} < 0.9) AS bullet_ok,
+           ({ell} < 0.3) AS ellipsis_ok,
+           ({alp} >= 0.8) AS alpha_ok,
+           (n_required_stops >= 2) AS stops_ok,
+           ((n_words BETWEEN 50 AND 100000) AND ({mwl} BETWEEN 3.0 AND 10.0)
+            AND ({sym} < 0.1) AND ({bul} < 0.9) AND ({ell} < 0.3)
+            AND ({alp} >= 0.8) AND (n_required_stops >= 2)) AS keep
+    FROM m
+    """
+
+
+@register("gopher_quality_flags", oracle=_gopher_oracle())
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-set flags (operators/textanalysis.gopher_quality_flags);
+    the per-rule companion to the blended quality_scores."""
+    from mpi_word_count_spark.operators.textanalysis import gopher_quality_flags
+
+    return gopher_quality_flags(table(spark, "documents", sf_dir))
+
+
 @register(
     "doc_fingerprints",
     oracle=f"""

@@ -43,6 +43,16 @@ DEDUP_DOCS = 250_000         # ~25M tokens via the synthcorpus connector
 # 15625/core lands n=16 exactly on the 250k strong-scaling corpus.
 DEDUP_WEAK_DOCS_PER_CORE = 15_625
 
+# semantic-dedup scaling (round-7, VERDICT r6 item 7): a SECOND
+# LLM-pipeline query on the scaling record beyond wordcount/minhash.
+# 100k distinct synthetic vectors, 200 clusters (~500 vectors each):
+# the within-cluster pair fold (~2.5e7 dim-16 cosine folds) is the
+# CPU-bound quadratic kernel SemDeDup bounds by clustering — exactly
+# the term that must thread-scale.
+SEMDEDUP_VECS = 100_000
+SEMDEDUP_DIM = 16
+SEMDEDUP_CLUSTERS = 200
+
 _WORKER = r"""
 import json, os, sys, time
 sys.path.insert(0, os.getcwd())   # run_point sets cwd to the repo root
@@ -158,6 +168,87 @@ spark.stop()
 """
 
 
+_SEMDEDUP_PREP = r"""
+import os, sys, tempfile
+sys.path.insert(0, os.getcwd())
+from pyspark.sql import SparkSession, functions as F
+
+n_vecs, dim = int(sys.argv[1]), int(sys.argv[2])
+path = os.path.join(
+    tempfile.gettempdir(), "spark_graft_scratch", f"semdedup_scale_{n_vecs}.parquet"
+)
+if os.path.exists(os.path.join(path, "_SUCCESS")):
+    sys.exit(0)
+spark = (
+    SparkSession.builder.master("local[32]")
+    .appName("scaling-semdedup-prep")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+# deterministic pseudo-random embeddings, generated JVM-side: each
+# coordinate is murmur3(vec_id, j) scaled to [-1, 1] — no Python loop,
+# no RNG state, reproducible across rounds
+emb = spark.range(n_vecs).repartition(64).select(
+    F.col("id").alias("vec_id"),
+    F.array(
+        *[
+            (F.hash(F.col("id"), F.lit(j)).cast("double") / F.lit(2147483648.0))
+            for j in range(dim)
+        ]
+    ).alias("embedding"),
+)
+emb.write.mode("overwrite").parquet(path)
+spark.stop()
+"""
+
+
+_SEMDEDUP_WORKER = r"""
+import json, os, sys, tempfile, time
+sys.path.insert(0, os.getcwd())
+from pyspark.sql import SparkSession
+from mpi_word_count_spark import operators
+from mpi_word_count_spark.operators.similarity import semantic_dedup
+
+n = int(sys.argv[1])
+n_vecs = int(sys.argv[4])
+n_clusters = int(sys.argv[5])
+
+spark = (
+    SparkSession.builder.master(f"local[{n}]")
+    .appName(f"scaling-semdedup-{n}")
+    .config("spark.sql.shuffle.partitions", str(n))
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.driver.memory", "16g")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+corpus_path = os.path.join(
+    tempfile.gettempdir(), "spark_graft_scratch", f"semdedup_scale_{n_vecs}.parquet"
+)
+assert os.path.exists(os.path.join(corpus_path, "_SUCCESS")), "prep did not run"
+
+def corpus():
+    return spark.read.parquet(corpus_path)
+
+# warm one tiny pipeline (JIT/codegen + the driver-side k-means path),
+# then best-of-2 on the real one
+semantic_dedup(corpus().limit(500), n_clusters=4).write.format("noop").mode(
+    "overwrite"
+).save()
+operators.release_caches()
+best = float("inf")
+for _ in range(2):
+    t0 = time.monotonic()
+    semantic_dedup(corpus(), n_clusters=n_clusters).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    operators.release_caches()
+    best = min(best, time.monotonic() - t0)
+print(json.dumps({"n": n, "sec": round(best, 3)}))
+spark.stop()
+"""
+
+
 _DEDUP_PREP = r"""
 import os, sys, tempfile
 sys.path.insert(0, os.getcwd())
@@ -192,10 +283,13 @@ spark.stop()
 """
 
 
-def run_point(n: int, mode: str, sf_dir: str, copies: int) -> float:
-    worker = _DEDUP_WORKER if mode == "dedup" else _WORKER
+def run_point(
+    n: int, mode: str, sf_dir: str, copies: int, extra: list[str] | None = None
+) -> float:
+    worker = {"dedup": _DEDUP_WORKER, "semdedup": _SEMDEDUP_WORKER}.get(mode, _WORKER)
     out = subprocess.run(
-        [sys.executable, "-c", worker, str(n), mode, sf_dir, str(copies)],
+        [sys.executable, "-c", worker, str(n), mode, sf_dir, str(copies)]
+        + (extra or []),
         capture_output=True,
         text=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
@@ -232,6 +326,28 @@ def main() -> None:
             "n_docs": DEDUP_DOCS,
             "strong_sec": dedup,
             "strong_speedup": {n: round(t1 / t, 2) for n, t in dedup.items()},
+        }
+    elif os.environ.get("SPARK_GRAFT_SCALE_MODE") == "semdedup":
+        subprocess.run(
+            [sys.executable, "-c", _SEMDEDUP_PREP, str(SEMDEDUP_VECS), str(SEMDEDUP_DIM)],
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=1800,
+        )
+        sem = {
+            n: run_point(
+                n, "semdedup", sf_dir, SEMDEDUP_VECS, [str(SEMDEDUP_CLUSTERS)]
+            )
+            for n in cores
+        }
+        t1 = sem[cores[0]]
+        result = {
+            "metric": "semantic_dedup_scaling",
+            "n_vecs": SEMDEDUP_VECS,
+            "dim": SEMDEDUP_DIM,
+            "n_clusters": SEMDEDUP_CLUSTERS,
+            "strong_sec": sem,
+            "strong_speedup": {n: round(t1 / t, 2) for n, t in sem.items()},
         }
     elif os.environ.get("SPARK_GRAFT_SCALE_MODE") == "dedup_weak":
         # data-axis weak scaling: DISTINCT corpus grows with the

@@ -116,6 +116,40 @@ def test_quality_scores_bounds(spark):
         assert 0.0 <= r["quality_score"] <= 1.0
 
 
+def test_gopher_quality_flags_rules(spark):
+    from mpi_word_count_spark.operators.textanalysis import gopher_quality_flags
+
+    good = (
+        "The quick brown fox jumps over the lazy dog and keeps on "
+        "running because it wants to be the best fox that anyone has "
+        "ever seen in these parts of the forest with plenty of words "
+        "to spare beyond the fifty word minimum that the rule demands "
+        "so it simply continues until the counter is safely past it."
+    )
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    ellipses = "\n".join(f"line {i}..." for i in range(10))
+    symbols = "# " * 60
+    short = "too short to pass the word count rule"
+    df = spark.createDataFrame(
+        [(1, good), (2, bullets), (3, ellipses), (4, symbols), (5, short)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_quality_flags(df).collect()}
+    assert rows[1]["keep"] and all(
+        rows[1][f]
+        for f in (
+            "word_count_ok", "word_len_ok", "symbol_ok", "bullet_ok",
+            "ellipsis_ok", "alpha_ok", "stops_ok",
+        )
+    )
+    assert rows[2]["bullet_line_ratio"] == 1.0 and not rows[2]["bullet_ok"]
+    assert rows[3]["ellipsis_line_ratio"] == 1.0 and not rows[3]["ellipsis_ok"]
+    assert rows[4]["symbol_ratio"] >= 0.1 and not rows[4]["symbol_ok"]
+    assert not rows[4]["alpha_ok"]  # '#' words carry no alphabetic char
+    assert not rows[5]["word_count_ok"] and not rows[5]["keep"]
+    assert rows[1]["n_required_stops"] >= 2
+
+
 def test_decode_media_stub_contract():
     with pytest.raises(NotImplementedError):
         decode_media(b"abc", "image/png", fake=False)
