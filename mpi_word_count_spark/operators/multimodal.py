@@ -10,9 +10,10 @@ Codec libraries (PIL/ffmpeg/torchvision) are NOT in this container.
 Since round 6 the decode kernel is REAL anyway for every format
 stdlib+numpy can handle — PNG (full chunk walk + all five unfilter
 types), uncompressed BMP, PGM/PPM, PCM WAV, and since round 7
-baseline grayscale JPEG (Huffman + dequant + IDCT in numpy;
+baseline JPEG — grayscale AND interleaved YCbCr color, 4:4:4/4:2:0
+(Huffman + dequant + IDCT + chroma upsample in numpy;
 functions/codecs.py) — with NotImplementedError only for variants
-that genuinely need a codec library (color/progressive JPEG, video).
+that genuinely need a codec library (progressive JPEG, video).
 The deterministic fake (`fake=True`) remains for fixtures whose
 payloads are text bytes rather than real media.
 
@@ -75,11 +76,11 @@ def decode_media(data: bytes, mime: str, fake: bool = False) -> np.ndarray:
     """Decode one media payload to an array.
 
     REAL for formats decodable with stdlib+numpy: PNG, BMP, PGM/PPM
-    and baseline grayscale JPEG images → float32 (H, W) grayscale;
-    PCM WAV audio → float32 1-D samples (functions/codecs.py, pure
-    python). Color/progressive JPEG and video still need codec
-    libraries absent from this container — those raise
-    NotImplementedError (JPEG dimensions ARE parseable via
+    and baseline JPEG (grayscale + interleaved YCbCr color) images →
+    float32 (H, W) grayscale; PCM WAV audio → float32 1-D samples
+    (functions/codecs.py, pure python). Progressive JPEG and video
+    still need codec libraries absent from this container — those
+    raise NotImplementedError (JPEG dimensions ARE parseable via
     codecs.media_dimensions). `fake=True` keeps the deterministic
     16×16 byte-histogram stub for fixtures whose payloads are opaque
     text bytes rather than real media.

@@ -272,21 +272,84 @@ def test_jpeg_unsupported_variants_raise_not_implemented():
     progressive = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(NotImplementedError, match="progressive"):
         codecs.decode_image(progressive)
-    # 3-component (color) SOF: rebuild the frame header
+    # 4-component (CMYK-style) SOF: rebuild the frame header
     i = base.index(b"\xff\xc0")
-    seglen = 8 + 3 * 3
-    color_sof = (
+    seglen = 8 + 3 * 4
+    cmyk_sof = (
         b"\xff\xc0"
         + seglen.to_bytes(2, "big")
         + bytes([8])
         + (8).to_bytes(2, "big")
         + (8).to_bytes(2, "big")
-        + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+        + bytes([4, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0, 4, 0x11, 0])
     )
     old_len = 2 + int.from_bytes(base[i + 2 : i + 4], "big")
-    color = base[:i] + color_sof + base[i + old_len :]
-    with pytest.raises(NotImplementedError, match="multi-component"):
-        codecs.decode_image(color)
+    cmyk = base[:i] + cmyk_sof + base[i + old_len :]
+    with pytest.raises(NotImplementedError, match="4-component"):
+        codecs.decode_image(cmyk)
+    # non-interleaved multi-scan: 3-component SOF but a 1-component SOS
+    color = codecs.encode_jpeg_rgb(np.full((8, 8, 3), 99, np.uint8))
+    j = color.index(b"\xff\xda")
+    single_sos = b"\xff\xda" + (8).to_bytes(2, "big") + bytes([1, 1, 0x00, 0, 63, 0])
+    old_sos_len = 2 + int.from_bytes(color[j + 2 : j + 4], "big")
+    noninterleaved = color[:j] + single_sos + color[j + old_sos_len :]
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
+        codecs.decode_image(noninterleaved)
+
+
+@settings(max_examples=25, deadline=None)
+@given(data=st.data())
+def test_jpeg_color_roundtrip_property(data):
+    """Color JPEG error-bound property. 4:4:4: same per-plane bound as
+    grayscale (quant.sum()/8), doubled for the YCbCr->RGB transform's
+    error amplification (1.402/1.772 gains) plus float rounding.
+    4:2:0 is only bounded when chroma is subsampling-invariant, so it
+    is tested with R=G=B input (Cb=Cr=128 constant) where it must
+    match the grayscale bound."""
+    h = data.draw(st.integers(1, 16))
+    w = data.draw(st.integers(1, 16))
+    pixels = data.draw(
+        st.lists(st.integers(0, 255), min_size=h * w * 3, max_size=h * w * 3)
+    )
+    rgb = np.array(pixels, dtype=np.uint8).reshape(h, w, 3)
+    quant = codecs._jpeg_quant_for_quality(98)
+    bound = 2.0 * float(quant.sum()) / 8.0 + 1.0
+    expected = rgb.astype(np.float64).mean(axis=2)
+    dec = codecs.decode_image(codecs.encode_jpeg_rgb(rgb, quality=98))
+    assert dec.shape == (h, w)
+    assert float(np.abs(dec - expected).max()) <= bound
+    gray = rgb[:, :, :1].repeat(3, axis=2)  # chroma-constant input
+    dec420 = codecs.decode_image(
+        codecs.encode_jpeg_rgb(gray, quality=98, subsample="420")
+    )
+    assert float(np.abs(dec420 - gray[:, :, 0]).max()) <= bound
+    ri = data.draw(st.integers(1, 4))
+    with_rst = codecs.decode_image(
+        codecs.encode_jpeg_rgb(rgb, quality=98, restart_interval=ri)
+    )
+    np.testing.assert_array_equal(
+        with_rst, codecs.decode_image(codecs.encode_jpeg_rgb(rgb, quality=98))
+    )
+
+
+def test_jpeg_color_420_smooth_image():
+    """4:2:0 on a smooth color image: subsampling loses only high-freq
+    chroma, so the mean error stays within a gray level or two."""
+    yy, xx = np.mgrid[0:24, 0:40]
+    rgb = np.stack(
+        [
+            (yy * 4 + 40) % 200 + 20,
+            (xx * 3 + 60) % 200 + 20,
+            (yy * 2 + xx * 2 + 80) % 200 + 20,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    expected = rgb.astype(np.float64).mean(axis=2)
+    dec = codecs.decode_image(codecs.encode_jpeg_rgb(rgb, 95, "420"))
+    assert dec.shape == (24, 40)
+    assert float(np.abs(dec - expected).mean()) < 2.0
+    w, h, kind = codecs.media_dimensions(codecs.encode_jpeg_rgb(rgb, 95, "420"))
+    assert (w, h, kind) == (40, 24, "jpeg")
 
 
 def test_jpeg_truncation_and_corruption_raise_value_error():
