@@ -106,6 +106,11 @@ HEADLINE = [
     # kNN windows; the packing-efficiency audit's bounded cumsum)
     "margin_knn_alignment",
     "packing_efficiency_audit",
+    # round-7 additions: the Gopher rule battery (one wide codegen
+    # projection pass) and the REAL video path (AVI synth + container
+    # parse + per-frame decode, the heaviest per-item kernel)
+    "gopher_quality_flags",
+    "video_frame_stats",
 ]
 
 

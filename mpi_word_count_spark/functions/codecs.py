@@ -50,6 +50,8 @@ def sniff_media(data: bytes) -> str:
         return "ppm"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return "avi"
     return "unknown"
 
 
@@ -136,6 +138,14 @@ def media_dimensions(data: bytes) -> tuple[int, int, str]:
             return w, h, kind
         if kind == "jpeg":
             return _jpeg_dimensions(data) + (kind,)
+        if kind == "avi":
+            # avih is the first chunk of LIST hdrl, itself the first
+            # top-level chunk: fixed offset 12(+8 LIST hdr+4 'hdrl')
+            # +8(avih hdr) = 32; dwWidth/dwHeight at +32/+36 within
+            if data[12:16] != b"LIST" or data[20:24] != b"hdrl" or data[24:28] != b"avih":
+                raise ValueError("AVI missing hdrl/avih")
+            w, h = struct.unpack("<II", data[64:72])
+            return w, h, kind
     except struct.error as exc:
         raise ValueError(f"truncated {kind} header: {exc}") from exc
     raise ValueError(f"no dimension parser for: {kind}")
@@ -1042,3 +1052,211 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
         w.setframerate(rate)
         w.writeframes(pcm.tobytes())
     return buf.getvalue()
+
+
+# --- AVI (RIFF) video container ---------------------------------------------
+# Pure-structure parsing of the RIFF 'AVI ' container, implemented
+# from the public Microsoft "AVI RIFF File Reference" (and the OpenDML
+# AVI extension for 'rec ' grouping): LIST hdrl (avih + strl[strh,
+# strf]) for metadata, LIST movi for the frame stream, optional idx1
+# ignored. Two frame codings are decodable with stdlib+numpy only:
+#   '00db' uncompressed DIB frames (8-bit grayscale palette or 24-bit
+#          BGR, bottom-up rows, 4-byte row padding — same pixel layout
+#          as BMP without the file header), lossless; and
+#   '00dc' MJPG frames (fourcc 'MJPG': each frame is one baseline
+#          JPEG, handed to _decode_jpeg).
+# This closes the round-6 "video is env-bound" boundary for the
+# container variants that are pure structure; MP4/H.264/VP9 genuinely
+# need codec libraries absent here and stay NotImplementedError.
+
+_AVI_VIDEO_CHUNKS = (b"00db", b"00dc")
+
+
+def _riff_chunks(data: bytes, pos: int, end: int):
+    """Yield (fourcc, body_start, body_size) for the RIFF chunk run in
+    data[pos:end]; enforces word alignment and in-bounds bodies."""
+    while pos + 8 <= end:
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = pos + 8
+        if body + size > end:
+            raise ValueError(
+                f"truncated RIFF chunk {cid!r}: {size} bytes past end"
+            )
+        yield cid, body, size
+        pos = body + size + (size & 1)  # chunks are word-aligned
+
+
+def parse_avi(data: bytes) -> dict:
+    """Parse a RIFF-AVI container into metadata + raw frame payloads.
+
+    Returns {'width', 'height', 'fps', 'n_frames', 'fourcc',
+    'bit_count', 'frames': list[bytes]} — frames in stream order,
+    NOT decoded (use decode_avi_frame). Raises ValueError on anything
+    malformed/truncated; never returns partial frame lists silently.
+    """
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    (riff_size,) = struct.unpack("<I", data[4:8])
+    end = min(8 + riff_size, len(data))
+    if 8 + riff_size > len(data):
+        raise ValueError("truncated RIFF: declared size past end of data")
+    meta = {
+        "width": 0,
+        "height": 0,
+        "fps": 0.0,
+        "n_frames": 0,
+        "fourcc": "",
+        "bit_count": 0,
+        "frames": [],
+    }
+
+    def walk(pos: int, stop: int) -> None:
+        for cid, body, size in _riff_chunks(data, pos, stop):
+            if cid == b"LIST":
+                ltype = data[body : body + 4]
+                if ltype in (b"hdrl", b"strl", b"movi", b"rec "):
+                    walk(body + 4, body + size)
+            elif cid == b"avih":
+                if size < 40:
+                    raise ValueError("avih header too short")
+                usec, = struct.unpack("<I", data[body : body + 4])
+                meta["n_frames"], = struct.unpack(
+                    "<I", data[body + 16 : body + 20]
+                )
+                meta["width"], meta["height"] = struct.unpack(
+                    "<II", data[body + 32 : body + 40]
+                )
+                meta["fps"] = 1e6 / usec if usec else 0.0
+            elif cid == b"strh":
+                if size >= 8 and data[body : body + 4] == b"vids":
+                    meta["fourcc"] = (
+                        data[body + 4 : body + 8].decode("ascii", "replace").strip("\x00 ")
+                    )
+            elif cid == b"strf":
+                # BITMAPINFOHEADER of the 'vids' stream
+                if size >= 16:
+                    meta["bit_count"], = struct.unpack(
+                        "<H", data[body + 14 : body + 16]
+                    )
+            elif cid[:2].isdigit() and cid[2:] in (b"db", b"dc"):
+                meta["frames"].append(data[body : body + size])
+
+    walk(12, end)
+    if meta["width"] <= 0 or meta["height"] <= 0:
+        raise ValueError("AVI missing avih dimensions")
+    return meta
+
+
+def decode_avi_frame(frame: bytes, meta: dict) -> np.ndarray:
+    """Decode one raw AVI frame payload to float32 (H, W) grayscale
+    using the container's stream metadata. MJPG → baseline-JPEG
+    decode; DIB (empty/'DIB ' fourcc) → raw bottom-up rows (8-bit
+    grayscale palette or 24-bit BGR, 4-byte row padding)."""
+    fourcc = meta["fourcc"].upper()
+    if fourcc == "MJPG":
+        return decode_image(frame)
+    if fourcc in ("", "DIB"):
+        width, height = meta["width"], meta["height"]
+        bpp = meta["bit_count"] or 8
+        if bpp not in (8, 24):
+            raise NotImplementedError(f"{bpp}-bit DIB frames")
+        nch = bpp // 8
+        row_bytes = (width * nch + 3) & ~3
+        if len(frame) < row_bytes * height:
+            raise ValueError(
+                f"DIB frame has {len(frame)} bytes, needs {row_bytes * height}"
+            )
+        rows = np.frombuffer(
+            frame, dtype=np.uint8, count=row_bytes * height
+        ).reshape(height, row_bytes)
+        px = rows[::-1, : width * nch]  # bottom-up -> top-down, drop pad
+        if nch == 3:
+            return px.reshape(height, width, 3)[:, :, ::-1].astype(
+                np.float32
+            ).mean(axis=2)
+        return px.astype(np.float32)
+    raise NotImplementedError(f"AVI video codec {fourcc!r} needs a codec library")
+
+
+def decode_video(data: bytes) -> list[np.ndarray]:
+    """Parse + decode every frame of a RIFF-AVI payload (MJPG or DIB).
+    Convenience wrapper over parse_avi/decode_avi_frame."""
+    meta = _as_value_error(parse_avi, data)  # type: ignore[arg-type]
+    return [decode_avi_frame(f, meta) for f in meta["frames"]]
+
+
+def _avi_container(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    fourcc: bytes,
+    bit_count: int,
+    fps: int,
+    palette: bytes = b"",
+) -> bytes:
+    """Assemble a spec-shaped RIFF-AVI: hdrl(avih, strl(strh, strf)),
+    movi with word-aligned '00db'/'00dc' chunks, idx1 index."""
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    usec = 1_000_000 // fps
+    max_bytes = max((len(f) for f in frames), default=0)
+    avih = struct.pack(
+        "<10I",
+        usec, max_bytes * fps, 0, 0x10,  # AVIF_HASINDEX
+        len(frames), 0, 1, max_bytes, width, height,
+    ) + b"\x00" * 16
+    strh = (
+        b"vids" + fourcc
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), max_bytes, 0, 0)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, bit_count,
+        0,  # BI_RGB for DIB; MJPG readers key off strh's fccHandler
+        ((width * (bit_count // 8) + 3) & ~3) * height,
+        0, 0, len(palette) // 4, 0,
+    ) + palette
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    frame_id = b"00db" if fourcc in (b"\x00" * 4, b"DIB ") else b"00dc"
+    movi_body = b"movi"
+    idx = b""
+    for f in frames:
+        # idx1 offsets are relative to the 'movi' fourcc position
+        idx += frame_id + struct.pack("<III", 0x10, len(movi_body) - 4 + 8, len(f))
+        movi_body += chunk(frame_id, f)
+    riff_body = b"AVI " + hdrl + chunk(b"LIST", movi_body) + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def encode_avi_mjpeg(jpeg_frames: list[bytes], width: int, height: int, fps: int = 10) -> bytes:
+    """RIFF-AVI with one baseline-JPEG payload per '00dc' frame (the
+    MJPG coding — the container is lossless around the JPEGs)."""
+    return _avi_container(jpeg_frames, width, height, b"MJPG", 24, fps)
+
+
+def encode_avi_dib(frames: list[np.ndarray], fps: int = 10) -> bytes:
+    """RIFF-AVI with uncompressed 8-bit grayscale DIB '00db' frames
+    (bottom-up rows, 4-byte padding, 256-entry gray palette) —
+    LOSSLESS, so decode_video round-trips pixels exactly."""
+    arrs = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not arrs:
+        raise ValueError("need at least one frame")
+    height, width = arrs[0].shape
+    if any(a.shape != (height, width) for a in arrs):
+        raise ValueError("all DIB frames must share one (H, W)")
+    row_bytes = (width + 3) & ~3
+    payloads = []
+    for a in arrs:
+        rows = np.zeros((height, row_bytes), dtype=np.uint8)
+        rows[:, :width] = a[::-1]  # stored bottom-up
+        payloads.append(rows.tobytes())
+    palette = b"".join(struct.pack("<BBBB", g, g, g, 0) for g in range(256))
+    return _avi_container(payloads, width, height, b"\x00" * 4, 8, fps, palette)

@@ -12,8 +12,10 @@ stdlib+numpy can handle — PNG (full chunk walk + all five unfilter
 types), uncompressed BMP, PGM/PPM, PCM WAV, and since round 7
 baseline JPEG — grayscale AND interleaved YCbCr color, 4:4:4/4:2:0
 (Huffman + dequant + IDCT + chroma upsample in numpy;
-functions/codecs.py) — with NotImplementedError only for variants
-that genuinely need a codec library (progressive JPEG, video).
+functions/codecs.py) — plus RIFF-AVI video containers (MJPG and
+uncompressed-DIB frames; parse_avi/decode_avi_frame), with
+NotImplementedError only for variants that genuinely need a codec
+library (progressive JPEG, MP4/H.264).
 The deterministic fake (`fake=True`) remains for fixtures whose
 payloads are text bytes rather than real media.
 
@@ -97,7 +99,8 @@ def decode_media(data: bytes, mime: str, fake: bool = False) -> np.ndarray:
         return codecs.decode_image(data)
     raise NotImplementedError(
         f"no pure-python decoder for payload kind {kind!r} "
-        "(video decode requires ffmpeg, absent here)"
+        "(RIFF-AVI video goes through sample_frames/video_frame_stats; "
+        "MP4/H.264 decode requires ffmpeg, absent here)"
     )
 
 
@@ -427,10 +430,18 @@ def resize_stub(media: DataFrame, height: int, width: int, fake: bool = True) ->
 def sample_frames(
     media: DataFrame, frame_bytes: int = 64, stride: int = 4, fake: bool = True
 ) -> DataFrame:
-    """Frame-sampling kernel for byte-stream "video": every stride-th
-    fixed-size chunk becomes a frame row (media_id, frame_no, frame).
-    Output explodes rows — exactly how real video frame extraction
-    behaves — so downstream ops see per-frame granularity."""
+    """Frame-sampling kernel: every stride-th frame becomes a row
+    (media_id, frame_no, frame). Output explodes rows — exactly how
+    real video frame extraction behaves — so downstream ops see
+    per-frame granularity.
+
+    fake=True chunks the raw byte stream into fixed-size pseudo-frames
+    (for opaque text-byte fixtures). fake=False parses the payload as
+    a REAL RIFF-AVI container (codecs.parse_avi) and emits the stored
+    frame payloads (JPEG bytes for MJPG streams, raw DIB rows for
+    uncompressed) — undecodable containers are skipped per-item with
+    the decoded/skipped accumulators (a crawl must not kill the job).
+    """
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -438,16 +449,27 @@ def sample_frames(
             T.StructField("frame", T.BinaryType(), True),
         ]
     )
+    counters = None if fake else _decode_counters(media)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mpi_word_count_spark.functions import codecs
+
         for pdf in batches:
             ids, nos, frames = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["media"]):
                 data = bytes(payload)
-                chunks = [
-                    data[i : i + frame_bytes]
-                    for i in range(0, len(data), frame_bytes)
-                ]
+                if fake:
+                    chunks = [
+                        data[i : i + frame_bytes]
+                        for i in range(0, len(data), frame_bytes)
+                    ]
+                else:
+                    try:
+                        chunks = codecs.parse_avi(data)["frames"]
+                        counters["decoded"] += 1
+                    except (ValueError, NotImplementedError):
+                        counters["skipped"] += 1
+                        continue
                 for no, chunk in enumerate(chunks[::stride]):
                     ids.append(mid)
                     nos.append(no)
@@ -456,4 +478,60 @@ def sample_frames(
                 {"media_id": ids, "frame_no": nos, "frame": frames}
             )
 
-    return media.mapInPandas(kernel, schema=out_schema)
+    result = media.mapInPandas(kernel, schema=out_schema)
+    if counters is not None:
+        result.decode_stats = counters
+    return result
+
+
+def video_frame_stats(media: DataFrame, stride: int = 2) -> DataFrame:
+    """REAL video path end-to-end in one Arrow kernel: parse each
+    payload as a RIFF-AVI container, stride-sample its frames, decode
+    each sampled frame (MJPG → baseline JPEG; DIB → raw rows), and
+    emit per-frame pixel statistics. One mapInPandas pass — frames
+    are never shipped twice, and per-task memory holds one decoded
+    frame at a time. Undecodable containers are skipped per-item
+    (decoded/skipped accumulators), matching the other fake=False
+    kernels' robustness contract."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_no", T.IntegerType(), False),
+            T.StructField("n_frames", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("px_sum", T.LongType(), False),
+        ]
+    )
+    counters = _decode_counters(media)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mpi_word_count_spark.functions import codecs
+
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in out_schema.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                try:
+                    meta = codecs.parse_avi(bytes(payload))
+                    decoded = [
+                        (no, codecs.decode_avi_frame(f, meta))
+                        for no, f in enumerate(meta["frames"][::stride])
+                    ]
+                    counters["decoded"] += 1
+                except (ValueError, NotImplementedError):
+                    counters["skipped"] += 1
+                    continue
+                for no, px in decoded:
+                    rows["media_id"].append(mid)
+                    rows["frame_no"].append(no)
+                    rows["n_frames"].append(len(meta["frames"]))
+                    rows["height"].append(px.shape[0])
+                    rows["width"].append(px.shape[1])
+                    # float64 accumulator; round so integral pixel
+                    # grids (DIB) stay exact through the float path
+                    rows["px_sum"].append(int(round(float(px.sum(dtype=np.float64)))))
+            yield pd.DataFrame(rows)
+
+    result = media.mapInPandas(kernel, schema=out_schema)
+    result.decode_stats = counters
+    return result

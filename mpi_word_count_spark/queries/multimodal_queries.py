@@ -218,3 +218,99 @@ def q_media_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = media_from_documents(base)
     return phash_dups(phash_media(media), max_hamming=3)
+
+
+# --- REAL video path: RIFF-AVI container, end to end -----------------------
+
+VIDEO_FRAME_SIDE = 8  # 8x8 grayscale DIB frames = 64 text bytes each
+VIDEO_STRIDE = 2
+
+_VIDEO_ORACLE = f"""
+    WITH vids AS (
+        SELECT doc_id, text,
+               CAST(length(text) // {VIDEO_FRAME_SIDE ** 2} AS INT) AS n_frames
+        FROM documents
+        WHERE length(text) >= {VIDEO_FRAME_SIDE ** 2}
+    ),
+    sampled AS (
+        SELECT doc_id AS media_id, n_frames, text,
+               unnest(range(0, CAST((n_frames + {VIDEO_STRIDE - 1})
+                                    // {VIDEO_STRIDE} AS BIGINT))) AS frame_no
+        FROM vids
+    ),
+    chars AS (
+        SELECT media_id, CAST(frame_no AS INT) AS frame_no, n_frames,
+               ascii(substring(text,
+                   CAST(frame_no * {VIDEO_STRIDE * VIDEO_FRAME_SIDE ** 2}
+                        + k.k + 1 AS INT), 1)) AS v
+        FROM sampled, (SELECT unnest(range(0, {VIDEO_FRAME_SIDE ** 2})) AS k) AS k
+    )
+    SELECT media_id, frame_no, max(n_frames) AS n_frames,
+           CAST({VIDEO_FRAME_SIDE} AS INT) AS height,
+           CAST({VIDEO_FRAME_SIDE} AS INT) AS width,
+           CAST(sum(v) AS BIGINT) AS px_sum
+    FROM chars
+    GROUP BY media_id, frame_no
+"""
+
+
+@register("video_frame_stats", oracle=_VIDEO_ORACLE)
+def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode path, driver-checkable: each document's text
+    bytes become 8×8 grayscale frames packed into a spec-shaped
+    RIFF-AVI container (codecs.encode_avi_dib — uncompressed DIB
+    '00db' frames, bottom-up rows, gray palette), which the kernel
+    then parses back with the REAL container parser, stride-samples,
+    decodes frame-by-frame, and reduces to per-frame pixel stats
+    (operators/multimodal.video_frame_stats). DIB frames are LOSSLESS,
+    so pixel values ARE the text bytes and the DuckDB oracle
+    reproduces px_sum exactly from ascii() arithmetic (pure-ASCII
+    corpus, see module docstring). Docs shorter than one frame carry
+    no video and are excluded on both sides.
+
+    The same operator handles MJPG (per-frame baseline JPEG) streams —
+    covered by codec round-trip unit tests rather than the oracle,
+    since JPEG is lossy. 100 TB shape: synth + parse + decode + reduce
+    run in Arrow-batched mapInPandas kernels, one decoded frame in
+    memory at a time; no shuffle at all until the (absent) downstream
+    aggregate — output partitioning inherits the scan."""
+    from mpi_word_count_spark.operators.multimodal import video_frame_stats
+
+    docs = table(spark, "documents", sf_dir)
+    n_px = VIDEO_FRAME_SIDE ** 2
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from mpi_word_count_spark.functions import codecs
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                n_frames = len(raw) // n_px
+                if n_frames == 0:
+                    continue
+                frames = [
+                    np.frombuffer(
+                        raw, dtype=np.uint8, count=n_px, offset=i * n_px
+                    ).reshape(VIDEO_FRAME_SIDE, VIDEO_FRAME_SIDE)
+                    for i in range(n_frames)
+                ]
+                ids.append(did)
+                payloads.append(codecs.encode_avi_dib(frames, fps=10))
+            yield pd.DataFrame({"media_id": ids, "media": payloads})
+
+    from pyspark.sql import types as T
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        synth,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("media", T.BinaryType(), True),
+            ]
+        ),
+    )
+    return video_frame_stats(media, stride=VIDEO_STRIDE)

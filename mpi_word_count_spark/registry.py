@@ -126,10 +126,11 @@ _PRIORITY = [
     # the protocol is a fresh row after any implementation change)
     "media_features",
     # --- below the budget line: round-8 rotation leads ----------------
-    # new in round 7 (position 51: the 50-row budget is fully spoken
+    # new in round 7 (positions 51+: the 50-row budget is fully spoken
     # for by the debt drain + changed impls; triple-sweep green
     # locally, first in line for a driver row next round)
     "gopher_quality_flags",
+    "video_frame_stats",
     # --- the 50-row driver budget, round 6 ---------------------------
     # Names can repeat further down (dict insertion keeps the FIRST
     # position), so this head block is exactly the round-6 budget; the

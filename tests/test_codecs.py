@@ -516,3 +516,111 @@ def test_encode_png_rejects_mismatched_filter_list():
         codecs.encode_png(img, filters=[0, 1])  # 2 entries for height 6
     # an explicit full-height list still works
     assert codecs.decode_image(codecs.encode_png(img, filters=[1] * 6)).shape == (6, 6)
+
+
+# --- AVI (RIFF) video container ---------------------------------------------
+
+
+def _frames(n=4, h=6, w=9, seed=11):
+    rng = np.random.default_rng(seed)
+    return [rng.integers(0, 256, size=(h, w), dtype=np.uint8) for _ in range(n)]
+
+
+def test_avi_dib_roundtrip_lossless():
+    frames = _frames()
+    avi = codecs.encode_avi_dib(frames, fps=12)
+    assert codecs.sniff_media(avi) == "avi"
+    assert codecs.media_dimensions(avi) == (9, 6, "avi")
+    meta = codecs.parse_avi(avi)
+    assert meta["n_frames"] == 4 and len(meta["frames"]) == 4
+    assert meta["bit_count"] == 8 and meta["fourcc"] == ""
+    assert abs(meta["fps"] - 12.0) < 0.01
+    for dec, src in zip(codecs.decode_video(avi), frames):
+        np.testing.assert_array_equal(dec.astype(np.uint8), src)
+
+
+def test_avi_dib_width_padding():
+    # width 5 -> DIB rows pad to 8 bytes; pad must be dropped on decode
+    frames = _frames(n=2, h=3, w=5)
+    for dec, src in zip(codecs.decode_video(codecs.encode_avi_dib(frames)), frames):
+        np.testing.assert_array_equal(dec.astype(np.uint8), src)
+
+
+def test_avi_mjpeg_container_is_lossless_around_jpegs():
+    imgs = _frames(n=3, h=16, w=16, seed=5)
+    jpegs = [codecs.encode_jpeg_gray(i) for i in imgs]
+    avi = codecs.encode_avi_mjpeg(jpegs, 16, 16, fps=10)
+    meta = codecs.parse_avi(avi)
+    assert meta["fourcc"] == "MJPG" and meta["frames"] == jpegs
+    # frame decode = baseline JPEG decode (lossy): same tolerance as
+    # the JPEG round-trip tests
+    for frame, src in zip(meta["frames"], imgs):
+        dec = codecs.decode_avi_frame(frame, meta)
+        assert dec.shape == (16, 16)
+        assert np.abs(dec - src.astype(np.float32)).mean() < 12.0
+
+
+def test_avi_malformed_raises_value_error():
+    frames = _frames(n=2)
+    avi = codecs.encode_avi_dib(frames)
+    with pytest.raises(ValueError):
+        codecs.parse_avi(avi[:40])  # truncated inside hdrl
+    with pytest.raises(ValueError):
+        codecs.parse_avi(b"RIFF\x04\x00\x00\x00WAVE")  # not AVI
+    # declared RIFF size past the actual data
+    bad = bytearray(avi)
+    bad[4:8] = (len(avi) + 100).to_bytes(4, "little")
+    with pytest.raises(ValueError):
+        codecs.parse_avi(bytes(bad))
+    # short DIB frame payload
+    meta = codecs.parse_avi(avi)
+    with pytest.raises(ValueError):
+        codecs.decode_avi_frame(meta["frames"][0][:10], meta)
+
+
+def test_avi_unknown_codec_env_bound():
+    avi = bytearray(codecs.encode_avi_dib(_frames(n=1)))
+    pos = avi.find(b"vids")
+    avi[pos + 4 : pos + 8] = b"H264"
+    meta = codecs.parse_avi(bytes(avi))
+    with pytest.raises(NotImplementedError):
+        codecs.decode_avi_frame(meta["frames"][0], meta)
+
+
+def test_avi_through_spark_video_kernels(spark):
+    """Real video path on Spark: AVI payloads (one DIB, one MJPG, one
+    garbage) through sample_frames(fake=False) and video_frame_stats —
+    frames extracted per container, undecodable payloads skipped and
+    counted, DIB pixel sums exact."""
+    from mpi_word_count_spark.operators.multimodal import (
+        sample_frames,
+        video_frame_stats,
+    )
+
+    dib_frames = _frames(n=5, h=8, w=8, seed=3)
+    dib = codecs.encode_avi_dib(dib_frames)
+    imgs = _frames(n=3, h=16, w=16, seed=4)
+    mjpg = codecs.encode_avi_mjpeg([codecs.encode_jpeg_gray(i) for i in imgs], 16, 16)
+    rows = [(1, bytearray(dib)), (2, bytearray(mjpg)), (3, bytearray(b"not a video"))]
+    media = spark.createDataFrame(rows, "media_id long, media binary")
+
+    frames = sample_frames(media, stride=2, fake=False)
+    got = {(r.media_id, r.frame_no): bytes(r.frame) for r in frames.collect()}
+    assert frames.decode_stats["decoded"].value == 2
+    assert frames.decode_stats["skipped"].value == 1
+    # stride 2 over 5 DIB frames -> source frames 0, 2, 4
+    assert len([k for k in got if k[0] == 1]) == 3
+    meta = codecs.parse_avi(dib)
+    np.testing.assert_array_equal(
+        codecs.decode_avi_frame(got[(1, 1)], meta).astype(np.uint8), dib_frames[2]
+    )
+    # MJPG frame payloads pass through the container byte-exactly
+    assert got[(2, 0)] == codecs.encode_jpeg_gray(imgs[0])
+
+    stats = video_frame_stats(media, stride=2)
+    out = {(r.media_id, r.frame_no): r for r in stats.collect()}
+    assert stats.decode_stats["skipped"].value == 1
+    r = out[(1, 2)]  # source frame 4
+    assert (r.height, r.width, r.n_frames) == (8, 8, 5)
+    assert r.px_sum == int(dib_frames[4].astype(np.int64).sum())
+    assert out[(2, 0)].height == 16 and len([k for k in out if k[0] == 2]) == 2
