@@ -1,12 +1,13 @@
 """Pure-python media codecs (no PIL/ffmpeg in this container).
 
 Round-6 closure of the decode stub (VERDICT r5 "what's missing" item
-2), extended in round 7 with baseline JPEG entropy decode — grayscale
-AND interleaved YCbCr color with arbitrary integer sampling (4:4:4,
-4:2:0): the formats below are decodable with stdlib + numpy only, so
+2), extended in round 7 with baseline JPEG entropy decode (grayscale
+AND interleaved YCbCr color, 4:4:4/4:2:0), GIF87a/89a (full LZW +
+interlace), and the RIFF-AVI video container (MJPG + uncompressed-DIB
+frames): the formats below are decodable with stdlib + numpy only, so
 the multimodal decode path is REAL for them — NotImplementedError
 remains only for variants that genuinely need a codec library
-(progressive/arithmetic/non-interleaved JPEG, video containers).
+(progressive/arithmetic/non-interleaved JPEG, MP4/H.264 video).
 
 Decoders return float32 arrays: images as (H, W) grayscale (channel
 mean for color), audio as 1-D PCM samples. `media_dimensions` parses
@@ -52,6 +53,8 @@ def sniff_media(data: bytes) -> str:
         return "wav"
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         return "avi"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return "unknown"
 
 
@@ -88,6 +91,8 @@ def decode_image(data: bytes) -> np.ndarray:
         # pure-python (round 7); progressive/non-interleaved raise
         # NotImplementedError from the inner decoder
         return _as_value_error(_decode_jpeg, data)
+    if kind == "gif":
+        return _as_value_error(_decode_gif, data)
     raise ValueError(f"not a decodable image: {kind}")
 
 
@@ -145,6 +150,9 @@ def media_dimensions(data: bytes) -> tuple[int, int, str]:
             if data[12:16] != b"LIST" or data[20:24] != b"hdrl" or data[24:28] != b"avih":
                 raise ValueError("AVI missing hdrl/avih")
             w, h = struct.unpack("<II", data[64:72])
+            return w, h, kind
+        if kind == "gif":
+            w, h = struct.unpack("<HH", data[6:10])
             return w, h, kind
     except struct.error as exc:
         raise ValueError(f"truncated {kind} header: {exc}") from exc
@@ -1260,3 +1268,196 @@ def encode_avi_dib(frames: list[np.ndarray], fps: int = 10) -> bytes:
         payloads.append(rows.tobytes())
     palette = b"".join(struct.pack("<BBBB", g, g, g, 0) for g in range(256))
     return _avi_container(payloads, width, height, b"\x00" * 4, 8, fps, palette)
+
+
+# --- GIF --------------------------------------------------------------------
+# GIF87a/89a decode implemented from the public GIF89a specification
+# (logical screen descriptor, color tables, image descriptor,
+# interlace passes, and the variable-width LZW coding of Appendix F)
+# in pure python/numpy. The encoder exists for tests (real LZW, clear
+# code up front, 12-bit cap with static-dictionary continuation — a
+# spec-valid stream shape). First image block wins (animations decode
+# their first frame); GCE transparency is ignored (grayscale output).
+
+
+def _gif_color_table(data: bytes, pos: int, packed: int) -> tuple[np.ndarray, int]:
+    n = 2 << (packed & 0x07)
+    table = np.frombuffer(data, dtype=np.uint8, count=3 * n, offset=pos)
+    return table.reshape(n, 3).astype(np.float32), pos + 3 * n
+
+
+def _gif_subblocks(data: bytes, pos: int) -> tuple[bytes, int]:
+    chunks = []
+    while True:
+        if pos >= len(data):
+            raise ValueError("truncated GIF sub-blocks")
+        size = data[pos]
+        pos += 1
+        if size == 0:
+            return b"".join(chunks), pos
+        chunks.append(data[pos : pos + size])
+        if len(chunks[-1]) != size:
+            raise ValueError("truncated GIF sub-block body")
+        pos += size
+
+
+def _lzw_decode(stream: bytes, min_code: int) -> bytes:
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code + 1
+    out: list[bytes] = []
+    prev: bytes | None = None
+    bitpos = 0
+    total_bits = 8 * len(stream)
+    while bitpos + width <= total_bits:
+        byte0 = bitpos >> 3
+        chunk = int.from_bytes(stream[byte0 : byte0 + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = list(base)
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table) and code not in (clear, end):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"bad LZW code {code} (table size {len(table)})")
+        out.append(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return b"".join(out)
+
+
+def _deinterlace(idx: np.ndarray) -> np.ndarray:
+    h = idx.shape[0]
+    order = (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+    out = np.empty_like(idx)
+    out[order] = idx
+    return out
+
+
+def _decode_gif(data: bytes) -> np.ndarray:
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("bad GIF signature")
+    sw, sh = struct.unpack("<HH", data[6:10])
+    packed = data[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        gct, pos = _gif_color_table(data, pos, packed)
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            _, pos = _gif_subblocks(data, pos + 2)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        _left, _top, w, h = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
+        ipacked = data[pos + 9]
+        pos += 10
+        lct = None
+        if ipacked & 0x80:
+            lct, pos = _gif_color_table(data, pos, ipacked)
+        palette = lct if lct is not None else gct
+        if palette is None:
+            raise ValueError("GIF image has no color table")
+        min_code = data[pos]
+        if not 2 <= min_code <= 11:
+            raise ValueError(f"bad LZW min code size {min_code}")
+        stream, pos = _gif_subblocks(data, pos + 1)
+        indices = np.frombuffer(_lzw_decode(stream, min_code), dtype=np.uint8)
+        if len(indices) < w * h:
+            raise ValueError(f"GIF pixel data short: {len(indices)} < {w * h}")
+        idx = indices[: w * h].reshape(h, w)
+        if ipacked & 0x40:
+            idx = _deinterlace(idx)
+        if (idx >= len(palette)).any():
+            raise ValueError("GIF index outside color table")
+        return palette[idx].mean(axis=2)
+    raise ValueError(f"GIF of {sw}x{sh} declared but no image block found")
+
+
+def _lzw_encode(indices: bytes, min_code: int) -> bytes:
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code + 1
+    bits: list[int] = []  # little-endian bit accumulation
+    acc = 0
+    nbits = 0
+    out = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    w = b""
+    for b in indices:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            # encoder runs one entry ahead of the decoder's table, so
+            # its width bump fires at 2^width + 1 — same inter-code gap
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        w = bytes([b])
+    if w:
+        emit(table[w])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(gray: np.ndarray, interlace: bool = False) -> bytes:
+    """Encode (H, W) uint8 grayscale as a GIF89a with a 256-entry gray
+    global color table (index == intensity), real LZW coding."""
+    arr = np.asarray(gray, dtype=np.uint8)
+    h, w = arr.shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)  # 256-entry GCT
+    out += bytes(v for g in range(256) for v in (g, g, g))
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([0x40 if interlace else 0])
+    if interlace:
+        order = (
+            list(range(0, h, 8))
+            + list(range(4, h, 8))
+            + list(range(2, h, 4))
+            + list(range(1, h, 2))
+        )
+        arr = arr[order]
+    out += bytes([8])  # LZW min code size
+    stream = _lzw_encode(arr.tobytes(), 8)
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)

@@ -168,6 +168,105 @@ spark.stop()
 """
 
 
+# video-decode scaling (round-7): the REAL per-item media kernel —
+# parse_avi + pure-python baseline-JPEG decode per frame — is the
+# compute-bound, shuffle-free end of the pipeline spectrum (its 100 TB
+# shape is "N independent Arrow batches, zero exchanges"), so its
+# strong-scaling curve isolates task scheduling + Python worker fanout
+# from shuffle effects. 2,000 MJPG videos x 8 32x32 frames = 16k real
+# JPEG decodes (~3.4 ms each single-threaded).
+VIDEO_N = 2_000
+VIDEO_FRAMES = 8
+VIDEO_SIDE = 32
+
+_VIDEO_PREP = r"""
+import os, sys, tempfile
+sys.path.insert(0, os.getcwd())
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession, types as T
+
+n_videos, n_frames, side = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+path = os.path.join(
+    tempfile.gettempdir(), "spark_graft_scratch", f"video_scale_{n_videos}.parquet"
+)
+if os.path.exists(os.path.join(path, "_SUCCESS")):
+    sys.exit(0)
+spark = (
+    SparkSession.builder.master("local[32]")
+    .appName("scaling-video-prep")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+
+def synth(batches):
+    from mpi_word_count_spark.functions import codecs
+    for pdf in batches:
+        ids, payloads = [], []
+        for vid in pdf["id"]:
+            rng = np.random.default_rng(int(vid))   # per-item seed: deterministic corpus
+            jpegs = [
+                codecs.encode_jpeg_gray(
+                    rng.integers(0, 256, (side, side), dtype=np.uint8)
+                )
+                for _ in range(n_frames)
+            ]
+            ids.append(int(vid))
+            payloads.append(codecs.encode_avi_mjpeg(jpegs, side, side))
+        yield pd.DataFrame({"media_id": ids, "media": payloads})
+
+schema = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("media", T.BinaryType(), True),
+])
+spark.range(n_videos).repartition(64).mapInPandas(synth, schema=schema).write.mode(
+    "overwrite"
+).parquet(path)
+spark.stop()
+"""
+
+
+_VIDEO_WORKER = r"""
+import json, os, sys, tempfile, time
+sys.path.insert(0, os.getcwd())
+from pyspark.sql import SparkSession
+from mpi_word_count_spark.operators.multimodal import video_frame_stats
+
+n = int(sys.argv[1])
+n_videos = int(sys.argv[4])
+
+spark = (
+    SparkSession.builder.master(f"local[{n}]")
+    .appName(f"scaling-video-{n}")
+    .config("spark.sql.shuffle.partitions", str(n))
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.driver.memory", "16g")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+corpus_path = os.path.join(
+    tempfile.gettempdir(), "spark_graft_scratch", f"video_scale_{n_videos}.parquet"
+)
+assert os.path.exists(os.path.join(corpus_path, "_SUCCESS")), "prep did not run"
+
+def corpus():
+    # 64 parquet files: the scan is already n-wide for every n here
+    return spark.read.parquet(corpus_path)
+
+# warm the Python workers + codec import, then best-of-2
+video_frame_stats(corpus().limit(32), stride=1).write.format("noop").mode(
+    "overwrite"
+).save()
+best = float("inf")
+for _ in range(2):
+    t0 = time.monotonic()
+    video_frame_stats(corpus(), stride=1).write.format("noop").mode("overwrite").save()
+    best = min(best, time.monotonic() - t0)
+print(json.dumps({"n": n, "sec": round(best, 3)}))
+spark.stop()
+"""
+
+
 _SEMDEDUP_PREP = r"""
 import os, sys, tempfile
 sys.path.insert(0, os.getcwd())
@@ -286,7 +385,11 @@ spark.stop()
 def run_point(
     n: int, mode: str, sf_dir: str, copies: int, extra: list[str] | None = None
 ) -> float:
-    worker = {"dedup": _DEDUP_WORKER, "semdedup": _SEMDEDUP_WORKER}.get(mode, _WORKER)
+    worker = {
+        "dedup": _DEDUP_WORKER,
+        "semdedup": _SEMDEDUP_WORKER,
+        "video": _VIDEO_WORKER,
+    }.get(mode, _WORKER)
     out = subprocess.run(
         [sys.executable, "-c", worker, str(n), mode, sf_dir, str(copies)]
         + (extra or []),
@@ -348,6 +451,26 @@ def main() -> None:
             "n_clusters": SEMDEDUP_CLUSTERS,
             "strong_sec": sem,
             "strong_speedup": {n: round(t1 / t, 2) for n, t in sem.items()},
+        }
+    elif os.environ.get("SPARK_GRAFT_SCALE_MODE") == "video":
+        subprocess.run(
+            [
+                sys.executable, "-c", _VIDEO_PREP,
+                str(VIDEO_N), str(VIDEO_FRAMES), str(VIDEO_SIDE),
+            ],
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=1800,
+        )
+        vid = {n: run_point(n, "video", sf_dir, VIDEO_N) for n in cores}
+        t1 = vid[cores[0]]
+        result = {
+            "metric": "video_decode_scaling",
+            "n_videos": VIDEO_N,
+            "frames_per_video": VIDEO_FRAMES,
+            "frame_side": VIDEO_SIDE,
+            "strong_sec": vid,
+            "strong_speedup": {n: round(t1 / t, 2) for n, t in vid.items()},
         }
     elif os.environ.get("SPARK_GRAFT_SCALE_MODE") == "dedup_weak":
         # data-axis weak scaling: DISTINCT corpus grows with the

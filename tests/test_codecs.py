@@ -624,3 +624,61 @@ def test_avi_through_spark_video_kernels(spark):
     assert (r.height, r.width, r.n_frames) == (8, 8, 5)
     assert r.px_sum == int(dib_frames[4].astype(np.int64).sum())
     assert out[(2, 0)].height == 16 and len([k for k in out if k[0] == 2]) == 2
+
+
+# --- GIF ---------------------------------------------------------------------
+
+
+def test_gif_roundtrip_lossless():
+    rng = np.random.default_rng(42)
+    for img in [
+        rng.integers(0, 256, (13, 17), dtype=np.uint8),
+        np.full((5, 5), 77, dtype=np.uint8),
+        # large enough to force LZW code-width growth past 9/10/11
+        # bits and multiple 255-byte data sub-blocks
+        rng.integers(0, 256, (100, 120), dtype=np.uint8),
+    ]:
+        data = codecs.encode_gif(img)
+        assert codecs.sniff_media(data) == "gif"
+        assert codecs.media_dimensions(data) == (img.shape[1], img.shape[0], "gif")
+        np.testing.assert_array_equal(
+            codecs.decode_image(data).astype(np.uint8), img
+        )
+
+
+def test_gif_interlaced_roundtrip():
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (23, 11), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        codecs.decode_image(codecs.encode_gif(img, interlace=True)).astype(np.uint8),
+        img,
+    )
+
+
+def test_gif_real_external_encoder_fixture():
+    # the canonical 1x1 transparent GIF (public data-URI boilerplate,
+    # produced by a real encoder) — catches any drift between our LZW
+    # width/clear-code handling and the spec, which a self-round-trip
+    # cannot
+    onepx = bytes.fromhex(
+        "47494638396101000100800000ffffff00000021f904010000"
+        "00002c00000000010001000002024401003b"
+    )
+    out = codecs.decode_image(onepx)
+    assert out.shape == (1, 1) and out[0, 0] == 255.0
+
+
+def test_gif_malformed_raises_value_error():
+    img = np.zeros((4, 4), dtype=np.uint8)
+    data = codecs.encode_gif(img)
+    with pytest.raises(ValueError):
+        codecs.decode_image(data[:20])  # truncated mid color table
+    with pytest.raises(ValueError):
+        codecs.decode_image(b"GIF89a" + b"\x00" * 5)  # no image block
+    # corrupt LZW: out-of-range code
+    bad = bytearray(data)
+    bad[-4] = 0xFF
+    try:
+        codecs.decode_image(bytes(bad))
+    except ValueError:
+        pass  # either decodes (code happened valid) or uniform ValueError
