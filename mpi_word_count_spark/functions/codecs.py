@@ -1461,3 +1461,117 @@ def encode_gif(gray: np.ndarray, interlace: bool = False) -> bytes:
         out += bytes([len(chunk)]) + chunk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+def _decode_gif_frames(data: bytes) -> list[np.ndarray]:
+    """Decode EVERY frame of a GIF87a/89a animation to float32 (H, W)
+    grayscale, compositing per the GIF89a Graphic Control Extension:
+    frames render into the logical-screen canvas at their (left, top)
+    with transparency holes, then dispose by method 0/1 (leave),
+    2 (restore background) or 3 (restore previous). Single-image GIFs
+    return one frame (== _decode_gif)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("bad GIF signature")
+    sw, sh = struct.unpack("<HH", data[6:10])
+    packed, bg_idx = data[10], data[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        gct, pos = _gif_color_table(data, pos, packed)
+    bg = float(gct[bg_idx].mean()) if gct is not None and bg_idx < len(gct) else 0.0
+    canvas = np.full((sh, sw), bg, dtype=np.float32)
+    frames: list[np.ndarray] = []
+    disposal, transparent = 0, -1
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            label = data[pos + 1]
+            body, pos = _gif_subblocks(data, pos + 2)
+            if label == 0xF9 and len(body) >= 4:  # Graphic Control Ext
+                # body = packed, delay_lo, delay_hi, transparent_idx
+                disposal = (body[0] >> 2) & 0x07
+                transparent = body[3] if body[0] & 0x01 else -1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        left, top, w, h = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
+        ipacked = data[pos + 9]
+        pos += 10
+        lct = None
+        if ipacked & 0x80:
+            lct, pos = _gif_color_table(data, pos, ipacked)
+        palette = lct if lct is not None else gct
+        if palette is None:
+            raise ValueError("GIF image has no color table")
+        min_code = data[pos]
+        if not 2 <= min_code <= 11:
+            raise ValueError(f"bad LZW min code size {min_code}")
+        stream, pos = _gif_subblocks(data, pos + 1)
+        indices = np.frombuffer(_lzw_decode(stream, min_code), dtype=np.uint8)
+        if len(indices) < w * h:
+            raise ValueError(f"GIF pixel data short: {len(indices)} < {w * h}")
+        idx = indices[: w * h].reshape(h, w)
+        if ipacked & 0x40:
+            idx = _deinterlace(idx)
+        if (idx >= len(palette)).any():
+            raise ValueError("GIF index outside color table")
+        if left + w > sw or top + h > sh:
+            raise ValueError("GIF image block outside logical screen")
+        before = canvas.copy() if disposal == 3 else None
+        region = canvas[top : top + h, left : left + w]
+        gray = palette[idx].mean(axis=2)
+        mask = idx != transparent if transparent >= 0 else np.ones_like(idx, bool)
+        region[mask] = gray[mask]
+        frames.append(canvas.copy())
+        if disposal == 2:
+            canvas[top : top + h, left : left + w] = bg
+        elif disposal == 3 and before is not None:
+            canvas = before
+        disposal, transparent = 0, -1
+    if not frames:
+        raise ValueError(f"GIF of {sw}x{sh} declared but no image block found")
+    return frames
+
+
+def encode_gif_frames(
+    frames: list[np.ndarray],
+    offsets: list[tuple[int, int]] | None = None,
+    disposals: list[int] | None = None,
+    transparent: int = -1,
+    screen: tuple[int, int] | None = None,
+    background: int = 0,
+) -> bytes:
+    """Encode an animated GIF89a (test encoder): each uint8 frame
+    becomes one image block at its (left, top) offset, preceded by a
+    Graphic Control Extension carrying its disposal method and an
+    optional transparent index. Gray 256-entry global table."""
+    arrs = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not arrs:
+        raise ValueError("need at least one frame")
+    offsets = offsets or [(0, 0)] * len(arrs)
+    disposals = disposals or [0] * len(arrs)
+    if screen is None:
+        sw = max(left + a.shape[1] for a, (left, _) in zip(arrs, offsets))
+        sh = max(top + a.shape[0] for a, (_, top) in zip(arrs, offsets))
+    else:
+        sw, sh = screen
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | 0x07, background, 0)
+    out += bytes(v for g in range(256) for v in (g, g, g))
+    for arr, (left, top), disp in zip(arrs, offsets, disposals):
+        h, w = arr.shape
+        gce_packed = (disp & 0x07) << 2 | (0x01 if transparent >= 0 else 0)
+        out += b"\x21\xf9\x04" + bytes(
+            [gce_packed, 0, 0, transparent if transparent >= 0 else 0]
+        ) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHH", left, top, w, h) + b"\x00"
+        out += bytes([8])
+        stream = _lzw_encode(arr.tobytes(), 8)
+        for i in range(0, len(stream), 255):
+            chunk = stream[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)

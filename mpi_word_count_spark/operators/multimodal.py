@@ -486,13 +486,15 @@ def sample_frames(
 
 def video_frame_stats(media: DataFrame, stride: int = 2) -> DataFrame:
     """REAL video path end-to-end in one Arrow kernel: parse each
-    payload as a RIFF-AVI container, stride-sample its frames, decode
-    each sampled frame (MJPG → baseline JPEG; DIB → raw rows), and
+    payload as a RIFF-AVI container (MJPG → baseline JPEG per frame;
+    DIB → raw rows) or an animated GIF (full LZW + GCE disposal/
+    transparency compositing), stride-sample its frames, decode, and
     emit per-frame pixel statistics. One mapInPandas pass — frames
     are never shipped twice, and per-task memory holds one decoded
-    frame at a time. Undecodable containers are skipped per-item
-    (decoded/skipped accumulators), matching the other fake=False
-    kernels' robustness contract."""
+    frame (plus, for GIF, one compositing canvas) at a time.
+    Undecodable containers are skipped per-item (decoded/skipped
+    accumulators), matching the other fake=False kernels' robustness
+    contract."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -511,12 +513,23 @@ def video_frame_stats(media: DataFrame, stride: int = 2) -> DataFrame:
         for pdf in batches:
             rows: dict[str, list] = {f.name: [] for f in out_schema.fields}
             for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                data = bytes(payload)
                 try:
-                    meta = codecs.parse_avi(bytes(payload))
-                    decoded = [
-                        (no, codecs.decode_avi_frame(f, meta))
-                        for no, f in enumerate(meta["frames"][::stride])
-                    ]
+                    if codecs.sniff_media(data) == "gif":
+                        # GCE compositing needs every frame decoded;
+                        # stride applies after composition
+                        all_frames = codecs._decode_gif_frames(data)
+                        n_frames = len(all_frames)
+                        decoded = list(enumerate(all_frames[::stride]))
+                    else:
+                        # AVI frames are independent payloads: stride
+                        # BEFORE decode — skipped frames cost nothing
+                        meta = codecs.parse_avi(data)
+                        n_frames = len(meta["frames"])
+                        decoded = [
+                            (no, codecs.decode_avi_frame(f, meta))
+                            for no, f in enumerate(meta["frames"][::stride])
+                        ]
                     counters["decoded"] += 1
                 except (ValueError, NotImplementedError):
                     counters["skipped"] += 1
@@ -524,7 +537,7 @@ def video_frame_stats(media: DataFrame, stride: int = 2) -> DataFrame:
                 for no, px in decoded:
                     rows["media_id"].append(mid)
                     rows["frame_no"].append(no)
-                    rows["n_frames"].append(len(meta["frames"]))
+                    rows["n_frames"].append(n_frames)
                     rows["height"].append(px.shape[0])
                     rows["width"].append(px.shape[1])
                     # float64 accumulator; round so integral pixel

@@ -682,3 +682,78 @@ def test_gif_malformed_raises_value_error():
         codecs.decode_image(bytes(bad))
     except ValueError:
         pass  # either decodes (code happened valid) or uniform ValueError
+
+
+def test_gif_animation_compositing():
+    rng = np.random.default_rng(3)
+    # full-frame animation round-trips losslessly
+    frames = [rng.integers(0, 256, (9, 13), dtype=np.uint8) for _ in range(4)]
+    out = codecs._decode_gif_frames(codecs.encode_gif_frames(frames))
+    assert len(out) == 4
+    for d, s in zip(out, frames):
+        np.testing.assert_array_equal(d.astype(np.uint8), s)
+    # single-image decoder returns the first frame of an animation
+    np.testing.assert_array_equal(
+        codecs.decode_image(codecs.encode_gif_frames(frames)).astype(np.uint8),
+        frames[0],
+    )
+
+    base = np.full((10, 10), 100, dtype=np.uint8)
+    # partial frame over retained base (disposal 0 leaves canvas)
+    patch = np.full((4, 4), 200, dtype=np.uint8)
+    f = codecs._decode_gif_frames(
+        codecs.encode_gif_frames(
+            [base, patch], offsets=[(0, 0), (3, 3)], screen=(10, 10)
+        )
+    )
+    assert f[1][4, 4] == 200 and f[1][0, 0] == 100
+    # transparency punches through to the composited canvas
+    hole = np.full((4, 4), 50, dtype=np.uint8)
+    hole[0, 0] = 42
+    f = codecs._decode_gif_frames(
+        codecs.encode_gif_frames(
+            [base, hole], offsets=[(0, 0), (2, 2)], transparent=42, screen=(10, 10)
+        )
+    )
+    assert f[1][2, 2] == 100 and f[1][2, 3] == 50
+    # disposal 3 restores the pre-frame canvas
+    p1 = np.full((3, 3), 200, dtype=np.uint8)
+    p2 = np.full((3, 3), 30, dtype=np.uint8)
+    f = codecs._decode_gif_frames(
+        codecs.encode_gif_frames(
+            [base, p1, p2],
+            offsets=[(0, 0), (1, 1), (5, 5)],
+            disposals=[0, 3, 0],
+            screen=(10, 10),
+        )
+    )
+    assert f[1][1, 1] == 200 and f[2][1, 1] == 100 and f[2][5, 5] == 30
+    # disposal 2 restores background in the frame's rect
+    f = codecs._decode_gif_frames(
+        codecs.encode_gif_frames(
+            [base, p1, p2],
+            offsets=[(0, 0), (1, 1), (5, 5)],
+            disposals=[0, 2, 0],
+            screen=(10, 10),
+            background=9,
+        )
+    )
+    assert f[2][1, 1] == 9  # p1's rect reset to background
+
+
+def test_gif_animation_through_video_frame_stats(spark):
+    from mpi_word_count_spark.operators.multimodal import video_frame_stats
+
+    rng = np.random.default_rng(8)
+    frames = [rng.integers(0, 256, (8, 8), dtype=np.uint8) for _ in range(5)]
+    gif = codecs.encode_gif_frames(frames)
+    avi = codecs.encode_avi_dib(frames)
+    media = spark.createDataFrame(
+        [(1, bytearray(gif)), (2, bytearray(avi))], "media_id long, media binary"
+    )
+    out = {(r.media_id, r.frame_no): r for r in video_frame_stats(media, stride=2).collect()}
+    # both containers yield identical per-frame stats for the same frames
+    for no, src_idx in enumerate(range(0, 5, 2)):
+        want = int(frames[src_idx].astype(np.int64).sum())
+        assert out[(1, no)].px_sum == want == out[(2, no)].px_sum
+        assert out[(1, no)].n_frames == 5
