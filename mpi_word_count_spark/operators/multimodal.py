@@ -97,10 +97,18 @@ def decode_media(data: bytes, mime: str, fake: bool = False) -> np.ndarray:
         return codecs.decode_audio(data)
     if kind in ("png", "bmp", "pgm", "ppm", "jpeg", "gif"):
         return codecs.decode_image(data)
+    if kind == "avi":
+        # single-array contract: a video decodes to its first frame
+        # (same convention as animated GIF above), so perceptual-hash
+        # near-dup detection covers video payloads; per-frame work
+        # goes through sample_frames / video_frame_stats
+        meta = codecs.parse_avi(data)
+        if not meta["frames"]:
+            raise ValueError("AVI has no video frames")
+        return codecs.decode_avi_frame(meta["frames"][0], meta)
     raise NotImplementedError(
         f"no pure-python decoder for payload kind {kind!r} "
-        "(RIFF-AVI video goes through sample_frames/video_frame_stats; "
-        "MP4/H.264 decode requires ffmpeg, absent here)"
+        "(MP4/H.264 decode requires ffmpeg, absent here)"
     )
 
 

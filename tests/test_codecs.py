@@ -757,3 +757,17 @@ def test_gif_animation_through_video_frame_stats(spark):
         want = int(frames[src_idx].astype(np.int64).sum())
         assert out[(1, no)].px_sum == want == out[(2, no)].px_sum
         assert out[(1, no)].n_frames == 5
+
+
+def test_decode_media_video_first_frame():
+    frames = _frames(n=3, h=8, w=8, seed=2)
+    avi = codecs.encode_avi_dib(frames)
+    np.testing.assert_array_equal(
+        decode_media(bytes(avi), "video/avi").astype(np.uint8), frames[0]
+    )
+    gif = codecs.encode_gif_frames(frames)
+    np.testing.assert_array_equal(
+        decode_media(bytes(gif), "image/gif").astype(np.uint8), frames[0]
+    )
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x00\x00\x01\xba mpeg-ish", "video/mpeg")
