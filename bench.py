@@ -107,10 +107,12 @@ HEADLINE = [
     "margin_knn_alignment",
     "packing_efficiency_audit",
     # round-7 additions: the Gopher rule battery (one wide codegen
-    # projection pass) and the REAL video path (AVI synth + container
-    # parse + per-frame decode, the heaviest per-item kernel)
+    # projection pass) and the REAL media paths (video: AVI synth +
+    # container parse + per-frame decode, the heaviest per-item
+    # kernel; audio: WAV round-trip + windowed zero-cross/energy)
     "gopher_quality_flags",
     "video_frame_stats",
+    "audio_window_stats",
 ]
 
 

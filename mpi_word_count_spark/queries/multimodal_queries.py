@@ -384,3 +384,112 @@ def q_media_dimensions_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ),
     )
+
+
+# --- REAL audio path: PCM WAV end to end ------------------------------------
+
+AUDIO_WINDOW = 256  # samples per analysis window
+
+_AUDIO_ORACLE = f"""
+    WITH snd AS (
+        SELECT doc_id, text,
+               CAST(length(text) // {AUDIO_WINDOW} AS INT) AS n_windows
+        FROM documents
+        WHERE length(text) >= {AUDIO_WINDOW}
+    ),
+    chars AS (
+        SELECT doc_id AS media_id, n_windows,
+               CAST(k.k // {AUDIO_WINDOW} AS INT) AS window_no,
+               k.k % {AUDIO_WINDOW} AS i,
+               CAST(TRUNC((ascii(substring(text, CAST(k.k AS INT) + 1, 1)) - 96)
+                          * 32767.0 / 128) AS BIGINT) AS v
+        FROM snd, LATERAL (
+            SELECT unnest(range(0, n_windows * {AUDIO_WINDOW})) AS k
+        ) AS k
+    ),
+    stats AS (
+        SELECT media_id, window_no, max(n_windows) AS n_windows,
+               CAST(sum(v * v) AS BIGINT) AS energy,
+               CAST(max(abs(v)) AS BIGINT) AS peak
+        FROM chars GROUP BY 1, 2
+    ),
+    crossings AS (
+        SELECT a.media_id, a.window_no,
+               CAST(count(*) FILTER (WHERE a.v * b.v < 0) AS BIGINT)
+                   AS zero_crossings
+        FROM chars a
+        JOIN chars b ON b.media_id = a.media_id
+                    AND b.window_no = a.window_no AND b.i = a.i + 1
+        GROUP BY 1, 2
+    )
+    SELECT s.media_id, s.window_no, s.n_windows,
+           c.zero_crossings, s.energy, s.peak
+    FROM stats s JOIN crossings c USING (media_id, window_no)
+"""
+
+
+@register("audio_window_stats", oracle=_AUDIO_ORACLE)
+def q_audio_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio path, driver-checkable (the audio twin of
+    video_frame_stats): each document's text bytes become a mono PCM
+    signal ((byte-96)/128 — centered inside the printable-ASCII band
+    so the waveform is genuinely bipolar and zero-crossings count the
+    punctuation/lowercase alternation), pass through the REAL WAV
+    encoder AND
+    decoder (functions/codecs.encode_wav / decode_audio — 16-bit
+    round-trip is exact), then windowed analysis emits per-window
+    zero-crossing counts, energy and peak — all integer-exact, so the
+    DuckDB oracle reproduces them from TRUNC((ascii-96)*32767/128)
+    arithmetic (pure-ASCII corpus; the formula is the verified exact
+    image of the float32 encode path). Incomplete tail windows are
+    dropped on both sides. One Arrow kernel pass, zero shuffles —
+    the same embarrassingly-parallel 100 TB shape as the video path."""
+    from pyspark.sql import types as T
+
+    docs = table(spark, "documents", sf_dir)
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from mpi_word_count_spark.functions import codecs
+
+        for pdf in batches:
+            rows = {
+                "media_id": [], "window_no": [], "n_windows": [],
+                "zero_crossings": [], "energy": [], "peak": [],
+            }
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                n_windows = len(raw) // AUDIO_WINDOW
+                if n_windows == 0:
+                    continue
+                x = (raw.astype(np.float32) - 96.0) / 128.0
+                samples = codecs.decode_audio(codecs.encode_wav(x))
+                pcm = np.round(samples * 32768.0).astype(np.int64)
+                pcm = pcm[: n_windows * AUDIO_WINDOW].reshape(
+                    n_windows, AUDIO_WINDOW
+                )
+                crossings = (pcm[:, :-1] * pcm[:, 1:] < 0).sum(axis=1)
+                for w in range(n_windows):
+                    rows["media_id"].append(did)
+                    rows["window_no"].append(w)
+                    rows["n_windows"].append(n_windows)
+                    rows["zero_crossings"].append(int(crossings[w]))
+                    rows["energy"].append(int((pcm[w] * pcm[w]).sum()))
+                    rows["peak"].append(int(np.abs(pcm[w]).max()))
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        kernel,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("window_no", T.IntegerType(), False),
+                T.StructField("n_windows", T.IntegerType(), False),
+                T.StructField("zero_crossings", T.LongType(), False),
+                T.StructField("energy", T.LongType(), False),
+                T.StructField("peak", T.LongType(), False),
+            ]
+        ),
+    )
