@@ -55,6 +55,8 @@ def sniff_media(data: bytes) -> str:
         return "avi"
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        return "mp4"
     return "unknown"
 
 
@@ -154,6 +156,8 @@ def media_dimensions(data: bytes) -> tuple[int, int, str]:
         if kind == "gif":
             w, h = struct.unpack("<HH", data[6:10])
             return w, h, kind
+        if kind == "mp4":
+            return _mp4_dimensions(data) + (kind,)
     except struct.error as exc:
         raise ValueError(f"truncated {kind} header: {exc}") from exc
     raise ValueError(f"no dimension parser for: {kind}")
@@ -1575,3 +1579,90 @@ def encode_gif_frames(
         out += b"\x00"
     out += b"\x3b"
     return bytes(out)
+
+
+# --- MP4 (ISO-BMFF) metadata ------------------------------------------------
+# H.264/H.265 payloads genuinely need a codec library, but the ISO
+# base-media container (public ISO/IEC 14496-12) is pure structure:
+# length-prefixed boxes. media_dimensions walks ftyp → moov → trak →
+# tkhd and reads the 16.16 fixed-point presentation size, so metadata
+# profiling covers MP4 even though frame decode stays env-bound —
+# the same contract JPEG had before its decoder landed.
+
+
+def _mp4_boxes(data: bytes, pos: int, end: int):
+    """Yield (fourcc, body_start, body_end) for ISO-BMFF boxes in
+    data[pos:end], handling 64-bit largesize."""
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        fourcc = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize follows the fourcc
+            if body + 8 > end:
+                raise ValueError("truncated MP4 largesize")
+            (size,) = struct.unpack(">Q", data[body : body + 8])
+            body += 8
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError(f"bad MP4 box {fourcc!r}: size {size}")
+        yield fourcc, body, pos + size
+        pos += size
+
+
+def _mp4_dimensions(data: bytes) -> tuple[int, int]:
+    """(width, height) from the first video trak's tkhd box (16.16
+    fixed point, integer part). Raises ValueError when no trak
+    carries a nonzero presentation size."""
+
+    def walk(pos: int, end: int, path: tuple[bytes, ...]):
+        for fourcc, body, box_end in _mp4_boxes(data, pos, end):
+            if fourcc in (b"moov", b"trak"):
+                found = walk(body, box_end, path + (fourcc,))
+                if found:
+                    return found
+            elif fourcc == b"tkhd" and path[-1:] == (b"trak",):
+                version = data[body]
+                # 4B version/flags; v0: times 4+4, track 4, reserved 4,
+                # duration 4 (=20B); v1: 64-bit times/duration (=32B);
+                # then 8B reserved + layer/altgroup/volume/reserved
+                # (2x4=8B) + 36B matrix → width/height (16.16 fixed)
+                off = body + 4 + (20 if version == 0 else 32) + 8 + 8 + 36
+                if off + 8 > box_end:
+                    raise ValueError("truncated tkhd")
+                w, h = struct.unpack(">II", data[off : off + 8])
+                if w and h:
+                    return (w >> 16, h >> 16)
+        return None
+
+    found = walk(0, len(data), ())
+    if not found:
+        raise ValueError("MP4 has no video trak with a presentation size")
+    return found
+
+
+def encode_mp4_stub(width: int, height: int, duration_s: int = 1) -> bytes:
+    """Minimal spec-shaped ISO-BMFF for tests: ftyp + moov(mvhd,
+    trak(tkhd v0 with 16.16 size)). No media data — dimension/metadata
+    parsing is the only supported operation on MP4."""
+
+    def box(fourcc: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + fourcc + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + struct.pack(">IIII", 0, 0, 1000, duration_s * 1000)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0) + b"\x00" * 8
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x07" + struct.pack(">IIIII", 0, 0, 1, 0, duration_s * 1000)
+        + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    return ftyp + moov

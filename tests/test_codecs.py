@@ -771,3 +771,19 @@ def test_decode_media_video_first_frame():
     )
     with pytest.raises(NotImplementedError):
         decode_media(b"\x00\x00\x01\xba mpeg-ish", "video/mpeg")
+
+
+# --- MP4 (ISO-BMFF) metadata -------------------------------------------------
+
+
+def test_mp4_dimensions_and_env_bound_decode():
+    mp4 = codecs.encode_mp4_stub(640, 360, duration_s=5)
+    assert codecs.sniff_media(mp4) == "mp4"
+    assert codecs.media_dimensions(mp4) == (640, 360, "mp4")
+    with pytest.raises(ValueError):
+        codecs.media_dimensions(mp4[:40])  # truncated moov
+    with pytest.raises(ValueError):
+        codecs.media_dimensions(mp4[:28])  # ftyp only, no trak
+    # frame decode genuinely needs a codec library — env-bound contract
+    with pytest.raises(NotImplementedError):
+        decode_media(mp4, "video/mp4")
