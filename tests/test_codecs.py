@@ -787,3 +787,83 @@ def test_mp4_dimensions_and_env_bound_decode():
     # frame decode genuinely needs a codec library — env-bound contract
     with pytest.raises(NotImplementedError):
         decode_media(mp4, "video/mp4")
+
+
+def test_gif_lzw_dictionary_cap():
+    """Force the 12-bit (4096-entry) LZW dictionary cap: a 256x256
+    random image emits ~65k symbols, filling the dictionary several
+    times over, so the static-dictionary continuation (encoder and
+    decoder both stop adding at 4096) must stay in lockstep."""
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (256, 256), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        codecs.decode_image(codecs.encode_gif(img)).astype(np.uint8), img
+    )
+    # run-heavy input drives deep dictionary chains instead of breadth
+    runs = np.repeat(np.arange(256, dtype=np.uint8), 300).reshape(256, 300)
+    np.testing.assert_array_equal(
+        codecs.decode_image(codecs.encode_gif(runs)).astype(np.uint8), runs
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(img=_uint8_images(), data=st.data())
+def test_gif_roundtrip_property(img, data):
+    interlace = data.draw(st.booleans())
+    out = codecs.decode_image(codecs.encode_gif(img, interlace=interlace))
+    np.testing.assert_array_equal(out.astype(np.uint8), img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(0, 255), min_size=1, max_size=2000).map(bytes),
+)
+def test_gif_lzw_codec_property(stream):
+    """The variable-width LZW pair round-trips ARBITRARY byte streams
+    (this is the state machine where an off-by-one in the width-bump
+    timing silently corrupts everything downstream)."""
+    assert codecs._lzw_decode(codecs._lzw_encode(stream, 8), 8) == stream
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.data())
+def test_avi_dib_roundtrip_property(data):
+    h = data.draw(st.integers(1, 10))
+    w = data.draw(st.integers(1, 10))  # odd widths exercise row padding
+    n = data.draw(st.integers(1, 5))
+    flat = data.draw(
+        st.lists(st.integers(0, 255), min_size=n * h * w, max_size=n * h * w)
+    )
+    frames = [
+        np.array(flat[i * h * w : (i + 1) * h * w], dtype=np.uint8).reshape(h, w)
+        for i in range(n)
+    ]
+    dec = codecs.decode_video(codecs.encode_avi_dib(frames))
+    assert len(dec) == n
+    for d, s in zip(dec, frames):
+        np.testing.assert_array_equal(d.astype(np.uint8), s)
+
+
+@settings(max_examples=30, deadline=None)
+@given(img=_uint8_images(max_h=10, max_w=10), data=st.data())
+def test_gif_animation_roundtrip_property(data, img):
+    """Full-frame animations round-trip losslessly for arbitrary
+    frame stacks (disposal 0, no transparency)."""
+    n = data.draw(st.integers(1, 4))
+    rng_vals = data.draw(
+        st.lists(
+            st.integers(0, 255),
+            min_size=(n - 1) * img.size,
+            max_size=(n - 1) * img.size,
+        )
+    )
+    frames = [img] + [
+        np.array(
+            rng_vals[i * img.size : (i + 1) * img.size], dtype=np.uint8
+        ).reshape(img.shape)
+        for i in range(n - 1)
+    ]
+    out = codecs._decode_gif_frames(codecs.encode_gif_frames(frames))
+    assert len(out) == n
+    for d, s in zip(out, frames):
+        np.testing.assert_array_equal(d.astype(np.uint8), s)
