@@ -57,6 +57,8 @@ def sniff_media(data: bytes) -> str:
         return "gif"
     if len(data) >= 12 and data[4:8] == b"ftyp":
         return "mp4"
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     return "unknown"
 
 
@@ -95,6 +97,8 @@ def decode_image(data: bytes) -> np.ndarray:
         return _as_value_error(_decode_jpeg, data)
     if kind == "gif":
         return _as_value_error(_decode_gif, data)
+    if kind == "tiff":
+        return _as_value_error(_decode_tiff, data)
     raise ValueError(f"not a decodable image: {kind}")
 
 
@@ -158,6 +162,8 @@ def media_dimensions(data: bytes) -> tuple[int, int, str]:
             return w, h, kind
         if kind == "mp4":
             return _mp4_dimensions(data) + (kind,)
+        if kind == "tiff":
+            return _tiff_dimensions(data) + (kind,)
     except struct.error as exc:
         raise ValueError(f"truncated {kind} header: {exc}") from exc
     raise ValueError(f"no dimension parser for: {kind}")
@@ -1666,3 +1672,103 @@ def encode_mp4_stub(width: int, height: int, duration_s: int = 1) -> bytes:
     )
     moov = box(b"moov", mvhd + box(b"trak", tkhd))
     return ftyp + moov
+
+
+# --- TIFF -------------------------------------------------------------------
+# Baseline TIFF 6.0 (public Adobe spec): header + IFD entry walk,
+# uncompressed strips, 8-bit grayscale or RGB, either byte order.
+# LZW/JPEG-compressed TIFF variants raise NotImplementedError.
+
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4}  # BYTE ASCII SHORT LONG
+
+
+def _tiff_ifd(data: bytes, bo: str) -> dict[int, list[int]]:
+    (ifd_off,) = struct.unpack(bo + "I", data[4:8])
+    if ifd_off + 2 > len(data):
+        raise ValueError("truncated TIFF: IFD offset past end")
+    (n_entries,) = struct.unpack(bo + "H", data[ifd_off : ifd_off + 2])
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        e = ifd_off + 2 + 12 * i
+        if e + 12 > len(data):
+            raise ValueError("truncated TIFF IFD entry")
+        tag, typ = struct.unpack(bo + "HH", data[e : e + 4])
+        (count,) = struct.unpack(bo + "I", data[e + 4 : e + 8])
+        size = _TIFF_TYPE_SIZE.get(typ)
+        if size is None:
+            continue  # RATIONAL etc. — not needed for the tags we read
+        total = size * count
+        off = e + 8 if total <= 4 else struct.unpack(bo + "I", data[e + 8 : e + 12])[0]
+        if off + total > len(data):
+            raise ValueError(f"truncated TIFF tag {tag} data")
+        fmt = {1: "B", 2: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(struct.unpack(bo + fmt * count, data[off : off + total]))
+    return tags
+
+
+def _decode_tiff(data: bytes) -> np.ndarray:
+    if data[:4] == b"II*\x00":
+        bo = "<"
+    elif data[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("bad TIFF signature")
+    tags = _tiff_ifd(data, bo)
+    try:
+        width = tags[256][0]
+        height = tags[257][0]
+        strip_offs = tags[273]
+        strip_counts = tags[279]
+    except KeyError as exc:
+        raise ValueError(f"TIFF missing required tag: {exc}") from exc
+    compression = tags.get(259, [1])[0]
+    if compression != 1:
+        raise NotImplementedError(f"TIFF compression {compression}")
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [8])[0]
+    if bits != 8 or spp not in (1, 3):
+        raise NotImplementedError(f"TIFF {bits}-bit x{spp} samples")
+    raw = b"".join(
+        data[o : o + c] for o, c in zip(strip_offs, strip_counts)
+    )
+    if len(raw) < width * height * spp:
+        raise ValueError(
+            f"TIFF strip data short: {len(raw)} < {width * height * spp}"
+        )
+    px = np.frombuffer(raw, dtype=np.uint8, count=width * height * spp)
+    if spp == 3:
+        return px.reshape(height, width, 3).astype(np.float32).mean(axis=2)
+    return px.reshape(height, width).astype(np.float32)
+
+
+def _tiff_dimensions(data: bytes) -> tuple[int, int]:
+    bo = "<" if data[:4] == b"II*\x00" else ">"
+    tags = _tiff_ifd(data, bo)
+    if 256 not in tags or 257 not in tags:
+        raise ValueError("TIFF missing dimension tags")
+    return tags[256][0], tags[257][0]
+
+
+def encode_tiff(gray: np.ndarray) -> bytes:
+    """Encode (H, W) uint8 grayscale as a single-strip little-endian
+    uncompressed TIFF 6.0."""
+    arr = np.asarray(gray, dtype=np.uint8)
+    h, w = arr.shape
+    pixel_off = 8 + 2 + 8 * 12 + 4  # header + IFD (8 entries) + next ptr
+    entries = [
+        (256, 4, 1, w),            # ImageWidth
+        (257, 4, 1, h),            # ImageLength
+        (258, 3, 1, 8),            # BitsPerSample
+        (259, 3, 1, 1),            # Compression: none
+        (262, 3, 1, 1),            # Photometric: BlackIsZero
+        (273, 4, 1, pixel_off),    # StripOffsets
+        (278, 4, 1, h),            # RowsPerStrip
+        (279, 4, 1, h * w),        # StripByteCounts
+    ]
+    out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    out += struct.pack("<H", len(entries))
+    for tag, typ, count, value in entries:
+        out += struct.pack("<HHII", tag, typ, count, value)
+    out += struct.pack("<I", 0)  # no next IFD
+    out += arr.tobytes()
+    return bytes(out)

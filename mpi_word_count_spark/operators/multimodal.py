@@ -95,7 +95,7 @@ def decode_media(data: bytes, mime: str, fake: bool = False) -> np.ndarray:
     kind = codecs.sniff_media(data)
     if kind == "wav":
         return codecs.decode_audio(data)
-    if kind in ("png", "bmp", "pgm", "ppm", "jpeg", "gif"):
+    if kind in ("png", "bmp", "pgm", "ppm", "jpeg", "gif", "tiff"):
         return codecs.decode_image(data)
     if kind == "avi":
         # single-array contract: a video decodes to its first frame

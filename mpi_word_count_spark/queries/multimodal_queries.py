@@ -320,10 +320,10 @@ def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DIMS_ORACLE = """
     SELECT doc_id AS media_id,
-           CASE CAST(doc_id % 6 AS INT)
+           CASE CAST(doc_id % 7 AS INT)
                WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' WHEN 2 THEN 'gif'
-               WHEN 3 THEN 'jpeg' WHEN 4 THEN 'avi' ELSE 'mp4'
-               END AS kind,
+               WHEN 3 THEN 'jpeg' WHEN 4 THEN 'avi' WHEN 5 THEN 'mp4'
+               ELSE 'tiff' END AS kind,
            CAST(1 + length(text) % 31 AS INT) AS width,
            CAST(1 + length(text) % 17 AS INT) AS height
     FROM documents
@@ -334,8 +334,8 @@ _DIMS_ORACLE = """
 def q_media_dimensions_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL metadata extraction, driver-checkable across every codec:
     each document synthesizes a REAL image/video payload (format by
-    doc_id mod 6: PNG, BMP, GIF, baseline JPEG, RIFF-AVI, ISO-BMFF
-    MP4 — the last has NO decoder, proving metadata profiling works
+    doc_id mod 7: PNG, BMP, GIF, baseline JPEG, RIFF-AVI, ISO-BMFF
+    MP4, TIFF — MP4 has NO decoder, proving metadata profiling works
     where frame decode is env-bound) whose
     dimensions derive from the text length, then parses the dims back
     with codecs.media_dimensions — the header-scan path a 100 TB crawl
@@ -361,13 +361,14 @@ def q_media_dimensions_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a: codecs.encode_jpeg_gray(a),
             lambda a: codecs.encode_avi_dib([a]),
             lambda a: codecs.encode_mp4_stub(a.shape[1], a.shape[0]),
+            lambda a: codecs.encode_tiff(a),
         ]
         for pdf in batches:
             ids, kinds, ws, hs = [], [], [], []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 n = len(text.encode("utf-8"))
                 w, h = 1 + n % 31, 1 + n % 17
-                payload = encoders[int(did) % 6](np.zeros((h, w), dtype=np.uint8))
+                payload = encoders[int(did) % 7](np.zeros((h, w), dtype=np.uint8))
                 pw, ph, kind = codecs.media_dimensions(payload)
                 ids.append(did)
                 kinds.append(kind)

@@ -867,3 +867,35 @@ def test_gif_animation_roundtrip_property(data, img):
     assert len(out) == n
     for d, s in zip(out, frames):
         np.testing.assert_array_equal(d.astype(np.uint8), s)
+
+
+# --- TIFF ---------------------------------------------------------------------
+
+
+def test_tiff_roundtrip_and_dimensions():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (11, 19), dtype=np.uint8)
+    t = codecs.encode_tiff(img)
+    assert codecs.sniff_media(t) == "tiff"
+    assert codecs.media_dimensions(t) == (19, 11, "tiff")
+    np.testing.assert_array_equal(codecs.decode_image(t).astype(np.uint8), img)
+    with pytest.raises(ValueError):
+        codecs.decode_image(t[:30])  # truncated IFD
+    with pytest.raises(ValueError):
+        codecs.decode_image(b"MM\x00*" + b"\x00\x00\x01\x00")  # bad IFD offset
+    # compressed variants are env-bound, not ValueError
+    lzw = bytearray(t)
+    # compression tag (259) value lives at a fixed offset in our
+    # single-strip layout: find the entry and patch its value to 5
+    idx = lzw.find((259).to_bytes(2, "little"), 8)
+    lzw[idx + 8] = 5
+    with pytest.raises(NotImplementedError):
+        codecs.decode_image(bytes(lzw))
+
+
+@settings(max_examples=40, deadline=None)
+@given(img=_uint8_images())
+def test_tiff_roundtrip_property(img):
+    np.testing.assert_array_equal(
+        codecs.decode_image(codecs.encode_tiff(img)).astype(np.uint8), img
+    )
