@@ -177,6 +177,21 @@ def main() -> None:
             # signatures) so executor memory pressure from one query
             # can't tax the next — regressions must be attributable
             operators.release_caches()
+        # spread guard (round-7): a >2x best-to-worst spread on a
+        # non-trivial query means a noisy-neighbor burst landed inside
+        # the window (r7 example: ann_lsh best-of-3 {2.65, 2.24, 4.83}
+        # at mid-bench load1 5.5 read as a 47% "regression" on
+        # unchanged code). Two extra runs recover the steady-state
+        # minimum instead of recording the noise as the official time.
+        extra = 0
+        while (
+            extra < 2 and min(runs) > 0.5 and max(runs) / min(runs) > 2.0
+        ):
+            start = time.monotonic()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.monotonic() - start, 3))
+            operators.release_caches()
+            extra += 1
         timings[name] = min(runs)
         runs_meta[name] = {
             "runs": runs,
