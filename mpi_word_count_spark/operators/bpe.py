@@ -154,3 +154,125 @@ def encode_col(col: Column | str, merge_table: list[tuple[str, str, str, int]]) 
     for left, right, merged, _ in merge_table:
         syms = apply_merge_col(syms, left, right, merged)
     return syms
+
+
+# --- unigram-LM segmentation (the SentencePiece-style counterpart) ---------
+# BPE above is the merge-based tokenizer family; the OTHER major
+# subword algorithm is the unigram language model (Kudo 2018,
+# sentencepiece): score candidate pieces by corpus frequency and
+# segment each word into the maximum-likelihood piece sequence via
+# dynamic programming. To keep the DP cross-engine exact (the repo's
+# integer-milli discipline), piece cost is the integer
+# bit-length surrogate of -log2 P(piece):
+#   cost(p) = bitlen(total_freq) - bitlen(freq_p) + 1
+# (bitlen(x) = floor(log2 x) + 1 — DuckDB: length(bin(x))). The DP
+# minimizes (total_cost, n_pieces) lexicographically; both components
+# are additive, and cost strictly dominates, so prefix-optimal
+# substitution holds and the DP equals the global path minimum the
+# enumeration oracle computes.
+
+UNIGRAM_K_MULTI = 32
+UNIGRAM_MAX_PIECE = 4
+
+
+def piece_freqs(freqs: DataFrame, max_piece: int = UNIGRAM_MAX_PIECE) -> DataFrame:
+    """Candidate-piece frequency table: every substring of length
+    1..max_piece of every word type, weighted by the word's corpus
+    frequency. JVM-side substring explosion (no UDF); output is
+    word-type-bounded (~30 pieces/type), one piece-keyed shuffle."""
+    lens = F.sequence(F.lit(1), F.least(F.lit(max_piece), F.length("word")))
+    subs = F.flatten(
+        F.transform(
+            lens,
+            lambda l: F.transform(
+                F.sequence(F.lit(1), F.length("word") - l + 1),
+                lambda s: F.col("word").substr(s, l),
+            ),
+        )
+    )
+    return (
+        freqs.select(F.explode(subs).alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("pfreq"))
+    )
+
+
+def unigram_vocab(
+    freqs: DataFrame,
+    k_multi: int = UNIGRAM_K_MULTI,
+    max_piece: int = UNIGRAM_MAX_PIECE,
+) -> dict[str, int]:
+    """piece -> integer cost. ALL single characters are kept (every
+    word stays segmentable); the top k_multi multi-char pieces join
+    them by (freq DESC, piece ASC) — binary-collation tie-break, same
+    as the oracle's ORDER BY. Bounded collects (≤ alphabet + k_multi
+    rows), the same model-sized driver pull as top_vocab above."""
+    pf = piece_freqs(freqs, max_piece).cache()
+    singles = pf.filter(F.length("piece") == 1).collect()
+    multi = (
+        pf.filter(F.length("piece") >= 2)
+        .orderBy(F.desc("pfreq"), F.asc("piece"))
+        .limit(k_multi)
+        .collect()
+    )
+    pf.unpersist()
+    kept = {r["piece"]: int(r["pfreq"]) for r in [*singles, *multi]}
+    total = sum(kept.values())
+    return {
+        p: total.bit_length() - f.bit_length() + 1 for p, f in kept.items()
+    }
+
+
+def unigram_segment_stats(
+    docs: DataFrame,
+    k_multi: int = UNIGRAM_K_MULTI,
+    max_piece: int = UNIGRAM_MAX_PIECE,
+) -> DataFrame:
+    """Per word type: the unigram-LM segmentation cost and piece
+    count — (word, freq, n_chars, min_cost, min_pieces), all exact
+    integers. Corpus-sized work is ONE word-count shuffle plus one
+    piece-count shuffle; the DP runs in an Arrow kernel over the
+    word-TYPE table (Zipf-bounded at 100 TB) with the model-sized
+    vocab broadcast in the closure."""
+    freqs = word_freqs(docs)
+    vocab = unigram_vocab(freqs, k_multi, max_piece)
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def kernel(batches):
+        for pdf in batches:
+            out = {
+                "word": [], "freq": [], "n_chars": [],
+                "min_cost": [], "min_pieces": [],
+            }
+            for word, freq in zip(pdf["word"], pdf["freq"]):
+                n = len(word)
+                inf = (1 << 60, 1 << 60)
+                dp = [inf] * (n + 1)
+                dp[0] = (0, 0)
+                for i in range(1, n + 1):
+                    for length in range(1, min(max_piece, i) + 1):
+                        c = vocab.get(word[i - length : i])
+                        if c is None or dp[i - length] == inf:
+                            continue
+                        cand = (dp[i - length][0] + c, dp[i - length][1] + 1)
+                        if cand < dp[i]:
+                            dp[i] = cand
+                out["word"].append(word)
+                out["freq"].append(int(freq))
+                out["n_chars"].append(n)
+                out["min_cost"].append(dp[n][0])
+                out["min_pieces"].append(dp[n][1])
+            yield pd.DataFrame(out)
+
+    schema = T.StructType(
+        [
+            T.StructField("word", T.StringType(), False),
+            T.StructField("freq", T.LongType(), False),
+            T.StructField("n_chars", T.IntegerType(), False),
+            T.StructField("min_cost", T.LongType(), False),
+            T.StructField("min_pieces", T.LongType(), False),
+        ]
+    )
+    return freqs.mapInPandas(kernel, schema=schema)

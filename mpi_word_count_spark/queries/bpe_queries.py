@@ -282,3 +282,91 @@ def q_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fertility"),
         )
     )
+
+
+# --- unigram-LM segmentation (sentencepiece counterpart) --------------------
+
+from mpi_word_count_spark.operators.bpe import (  # noqa: E402
+    UNIGRAM_K_MULTI,
+    UNIGRAM_MAX_PIECE,
+    unigram_segment_stats,
+)
+
+_UNIGRAM_ORACLE = f"""
+    WITH RECURSIVE words AS (
+        SELECT w AS word, CAST(count(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(regexp_split_to_array(lower(text),
+                          '{{REGEX}}')) AS w
+            FROM documents
+        ) WHERE regexp_matches(w, '^[a-z0-9]+$')
+        GROUP BY 1
+    ),
+    pieces_all AS (
+        SELECT substr(word, CAST(s.s AS INT), CAST(l.l AS INT)) AS piece,
+               sum(freq) AS pfreq
+        FROM words,
+             (SELECT unnest(range(1, {UNIGRAM_MAX_PIECE} + 1)) AS l) l,
+             LATERAL (SELECT unnest(range(1, length(word) - l.l + 2)) AS s) s
+        GROUP BY 1
+    ),
+    vocab0 AS (
+        SELECT piece, pfreq FROM pieces_all WHERE length(piece) = 1
+        UNION ALL
+        SELECT piece, pfreq FROM (
+            SELECT piece, pfreq FROM pieces_all WHERE length(piece) >= 2
+            ORDER BY pfreq DESC, piece ASC LIMIT {UNIGRAM_K_MULTI}
+        )
+    ),
+    vocab AS (
+        SELECT piece,
+               CAST(length(bin(CAST(t.total AS BIGINT)))
+                  - length(bin(CAST(pfreq AS BIGINT))) + 1 AS BIGINT) AS cost
+        FROM vocab0, (SELECT sum(pfreq) AS total FROM vocab0) t
+    ),
+    edges AS (
+        SELECT w.word, CAST(s.s - 1 AS INT) AS j,
+               CAST(s.s - 1 + l.l AS INT) AS i, v.cost
+        FROM words w,
+             (SELECT unnest(range(1, {UNIGRAM_MAX_PIECE} + 1)) AS l) l,
+             LATERAL (SELECT unnest(range(1, length(w.word) - l.l + 2)) AS s) s,
+             vocab v
+        WHERE substr(w.word, CAST(s.s AS INT), CAST(l.l AS INT)) = v.piece
+    ),
+    paths AS (
+        SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost, 0 AS pieces
+        FROM words
+        UNION ALL
+        SELECT e.word, e.i, p.cost + e.cost, p.pieces + 1
+        FROM paths p JOIN edges e ON e.word = p.word AND e.j = p.pos
+    ),
+    finals AS (
+        SELECT p.word, p.cost, p.pieces
+        FROM paths p WHERE p.pos = length(p.word)
+    ),
+    best AS (SELECT word, min(cost) AS min_cost FROM finals GROUP BY 1)
+    SELECT w.word, w.freq,
+           CAST(length(w.word) AS INT) AS n_chars,
+           b.min_cost,
+           CAST(min(f.pieces) AS BIGINT) AS min_pieces
+    FROM words w
+    JOIN best b USING (word)
+    JOIN finals f ON f.word = w.word AND f.cost = b.min_cost
+    GROUP BY 1, 2, 3, 4
+""".replace("{REGEX}", sql_regex())
+
+
+@register("unigram_segment_stats", oracle=_UNIGRAM_ORACLE)
+def q_unigram_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM subword segmentation (Kudo 2018, the sentencepiece
+    counterpart to BPE above): pieces scored by corpus frequency with
+    an integer bit-length cost (cost = bitlen(total) - bitlen(freq)
+    + 1, the cross-engine-exact surrogate of -log2 P), each word type
+    segmented by a (cost, pieces)-lexicographic DP. The oracle
+    re-derives the vocabulary in SQL and ENUMERATES every
+    segmentation with a recursive CTE — the hash match proves the
+    distributed DP equals the global path minimum. Corpus-sized work
+    is two shuffles (word count, piece count); the DP runs over the
+    Zipf-bounded word-TYPE table with the model-sized vocab broadcast
+    (operators/bpe.py: the same bounded-driver-model pattern as BPE
+    training and the PQ/IVF quantizers)."""
+    return unigram_segment_stats(table(spark, "documents", sf_dir))

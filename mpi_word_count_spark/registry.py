@@ -133,6 +133,7 @@ _PRIORITY = [
     "video_frame_stats",
     "media_dimensions_stats",
     "audio_window_stats",
+    "unigram_segment_stats",
     # --- the 50-row driver budget, round 6 ---------------------------
     # Names can repeat further down (dict insertion keeps the FIRST
     # position), so this head block is exactly the round-6 budget; the

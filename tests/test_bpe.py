@@ -159,3 +159,49 @@ def test_greedy_merge_properties_hypothesis():
         assert n_merges == expected, (s, out)
 
     check()
+
+
+def test_unigram_segmentation_dp(spark):
+    """The unigram DP returns the true global minimum: brute-force
+    enumeration over every segmentation agrees on (min_cost,
+    min_pieces), and frequent multi-char pieces genuinely reduce
+    piece counts below character count."""
+    from itertools import combinations
+
+    from mpi_word_count_spark.operators.bpe import (
+        UNIGRAM_MAX_PIECE,
+        unigram_segment_stats,
+        unigram_vocab,
+        word_freqs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the cat then the that ") for i in range(50)]
+        + [(100, "zq xv ")],
+        "doc_id long, text string",
+    )
+    out = {r["word"]: r for r in unigram_segment_stats(docs).collect()}
+    vocab = unigram_vocab(word_freqs(docs))
+
+    def brute(word):
+        n = len(word)
+        best = None
+        # all segmentations = all subsets of cut positions 1..n-1
+        for k in range(n):
+            for cuts in combinations(range(1, n), k):
+                bounds = [0, *cuts, n]
+                pieces = [word[a:b] for a, b in zip(bounds, bounds[1:])]
+                if any(len(p) > UNIGRAM_MAX_PIECE or p not in vocab for p in pieces):
+                    continue
+                cand = (sum(vocab[p] for p in pieces), len(pieces))
+                best = cand if best is None or cand < best else best
+        return best
+
+    for word in out:
+        cost, pieces = brute(word)
+        assert (out[word]["min_cost"], out[word]["min_pieces"]) == (cost, pieces), word
+    # 'the' is overwhelmingly frequent -> a single piece
+    assert out["the"]["min_pieces"] == 1
+    # rare 'zq' has no multi-char piece support beyond the top-k and
+    # segments into single chars at worst
+    assert out["zq"]["min_pieces"] <= 2
