@@ -114,9 +114,12 @@ def decode_audio(data: bytes) -> np.ndarray:
                 w.getnchannels(),
             )
             raw = w.readframes(n)
-    except (wave.Error, EOFError, struct.error) as exc:
-        # malformed/truncated/compressed RIFF: uniform error type
-        # (the stdlib chunk reader raises EOFError on truncation)
+    except (wave.Error, EOFError, struct.error, RuntimeError, OSError) as exc:
+        # malformed/truncated/compressed RIFF: uniform error type.
+        # The stdlib chunk reader raises EOFError on truncation and —
+        # found by the garbage fuzz — a BARE RuntimeError when a
+        # chunk's declared size puts a seek out of bounds (wave.py
+        # rewinds via chunk.seek), plus OSError on unseekable rewinds.
         raise ValueError(f"undecodable WAV: {exc}") from exc
     if width == 2:
         samples = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0

@@ -899,3 +899,49 @@ def test_tiff_roundtrip_property(img):
     np.testing.assert_array_equal(
         codecs.decode_image(codecs.encode_tiff(img)).astype(np.uint8), img
     )
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_decoders_never_crash_on_garbage(data):
+    """The crawl-robustness contract, fuzzed: ARBITRARY bytes through
+    every decoder either decode (if they happen to be valid) or raise
+    exactly ValueError / NotImplementedError — never any other
+    exception, never a hang. This is what lets the fake=False kernels
+    blanket-catch those two types and skip-count bad payloads."""
+    for fn in (
+        codecs.decode_image,
+        codecs.decode_audio,
+        codecs.parse_avi,
+        codecs.media_dimensions,
+        codecs._decode_gif_frames,
+    ):
+        try:
+            fn(data)
+        except (ValueError, NotImplementedError):
+            pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=0, max_size=300), st.sampled_from(
+    ["png", "gif", "tiff", "avi", "wav", "jpeg", "mp4"]
+))
+def test_decoders_never_crash_on_corrupt_headers(payload, kind):
+    """Same contract with VALID magic bytes glued onto garbage — the
+    adversarial case a format sniffer routes into the real parser."""
+    magic = {
+        "png": codecs.PNG_SIG,
+        "gif": b"GIF89a",
+        "tiff": b"II*\x00",
+        "avi": b"RIFF\xff\x00\x00\x00AVI ",
+        "wav": b"RIFF\xff\x00\x00\x00WAVE",
+        "jpeg": b"\xff\xd8",
+        "mp4": b"\x00\x00\x00\x14ftypisom",
+    }[kind]
+    data = magic + payload
+    for fn in (codecs.decode_image, codecs.decode_audio,
+               codecs.parse_avi, codecs.media_dimensions):
+        try:
+            fn(data)
+        except (ValueError, NotImplementedError):
+            pass
