@@ -113,6 +113,9 @@ HEADLINE = [
     "gopher_quality_flags",
     "video_frame_stats",
     "audio_window_stats",
+    # unigram-LM segmentation: tracks the two-shuffle + bounded-DP
+    # tokenizer-training plan alongside bpe_token_counts
+    "unigram_segment_stats",
 ]
 
 
