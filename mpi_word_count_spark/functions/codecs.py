@@ -1725,7 +1725,7 @@ def _decode_tiff(data: bytes) -> np.ndarray:
     except KeyError as exc:
         raise ValueError(f"TIFF missing required tag: {exc}") from exc
     compression = tags.get(259, [1])[0]
-    if compression != 1:
+    if compression not in (1, 32773):
         raise NotImplementedError(f"TIFF compression {compression}")
     spp = tags.get(277, [1])[0]
     bits = tags.get(258, [8])[0]
@@ -1734,6 +1734,8 @@ def _decode_tiff(data: bytes) -> np.ndarray:
     raw = b"".join(
         data[o : o + c] for o, c in zip(strip_offs, strip_counts)
     )
+    if compression == 32773:  # PackBits (Apple RLE, TIFF 6.0 §9)
+        raw = _packbits_decode(raw)
     if len(raw) < width * height * spp:
         raise ValueError(
             f"TIFF strip data short: {len(raw)} < {width * height * spp}"
@@ -1742,6 +1744,53 @@ def _decode_tiff(data: bytes) -> np.ndarray:
     if spp == 3:
         return px.reshape(height, width, 3).astype(np.float32).mean(axis=2)
     return px.reshape(height, width).astype(np.float32)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    """PackBits RLE (TIFF 6.0 §9): control byte n in [0,127] copies
+    n+1 literal bytes; n in [-127,-1] (two's complement) repeats the
+    next byte 1-n times; -128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i] - 256 if data[i] > 127 else data[i]
+        i += 1
+        if n >= 0:
+            if i + n + 1 > len(data):
+                raise ValueError("truncated PackBits literal run")
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n != -128:
+            if i >= len(data):
+                raise ValueError("truncated PackBits repeat run")
+            out += bytes([data[i]]) * (1 - n)
+            i += 1
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits encoder (tests): greedy runs — repeats of length >= 2
+    become repeat packets, everything else literal packets."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        run = 1
+        while i + run < len(data) and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 2:
+            out += bytes([256 - (run - 1), data[i]])
+            i += run
+            continue
+        j = i + 1
+        while (
+            j < len(data)
+            and j - i < 128
+            and not (j + 1 < len(data) and data[j] == data[j + 1])
+        ):
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out)
 
 
 def _tiff_dimensions(data: bytes) -> tuple[int, int]:

@@ -945,3 +945,36 @@ def test_decoders_never_crash_on_corrupt_headers(payload, kind):
             fn(data)
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_tiff_packbits_strip():
+    """PackBits-compressed (32773) TIFF strips decode: re-compress an
+    uncompressed fixture's strip and patch the compression +
+    byte-count tags."""
+    import struct
+
+    rng = np.random.default_rng(1)
+    img = np.repeat(rng.integers(0, 256, (9, 4), dtype=np.uint8), 5, axis=1)
+    t = bytearray(codecs.encode_tiff(img))
+    pixel_off = 8 + 2 + 8 * 12 + 4
+    comp = codecs._packbits_encode(img.tobytes())
+
+    def patch_tag(buf, tag, value):
+        idx = buf.find(struct.pack("<H", tag), 8)
+        buf[idx + 8 : idx + 12] = struct.pack("<I", value)
+
+    patch_tag(t, 259, 32773)
+    patch_tag(t, 279, len(comp))
+    data = bytes(t[:pixel_off]) + comp
+    np.testing.assert_array_equal(
+        codecs.decode_image(data).astype(np.uint8), img
+    )
+    # truncated compressed strip raises uniformly
+    with pytest.raises(ValueError):
+        codecs.decode_image(data[:-3])
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=600))
+def test_packbits_roundtrip_property(payload):
+    assert codecs._packbits_decode(codecs._packbits_encode(payload)) == payload
