@@ -60,6 +60,71 @@ _LOADED = False
 # whose defects were fixed this round come FIRST; long-green queries take
 # the later slots and rotate back in on subsequent rounds.
 _PRIORITY = [
+    # --- the 50-row driver budget, round 8 ---------------------------
+    # VERDICT r7 item 2: the 5 round-7 queries that have judge-green
+    # but no driver row yet lead; then round-8 additions (unigram EM,
+    # media decode census) and the media queries whose decode paths
+    # changed with this round's codec fixes (ADVICE r7: AVI per-strl
+    # strf, GIF first-frame compositing, top-down DIB; plus LZW TIFF
+    # and MP4 stsd codec ids); backfill = longest-unverified rotation
+    # (every row below last driver-verified in round 2, then the
+    # oldest round-3 rows). never-verified queue stays at 0.
+    # flagship: a fresh row EVERY round, whatever else rotates
+    "wordcount",
+    # round-7 additions, judge-green r7, driver-dark until now
+    "gopher_quality_flags",
+    "video_frame_stats",
+    "media_dimensions_stats",
+    "audio_window_stats",
+    "unigram_segment_stats",
+    # round-8 new queries
+    "unigram_em_vocab",
+    "media_decode_census",
+    # decode-path consumers of this round's codec changes
+    "media_phash",
+    "media_phash_dups",
+    "media_frames",
+    "media_features",
+    # stale rotation: last driver row in round 2 (23 queries)
+    "ann_bruteforce",
+    "ann_lsh",
+    "ann_lsh_multiprobe",
+    "brand_revenue",
+    "churned_customers_9596",
+    "customer_order_counts_outer",
+    "customers_with_urgent_orders",
+    "customers_without_orders",
+    "lineitem_cube",
+    "lineitem_part_price_band",
+    "orders_by_month",
+    "orders_rollup",
+    "orders_status_pivot",
+    "priority_status_sets",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_regional_revenue",
+    "repeat_customers_9596",
+    "running_revenue_per_supplier",
+    "simhash_banded_dups",
+    "simhash_fingerprints",
+    "streaming_wordcount",
+    "top3_orders_per_customer",
+    # stale rotation: last driver row in round 3 (first 15)
+    "ann_ivf",
+    "bigram_counts",
+    "bigram_pmi",
+    "clean_corpus_summary",
+    "customer_order_zscores",
+    "doc_chunks",
+    "doc_fingerprints",
+    "embedding_dups",
+    "exact_dedup",
+    "grouping_sets_revenue",
+    "hash_sample_documents",
+    "lang_id",
+    "order_price_percentiles",
+    "packed_sequences",
+    "q10_returned_items",
     # --- the 50-row driver budget, round 7 ---------------------------
     # The final evidence-debt drain (VERDICT r6 item 1): the flagship +
     # ALL 41 never-driver-verified queries (each already judge-green at

@@ -147,3 +147,25 @@ def test_cli_main_compat_and_bad_path(tmp_path):
     for flags in ([], ["--compat"]):
         with _pytest.raises(EmptyCorpusError):
             main(["--path", str(empty), "--output", out, *flags])
+
+
+def test_bench_stdout_line_contract():
+    """BENCH_r04 and BENCH_r07 were both lost ("parsed": null) because
+    the final stdout line outgrew the driver's 2000-byte tail-capture
+    window. The line now carries only fixed-size fields; the per-query
+    map lives in BENCH_queries.json. Guard the contract at any
+    plausible list size / total magnitude."""
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    for n, total in [(1, 0.001), (69, 84.123), (500, 99999.999)]:
+        line = bench.stdout_line(total, n, 0.1)
+        assert len(line) < 300
+        parsed = json.loads(line)
+        assert parsed["value"] == total
+        assert parsed["n_queries"] == n
+        # nothing list-sized may ride on the stdout line
+        assert parsed["queries"] == {"see": "BENCH_queries.json"}
