@@ -120,6 +120,11 @@ HEADLINE = [
     # unigram-LM segmentation: tracks the two-shuffle + bounded-DP
     # tokenizer-training plan alongside bpe_token_counts
     "unigram_segment_stats",
+    # round-8 additions: the EM training loop (per-round type-table
+    # Arrow pass + vocab-sized shuffle) and the decode census (every
+    # codec's real decode per item + a 7-group aggregate)
+    "unigram_em_vocab",
+    "media_decode_census",
 ]
 
 

@@ -153,13 +153,24 @@ def media_dimensions(data: bytes) -> tuple[int, int, str]:
         if kind == "jpeg":
             return _jpeg_dimensions(data) + (kind,)
         if kind == "avi":
-            # avih is the first chunk of LIST hdrl, itself the first
-            # top-level chunk: fixed offset 12(+8 LIST hdr+4 'hdrl')
-            # +8(avih hdr) = 32; dwWidth/dwHeight at +32/+36 within
-            if data[12:16] != b"LIST" or data[20:24] != b"hdrl" or data[24:28] != b"avih":
-                raise ValueError("AVI missing hdrl/avih")
-            w, h = struct.unpack("<II", data[64:72])
-            return w, h, kind
+            # walk the chunk tree for avih rather than assuming fixed
+            # offsets: real AVIs may put a JUNK chunk ahead of (or
+            # inside) LIST hdrl, which parse_avi handles fine — header
+            # profiling must not undercount where full parse succeeds
+            (riff_size,) = struct.unpack("<I", data[4:8])
+            end = min(8 + riff_size, len(data))
+            stack = [(12, end)]
+            while stack:
+                pos, stop = stack.pop()
+                for cid, body, size in _riff_chunks(data, pos, stop):
+                    if cid == b"LIST" and data[body : body + 4] == b"hdrl":
+                        stack.append((body + 4, body + size))
+                    elif cid == b"avih":
+                        if size < 40:
+                            raise ValueError("avih header too short")
+                        w, h = struct.unpack("<II", data[body + 32 : body + 40])
+                        return w, h, kind
+            raise ValueError("AVI missing hdrl/avih")
         if kind == "gif":
             w, h = struct.unpack("<HH", data[6:10])
             return w, h, kind
@@ -1129,15 +1140,27 @@ def parse_avi(data: bytes) -> dict:
         "n_frames": 0,
         "fourcc": "",
         "bit_count": 0,
+        "top_down": False,
         "frames": [],
     }
+    # Per-strl state: stream numbers are assigned by strl order, and a
+    # strf chunk only describes ITS OWN strl's stream. Without this, an
+    # audio strl's WAVEFORMATEX (wBitsPerSample at the same +14 offset)
+    # would overwrite the video biBitCount, and a second 'vids' strh
+    # would overwrite the first stream's fourcc (ADVICE r7, medium).
+    strl_count = [0]
+    vids_stream = [-1]  # stream number of the FIRST 'vids' strl
 
-    def walk(pos: int, stop: int) -> None:
+    def walk(pos: int, stop: int, strl_no: int | None = None) -> None:
         for cid, body, size in _riff_chunks(data, pos, stop):
             if cid == b"LIST":
                 ltype = data[body : body + 4]
-                if ltype in (b"hdrl", b"strl", b"movi", b"rec "):
-                    walk(body + 4, body + size)
+                if ltype == b"strl":
+                    no = strl_count[0]
+                    strl_count[0] += 1
+                    walk(body + 4, body + size, no)
+                elif ltype in (b"hdrl", b"movi", b"rec "):
+                    walk(body + 4, body + size, strl_no)
             elif cid == b"avih":
                 if size < 40:
                     raise ValueError("avih header too short")
@@ -1150,18 +1173,36 @@ def parse_avi(data: bytes) -> dict:
                 )
                 meta["fps"] = 1e6 / usec if usec else 0.0
             elif cid == b"strh":
-                if size >= 8 and data[body : body + 4] == b"vids":
+                if (
+                    size >= 8
+                    and data[body : body + 4] == b"vids"
+                    and strl_no is not None
+                    and vids_stream[0] < 0
+                ):
+                    vids_stream[0] = strl_no
                     meta["fourcc"] = (
                         data[body + 4 : body + 8].decode("ascii", "replace").strip("\x00 ")
                     )
             elif cid == b"strf":
-                # BITMAPINFOHEADER of the 'vids' stream
-                if size >= 16:
+                # BITMAPINFOHEADER — but only of the first 'vids' strl
+                # (an audio strl's strf is a WAVEFORMATEX, not a DIB
+                # header; accepting it here corrupted bit_count)
+                if strl_no is not None and strl_no == vids_stream[0] and size >= 16:
                     meta["bit_count"], = struct.unpack(
                         "<H", data[body + 14 : body + 16]
                     )
+                    # negative biHeight = top-down DIB rows (some
+                    # capture tools); decode must not flip those
+                    (bi_height,) = struct.unpack(
+                        "<i", data[body + 8 : body + 12]
+                    )
+                    meta["top_down"] = bi_height < 0
             elif cid[:2].isdigit() and cid[2:] in (b"db", b"dc"):
-                meta["frames"].append(data[body : body + size])
+                # video payload chunks of the vids stream only; if no
+                # strh identified a stream (header-minimal files),
+                # accept any db/dc as before
+                if vids_stream[0] < 0 or cid[:2] == b"%02d" % vids_stream[0]:
+                    meta["frames"].append(data[body : body + size])
 
     walk(12, end)
     if meta["width"] <= 0 or meta["height"] <= 0:
@@ -1191,7 +1232,13 @@ def decode_avi_frame(frame: bytes, meta: dict) -> np.ndarray:
         rows = np.frombuffer(
             frame, dtype=np.uint8, count=row_bytes * height
         ).reshape(height, row_bytes)
-        px = rows[::-1, : width * nch]  # bottom-up -> top-down, drop pad
+        # DIB rows are bottom-up unless strf declared negative
+        # biHeight (top-down capture-tool output) — flipping those
+        # would silently invert every frame
+        if meta.get("top_down"):
+            px = rows[:, : width * nch]
+        else:
+            px = rows[::-1, : width * nch]  # bottom-up -> top-down
         if nch == 3:
             return px.reshape(height, width, 3)[:, :, ::-1].astype(
                 np.float32
@@ -1250,8 +1297,12 @@ def _avi_container(
     movi_body = b"movi"
     idx = b""
     for f in frames:
-        # idx1 offsets are relative to the 'movi' fourcc position
-        idx += frame_id + struct.pack("<III", 0x10, len(movi_body) - 4 + 8, len(f))
+        # idx1 offset = position of the frame's ck header relative to
+        # the 'movi' fourcc; movi_body starts WITH that fourcc, so the
+        # current length IS the offset (the old -4+8 form pointed 4
+        # bytes past the header and would mis-seek index-seeking
+        # players, ADVICE r7)
+        idx += frame_id + struct.pack("<III", 0x10, len(movi_body), len(f))
         movi_body += chunk(frame_id, f)
     riff_body = b"AVI " + hdrl + chunk(b"LIST", movi_body) + chunk(b"idx1", idx)
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
@@ -1364,46 +1415,13 @@ def _deinterlace(idx: np.ndarray) -> np.ndarray:
 
 
 def _decode_gif(data: bytes) -> np.ndarray:
-    if data[:6] not in (b"GIF87a", b"GIF89a"):
-        raise ValueError("bad GIF signature")
-    sw, sh = struct.unpack("<HH", data[6:10])
-    packed = data[10]
-    pos = 13
-    gct = None
-    if packed & 0x80:
-        gct, pos = _gif_color_table(data, pos, packed)
-    while pos < len(data):
-        block = data[pos]
-        if block == 0x3B:  # trailer
-            break
-        if block == 0x21:  # extension: label + sub-blocks
-            _, pos = _gif_subblocks(data, pos + 2)
-            continue
-        if block != 0x2C:
-            raise ValueError(f"unknown GIF block 0x{block:02x}")
-        _left, _top, w, h = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
-        ipacked = data[pos + 9]
-        pos += 10
-        lct = None
-        if ipacked & 0x80:
-            lct, pos = _gif_color_table(data, pos, ipacked)
-        palette = lct if lct is not None else gct
-        if palette is None:
-            raise ValueError("GIF image has no color table")
-        min_code = data[pos]
-        if not 2 <= min_code <= 11:
-            raise ValueError(f"bad LZW min code size {min_code}")
-        stream, pos = _gif_subblocks(data, pos + 1)
-        indices = np.frombuffer(_lzw_decode(stream, min_code), dtype=np.uint8)
-        if len(indices) < w * h:
-            raise ValueError(f"GIF pixel data short: {len(indices)} < {w * h}")
-        idx = indices[: w * h].reshape(h, w)
-        if ipacked & 0x40:
-            idx = _deinterlace(idx)
-        if (idx >= len(palette)).any():
-            raise ValueError("GIF index outside color table")
-        return palette[idx].mean(axis=2)
-    raise ValueError(f"GIF of {sw}x{sh} declared but no image block found")
+    """First frame of a GIF, composited onto the logical-screen canvas
+    at the image descriptor's (left, top) — identical by construction
+    to _decode_gif_frames(data)[0] and to the declared media_dimensions,
+    also for animations whose first frame doesn't cover the screen
+    (ADVICE r7: the old path returned the first image block at its own
+    (w, h), contradicting the compositing path)."""
+    return _decode_gif_frames(data, max_frames=1)[0]
 
 
 def _lzw_encode(indices: bytes, min_code: int) -> bytes:
@@ -1476,13 +1494,16 @@ def encode_gif(gray: np.ndarray, interlace: bool = False) -> bytes:
     return bytes(out)
 
 
-def _decode_gif_frames(data: bytes) -> list[np.ndarray]:
+def _decode_gif_frames(
+    data: bytes, max_frames: int | None = None
+) -> list[np.ndarray]:
     """Decode EVERY frame of a GIF87a/89a animation to float32 (H, W)
     grayscale, compositing per the GIF89a Graphic Control Extension:
     frames render into the logical-screen canvas at their (left, top)
     with transparency holes, then dispose by method 0/1 (leave),
     2 (restore background) or 3 (restore previous). Single-image GIFs
-    return one frame (== _decode_gif)."""
+    return one frame (== _decode_gif). max_frames stops decoding early
+    (the single-image path asks for 1 and skips the animation tail)."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("bad GIF signature")
     sw, sh = struct.unpack("<HH", data[6:10])
@@ -1538,6 +1559,8 @@ def _decode_gif_frames(data: bytes) -> list[np.ndarray]:
         mask = idx != transparent if transparent >= 0 else np.ones_like(idx, bool)
         region[mask] = gray[mask]
         frames.append(canvas.copy())
+        if max_frames is not None and len(frames) >= max_frames:
+            return frames
         if disposal == 2:
             canvas[top : top + h, left : left + w] = bg
         elif disposal == 3 and before is not None:
@@ -1650,10 +1673,94 @@ def _mp4_dimensions(data: bytes) -> tuple[int, int]:
     return found
 
 
-def encode_mp4_stub(width: int, height: int, duration_s: int = 1) -> bytes:
+def parse_mp4(data: bytes) -> dict:
+    """Metadata-level ISO-BMFF parse (public ISO/IEC 14496-12/-15):
+    presentation size from the first sized tkhd, movie duration from
+    mvhd, and per-track codec identity from the stbl/stsd sample
+    description — the sample-entry fourcc (avc1, hvc1, mp4a, ...) plus,
+    for avc1, the avcC profile/level bytes. Frame DECODE stays
+    env-bound (H.264/H.265 need a codec library); this closes the
+    codec-id metadata gap so MP4 profiling can report what a corpus
+    contains without decoding it."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF/MP4 payload")
+    meta: dict = {
+        "width": 0,
+        "height": 0,
+        "duration_s": 0.0,
+        "brand": data[8:12].decode("ascii", "replace"),
+        "tracks": [],
+    }
+
+    def walk(pos: int, end: int, track: dict | None) -> None:
+        for fourcc, body, box_end in _mp4_boxes(data, pos, end):
+            if fourcc == b"trak":
+                t = {"handler": "", "codec": "", "codec_profile": ""}
+                meta["tracks"].append(t)
+                walk(body, box_end, t)
+            elif fourcc in (b"moov", b"mdia", b"minf", b"stbl"):
+                walk(body, box_end, track)
+            elif fourcc == b"mvhd":
+                version = data[body]
+                if version == 0:
+                    ts, dur = struct.unpack(">II", data[body + 12 : body + 20])
+                else:
+                    (ts,) = struct.unpack(">I", data[body + 20 : body + 24])
+                    (dur,) = struct.unpack(">Q", data[body + 24 : body + 32])
+                meta["duration_s"] = dur / ts if ts else 0.0
+            elif fourcc == b"tkhd":
+                version = data[body]
+                off = body + 4 + (20 if version == 0 else 32) + 8 + 8 + 36
+                if off + 8 <= box_end and not meta["width"]:
+                    w, h = struct.unpack(">II", data[off : off + 8])
+                    if w and h:
+                        meta["width"], meta["height"] = w >> 16, h >> 16
+            elif fourcc == b"hdlr" and track is not None:
+                # FullBox: 4B version/flags + 4B pre_defined, then type
+                track["handler"] = data[body + 8 : body + 12].decode(
+                    "ascii", "replace"
+                )
+            elif fourcc == b"stsd" and track is not None:
+                # FullBox + entry_count, then sample entries: each is a
+                # box whose fourcc IS the codec id
+                (n_entries,) = struct.unpack(">I", data[body + 4 : body + 8])
+                entry_pos = body + 8
+                for cid, ebody, eend in _mp4_boxes(data, entry_pos, box_end):
+                    if not track["codec"]:
+                        track["codec"] = cid.decode("ascii", "replace")
+                    # VisualSampleEntry: 6B reserved + 2B dref index +
+                    # 16B pre_defined/reserved + w/h/res/res/frames +
+                    # 32B compressorname + depth/pre_defined, then
+                    # config boxes (avcC for AVC, ISO 14496-15 §5.3.3)
+                    if cid == b"avc1" and eend - ebody > 78 + 8:
+                        for ccid, cbody, _cend in _mp4_boxes(data, ebody + 78, eend):
+                            if ccid == b"avcC" and _cend - cbody >= 4:
+                                profile, compat, level = data[cbody + 1 : cbody + 4]
+                                track["codec_profile"] = (
+                                    f"avc1.{profile:02X}{compat:02X}{level:02X}"
+                                )
+                    n_entries -= 1
+                    if n_entries <= 0:
+                        break
+
+    walk(0, len(data), None)
+    return meta
+
+
+def encode_mp4_stub(
+    width: int,
+    height: int,
+    duration_s: int = 1,
+    codec: bytes | None = None,
+    avcc: tuple[int, int, int] | None = None,
+) -> bytes:
     """Minimal spec-shaped ISO-BMFF for tests: ftyp + moov(mvhd,
-    trak(tkhd v0 with 16.16 size)). No media data — dimension/metadata
-    parsing is the only supported operation on MP4."""
+    trak(tkhd v0 with 16.16 size)). With codec set (e.g. b'avc1',
+    b'mp4a'), the trak also carries mdia(hdlr, minf(stbl(stsd))) with
+    one sample entry of that fourcc — and for avc1 an avcC config box
+    holding the (profile, compat, level) triple. No media data —
+    dimension/codec-id metadata parsing is the only supported
+    operation on MP4."""
 
     def box(fourcc: bytes, body: bytes) -> bytes:
         return struct.pack(">I", 8 + len(body)) + fourcc + body
@@ -1673,14 +1780,52 @@ def encode_mp4_stub(width: int, height: int, duration_s: int = 1) -> bytes:
         + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
         + struct.pack(">II", width << 16, height << 16),
     )
-    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    trak_body = tkhd
+    if codec is not None:
+        handler = b"vide" if codec in (b"avc1", b"hvc1", b"mp4v") else b"soun"
+        hdlr = box(
+            b"hdlr",
+            b"\x00\x00\x00\x00" + b"\x00" * 4 + handler + b"\x00" * 12 + b"\x00",
+        )
+        if codec == b"avc1":
+            p, c, lv = avcc if avcc is not None else (0x64, 0x00, 0x28)
+            # avcC: configurationVersion, profile, compat, level,
+            # lengthSizeMinusOne, numSPS=0, numPPS=0
+            cfg = box(b"avcC", bytes([1, p, c, lv, 0xFF, 0xE0, 0]))
+            entry = box(
+                codec,
+                b"\x00" * 6 + struct.pack(">H", 1)  # dref index
+                + b"\x00" * 16
+                + struct.pack(">HH", width, height)
+                + struct.pack(">IIIH", 0x00480000, 0x00480000, 0, 1)
+                + b"\x00" * 32
+                + struct.pack(">Hh", 24, -1)
+                + cfg,
+            )
+        else:
+            # AudioSampleEntry: 8B reserved + ch/bits/predef/reserved +
+            # 16.16 sample rate
+            entry = box(
+                codec,
+                b"\x00" * 6 + struct.pack(">H", 1)
+                + b"\x00" * 8
+                + struct.pack(">HHHH", 2, 16, 0, 0)
+                + struct.pack(">I", 44100 << 16),
+            )
+        stsd = box(b"stsd", b"\x00\x00\x00\x00" + struct.pack(">I", 1) + entry)
+        trak_body += box(
+            b"mdia", hdlr + box(b"minf", box(b"stbl", stsd))
+        )
+    moov = box(b"moov", mvhd + box(b"trak", trak_body))
     return ftyp + moov
 
 
 # --- TIFF -------------------------------------------------------------------
 # Baseline TIFF 6.0 (public Adobe spec): header + IFD entry walk,
-# uncompressed strips, 8-bit grayscale or RGB, either byte order.
-# LZW/JPEG-compressed TIFF variants raise NotImplementedError.
+# 8-bit grayscale or RGB strips, either byte order; uncompressed,
+# PackBits (§9) and LZW (§13, MSB-first + EarlyChange) compressions,
+# horizontal-differencing predictor (§14). JPEG-compressed TIFF
+# raises NotImplementedError.
 
 _TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4}  # BYTE ASCII SHORT LONG
 
@@ -1725,25 +1870,142 @@ def _decode_tiff(data: bytes) -> np.ndarray:
     except KeyError as exc:
         raise ValueError(f"TIFF missing required tag: {exc}") from exc
     compression = tags.get(259, [1])[0]
-    if compression not in (1, 32773):
+    if compression not in (1, 5, 32773):
         raise NotImplementedError(f"TIFF compression {compression}")
     spp = tags.get(277, [1])[0]
     bits = tags.get(258, [8])[0]
     if bits != 8 or spp not in (1, 3):
         raise NotImplementedError(f"TIFF {bits}-bit x{spp} samples")
-    raw = b"".join(
-        data[o : o + c] for o, c in zip(strip_offs, strip_counts)
-    )
-    if compression == 32773:  # PackBits (Apple RLE, TIFF 6.0 §9)
-        raw = _packbits_decode(raw)
+    predictor = tags.get(317, [1])[0]
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor}")
+    # compression is PER STRIP (TIFF 6.0 §13: each strip is its own
+    # stream, starting with a ClearCode for LZW) — decompress strips
+    # independently, never the concatenation. PackBits happens to be
+    # concatenation-safe but gets the same per-strip treatment.
+    strips = [data[o : o + c] for o, c in zip(strip_offs, strip_counts)]
+    if compression == 5:  # LZW (TIFF 6.0 §13: MSB-first, EarlyChange)
+        raw = b"".join(_tiff_lzw_decode(s) for s in strips)
+    elif compression == 32773:  # PackBits (Apple RLE, TIFF 6.0 §9)
+        raw = b"".join(_packbits_decode(s) for s in strips)
+    else:
+        raw = b"".join(strips)
     if len(raw) < width * height * spp:
         raise ValueError(
             f"TIFF strip data short: {len(raw)} < {width * height * spp}"
         )
     px = np.frombuffer(raw, dtype=np.uint8, count=width * height * spp)
+    px = px.reshape(height, width, spp)
+    if predictor == 2:
+        # horizontal differencing (TIFF 6.0 §14): each stored sample is
+        # the delta to its left neighbour, per sample plane — undo with
+        # a mod-256 row cumsum
+        px = (np.cumsum(px, axis=1, dtype=np.uint32) & 0xFF).astype(np.uint8)
     if spp == 3:
-        return px.reshape(height, width, 3).astype(np.float32).mean(axis=2)
+        return px.astype(np.float32).mean(axis=2)
     return px.reshape(height, width).astype(np.float32)
+
+
+def _tiff_lzw_decode(stream: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW for one strip: MSB-first bit packing (unlike
+    GIF's LSB-first Appendix-F variant), fixed ClearCode=256 /
+    EndOfInformation=257, code widths 9→12 with the spec's EarlyChange
+    convention: the width bumps as soon as the table holds 2^width - 1
+    entries (one code earlier than the GIF rule)."""
+    clear, eoi = 256, 257
+    width = 9
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = pos = 0
+
+    def read_code() -> int | None:
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(stream):
+                return None
+            acc = (acc << 8) | stream[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        return (acc >> nbits) & ((1 << width) - 1)
+
+    while True:
+        code = read_code()
+        if code is None or code == eoi:
+            break
+        if code == clear:
+            del table[258:]
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            if code >= 256:
+                raise ValueError("TIFF LZW: first code after clear not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"TIFF LZW: code {code} outside table")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _tiff_lzw_encode(payload: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW encoder (tests): MSB-first bit packing,
+    EarlyChange width bumps mirroring _tiff_lzw_decode, ClearCode
+    emitted up front and whenever the table reaches 4094 entries (the
+    spec's mandated writer reset point)."""
+    clear, eoi = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        acc &= (1 << nbits) - 1
+
+    def fresh() -> tuple[dict[bytes, int], int, int]:
+        return {bytes([i]): i for i in range(256)}, 258, 9
+
+    table, next_code, width = fresh()
+    emit(clear, width)
+    w = b""
+    for b in payload:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        table[wk] = next_code
+        next_code += 1
+        # the encoder's table runs one entry ahead of the decoder's
+        # (the decoder adds each entry one code later), so its
+        # EarlyChange bump fires at 2^width where the decoder's fires
+        # at 2^width - 1 — the same inter-code gap
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        elif next_code == 4094:
+            emit(clear, width)
+            table, next_code, width = fresh()
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
 
 
 def _packbits_decode(data: bytes) -> bytes:

@@ -223,6 +223,127 @@ def unigram_vocab(
     }
 
 
+def _unigram_dp(
+    word: str, vocab: dict[str, int], max_piece: int
+) -> tuple[int, int, str]:
+    """Maximum-likelihood segmentation of one word under integer piece
+    costs: minimizes (total_cost, n_pieces, seg) lexicographically,
+    where seg is the comma-joined piece sequence. The third component
+    makes the winning PATH unique (not just its cost), which the EM
+    E-step needs — usage counts must not depend on dict iteration
+    order. Comparing comma-joined strings equals comparing piece
+    tuples because segmentations of the same prefix with the same
+    piece count have identical string length, and ',' sorts below the
+    [a-z0-9] piece alphabet. Prefix-optimal substitution holds for
+    all three components (cost and pieces are additive; equal-length
+    string concat preserves order), so the DP minimum is the global
+    path minimum."""
+    n = len(word)
+    dp: list[tuple[int, int, str] | None] = [None] * (n + 1)
+    dp[0] = (0, 0, "")
+    for i in range(1, n + 1):
+        best: tuple[int, int, str] | None = None
+        for length in range(1, min(max_piece, i) + 1):
+            prev = dp[i - length]
+            if prev is None:
+                continue
+            piece = word[i - length : i]
+            c = vocab.get(piece)
+            if c is None:
+                continue
+            seg = piece if prev[2] == "" else prev[2] + "," + piece
+            cand = (prev[0] + c, prev[1] + 1, seg)
+            if best is None or cand < best:
+                best = cand
+        dp[i] = best
+    if dp[n] is None:
+        raise ValueError(f"word {word!r} not segmentable under vocab")
+    return dp[n]
+
+
+def _em_usage(
+    freqs: DataFrame, vocab: dict[str, int], max_piece: int
+) -> dict[str, int]:
+    """E-step, distributed: segment every word TYPE under the current
+    costs (Arrow kernel over the Zipf-bounded type table, model-sized
+    vocab in the closure), emit per-batch partial piece-usage counts,
+    and reduce with one vocab-sized shuffle. The collect is bounded by
+    the vocab (≤ alphabet + k_multi rows) — model-sized, like
+    top_vocab."""
+    import pandas as pd
+
+    v = dict(vocab)
+
+    def kernel(batches):
+        for pdf in batches:
+            counts: dict[str, int] = {}
+            for word, freq in zip(pdf["word"], pdf["freq"]):
+                seg = _unigram_dp(word, v, max_piece)[2]
+                for piece in seg.split(","):
+                    counts[piece] = counts.get(piece, 0) + int(freq)
+            yield pd.DataFrame(
+                {"piece": list(counts), "use": list(counts.values())}
+            )
+
+    per = freqs.mapInPandas(kernel, schema="piece string, use long")
+    rows = per.groupBy("piece").agg(F.sum("use").alias("use")).collect()
+    return {r["piece"]: int(r["use"]) for r in rows}
+
+
+UNIGRAM_EM_ROUNDS = 2
+
+
+def unigram_em_vocab(
+    docs: DataFrame,
+    rounds: int = UNIGRAM_EM_ROUNDS,
+    k_multi: int = UNIGRAM_K_MULTI,
+    max_piece: int = UNIGRAM_MAX_PIECE,
+) -> DataFrame:
+    """Unigram-LM vocabulary with hard-EM refinement (the training
+    loop sentencepiece runs after the frequency initialization that
+    unigram_vocab computes; Kudo 2018 §3.2, Viterbi approximation):
+
+      E-step: segment every word type into its unique best piece
+              sequence under the current integer costs (_unigram_dp;
+              distributed, one type-table pass + vocab-sized shuffle);
+      M-step: re-score pieces from their segmentation usage,
+              cost(p) = bitlen(total_use) - bitlen(use_p) + 1 (the
+              repo's integer -log2 surrogate); multi-char pieces that
+              went UNUSED are pruned (sentencepiece's vocabulary
+              shrinking), single chars are floored at
+              bitlen(total_use) + 1 so every word stays segmentable.
+
+    The loop is driver-side over a model-sized dict — the same
+    bounded-driver pattern as the BPE merge loop; per round the only
+    corpus-scale work is one Arrow pass over the word-TYPE table.
+    Returns the final vocab as (piece, n_chars, em_use, em_cost),
+    em_use being the final E-step's usage (the counts the final costs
+    derive from)."""
+    from mpi_word_count_spark.operators import track_cache
+
+    freqs = track_cache(word_freqs(docs))
+    vocab = unigram_vocab(freqs, k_multi, max_piece)
+    use: dict[str, int] = {}
+    for _ in range(rounds):
+        use = _em_usage(freqs, vocab, max_piece)
+        total = sum(use.values())
+        new_vocab: dict[str, int] = {}
+        for p in vocab:
+            u = use.get(p, 0)
+            if u > 0:
+                new_vocab[p] = total.bit_length() - u.bit_length() + 1
+            elif len(p) == 1:
+                new_vocab[p] = total.bit_length() + 1
+        vocab = new_vocab
+    rows = [
+        (p, len(p), int(use.get(p, 0)), int(c))
+        for p, c in sorted(vocab.items())
+    ]
+    return docs.sparkSession.createDataFrame(
+        rows, "piece string, n_chars int, em_use long, em_cost long"
+    )
+
+
 def unigram_segment_stats(
     docs: DataFrame,
     k_multi: int = UNIGRAM_K_MULTI,
@@ -247,23 +368,12 @@ def unigram_segment_stats(
                 "min_cost": [], "min_pieces": [],
             }
             for word, freq in zip(pdf["word"], pdf["freq"]):
-                n = len(word)
-                inf = (1 << 60, 1 << 60)
-                dp = [inf] * (n + 1)
-                dp[0] = (0, 0)
-                for i in range(1, n + 1):
-                    for length in range(1, min(max_piece, i) + 1):
-                        c = vocab.get(word[i - length : i])
-                        if c is None or dp[i - length] == inf:
-                            continue
-                        cand = (dp[i - length][0] + c, dp[i - length][1] + 1)
-                        if cand < dp[i]:
-                            dp[i] = cand
+                cost, pieces, _seg = _unigram_dp(word, vocab, max_piece)
                 out["word"].append(word)
                 out["freq"].append(int(freq))
-                out["n_chars"].append(n)
-                out["min_cost"].append(dp[n][0])
-                out["min_pieces"].append(dp[n][1])
+                out["n_chars"].append(len(word))
+                out["min_cost"].append(cost)
+                out["min_pieces"].append(pieces)
             yield pd.DataFrame(out)
 
     schema = T.StructType(

@@ -370,3 +370,141 @@ def q_unigram_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/bpe.py: the same bounded-driver-model pattern as BPE
     training and the PQ/IVF quantizers)."""
     return unigram_segment_stats(table(spark, "documents", sf_dir))
+
+
+# --- unigram-LM EM refinement (sentencepiece training loop) -----------------
+
+from mpi_word_count_spark.operators.bpe import (  # noqa: E402
+    UNIGRAM_EM_ROUNDS,
+    unigram_em_vocab,
+)
+
+
+def _em_base_ctes() -> str:
+    """Word types + candidate pieces + the frequency-initialized vocab
+    v0 (identical derivation to _UNIGRAM_ORACLE's vocab CTE)."""
+    return f"""
+    words AS MATERIALIZED (
+        SELECT w AS word, CAST(count(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(regexp_split_to_array(lower(text),
+                          '{sql_regex()}')) AS w
+            FROM documents
+        ) WHERE regexp_matches(w, '^[a-z0-9]+$')
+        GROUP BY 1
+    ),
+    pieces_all AS MATERIALIZED (
+        SELECT substr(word, CAST(s.s AS INT), CAST(l.l AS INT)) AS piece,
+               sum(freq) AS pfreq
+        FROM words,
+             (SELECT unnest(range(1, {UNIGRAM_MAX_PIECE} + 1)) AS l) l,
+             LATERAL (SELECT unnest(range(1, length(word) - l.l + 2)) AS s) s
+        GROUP BY 1
+    ),
+    vocab0 AS MATERIALIZED (
+        SELECT piece, pfreq FROM pieces_all WHERE length(piece) = 1
+        UNION ALL
+        SELECT piece, pfreq FROM (
+            SELECT piece, pfreq FROM pieces_all WHERE length(piece) >= 2
+            ORDER BY pfreq DESC, piece ASC LIMIT {UNIGRAM_K_MULTI}
+        )
+    ),
+    v0 AS MATERIALIZED (
+        SELECT piece,
+               CAST(length(bin(CAST(t.total AS BIGINT)))
+                  - length(bin(CAST(pfreq AS BIGINT))) + 1 AS BIGINT) AS cost
+        FROM vocab0, (SELECT sum(pfreq) AS total FROM vocab0) t
+    )"""
+
+
+def _em_round_ctes(k: int) -> str:
+    """One EM round under costs v{k-1}: enumerate every segmentation
+    of every word (recursive CTE), pick the unique winner by the DP's
+    (cost, pieces, seg) tie-break, count piece usage weighted by word
+    freq, and re-score: used pieces get bitlen(total)-bitlen(use)+1,
+    unused single chars the bitlen(total)+1 floor, unused multi-char
+    pieces are pruned — exactly operators/bpe.unigram_em_vocab's
+    M-step."""
+    p = k - 1
+    return f"""
+    edges{k} AS MATERIALIZED (
+        SELECT w.word, CAST(s.s - 1 AS INT) AS j,
+               CAST(s.s - 1 + l.l AS INT) AS i, v.piece, v.cost
+        FROM words w,
+             (SELECT unnest(range(1, {UNIGRAM_MAX_PIECE} + 1)) AS l) l,
+             LATERAL (SELECT unnest(range(1, length(w.word) - l.l + 2)) AS s) s,
+             v{p} v
+        WHERE substr(w.word, CAST(s.s AS INT), CAST(l.l AS INT)) = v.piece
+    ),
+    paths{k} AS (
+        SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost, 0 AS pieces,
+               '' AS seg
+        FROM words
+        UNION ALL
+        SELECT e.word, e.i, p.cost + e.cost, p.pieces + 1,
+               CASE WHEN p.seg = '' THEN e.piece
+                    ELSE p.seg || ',' || e.piece END
+        FROM paths{k} p JOIN edges{k} e ON e.word = p.word AND e.j = p.pos
+    ),
+    win{k} AS MATERIALIZED (
+        SELECT word, seg FROM (
+            SELECT word, seg,
+                   row_number() OVER (PARTITION BY word
+                                      ORDER BY cost, pieces, seg) AS rn
+            FROM paths{k} WHERE pos = length(word)
+        ) q WHERE rn = 1
+    ),
+    use{k} AS MATERIALIZED (
+        SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+            SELECT w.freq, unnest(string_split(n.seg, ',')) AS piece
+            FROM win{k} n JOIN words w USING (word)
+        ) q GROUP BY 1
+    ),
+    v{k} AS MATERIALIZED (
+        SELECT prev.piece,
+               CASE WHEN u.cnt IS NOT NULL
+                    THEN CAST(length(bin(CAST(t.total AS BIGINT)))
+                            - length(bin(CAST(u.cnt AS BIGINT))) + 1 AS BIGINT)
+                    ELSE CAST(length(bin(CAST(t.total AS BIGINT))) + 1 AS BIGINT)
+               END AS cost
+        FROM v{p} prev
+        LEFT JOIN use{k} u USING (piece),
+             (SELECT sum(cnt) AS total FROM use{k}) t
+        WHERE u.cnt IS NOT NULL OR length(prev.piece) = 1
+    )"""
+
+
+def _em_vocab_oracle(rounds: int = UNIGRAM_EM_ROUNDS) -> str:
+    chain = _em_base_ctes() + "," + ",".join(
+        _em_round_ctes(k) for k in range(1, rounds + 1)
+    )
+    return f"""
+    WITH RECURSIVE {chain}
+    SELECT v.piece,
+           CAST(length(v.piece) AS INT) AS n_chars,
+           CAST(coalesce(u.cnt, 0) AS BIGINT) AS em_use,
+           v.cost AS em_cost
+    FROM v{rounds} v LEFT JOIN use{rounds} u USING (piece)
+    ORDER BY v.piece
+    """
+
+
+@register("unigram_em_vocab", oracle=_em_vocab_oracle())
+def q_unigram_em_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM vocabulary trained with hard (Viterbi) EM — the
+    refinement loop sentencepiece runs after the frequency
+    initialization unigram_segment_stats uses (VERDICT r7 item 4).
+    Per round: E-step segments every word TYPE under the current
+    integer costs (the (cost, pieces, seg)-lexicographic DP makes the
+    winning path unique, so usage counts are deterministic on both
+    engines), M-step re-scores pieces from usage and prunes unused
+    multi-char pieces. The oracle unrolls one CTE block per round —
+    the same unrolled-recurrence verification as bpe_merges and the
+    k-means/PQ oracles — ENUMERATING every segmentation per round, so
+    the hash match proves each E-step's Viterbi path globally optimal
+    and each M-step's integer re-scoring exact.
+
+    100 TB shape: per round one Arrow DP pass over the Zipf-bounded
+    word-type table + one vocab-sized shuffle; the EM state is a
+    model-sized dict on the driver (the BPE-merge-loop pattern); the
+    corpus is touched only by the initial word count."""
+    return unigram_em_vocab(table(spark, "documents", sf_dir))

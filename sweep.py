@@ -6,6 +6,7 @@ comparison the driver's per-round correctness gate performs) and
 prints one status line per query plus a final tally. Usage:
 
     python sweep.py [sf_dir]            # default /root/testdata/sf0.01
+    python sweep.py [sf_dir] --only a,b # scoped re-check of named queries
 
 The per-round driver gate only checks a 50-query budget at sf0.01;
 this sweep is the local superset check (all queries, any scale) used
@@ -26,10 +27,20 @@ from mpi_word_count_spark.session import get_spark  # noqa: E402
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only: set[str] | None = None
+    for i, a in enumerate(sys.argv):
+        if a == "--only":
+            only = set(sys.argv[i + 1].split(","))
     spark = get_spark(app_name="sweep")
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only is not None:
+        unknown = only - queries.keys()
+        if unknown:
+            raise SystemExit(f"--only names not registered: {sorted(unknown)}")
+        queries = {n: q for n, q in queries.items() if n in only}
     t0 = time.monotonic()
     n_ok = n_bad = n_weak = 0
     failures: list[str] = []

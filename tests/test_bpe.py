@@ -205,3 +205,58 @@ def test_unigram_segmentation_dp(spark):
     # rare 'zq' has no multi-char piece support beyond the top-k and
     # segments into single chars at worst
     assert out["zq"]["min_pieces"] <= 2
+
+
+def test_unigram_dp_tiebreak_unique_path():
+    from mpi_word_count_spark.operators.bpe import _unigram_dp
+
+    # two paths tie on (cost, pieces): 'ab'+'c' vs 'a'+'bc' when all
+    # pieces cost the same; the seg tie-break must pick the
+    # lexicographically smaller joined string deterministically
+    vocab = {"a": 3, "b": 3, "c": 3, "ab": 4, "bc": 4, "abc": 9}
+    cost, pieces, seg = _unigram_dp("abc", vocab, 4)
+    assert (cost, pieces) == (7, 2)
+    assert seg == "a,bc"  # 'a,bc' < 'ab,c'
+    # unreachable word raises (never happens with full single-char set)
+    with pytest.raises(ValueError):
+        _unigram_dp("xyz", {"a": 1}, 4)
+    # single-piece win when cheap enough
+    assert _unigram_dp("abc", {**vocab, "abc": 5}, 4)[2] == "abc"
+
+
+def test_unigram_em_vocab_refines_and_prunes(spark):
+    from mpi_word_count_spark.operators.bpe import (
+        UNIGRAM_MAX_PIECE,
+        unigram_em_vocab,
+        unigram_vocab,
+        word_freqs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the quick the lazy the the dog dog") for i in range(4)],
+        "doc_id long, text string",
+    )
+    out = {r["piece"]: r for r in unigram_em_vocab(docs, rounds=2).collect()}
+    # every corpus character survives as a single-char piece
+    chars = set("thequicklazydog")
+    assert chars <= {p for p in out if len(p) == 1}
+    # 'the' is the dominant word: its piece must survive EM with heavy
+    # usage and a cost no worse than spelling it out
+    assert "the" in out and out["the"]["em_use"] > 0
+    singles_cost = sum(out[c]["em_cost"] for c in "the")
+    assert out["the"]["em_cost"] < singles_cost
+    # pruning: every multi-char piece in the final vocab was USED
+    assert all(r["em_use"] > 0 for p, r in out.items() if len(p) >= 2)
+    # usage conservation: total piece usage crosses the corpus exactly
+    # once per round — sum of em_use equals sum over word types of
+    # freq * pieces(word), which is at most total chars
+    freqs = {
+        r["word"]: r["freq"] for r in word_freqs(docs).collect()
+    }
+    total_chars = sum(len(w) * f for w, f in freqs.items())
+    assert 0 < sum(r["em_use"] for r in out.values()) <= total_chars
+    # unused singles get the floor cost (> any used piece's cost)
+    vocab0 = unigram_vocab(word_freqs(docs))
+    used_costs = [r["em_cost"] for r in out.values() if r["em_use"] > 0]
+    floor = [r["em_cost"] for r in out.values() if r["em_use"] == 0]
+    assert all(f > max(used_costs) for f in floor)

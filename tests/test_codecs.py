@@ -883,14 +883,17 @@ def test_tiff_roundtrip_and_dimensions():
         codecs.decode_image(t[:30])  # truncated IFD
     with pytest.raises(ValueError):
         codecs.decode_image(b"MM\x00*" + b"\x00\x00\x01\x00")  # bad IFD offset
-    # compressed variants are env-bound, not ValueError
-    lzw = bytearray(t)
-    # compression tag (259) value lives at a fixed offset in our
-    # single-strip layout: find the entry and patch its value to 5
-    idx = lzw.find((259).to_bytes(2, "little"), 8)
-    lzw[idx + 8] = 5
+    # JPEG-in-TIFF stays env-bound (NotImplementedError); an LZW tag
+    # over a non-LZW stream is malformed data (ValueError) now that
+    # compression 5 decodes for real
+    patched = bytearray(t)
+    idx = patched.find((259).to_bytes(2, "little"), 8)
+    patched[idx + 8] = 7  # JPEG compression
     with pytest.raises(NotImplementedError):
-        codecs.decode_image(bytes(lzw))
+        codecs.decode_image(bytes(patched))
+    patched[idx + 8] = 5  # LZW tag, but strip bytes are raw pixels
+    with pytest.raises(ValueError):
+        codecs.decode_image(bytes(patched))
 
 
 @settings(max_examples=40, deadline=None)
@@ -978,3 +981,305 @@ def test_tiff_packbits_strip():
 @given(st.binary(min_size=0, max_size=600))
 def test_packbits_roundtrip_property(payload):
     assert codecs._packbits_decode(codecs._packbits_encode(payload)) == payload
+
+
+# --- ADVICE r7 codec regressions --------------------------------------------
+
+
+def _ck(cid: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) & 1 else b""
+    return cid + len(body).to_bytes(4, "little") + body + pad
+
+
+def _lst(ltype: bytes, body: bytes) -> bytes:
+    return _ck(b"LIST", ltype + body)
+
+
+def _avi_two_streams(h=6, w=9, top_down=False, audio_first=False):
+    """Hand-built AVI: a 'vids' DIB strl AND an 'auds' strl whose
+    WAVEFORMATEX carries wBitsPerSample=16 at the same strf offset
+    where a BITMAPINFOHEADER keeps biBitCount — the ADVICE r7 trap."""
+    import struct as st
+
+    frame = np.arange(h * w, dtype=np.uint8).reshape(h, w) % 256
+    row_bytes = (w + 3) & ~3
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, :w] = frame if top_down else frame[::-1]
+    payload = rows.tobytes()
+
+    avih = st.pack("<10I", 100000, 0, 0, 0x10, 1, 0, 2, len(payload), w, h) + b"\x00" * 16
+    strh_v = (
+        b"vids" + b"\x00" * 4
+        + st.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 10, 0, 1, len(payload), 0, 0)
+        + st.pack("<4H", 0, 0, w, h)
+    )
+    bi_height = -h if top_down else h
+    strf_v = st.pack(
+        "<IiiHHIIiiII", 40, w, bi_height, 1, 8, 0, row_bytes * h, 0, 0, 256, 0
+    ) + b"".join(st.pack("<BBBB", g, g, g, 0) for g in range(256))
+    strl_v = _lst(b"strl", _ck(b"strh", strh_v) + _ck(b"strf", strf_v))
+
+    strh_a = (
+        b"auds" + b"\x00" * 4
+        + st.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 16000, 0, 16000, 2, 0, 0)
+        + st.pack("<4H", 0, 0, 0, 0)
+    )
+    # WAVEFORMATEX: formatTag=1, ch=1, rate, avgBytes, align=2,
+    # wBitsPerSample=16 at byte offset 14 — the collision payload
+    strf_a = st.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    strl_a = _lst(b"strl", _ck(b"strh", strh_a) + _ck(b"strf", strf_a))
+
+    strls = strl_a + strl_v if audio_first else strl_v + strl_a
+    hdrl = _lst(b"hdrl", _ck(b"avih", avih) + strls)
+    vid_no = 1 if audio_first else 0
+    aud_no = 0 if audio_first else 1
+    movi = b"movi" + _ck(b"%02ddb" % vid_no, payload) + _ck(
+        b"%02dwb" % aud_no, b"\x00\x01" * 40
+    )
+    riff_body = b"AVI " + hdrl + _ck(b"LIST", movi)
+    return b"RIFF" + len(riff_body).to_bytes(4, "little") + riff_body, frame
+
+
+def test_avi_audio_strf_does_not_clobber_video_bit_count():
+    for audio_first in (False, True):
+        avi, frame = _avi_two_streams(audio_first=audio_first)
+        meta = codecs.parse_avi(avi)
+        assert meta["bit_count"] == 8, "audio WAVEFORMATEX leaked into bit_count"
+        assert len(meta["frames"]) == 1  # audio '..wb' chunk not a frame
+        dec = codecs.decode_avi_frame(meta["frames"][0], meta)
+        assert np.array_equal(dec.astype(np.uint8), frame)
+
+
+def test_avi_top_down_dib_not_flipped():
+    avi, frame = _avi_two_streams(top_down=True)
+    meta = codecs.parse_avi(avi)
+    assert meta["top_down"] is True
+    dec = codecs.decode_avi_frame(meta["frames"][0], meta)
+    assert np.array_equal(dec.astype(np.uint8), frame)
+    # and the bottom-up default still flips
+    avi_bu, frame_bu = _avi_two_streams(top_down=False)
+    meta_bu = codecs.parse_avi(avi_bu)
+    assert meta_bu["top_down"] is False
+    assert np.array_equal(
+        codecs.decode_avi_frame(meta_bu["frames"][0], meta_bu).astype(np.uint8),
+        frame_bu,
+    )
+
+
+def test_avi_idx1_offsets_point_at_frame_chunk_headers():
+    frames = _frames(n=3)
+    avi = codecs.encode_avi_dib(frames, fps=10)
+    movi_pos = avi.find(b"movi")
+    idx_pos = avi.find(b"idx1")
+    n_entries = int.from_bytes(avi[idx_pos + 4 : idx_pos + 8], "little") // 16
+    assert n_entries == 3
+    body = idx_pos + 8
+    for i in range(n_entries):
+        ent = avi[body + 16 * i : body + 16 * (i + 1)]
+        cid, _flags = ent[:4], ent[4:8]
+        offset = int.from_bytes(ent[8:12], "little")
+        size = int.from_bytes(ent[12:16], "little")
+        # offset-from-'movi'-fourcc convention: it lands ON the ck header
+        assert avi[movi_pos + offset : movi_pos + offset + 4] == cid
+        assert (
+            int.from_bytes(
+                avi[movi_pos + offset + 4 : movi_pos + offset + 8], "little"
+            )
+            == size
+        )
+
+
+def test_avi_junk_chunk_before_hdrl():
+    avi = codecs.encode_avi_dib(_frames(n=2))
+    junk = _ck(b"JUNK", b"\x00" * 12)
+    patched = avi[:12] + junk + avi[12:]
+    patched = (
+        patched[:4]
+        + (len(patched) - 8).to_bytes(4, "little")
+        + patched[8:]
+    )
+    # full parse already handled it; header profiling must agree
+    assert codecs.media_dimensions(patched) == (9, 6, "avi")
+    assert len(codecs.parse_avi(patched)["frames"]) == 2
+
+
+def test_gif_first_frame_composites_onto_logical_screen():
+    """Animation whose first frame covers only part of the screen:
+    decode_image must agree with media_dimensions and with
+    _decode_gif_frames(data)[0] (ADVICE r7)."""
+    small = np.full((3, 4), 200, dtype=np.uint8)
+    big = np.zeros((8, 10), dtype=np.uint8)
+    gif = codecs.encode_gif_frames(
+        [small, big], offsets=[(5, 2), (0, 0)], screen=(10, 8), background=7
+    )
+    w, h, kind = codecs.media_dimensions(gif)
+    assert (w, h, kind) == (10, 8, "gif")
+    first = codecs.decode_image(gif)
+    assert first.shape == (8, 10)
+    frames = codecs._decode_gif_frames(gif)
+    assert np.array_equal(first, frames[0])
+    # placed block + background fill
+    assert (first[2:5, 5:9] == 200.0).all()
+    assert first[0, 0] == 7.0
+
+
+# --- TIFF LZW (compression 5) -----------------------------------------------
+
+
+def _patch_tiff_tag(buf: bytearray, tag: int, value: int) -> None:
+    import struct
+
+    idx = buf.find(struct.pack("<H", tag), 8)
+    assert idx >= 0
+    buf[idx + 8 : idx + 12] = struct.pack("<I", value)
+
+
+def test_tiff_lzw_strip_decodes():
+    """LZW-compressed (5) TIFF strips: MSB-first bit order and the
+    EarlyChange width bump — the GIF LZW machinery (LSB-first) would
+    mis-read this stream."""
+    rng = np.random.default_rng(7)
+    img = np.repeat(rng.integers(0, 256, (11, 5), dtype=np.uint8), 4, axis=1)
+    t = bytearray(codecs.encode_tiff(img))
+    pixel_off = 8 + 2 + 8 * 12 + 4
+    comp = codecs._tiff_lzw_encode(img.tobytes())
+    _patch_tiff_tag(t, 259, 5)
+    _patch_tiff_tag(t, 279, len(comp))
+    data = bytes(t[:pixel_off]) + comp
+    assert codecs.media_dimensions(data) == (20, 11, "tiff")
+    np.testing.assert_array_equal(codecs.decode_image(data).astype(np.uint8), img)
+    # garbage inside the stream raises, never crashes
+    with pytest.raises(ValueError):
+        codecs._tiff_lzw_decode(b"\xff\xff\xff\xff\xff\xff")
+
+
+def test_tiff_lzw_multi_strip_independent_streams():
+    """Each strip is its OWN LZW stream (starts with ClearCode, pads
+    its own tail bits): decoding the concatenation would corrupt row
+    RowsPerStrip+1. Build a 2-strip file by hand."""
+    import struct
+
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (6, 8), dtype=np.uint8)
+    top, bottom = img[:3].tobytes(), img[3:].tobytes()
+    s1, s2 = codecs._tiff_lzw_encode(top), codecs._tiff_lzw_encode(bottom)
+    entries = [
+        (256, 4, 1, 8),
+        (257, 4, 1, 6),
+        (258, 3, 1, 8),
+        (259, 3, 1, 5),
+        (262, 3, 1, 1),
+        (273, 4, 2, 0),   # patched below (needs an offset array)
+        (278, 4, 1, 3),   # RowsPerStrip = 3
+        (279, 4, 2, 0),   # patched below
+    ]
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * len(entries) + 4
+    offs_pos = data_off               # 2x LONG strip offsets
+    cnts_pos = data_off + 8           # 2x LONG strip byte counts
+    strip1_pos = data_off + 16
+    strip2_pos = strip1_pos + len(s1)
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+    out += struct.pack("<H", len(entries))
+    for tag, typ, count, value in entries:
+        if tag == 273:
+            value = offs_pos
+        elif tag == 279:
+            value = cnts_pos
+        out += struct.pack("<HHII", tag, typ, count, value)
+    out += struct.pack("<I", 0)
+    out += struct.pack("<II", strip1_pos, strip2_pos)
+    out += struct.pack("<II", len(s1), len(s2))
+    out += s1 + s2
+    np.testing.assert_array_equal(
+        codecs.decode_image(bytes(out)).astype(np.uint8), img
+    )
+
+
+def test_tiff_lzw_horizontal_predictor():
+    """Predictor 2 (horizontal differencing, TIFF 6.0 §14): stored
+    samples are left-neighbour deltas mod 256."""
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (5, 12), dtype=np.uint8)
+    deltas = np.diff(img.astype(np.int16), axis=1, prepend=0) % 256
+    comp = codecs._tiff_lzw_encode(deltas.astype(np.uint8).tobytes())
+    t = bytearray(codecs.encode_tiff(img))
+    pixel_off = 8 + 2 + 8 * 12 + 4
+    _patch_tiff_tag(t, 259, 5)
+    _patch_tiff_tag(t, 279, len(comp))
+    # graft a Predictor (317) entry by rewriting the RowsPerStrip slot?
+    # no — append a 9-entry IFD copy instead: simplest is a fresh file
+    import struct
+
+    entries = [
+        (256, 4, 1, 12),
+        (257, 4, 1, 5),
+        (258, 3, 1, 8),
+        (259, 3, 1, 5),
+        (262, 3, 1, 1),
+        (273, 4, 1, 0),  # patched after layout
+        (278, 4, 1, 5),
+        (279, 4, 1, len(comp)),
+        (317, 3, 1, 2),
+    ]
+    data_off = 8 + 2 + 12 * len(entries) + 4
+    out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    out += struct.pack("<H", len(entries))
+    for tag, typ, count, value in entries:
+        if tag == 273:
+            value = data_off
+        out += struct.pack("<HHII", tag, typ, count, value)
+    out += struct.pack("<I", 0)
+    out += comp
+    np.testing.assert_array_equal(
+        codecs.decode_image(bytes(out)).astype(np.uint8), img
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=800))
+def test_tiff_lzw_roundtrip_property(payload):
+    assert codecs._tiff_lzw_decode(codecs._tiff_lzw_encode(payload)) == payload
+
+
+def test_tiff_lzw_width_bump_and_reset():
+    """Cross the 511-entry EarlyChange boundary and the 4094-entry
+    table reset: a long non-repeating byte sequence forces both."""
+    payload = bytes(range(256)) * 40  # 10,240 bytes, many new digrams
+    assert codecs._tiff_lzw_decode(codecs._tiff_lzw_encode(payload)) == payload
+
+
+# --- MP4 stsd/avc1 codec-id metadata ----------------------------------------
+
+
+def test_mp4_parse_codec_ids():
+    mp4 = codecs.encode_mp4_stub(64, 48, duration_s=3, codec=b"avc1",
+                                 avcc=(0x42, 0xC0, 0x1E))
+    meta = codecs.parse_mp4(mp4)
+    assert (meta["width"], meta["height"]) == (64, 48)
+    assert meta["duration_s"] == 3.0
+    assert meta["brand"] == "isom"
+    assert len(meta["tracks"]) == 1
+    t = meta["tracks"][0]
+    assert t["handler"] == "vide"
+    assert t["codec"] == "avc1"
+    assert t["codec_profile"] == "avc1.42C01E"  # Baseline 3.0 triple
+    # audio sample entry: codec id without a profile string
+    audio = codecs.parse_mp4(codecs.encode_mp4_stub(0, 0, codec=b"mp4a"))
+    at = audio["tracks"][0]
+    assert (at["handler"], at["codec"], at["codec_profile"]) == ("soun", "mp4a", "")
+
+
+def test_mp4_parse_no_codec_chain_and_malformed():
+    meta = codecs.parse_mp4(codecs.encode_mp4_stub(32, 16))
+    assert (meta["width"], meta["height"]) == (32, 16)
+    assert meta["tracks"][0]["codec"] == ""
+    with pytest.raises(ValueError):
+        codecs.parse_mp4(b"\x00\x00\x00\x08free")  # no ftyp
+    bad = bytearray(codecs.encode_mp4_stub(8, 8, codec=b"avc1"))
+    with pytest.raises(ValueError):
+        codecs.parse_mp4(bytes(bad[:60]))  # truncated inside moov
+    # media_dimensions still agrees on the richer stub
+    assert codecs.media_dimensions(
+        codecs.encode_mp4_stub(20, 10, codec=b"avc1")
+    ) == (20, 10, "mp4")
