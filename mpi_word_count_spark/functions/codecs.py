@@ -91,9 +91,10 @@ def decode_image(data: bytes) -> np.ndarray:
     if kind in ("pgm", "ppm"):
         return _as_value_error(_decode_netpbm, data)
     if kind == "jpeg":
-        # baseline (grayscale + interleaved YCbCr color) decodes
-        # pure-python (round 7); progressive/non-interleaved raise
-        # NotImplementedError from the inner decoder
+        # baseline (grayscale + interleaved YCbCr color, round 7) AND
+        # progressive (SOF2, round 8) decode pure-python; sequential
+        # multi-scan/12-bit/lossless variants raise NotImplementedError
+        # from the inner decoder
         return _as_value_error(_decode_jpeg, data)
     if kind == "gif":
         return _as_value_error(_decode_gif, data)
@@ -481,22 +482,56 @@ def _split_entropy_segments(data: bytes, start: int) -> tuple[list[bytes], int]:
     return segments, pos
 
 
+def _jpeg_parse_dqt(body: bytes, qt: dict[int, np.ndarray]) -> None:
+    """DQT segment: one or more quantization tables (zigzag order)."""
+    off = 0
+    while off < len(body):
+        pq, tq = body[off] >> 4, body[off] & 0x0F
+        off += 1
+        if pq == 0:
+            tbl = np.frombuffer(body, np.uint8, 64, off).astype(np.int64)
+            off += 64
+        else:
+            tbl = np.frombuffer(body, ">u2", 64, off).astype(np.int64)
+            off += 128
+        qt[tq] = tbl
+
+
+def _jpeg_parse_dht(
+    body: bytes, huff: dict[tuple[int, int], dict[tuple[int, int], int]]
+) -> None:
+    """DHT segment: one or more Huffman tables."""
+    off = 0
+    while off + 17 <= len(body):
+        tc, th = body[off] >> 4, body[off] & 0x0F
+        bits = list(body[off + 1 : off + 17])
+        nvals = sum(bits)
+        vals = body[off + 17 : off + 17 + nvals]
+        if len(vals) != nvals:
+            raise ValueError("truncated DHT segment")
+        huff[(tc, th)] = _huffman_decode_map(bits, vals)
+        off += 17 + nvals
+
+
 def _decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline sequential JPEG decode — grayscale AND interleaved
-    YCbCr color (any integer sampling-factor combination, e.g. 4:4:4
-    and 4:2:0): marker walk -> DQT/DHT/SOF0/SOS -> per-MCU Huffman
-    entropy decode (byte-stuffing + restart markers, one DC predictor
-    per component) -> dequantize -> dezigzag -> IDCT -> chroma
-    upsample -> BT.601 YCbCr->RGB -> channel mean (the decode_image
-    grayscale contract, same as PNG/BMP color). Returns float32
-    (H, W). Progressive and non-interleaved multi-scan variants raise
-    NotImplementedError."""
+    """JPEG decode — baseline sequential (SOF0/1, grayscale AND
+    interleaved YCbCr color, any integer sampling-factor combination)
+    and PROGRESSIVE (SOF2: spectral selection + successive
+    approximation, DC and AC scans, EOB runs, refinement scans —
+    T.81 Annex G): marker walk -> DQT/DHT/SOF/SOS -> Huffman entropy
+    decode (byte-stuffing + restart markers, one DC predictor per
+    component) -> dequantize -> dezigzag -> IDCT -> chroma upsample
+    -> BT.601 YCbCr->RGB -> channel mean (the decode_image grayscale
+    contract, same as PNG/BMP color). Returns float32 (H, W).
+    Sequential non-interleaved multi-scan, 12-bit, and
+    lossless/hierarchical variants raise NotImplementedError."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("bad JPEG signature")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame: tuple[int, int, list[tuple[int, int]]] | None = None  # h, w, comps
     restart_interval = 0
+    progressive = False
     pos = 2
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
@@ -515,29 +550,10 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
         if len(body) != seglen - 2:
             raise ValueError("truncated JPEG segment")
         if marker == 0xDB:  # DQT: one or more tables per segment
-            off = 0
-            while off < len(body):
-                pq, tq = body[off] >> 4, body[off] & 0x0F
-                off += 1
-                if pq == 0:
-                    tbl = np.frombuffer(body, np.uint8, 64, off).astype(np.int64)
-                    off += 64
-                else:
-                    tbl = np.frombuffer(body, ">u2", 64, off).astype(np.int64)
-                    off += 128
-                qt[tq] = tbl  # zigzag order, as stored
+            _jpeg_parse_dqt(body, qt)
         elif marker == 0xC4:  # DHT: one or more tables per segment
-            off = 0
-            while off + 17 <= len(body):
-                tc, th = body[off] >> 4, body[off] & 0x0F
-                bits = list(body[off + 1 : off + 17])
-                nvals = sum(bits)
-                vals = body[off + 17 : off + 17 + nvals]
-                if len(vals) != nvals:
-                    raise ValueError("truncated DHT segment")
-                huff[(tc, th)] = _huffman_decode_map(bits, vals)
-                off += 17 + nvals
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            _jpeg_parse_dht(body, huff)
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential or progressive
             precision = body[0]
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit JPEG")
@@ -550,8 +566,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 cid, sampling, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, sampling >> 4, sampling & 0x0F, tq))
             frame = (h, w, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG decode not supported")
+            progressive = marker == 0xC2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"JPEG SOF{marker - 0xC0} not supported")
         elif marker == 0xDD:  # DRI
@@ -559,6 +574,12 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS: entropy data follows
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            if progressive:
+                # the progressive loop owns the marker walk from the
+                # first SOS on (scans interleave with DHT/DQT/DRI)
+                return _decode_jpeg_progressive(
+                    data, pos, frame, qt, huff, restart_interval
+                )
             height, width, comps = frame
             ns = body[0]
             if ns != len(comps):
@@ -698,6 +719,317 @@ def _decode_jpeg_scan(
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([np.clip(p, 0.0, 255.0) for p in (r, g, b)], axis=2)
     return rgb.mean(axis=2).astype(np.float32)
+
+
+def _ac_first_block(
+    reader: _BitReader,
+    zz: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+    ac: dict[tuple[int, int], int],
+) -> int:
+    """AC coefficients Ss..Se of one block, first scan at successive
+    approximation Al (T.81 G.2.2.2): run/size symbols as in baseline,
+    plus EOBn codes carrying a run of all-zero blocks. Values land
+    shifted left by Al. Returns the updated EOB run (blocks REMAINING
+    after this one)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(ac)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            # EOBn: run length 2^run + appended bits, counting this block
+            return (1 << run) + reader.read_bits(run) - 1
+        k += run
+        if k > se:
+            raise ValueError("JPEG AC index outside spectral band")
+        zz[k] = _extend(reader.read_bits(size), size) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(
+    reader: _BitReader,
+    zz: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+    ac: dict[tuple[int, int], int],
+) -> int:
+    """AC refinement scan for one block (T.81 G.2.2.3): each
+    already-nonzero coefficient receives one correction bit (appended
+    magnitude bit at position Al); runs count only zero-history
+    positions; newly significant coefficients arrive as size-1 symbols
+    with a sign bit. Correction bits keep flowing inside EOB runs."""
+    p1 = 1 << al
+
+    def correct(k: int) -> None:
+        if reader.read_bit():
+            # appended magnitude bit: by construction the coefficient
+            # has no magnitude bits below its coded precision, so bit
+            # Al is clear; the guard only shields malformed streams
+            if not (abs(int(zz[k])) & p1):
+                zz[k] += p1 if zz[k] > 0 else -p1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_symbol(ac)
+            run, size = rs >> 4, rs & 0x0F
+            newval = 0
+            if size == 0:
+                if run != 15:
+                    eobrun = (1 << run) + reader.read_bits(run)
+                    break  # rest of this block handled below
+                # ZRL: skip 16 zero-history positions
+            else:
+                if size != 1:
+                    raise ValueError("JPEG refinement size must be 1")
+                newval = p1 if reader.read_bit() else -p1
+            while k <= se:
+                if zz[k] != 0:
+                    correct(k)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if newval and k <= se:
+                zz[k] = newval
+            k += 1
+    if eobrun > 0:
+        # inside an EOB run every remaining nonzero-history coefficient
+        # of this block still receives its correction bit
+        while k <= se:
+            if zz[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_jpeg_progressive(
+    data: bytes,
+    pos: int,
+    frame: tuple[int, int, list[tuple[int, int, int, int]]],
+    qt: dict[int, np.ndarray],
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]],
+    restart_interval: int,
+) -> np.ndarray:
+    """Progressive JPEG (SOF2) decode, T.81 Annex G: coefficients
+    accumulate across scans in per-component zigzag buffers; DC scans
+    may interleave components, AC scans are one component each with
+    spectral selection [Ss, Se] and successive approximation (first
+    scans deliver bits above Al, refinement scans append bit Al);
+    restart markers reset DC predictors and the EOB run. After EOI the
+    buffers dequantize/IDCT exactly like a baseline frame."""
+    height, width, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    if not all(
+        1 <= ch <= 4 and 1 <= cv <= 4 and hmax % ch == 0 and vmax % cv == 0
+        for _, ch, cv, _ in comps
+    ):
+        raise NotImplementedError("non-integer-ratio JPEG sampling factors")
+    coef: list[np.ndarray] = []
+    nblocks: list[tuple[int, int]] = []  # non-interleaved (rows, cols)
+    for _cid, ch, cv, _tq in comps:
+        coef.append(np.zeros((mcus_y * cv, mcus_x * ch, 64), dtype=np.int64))
+        cw = -(-(width * ch) // hmax)
+        chh = -(-(height * cv) // vmax)
+        nblocks.append((-(-chh // 8), -(-cw // 8)))
+    by_id = {cid: i for i, (cid, _, _, _) in enumerate(comps)}
+    got_scan = False
+
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:
+            _jpeg_parse_dqt(body, qt)
+        elif marker == 0xC4:
+            _jpeg_parse_dht(body, huff)
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:
+            pos = _decode_progressive_scan(
+                data,
+                pos + 2 + seglen,
+                body,
+                comps,
+                by_id,
+                coef,
+                nblocks,
+                huff,
+                restart_interval,
+                mcus_x,
+                mcus_y,
+            )
+            got_scan = True
+            continue
+        pos += 2 + seglen
+    if not got_scan:
+        raise ValueError("progressive JPEG without any scan")
+
+    planes = []
+    for (cid, ch, cv, tq), c, (nby, nbx) in zip(comps, coef, nblocks):
+        quant = qt.get(tq)
+        if quant is None:
+            raise ValueError("JPEG frame references undefined quant table")
+        spatial = (c * quant)[:, :, _ZIGZAG].reshape(c.shape[0], c.shape[1], 8, 8)
+        blocks = (
+            np.einsum("ji,xyjk,kl->xyil", _DCT_C, spatial.astype(np.float64), _DCT_C)
+            + 128.0
+        )
+        plane = blocks.transpose(0, 2, 1, 3).reshape(
+            c.shape[0] * 8, c.shape[1] * 8
+        )
+        planes.append(
+            np.clip(
+                np.repeat(
+                    np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1
+                )[:height, :width],
+                0.0,
+                255.0,
+            )
+        )
+    if len(planes) == 1:
+        return planes[0].astype(np.float32)
+    y, cb, cr = planes  # BT.601 inverse (ITU-T T.871)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([np.clip(p, 0.0, 255.0) for p in (r, g, b)], axis=2)
+    return rgb.mean(axis=2).astype(np.float32)
+
+
+def _decode_progressive_scan(
+    data: bytes,
+    entropy_start: int,
+    body: bytes,
+    comps: list[tuple[int, int, int, int]],
+    by_id: dict[int, int],
+    coef: list[np.ndarray],
+    nblocks: list[tuple[int, int]],
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]],
+    restart_interval: int,
+    mcus_x: int,
+    mcus_y: int,
+) -> int:
+    """One progressive SOS: returns the position of the marker that
+    terminated the entropy stream."""
+    ns = body[0]
+    scan: list[tuple[int, int]] = []  # (component index, table byte)
+    for i in range(ns):
+        cid, tables = body[1 + 2 * i], body[2 + 2 * i]
+        if cid not in by_id:
+            raise ValueError(f"JPEG scan references unknown component {cid}")
+        scan.append((by_id[cid], tables))
+    ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0x0F
+    segments, end = _split_entropy_segments(data, entropy_start)
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("JPEG DC scan with Se != 0")
+        tables = [huff.get((0, t >> 4)) for _, t in scan]
+        if ah == 0 and any(t is None for t in tables):
+            raise ValueError("JPEG DC scan references undefined table")
+        # unit list: (ci, block_y, block_x) in scan order
+        units: list[tuple[int, int, int]] = []
+        if ns > 1:  # interleaved: MCU order
+            for m in range(mcus_x * mcus_y):
+                my, mx = divmod(m, mcus_x)
+                for ci, _t in scan:
+                    _, ch, cv, _ = comps[ci]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            units.append((ci, my * cv + by, mx * ch + bx))
+            per_restart = (
+                len(units) // (mcus_x * mcus_y) * restart_interval
+                if restart_interval
+                else 0
+            )
+        else:
+            ci = scan[0][0]
+            nby, nbx = nblocks[ci]
+            units = [(ci, b // nbx, b % nbx) for b in range(nby * nbx)]
+            per_restart = restart_interval
+        idx = 0
+        n_segs = (
+            -(-len(units) // per_restart) if per_restart else 1
+        )
+        if len(segments) < n_segs:
+            raise ValueError("JPEG entropy stream missing restart segments")
+        table_of = {ci: t for (ci, _), t in zip(scan, tables)}
+        for seg_no in range(n_segs):
+            reader = _BitReader(segments[seg_no])
+            preds = dict.fromkeys(table_of, 0)
+            count = (
+                min(per_restart, len(units) - idx) if per_restart else len(units)
+            )
+            for _ in range(count):
+                ci, by, bx = units[idx]
+                idx += 1
+                zz = coef[ci][by, bx]
+                if ah == 0:  # first DC scan: diff-coded value << Al
+                    t = reader.decode_symbol(table_of[ci])
+                    preds[ci] += _extend(reader.read_bits(t), t)
+                    zz[0] = preds[ci] << al
+                else:  # refinement: append bit Al
+                    if reader.read_bit():
+                        zz[0] = int(zz[0]) | (1 << al)
+        return end
+
+    # AC scan: exactly one component (T.81 G.1.1.1.1)
+    if ns != 1:
+        raise ValueError("JPEG progressive AC scan must be non-interleaved")
+    ci, tbyte = scan[0]
+    ac = huff.get((1, tbyte & 0x0F))
+    if ac is None:
+        raise ValueError("JPEG AC scan references undefined table")
+    nby, nbx = nblocks[ci]
+    total = nby * nbx
+    n_segs = -(-total // restart_interval) if restart_interval else 1
+    if len(segments) < n_segs:
+        raise ValueError("JPEG entropy stream missing restart segments")
+    idx = 0
+    block_fn = _ac_refine_block if ah else _ac_first_block
+    for seg_no in range(n_segs):
+        reader = _BitReader(segments[seg_no])
+        eobrun = 0
+        count = (
+            min(restart_interval, total - idx) if restart_interval else total
+        )
+        for _ in range(count):
+            by, bx = divmod(idx, nbx)
+            idx += 1
+            eobrun = block_fn(
+                reader, coef[ci][by, bx], ss, se, al, eobrun, ac
+            )
+    return end
 
 
 def _jpeg_dimensions(data: bytes) -> tuple[int, int]:
@@ -842,6 +1174,15 @@ _ENC_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0]
 _ENC_AC_VALS = bytes(
     sorted(
         {(r << 4) | s for r in range(16) for s in range(1, 11)} | {0x00, 0xF0}
+    )
+)
+# progressive AC scans additionally need every EOBn symbol (r<<4)|0 —
+# 176 symbols total still fit as a flat 8-bit canonical code
+_ENC_AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+_ENC_AC_PROG_VALS = bytes(
+    sorted(
+        {(r << 4) | s for r in range(16) for s in range(1, 11)}
+        | {r << 4 for r in range(16)}
     )
 )
 
@@ -1072,6 +1413,355 @@ def encode_jpeg_gray(
     entropy += writer.finish()
     headers = _jpeg_headers(quant, height, width, [(1, 1)], restart_interval)
     return headers + bytes(entropy) + b"\xff\xd9"
+
+
+# --- progressive JPEG test encoder (T.81 Annex G) ---------------------------
+
+
+def _jpeg_coef_blocks(plane: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    """Quantized zigzag-ordered coefficients for a level-shifted,
+    8-padded plane: (bh, bw, 64)."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    out = np.zeros((bh, bw, 64), dtype=np.int64)
+    for by in range(bh):
+        for bx in range(bw):
+            coef = _DCT_C @ plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] @ _DCT_C.T
+            out[by, bx] = np.round(coef.reshape(64) / quant).astype(np.int64)[
+                _UNZIGZAG
+            ]
+    return out
+
+
+def _enc_dc_first(
+    writer: _BitWriter,
+    units: list[tuple[int, np.ndarray]],
+    al: int,
+    dc_map: dict[int, tuple[int, int]],
+) -> None:
+    """First DC scan: per-component diff coding of the
+    point-transformed value (arithmetic shift, T.81 G.1.2.1)."""
+    preds: dict[int, int] = {}
+    for ci, zz in units:
+        v = int(zz[0]) >> al
+        diff = v - preds.get(ci, 0)
+        preds[ci] = v
+        t = _category(diff)
+        code, length = dc_map[t]
+        writer.write(code, length)
+        if t:
+            writer.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+
+
+def _enc_dc_refine(
+    writer: _BitWriter, units: list[tuple[int, np.ndarray]], al: int
+) -> None:
+    for _ci, zz in units:
+        writer.write((int(zz[0]) >> al) & 1, 1)
+
+
+def _flush_eobrun(
+    writer: _BitWriter,
+    eobrun: int,
+    pending: list[int],
+    ac_map: dict[int, tuple[int, int]],
+) -> None:
+    if eobrun:
+        r = eobrun.bit_length() - 1
+        code, length = ac_map[r << 4]
+        writer.write(code, length)
+        if r:
+            writer.write(eobrun - (1 << r), r)
+        for b in pending:
+            writer.write(b, 1)
+        pending.clear()
+
+
+def _enc_ac_first(
+    writer: _BitWriter,
+    blocks: list[np.ndarray],
+    ss: int,
+    se: int,
+    al: int,
+    ac_map: dict[int, tuple[int, int]],
+) -> None:
+    """First AC scan at point transform Al with EOB-run accumulation
+    (T.81 G.1.2.2)."""
+    eobrun = 0
+    for zz in blocks:
+        tmp = [
+            (1 if int(zz[k]) > 0 else -1) * (abs(int(zz[k])) >> al)
+            for k in range(ss, se + 1)
+        ]
+        nz = [i for i, v in enumerate(tmp) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                _flush_eobrun(writer, eobrun, [], ac_map)
+                eobrun = 0
+            continue
+        _flush_eobrun(writer, eobrun, [], ac_map)
+        eobrun = 0
+        run = 0
+        for i in range(nz[-1] + 1):
+            v = tmp[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_map[0xF0]
+                writer.write(code, length)
+                run -= 16
+            s = _category(v)
+            code, length = ac_map[(run << 4) | s]
+            writer.write(code, length)
+            writer.write(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if nz[-1] < se - ss:
+            eobrun = 1
+    _flush_eobrun(writer, eobrun, [], ac_map)
+
+
+def _enc_ac_refine(
+    writer: _BitWriter,
+    blocks: list[np.ndarray],
+    ss: int,
+    se: int,
+    al: int,
+    ac_map: dict[int, tuple[int, int]],
+) -> None:
+    """AC refinement scan (T.81 G.1.2.3): newly significant
+    coefficients as size-1 symbols with a sign bit; already-nonzero
+    coefficients contribute one correction bit each. Correction bits
+    are buffered as POSITIONAL events interleaved with the
+    zero-history run: the decoder consumes them while walking each
+    symbol's span, so a ZRL carries exactly the bits lying before its
+    16th zero-history position — attaching the whole buffer to the
+    ZRL desyncs the stream (caught by the roundtrip property test)."""
+    eobrun = 0
+    # events since the last emitted symbol, in coefficient order:
+    # "Z" = zero-history position, ("H", bit) = correction bit
+    events: list = []
+
+    def emit_h_bits() -> None:
+        for ev in events:
+            if ev != "Z":
+                writer.write(ev[1], 1)
+        events.clear()
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, length = ac_map[r << 4]
+            writer.write(code, length)
+            if r:
+                writer.write(eobrun - (1 << r), r)
+            emit_h_bits()
+            eobrun = 0
+
+    for zz in blocks:
+        tmp = [int(zz[k]) for k in range(ss, se + 1)]
+        mags = [abs(v) >> al for v in tmp]
+        # newly significant at this precision: magnitude becomes
+        # exactly 1; history-nonzero: magnitude >= 2
+        new_pos = [i for i, m in enumerate(mags) if m == 1]
+        if not new_pos:
+            events.extend(("H", m & 1) for m in mags if m >= 2)
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        zero_run = 0
+        for i in range(new_pos[-1] + 1):
+            m = mags[i]
+            if m >= 2:  # correction bit, does not break the run
+                events.append(("H", m & 1))
+            elif m == 0:
+                events.append("Z")
+                zero_run += 1
+            else:  # newly significant
+                while zero_run > 15:
+                    code, length = ac_map[0xF0]
+                    writer.write(code, length)
+                    z = 0
+                    while z < 16:  # bits up to the 16th zero-history
+                        ev = events.pop(0)
+                        if ev == "Z":
+                            z += 1
+                        else:
+                            writer.write(ev[1], 1)
+                    zero_run -= 16
+                code, length = ac_map[(zero_run << 4) | 1]
+                writer.write(code, length)
+                writer.write(1 if tmp[i] > 0 else 0, 1)
+                emit_h_bits()
+                zero_run = 0
+        events.extend(
+            ("H", mags[i] & 1)
+            for i in range(new_pos[-1] + 1, len(mags))
+            if mags[i] >= 2
+        )
+        if new_pos[-1] < se - ss:
+            eobrun = 1
+        elif events:
+            raise AssertionError("refinement bits pending with no EOB")
+    flush_eob()
+
+
+def _jpeg_progressive_stream(
+    comp_coefs: list[np.ndarray],
+    samplings: list[tuple[int, int]],
+    quant: np.ndarray,
+    height: int,
+    width: int,
+    successive: bool,
+) -> bytes:
+    """Assemble a progressive JPEG from per-component coefficient
+    grids: SOF2 + shared Huffman tables + a scan script. With
+    successive=False: DC then per-component AC 1-5 / 6-63 (spectral
+    selection only). With successive=True: DC at Al=1, AC 1-63 at
+    Al=1, DC refinement, AC refinement — exercising every Annex G
+    decode path (EOB runs, ZRL, sign bits, correction bits)."""
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    ncomp = len(comp_coefs)
+    dqt = seg(0xDB, bytes([0x00]) + bytes(int(x) for x in quant[_UNZIGZAG]))
+    sof_comps = b"".join(
+        bytes([i + 1, (h << 4) | v, 0]) for i, (h, v) in enumerate(samplings)
+    )
+    sof = seg(0xC2, struct.pack(">BHHB", 8, height, width, ncomp) + sof_comps)
+    dht = seg(0xC4, bytes([0x00]) + bytes(_ENC_DC_BITS) + _ENC_DC_VALS) + seg(
+        0xC4, bytes([0x10]) + bytes(_ENC_AC_PROG_BITS) + _ENC_AC_PROG_VALS
+    )
+    dc_map = _huffman_encode_map(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_map = _huffman_encode_map(_ENC_AC_PROG_BITS, _ENC_AC_PROG_VALS)
+
+    hmax = max(h for h, _ in samplings)
+    vmax = max(v for _, v in samplings)
+    mcus_y, mcus_x = (
+        comp_coefs[0].shape[0] // samplings[0][1],
+        comp_coefs[0].shape[1] // samplings[0][0],
+    )
+    # interleaved DC unit order (MCU raster), matching the decoder
+    dc_units: list[tuple[int, np.ndarray]] = []
+    for m in range(mcus_x * mcus_y):
+        my, mx = divmod(m, mcus_x)
+        for ci, (ch, cv) in enumerate(samplings):
+            for by in range(cv):
+                for bx in range(ch):
+                    dc_units.append(
+                        (ci, comp_coefs[ci][my * cv + by, mx * ch + bx])
+                    )
+    # non-interleaved per-component block rasters (actual dims)
+    comp_blocks: list[list[np.ndarray]] = []
+    for ci, (ch, cv) in enumerate(samplings):
+        nbx = -(-(-(-(width * ch) // hmax)) // 8)
+        nby = -(-(-(-(height * cv) // vmax)) // 8)
+        comp_blocks.append(
+            [comp_coefs[ci][b // nbx, b % nbx] for b in range(nby * nbx)]
+        )
+
+    def sos(specs: list[tuple[int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
+        return seg(
+            0xDA,
+            bytes([len(specs)])
+            + b"".join(bytes([cid, tb]) for cid, tb in specs)
+            + bytes([ss, se, (ah << 4) | al]),
+        )
+
+    out = bytearray(b"\xff\xd8" + dqt + sof + dht)
+    all_dc = [(i + 1, 0x00) for i in range(ncomp)]
+
+    def scan(header: bytes, encode) -> None:
+        w = _BitWriter()
+        encode(w)
+        out.extend(header + w.finish())
+
+    if successive:
+        scan(sos(all_dc, 0, 0, 0, 1), lambda w: _enc_dc_first(w, dc_units, 1, dc_map))
+        for ci in range(ncomp):
+            scan(
+                sos([(ci + 1, 0x00)], 1, 63, 0, 1),
+                lambda w, ci=ci: _enc_ac_first(w, comp_blocks[ci], 1, 63, 1, ac_map),
+            )
+        scan(sos(all_dc, 0, 0, 1, 0), lambda w: _enc_dc_refine(w, dc_units, 0))
+        for ci in range(ncomp):
+            scan(
+                sos([(ci + 1, 0x00)], 1, 63, 1, 0),
+                lambda w, ci=ci: _enc_ac_refine(w, comp_blocks[ci], 1, 63, 0, ac_map),
+            )
+    else:
+        scan(sos(all_dc, 0, 0, 0, 0), lambda w: _enc_dc_first(w, dc_units, 0, dc_map))
+        for ci in range(ncomp):
+            scan(
+                sos([(ci + 1, 0x00)], 1, 5, 0, 0),
+                lambda w, ci=ci: _enc_ac_first(w, comp_blocks[ci], 1, 5, 0, ac_map),
+            )
+            scan(
+                sos([(ci + 1, 0x00)], 6, 63, 0, 0),
+                lambda w, ci=ci: _enc_ac_first(w, comp_blocks[ci], 6, 63, 0, ac_map),
+            )
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_gray_progressive(
+    gray: np.ndarray, quality: int = 90, successive: bool = True
+) -> bytes:
+    """Progressive (SOF2) grayscale JPEG — same coefficients as
+    encode_jpeg_gray, serialized as a progressive scan script, so
+    decode(progressive) must equal decode(baseline) EXACTLY (the
+    round-trip tests rely on that cross-check)."""
+    arr = np.asarray(gray, dtype=np.uint8)
+    height, width = arr.shape
+    if height == 0 or width == 0:
+        raise ValueError("empty image")
+    quant = _jpeg_quant_for_quality(quality)
+    bh, bw = (height + 7) // 8, (width + 7) // 8
+    padded = np.pad(
+        arr.astype(np.float64) - 128.0,
+        ((0, bh * 8 - height), (0, bw * 8 - width)),
+        mode="edge",
+    )
+    coefs = _jpeg_coef_blocks(padded, quant)
+    return _jpeg_progressive_stream(
+        [coefs], [(1, 1)], quant, height, width, successive
+    )
+
+
+def encode_jpeg_rgb_progressive(
+    rgb: np.ndarray, quality: int = 90, successive: bool = True
+) -> bytes:
+    """Progressive (SOF2) 4:4:4 YCbCr color JPEG: interleaved DC scan
+    across the three components + per-component AC scans."""
+    arr = np.asarray(rgb, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) RGB, got {arr.shape}")
+    height, width = arr.shape[:2]
+    if height == 0 or width == 0:
+        raise ValueError("empty image")
+    quant = _jpeg_quant_for_quality(quality)
+    r = arr[:, :, 0].astype(np.float64)
+    g = arr[:, :, 1].astype(np.float64)
+    b = arr[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    bh, bw = (height + 7) // 8, (width + 7) // 8
+    coefs = []
+    for plane in (y, cb, cr):
+        padded = np.pad(
+            plane - 128.0,
+            ((0, bh * 8 - height), (0, bw * 8 - width)),
+            mode="edge",
+        )
+        coefs.append(_jpeg_coef_blocks(padded, quant))
+    return _jpeg_progressive_stream(
+        coefs, [(1, 1)] * 3, quant, height, width, successive
+    )
 
 
 def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:

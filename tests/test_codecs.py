@@ -269,9 +269,17 @@ def test_jpeg_decode_real_gradient():
 
 def test_jpeg_unsupported_variants_raise_not_implemented():
     base = codecs.encode_jpeg_gray(np.full((8, 8), 99, np.uint8))
+    # progressive DECODES since round 8; a baseline stream merely
+    # relabeled SOF2 carries a full-band Ss=0/Se=63 scan, which is
+    # malformed AS progressive (DC scans must have Se=0) — bad data,
+    # not an env-bound variant
     progressive = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="Se"):
         codecs.decode_image(progressive)
+    # lossless JPEG (SOF3) stays env-bound
+    lossless = base.replace(b"\xff\xc0", b"\xff\xc3", 1)
+    with pytest.raises(NotImplementedError, match="SOF3"):
+        codecs.decode_image(lossless)
     # 4-component (CMYK-style) SOF: rebuild the frame header
     i = base.index(b"\xff\xc0")
     seglen = 8 + 3 * 4
@@ -1283,3 +1291,67 @@ def test_mp4_parse_no_codec_chain_and_malformed():
     assert codecs.media_dimensions(
         codecs.encode_mp4_stub(20, 10, codec=b"avc1")
     ) == (20, 10, "mp4")
+
+
+# --- progressive JPEG (SOF2, T.81 Annex G) ----------------------------------
+
+
+def test_progressive_jpeg_equals_baseline_decode():
+    """The progressive encoder serializes the SAME quantized
+    coefficients as the baseline encoder, just as a scan script —
+    so progressive decode must equal baseline decode EXACTLY. This
+    cross-checks the Annex G decoder against the independent baseline
+    path (different entropy layout, shared reconstruction)."""
+    rng = np.random.default_rng(21)
+    for shape in [(8, 8), (16, 24), (17, 9), (40, 33), (1, 1)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        base = codecs.decode_image(codecs.encode_jpeg_gray(img, quality=85))
+        for successive in (False, True):
+            prog = codecs.encode_jpeg_gray_progressive(
+                img, quality=85, successive=successive
+            )
+            assert codecs.media_dimensions(prog) == (shape[1], shape[0], "jpeg")
+            np.testing.assert_array_equal(codecs.decode_image(prog), base)
+
+
+def test_progressive_jpeg_color_and_quality_sweep():
+    rng = np.random.default_rng(22)
+    img3 = rng.integers(0, 256, (24, 17, 3), dtype=np.uint8)
+    base3 = codecs.decode_image(codecs.encode_jpeg_rgb(img3, quality=85))
+    for successive in (False, True):
+        prog3 = codecs.encode_jpeg_rgb_progressive(
+            img3, quality=85, successive=successive
+        )
+        np.testing.assert_array_equal(codecs.decode_image(prog3), base3)
+    # sparse coefficient regimes (low quality -> long EOB runs; high
+    # quality -> dense AC) both round-trip
+    flat = np.full((32, 32), 128, dtype=np.uint8)  # all-EOB blocks
+    for q in (10, 50, 95):
+        for img in (flat, rng.integers(0, 256, (32, 32), dtype=np.uint8)):
+            base = codecs.decode_image(codecs.encode_jpeg_gray(img, quality=q))
+            prog = codecs.encode_jpeg_gray_progressive(img, quality=q)
+            np.testing.assert_array_equal(codecs.decode_image(prog), base)
+
+
+def test_progressive_jpeg_malformed_raises():
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    prog = codecs.encode_jpeg_gray_progressive(img)
+    # truncation anywhere inside the scan chain is ValueError, never a
+    # crash or silent partial image
+    for cut in (len(prog) // 3, len(prog) // 2, len(prog) - 3):
+        with pytest.raises(ValueError):
+            codecs.decode_image(prog[:cut])
+    # SOF2 with no scans at all
+    sos = prog.find(b"\xff\xda")
+    with pytest.raises(ValueError):
+        codecs.decode_image(prog[:sos] + b"\xff\xd9")
+
+
+@settings(max_examples=25, deadline=None)
+@given(img=_uint8_images(), successive=st.booleans())
+def test_progressive_jpeg_roundtrip_property(img, successive):
+    base = codecs.decode_image(codecs.encode_jpeg_gray(img, quality=80))
+    prog = codecs.encode_jpeg_gray_progressive(
+        img, quality=80, successive=successive
+    )
+    np.testing.assert_array_equal(codecs.decode_image(prog), base)
