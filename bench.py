@@ -125,6 +125,9 @@ HEADLINE = [
     # codec's real decode per item + a 7-group aggregate)
     "unigram_em_vocab",
     "media_decode_census",
+    # MP4 stsd/avcC metadata inventory: the zero-shuffle header-parse
+    # plan shape (encode + parse per item, no decode)
+    "media_codec_ids",
 ]
 
 

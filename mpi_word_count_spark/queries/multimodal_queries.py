@@ -354,21 +354,30 @@ def q_media_dimensions_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from mpi_word_count_spark.functions import codecs
 
+        # JPEG alternates baseline/progressive (SOF0/SOF2) by doc
+        # parity — same kind, same dims, so the oracle is unchanged
+        # while the header parse covers both frame types
         encoders = [
-            lambda a: codecs.encode_png(a),
-            lambda a: codecs.encode_bmp(a),
-            lambda a: codecs.encode_gif(a),
-            lambda a: codecs.encode_jpeg_gray(a),
-            lambda a: codecs.encode_avi_dib([a]),
-            lambda a: codecs.encode_mp4_stub(a.shape[1], a.shape[0]),
-            lambda a: codecs.encode_tiff(a),
+            lambda a, d: codecs.encode_png(a),
+            lambda a, d: codecs.encode_bmp(a),
+            lambda a, d: codecs.encode_gif(a),
+            lambda a, d: (
+                codecs.encode_jpeg_gray_progressive(a)
+                if d % 2
+                else codecs.encode_jpeg_gray(a)
+            ),
+            lambda a, d: codecs.encode_avi_dib([a]),
+            lambda a, d: codecs.encode_mp4_stub(a.shape[1], a.shape[0]),
+            lambda a, d: codecs.encode_tiff(a),
         ]
         for pdf in batches:
             ids, kinds, ws, hs = [], [], [], []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 n = len(text.encode("utf-8"))
                 w, h = 1 + n % 31, 1 + n % 17
-                payload = encoders[int(did) % 7](np.zeros((h, w), dtype=np.uint8))
+                payload = encoders[int(did) % 7](
+                    np.zeros((h, w), dtype=np.uint8), int(did)
+                )
                 pw, ph, kind = codecs.media_dimensions(payload)
                 ids.append(did)
                 kinds.append(kind)
@@ -557,16 +566,24 @@ def q_media_decode_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from mpi_word_count_spark.functions import codecs
 
+        # JPEG alternates baseline/progressive (SOF0/SOF2) by doc
+        # parity: both decode for real since round 8, so the census
+        # counts — and the oracle — are identical, while the REAL
+        # Annex G decode path runs inside the driver-verified query
         encoders = [
-            ("png", lambda a: codecs.encode_png(a)),
-            ("bmp", lambda a: codecs.encode_bmp(a)),
-            ("gif", lambda a: codecs.encode_gif(a)),
-            ("jpeg", lambda a: codecs.encode_jpeg_gray(a)),
-            ("avi", lambda a: codecs.encode_avi_dib([a])),
-            ("mp4", lambda a: codecs.encode_mp4_stub(
+            ("png", lambda a, d: codecs.encode_png(a)),
+            ("bmp", lambda a, d: codecs.encode_bmp(a)),
+            ("gif", lambda a, d: codecs.encode_gif(a)),
+            ("jpeg", lambda a, d: (
+                codecs.encode_jpeg_gray_progressive(a)
+                if d % 2
+                else codecs.encode_jpeg_gray(a)
+            )),
+            ("avi", lambda a, d: codecs.encode_avi_dib([a])),
+            ("mp4", lambda a, d: codecs.encode_mp4_stub(
                 a.shape[1], a.shape[0], codec=b"avc1"
             )),
-            ("tiff", lambda a: codecs.encode_tiff(a)),
+            ("tiff", lambda a, d: codecs.encode_tiff(a)),
         ]
 
         def try_decode(kind: str, payload: bytes) -> None:
@@ -588,7 +605,7 @@ def q_media_decode_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n = len(text.encode("utf-8"))
                 w, h = 1 + n % 31, 1 + n % 17
                 kind, enc = encoders[int(did) % 7]
-                payload = enc(np.zeros((h, w), dtype=np.uint8))
+                payload = enc(np.zeros((h, w), dtype=np.uint8), int(did))
                 if int(did) % 11 == 0:
                     payload = payload[:8]  # deterministic corruption
                 try:
@@ -633,4 +650,108 @@ def q_media_decode_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("skipped_env_bound").cast("long").alias("skipped_env_bound"),
         )
         .orderBy("kind")
+    )
+
+
+# --- MP4 codec identity: the stsd/avcC metadata path ------------------------
+
+_CODEC_IDS_ORACLE = """
+    SELECT doc_id AS media_id,
+           'isom' AS brand,
+           CAST(1 + length(text) % 9 AS DOUBLE) AS duration_s,
+           CASE WHEN doc_id % 3 = 2 THEN 'soun' ELSE 'vide' END AS handler,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'avc1'
+                WHEN 1 THEN 'hvc1' ELSE 'mp4a' END AS codec,
+           CASE WHEN doc_id % 3 = 0
+                THEN 'avc1.' || printf('%02X%02X%02X',
+                     CASE CAST(length(text) % 3 AS INT)
+                          WHEN 0 THEN 66 WHEN 1 THEN 77 ELSE 100 END,
+                     CASE WHEN length(text) % 3 = 0 THEN 192 ELSE 0 END,
+                     30 + CAST(length(text) % 4 AS INT) * 3)
+                ELSE '' END AS codec_profile,
+           CASE WHEN doc_id % 3 = 2 THEN 0
+                ELSE CAST(1 + length(text) % 31 AS INT) END AS width,
+           CASE WHEN doc_id % 3 = 2 THEN 0
+                ELSE CAST(1 + length(text) % 17 AS INT) END AS height
+    FROM documents
+"""
+
+
+@register("media_codec_ids", oracle=_CODEC_IDS_ORACLE)
+def q_media_codec_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 codec-identity profiling (ISO/IEC 14496-12 stsd + -15 avcC):
+    each document synthesizes a spec-shaped ISO-BMFF container whose
+    track carries a codec sample entry chosen by doc_id (avc1 with a
+    profile/level triple derived from the text length, hvc1, or an
+    mp4a audio track), then parse_mp4 reads back brand, movie
+    duration, handler, codec fourcc, RFC-6381-style avc1 profile
+    string, and presentation size. The DuckDB oracle recomputes every
+    field from doc arithmetic, so the hash match proves the stsd
+    writer and reader agree byte-for-byte on the codec chain — the
+    metadata a 100 TB crawl needs to inventory video codecs WITHOUT
+    decoding frames (H.264/H.265 payload decode stays env-bound).
+    One Arrow kernel pass, no shuffle."""
+    from pyspark.sql import types as T
+
+    docs = table(spark, "documents", sf_dir)
+
+    def kernel(batches):
+        import pandas as pd
+
+        from mpi_word_count_spark.functions import codecs
+
+        for pdf in batches:
+            rows = {
+                "media_id": [], "brand": [], "duration_s": [],
+                "handler": [], "codec": [], "codec_profile": [],
+                "width": [], "height": [],
+            }
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text.encode("utf-8"))
+                d = int(did)
+                dur = 1 + n % 9
+                if d % 3 == 2:
+                    payload = codecs.encode_mp4_stub(
+                        0, 0, duration_s=dur, codec=b"mp4a"
+                    )
+                else:
+                    w, h = 1 + n % 31, 1 + n % 17
+                    if d % 3 == 0:
+                        profile = [66, 77, 100][n % 3]
+                        compat = 0xC0 if n % 3 == 0 else 0
+                        level = 30 + (n % 4) * 3
+                        payload = codecs.encode_mp4_stub(
+                            w, h, duration_s=dur, codec=b"avc1",
+                            avcc=(profile, compat, level),
+                        )
+                    else:
+                        payload = codecs.encode_mp4_stub(
+                            w, h, duration_s=dur, codec=b"hvc1"
+                        )
+                meta = codecs.parse_mp4(payload)
+                t = meta["tracks"][0]
+                rows["media_id"].append(d)
+                rows["brand"].append(meta["brand"])
+                rows["duration_s"].append(float(meta["duration_s"]))
+                rows["handler"].append(t["handler"])
+                rows["codec"].append(t["codec"])
+                rows["codec_profile"].append(t["codec_profile"])
+                rows["width"].append(int(meta["width"]))
+                rows["height"].append(int(meta["height"]))
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        kernel,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("brand", T.StringType(), False),
+                T.StructField("duration_s", T.DoubleType(), False),
+                T.StructField("handler", T.StringType(), False),
+                T.StructField("codec", T.StringType(), False),
+                T.StructField("codec_profile", T.StringType(), False),
+                T.StructField("width", T.IntegerType(), False),
+                T.StructField("height", T.IntegerType(), False),
+            ]
+        ),
     )

@@ -80,6 +80,7 @@ _PRIORITY = [
     # round-8 new queries
     "unigram_em_vocab",
     "media_decode_census",
+    "media_codec_ids",
     # decode-path consumers of this round's codec changes
     "media_phash",
     "media_phash_dups",
@@ -124,7 +125,6 @@ _PRIORITY = [
     "lang_id",
     "order_price_percentiles",
     "packed_sequences",
-    "q10_returned_items",
     # --- the 50-row driver budget, round 7 ---------------------------
     # The final evidence-debt drain (VERDICT r6 item 1): the flagship +
     # ALL 41 never-driver-verified queries (each already judge-green at
