@@ -293,6 +293,32 @@ def _em_usage(
 UNIGRAM_EM_ROUNDS = 2
 
 
+def unigram_em_train(
+    freqs: DataFrame,
+    rounds: int = UNIGRAM_EM_ROUNDS,
+    k_multi: int = UNIGRAM_K_MULTI,
+    max_piece: int = UNIGRAM_MAX_PIECE,
+) -> tuple[dict[str, int], dict[str, int]]:
+    """The hard-EM loop itself: (final piece->cost vocab, final
+    E-step's piece->usage counts). Shared by unigram_em_vocab (which
+    returns the model) and unigram_em_segment_stats (which tokenizes
+    under it)."""
+    vocab = unigram_vocab(freqs, k_multi, max_piece)
+    use: dict[str, int] = {}
+    for _ in range(rounds):
+        use = _em_usage(freqs, vocab, max_piece)
+        total = sum(use.values())
+        new_vocab: dict[str, int] = {}
+        for p in vocab:
+            u = use.get(p, 0)
+            if u > 0:
+                new_vocab[p] = total.bit_length() - u.bit_length() + 1
+            elif len(p) == 1:
+                new_vocab[p] = total.bit_length() + 1
+        vocab = new_vocab
+    return vocab, use
+
+
 def unigram_em_vocab(
     docs: DataFrame,
     rounds: int = UNIGRAM_EM_ROUNDS,
@@ -322,19 +348,7 @@ def unigram_em_vocab(
     from mpi_word_count_spark.operators import track_cache
 
     freqs = track_cache(word_freqs(docs))
-    vocab = unigram_vocab(freqs, k_multi, max_piece)
-    use: dict[str, int] = {}
-    for _ in range(rounds):
-        use = _em_usage(freqs, vocab, max_piece)
-        total = sum(use.values())
-        new_vocab: dict[str, int] = {}
-        for p in vocab:
-            u = use.get(p, 0)
-            if u > 0:
-                new_vocab[p] = total.bit_length() - u.bit_length() + 1
-            elif len(p) == 1:
-                new_vocab[p] = total.bit_length() + 1
-        vocab = new_vocab
+    vocab, use = unigram_em_train(freqs, rounds, k_multi, max_piece)
     rows = [
         (p, len(p), int(use.get(p, 0)), int(c))
         for p, c in sorted(vocab.items())
@@ -357,7 +371,15 @@ def unigram_segment_stats(
     vocab broadcast in the closure."""
     freqs = word_freqs(docs)
     vocab = unigram_vocab(freqs, k_multi, max_piece)
+    return _segment_stats_df(freqs, vocab, max_piece)
 
+
+def _segment_stats_df(
+    freqs: DataFrame, vocab: dict[str, int], max_piece: int
+) -> DataFrame:
+    """(word, freq, n_chars, min_cost, min_pieces) via the DP under a
+    given cost vocab — the tokenize-time kernel, shared by the
+    frequency-initialized and EM-refined paths."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -386,3 +408,21 @@ def unigram_segment_stats(
         ]
     )
     return freqs.mapInPandas(kernel, schema=schema)
+
+
+def unigram_em_segment_stats(
+    docs: DataFrame,
+    rounds: int = UNIGRAM_EM_ROUNDS,
+    k_multi: int = UNIGRAM_K_MULTI,
+    max_piece: int = UNIGRAM_MAX_PIECE,
+) -> DataFrame:
+    """Tokenization under the EM-REFINED vocabulary: train with
+    unigram_em_train, then segment every word type under the final
+    costs — the inference half of the sentencepiece pipeline (train →
+    tokenize) as one oracle-verifiable DataFrame. Same plan shape as
+    unigram_segment_stats plus the EM rounds' type-table passes."""
+    from mpi_word_count_spark.operators import track_cache
+
+    freqs = track_cache(word_freqs(docs))
+    vocab, _use = unigram_em_train(freqs, rounds, k_multi, max_piece)
+    return _segment_stats_df(freqs, vocab, max_piece)

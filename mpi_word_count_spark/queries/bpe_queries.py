@@ -508,3 +508,60 @@ def q_unigram_em_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     model-sized dict on the driver (the BPE-merge-loop pattern); the
     corpus is touched only by the initial word count."""
     return unigram_em_vocab(table(spark, "documents", sf_dir))
+
+
+def _em_segment_oracle(rounds: int = UNIGRAM_EM_ROUNDS) -> str:
+    """Enumeration proof of tokenize-under-the-EM-vocab: the EM CTE
+    chain (each round verified as in _em_vocab_oracle), then one more
+    edges/paths enumeration under v{rounds} with the min aggregation
+    of _UNIGRAM_ORACLE."""
+    chain = _em_base_ctes() + "," + ",".join(
+        _em_round_ctes(k) for k in range(1, rounds + 1)
+    )
+    return f"""
+    WITH RECURSIVE {chain},
+    edgesF AS MATERIALIZED (
+        SELECT w.word, CAST(s.s - 1 AS INT) AS j,
+               CAST(s.s - 1 + l.l AS INT) AS i, v.cost
+        FROM words w,
+             (SELECT unnest(range(1, {UNIGRAM_MAX_PIECE} + 1)) AS l) l,
+             LATERAL (SELECT unnest(range(1, length(w.word) - l.l + 2)) AS s) s,
+             v{rounds} v
+        WHERE substr(w.word, CAST(s.s AS INT), CAST(l.l AS INT)) = v.piece
+    ),
+    pathsF AS (
+        SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost, 0 AS pieces
+        FROM words
+        UNION ALL
+        SELECT e.word, e.i, p.cost + e.cost, p.pieces + 1
+        FROM pathsF p JOIN edgesF e ON e.word = p.word AND e.j = p.pos
+    ),
+    finalsF AS (
+        SELECT word, cost, pieces FROM pathsF WHERE pos = length(word)
+    ),
+    bestF AS (SELECT word, min(cost) AS min_cost FROM finalsF GROUP BY 1)
+    SELECT w.word, w.freq,
+           CAST(length(w.word) AS INT) AS n_chars,
+           b.min_cost,
+           CAST(min(f.pieces) AS BIGINT) AS min_pieces
+    FROM words w
+    JOIN bestF b USING (word)
+    JOIN finalsF f ON f.word = w.word AND f.cost = b.min_cost
+    GROUP BY 1, 2, 3, 4
+    """
+
+
+@register("unigram_em_segment_stats", oracle=_em_segment_oracle())
+def q_unigram_em_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INFERENCE half of the sentencepiece pipeline under the
+    EM-trained model: train the unigram-LM vocabulary with hard EM
+    (unigram_em_vocab's loop), then segment every word type under the
+    final integer costs. The oracle re-derives the full EM chain
+    (each round's E-step enumerated, M-step recomputed) and then
+    ENUMERATES every segmentation under the final vocabulary, so the
+    hash match proves train-then-tokenize end to end. Same 100 TB
+    shape as unigram_em_vocab plus one more Zipf-bounded type-table
+    DP pass."""
+    from mpi_word_count_spark.operators.bpe import unigram_em_segment_stats
+
+    return unigram_em_segment_stats(table(spark, "documents", sf_dir))

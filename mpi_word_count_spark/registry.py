@@ -79,6 +79,7 @@ _PRIORITY = [
     "unigram_segment_stats",
     # round-8 new queries
     "unigram_em_vocab",
+    "unigram_em_segment_stats",
     "media_decode_census",
     "media_codec_ids",
     # decode-path consumers of this round's codec changes
@@ -124,7 +125,6 @@ _PRIORITY = [
     "hash_sample_documents",
     "lang_id",
     "order_price_percentiles",
-    "packed_sequences",
     # --- the 50-row driver budget, round 7 ---------------------------
     # The final evidence-debt drain (VERDICT r6 item 1): the flagship +
     # ALL 41 never-driver-verified queries (each already judge-green at
