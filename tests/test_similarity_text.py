@@ -603,3 +603,37 @@ def test_margin_alignment_mutual_pairs_and_hubness(spark):
     assert (1, 11) in got and (2, 12) in got
     assert got[(1, 11)] > 1.0 and got[(2, 12)] > 1.0
     assert not any(a == 3 for a, _ in got)
+
+
+def test_matrix_lit_bit_exact(spark):
+    """_matrix_lit goes through a parsed SQL string; the values that
+    come back must be the SAME binary64 doubles (shortest round-trip
+    repr + correctly-rounded parse). Probe adversarial values: tiny
+    magnitudes in exponent notation, negative zero, many-digit
+    fractions, and the actual LSH planes."""
+    import numpy as np
+
+    from mpi_word_count_spark.operators.similarity import (
+        _matrix_lit,
+        lsh_planes,
+    )
+
+    rng = np.random.default_rng(17)
+    rows = [
+        [1e-300, -1e-300, 5e-324, -0.0, 0.1, -0.3333333333333333],
+        list(rng.uniform(-1, 1, 8)),
+        list(rng.normal(0, 1e-9, 8)),
+        [float(np.nextafter(1.0, 2.0)), float(np.nextafter(-1.0, -2.0))],
+    ]
+    for matrix in (rows[:1], rows[1:3], [rows[3]], lsh_planes(4, 16)):
+        got = (
+            spark.range(1)
+            .select(_matrix_lit(matrix).alias("m"))
+            .collect()[0]["m"]
+        )
+        for want_row, got_row in zip(matrix, got):
+            for want, g in zip(want_row, got_row):
+                assert g == float(want) and (
+                    # -0.0 == 0.0 under ==; pin the sign bit too
+                    np.signbit(g) == np.signbit(float(want))
+                ), (want, g)
