@@ -91,9 +91,10 @@ def decode_image(data: bytes) -> np.ndarray:
     if kind in ("pgm", "ppm"):
         return _as_value_error(_decode_netpbm, data)
     if kind == "jpeg":
-        # baseline (grayscale + interleaved YCbCr color, round 7) AND
-        # progressive (SOF2, round 8) decode pure-python; sequential
-        # multi-scan/12-bit/lossless variants raise NotImplementedError
+        # baseline (grayscale + interleaved YCbCr color, round 7),
+        # progressive (SOF2), and sequential non-interleaved
+        # multi-scan (both round 8) decode pure-python; 12-bit and
+        # lossless/hierarchical variants raise NotImplementedError
         # from the inner decoder
         return _as_value_error(_decode_jpeg, data)
     if kind == "gif":
@@ -522,9 +523,11 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     decode (byte-stuffing + restart markers, one DC predictor per
     component) -> dequantize -> dezigzag -> IDCT -> chroma upsample
     -> BT.601 YCbCr->RGB -> channel mean (the decode_image grayscale
-    contract, same as PNG/BMP color). Returns float32 (H, W).
-    Sequential non-interleaved multi-scan, 12-bit, and
-    lossless/hierarchical variants raise NotImplementedError."""
+    contract, same as PNG/BMP color). Sequential non-interleaved
+    multi-scan frames (one component per SOS) decode via
+    _decode_jpeg_multiscan. Returns float32 (H, W). 12-bit,
+    partially interleaved, and lossless/hierarchical variants raise
+    NotImplementedError."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("bad JPEG signature")
     qt: dict[int, np.ndarray] = {}
@@ -583,9 +586,11 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             height, width, comps = frame
             ns = body[0]
             if ns != len(comps):
-                # baseline multi-scan (one component per scan) is a
-                # rare encoder choice; interleaved is the norm
-                raise NotImplementedError("non-interleaved multi-scan JPEG")
+                # sequential non-interleaved multi-scan: one component
+                # per SOS; the multiscan loop owns the marker walk
+                return _decode_jpeg_multiscan(
+                    data, pos, frame, qt, huff, restart_interval
+                )
             by_id = {cid: (ch, cv, tq) for cid, ch, cv, tq in comps}
             scan = []
             for i in range(ns):
@@ -710,6 +715,118 @@ def _decode_jpeg_scan(
             255.0,
         )
         for c, plane in zip(comps, planes)
+    ]
+    if len(full) == 1:
+        return full[0].astype(np.float32)
+    y, cb, cr = full  # BT.601 inverse (ITU-T T.871)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([np.clip(p, 0.0, 255.0) for p in (r, g, b)], axis=2)
+    return rgb.mean(axis=2).astype(np.float32)
+
+
+def _decode_jpeg_multiscan(
+    data: bytes,
+    pos: int,
+    frame: tuple[int, int, list[tuple[int, int, int, int]]],
+    qt: dict[int, np.ndarray],
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]],
+    restart_interval: int,
+) -> np.ndarray:
+    """Sequential NON-interleaved multi-scan JPEG (T.81 A.2: baseline
+    coding, but each SOS carries one component over its full spectral
+    band): each scan raster-decodes that component's own block grid
+    with the ordinary baseline data-unit decoder; DHT/DQT/DRI may
+    appear between scans; at EOI the planes upsample and color-convert
+    exactly like the interleaved path. Partially interleaved scans
+    (1 < Ns < ncomp) stay NotImplementedError."""
+    height, width, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    by_id = {cid: i for i, (cid, _, _, _) in enumerate(comps)}
+    planes: list[np.ndarray | None] = [None] * len(comps)
+
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:
+            _jpeg_parse_dqt(body, qt)
+        elif marker == 0xC4:
+            _jpeg_parse_dht(body, huff)
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:
+            ns = body[0]
+            if ns != 1:
+                raise NotImplementedError(
+                    "partially interleaved JPEG scan"
+                )
+            cid, tables = body[1], body[2]
+            if cid not in by_id:
+                raise ValueError(f"JPEG scan references unknown component {cid}")
+            ci = by_id[cid]
+            _, ch, cv, tq = comps[ci]
+            quant = qt.get(tq)
+            dc = huff.get((0, tables >> 4))
+            ac = huff.get((1, tables & 0x0F))
+            if quant is None or dc is None or ac is None:
+                raise ValueError("JPEG scan references undefined tables")
+            plane = np.zeros(
+                (mcus_y * cv * 8, mcus_x * ch * 8), dtype=np.float64
+            )
+            nbx = -(-(-(-(width * ch) // hmax)) // 8)
+            nby = -(-(-(-(height * cv) // vmax)) // 8)
+            total = nbx * nby
+            segments, end = _split_entropy_segments(data, pos + 2 + seglen)
+            n_segs = -(-total // restart_interval) if restart_interval else 1
+            if len(segments) < n_segs:
+                raise ValueError("JPEG entropy stream missing restart segments")
+            idx = 0
+            for seg_no in range(n_segs):
+                reader = _BitReader(segments[seg_no])
+                pred = 0
+                count = (
+                    min(restart_interval, total - idx)
+                    if restart_interval
+                    else total
+                )
+                for _ in range(count):
+                    by, bx = divmod(idx, nbx)
+                    idx += 1
+                    block, pred = _decode_jpeg_block(reader, dc, ac, quant, pred)
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+            planes[ci] = plane
+            pos = end
+            continue
+        pos += 2 + seglen
+    if any(p is None for p in planes):
+        missing = [comps[i][0] for i, p in enumerate(planes) if p is None]
+        raise ValueError(f"JPEG multiscan missing component scans: {missing}")
+    full = [
+        np.clip(
+            np.repeat(
+                np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1
+            )[:height, :width],
+            0.0,
+            255.0,
+        )
+        for (_, ch, cv, _), p in zip(comps, planes)
     ]
     if len(full) == 1:
         return full[0].astype(np.float32)
@@ -1275,17 +1392,10 @@ def _jpeg_headers(
     return b"\xff\xd8" + dqt + sof + dht + dri + sos
 
 
-def encode_jpeg_rgb(
-    rgb: np.ndarray,
-    quality: int = 90,
-    subsample: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode an (H, W, 3) uint8 RGB array as a baseline interleaved
-    YCbCr JPEG — 4:4:4 (subsample='444') or 4:2:0 ('420', 2x2
-    box-mean chroma). Test support for the color decode path; same
-    custom Huffman tables and quality-scaled quant table as
-    encode_jpeg_gray, shared across the three components."""
+def _jpeg_ycbcr_planes(rgb: np.ndarray, subsample: str):
+    """Forward BT.601 transform + optional 4:2:0 chroma downsample +
+    MCU padding: (height, width, [y, cb, cr] level-shifted padded
+    planes, (hy, vy) luma sampling, mcus_x, mcus_y)."""
     arr = np.asarray(rgb, dtype=np.uint8)
     if arr.ndim != 3 or arr.shape[2] != 3:
         raise ValueError(f"expected (H, W, 3) RGB, got {arr.shape}")
@@ -1294,7 +1404,6 @@ def encode_jpeg_rgb(
         raise ValueError("empty image")
     if subsample not in ("444", "420"):
         raise ValueError(f"subsample {subsample!r} not in ('444', '420')")
-    quant = _jpeg_quant_for_quality(quality)
     r = arr[:, :, 0].astype(np.float64)
     g = arr[:, :, 1].astype(np.float64)
     b = arr[:, :, 2].astype(np.float64)
@@ -1325,6 +1434,24 @@ def encode_jpeg_rgb(
     y_p = pad_plane(y, mcus_y * vy * 8, mcus_x * hy * 8) - 128.0
     cb_p = pad_plane(cb_s, mcus_y * 8, mcus_x * 8) - 128.0
     cr_p = pad_plane(cr_s, mcus_y * 8, mcus_x * 8) - 128.0
+    return height, width, [y_p, cb_p, cr_p], (hy, vy), mcus_x, mcus_y
+
+
+def encode_jpeg_rgb(
+    rgb: np.ndarray,
+    quality: int = 90,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a baseline interleaved
+    YCbCr JPEG — 4:4:4 (subsample='444') or 4:2:0 ('420', 2x2
+    box-mean chroma). Test support for the color decode path; same
+    custom Huffman tables and quality-scaled quant table as
+    encode_jpeg_gray, shared across the three components."""
+    height, width, (y_p, cb_p, cr_p), (hy, vy), mcus_x, mcus_y = (
+        _jpeg_ycbcr_planes(rgb, subsample)
+    )
+    quant = _jpeg_quant_for_quality(quality)
     dc_map = _huffman_encode_map(_ENC_DC_BITS, _ENC_DC_VALS)
     ac_map = _huffman_encode_map(_ENC_AC_BITS, _ENC_AC_VALS)
     comps = [
@@ -1363,6 +1490,66 @@ def encode_jpeg_rgb(
         quant, height, width, [(hy, vy), (1, 1), (1, 1)], restart_interval
     )
     return headers + bytes(entropy) + b"\xff\xd9"
+
+
+def encode_jpeg_rgb_multiscan(
+    rgb: np.ndarray,
+    quality: int = 90,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Sequential NON-interleaved multi-scan color JPEG (test
+    encoder): SOF0 + three single-component SOS segments, each
+    raster-coding its component's own block grid with ordinary
+    baseline data units — the same coefficients as encode_jpeg_rgb,
+    serialized one component per scan, so decode must match the
+    interleaved encoding EXACTLY."""
+    height, width, planes, (hy, vy), mcus_x, mcus_y = _jpeg_ycbcr_planes(
+        rgb, subsample
+    )
+    quant = _jpeg_quant_for_quality(quality)
+    dc_map = _huffman_encode_map(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_map = _huffman_encode_map(_ENC_AC_BITS, _ENC_AC_VALS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    samplings = [(hy, vy), (1, 1), (1, 1)]
+    dqt = seg(0xDB, bytes([0x00]) + bytes(int(x) for x in quant[_UNZIGZAG]))
+    sof_comps = b"".join(
+        bytes([i + 1, (h << 4) | v, 0]) for i, (h, v) in enumerate(samplings)
+    )
+    sof = seg(0xC0, struct.pack(">BHHB", 8, height, width, 3) + sof_comps)
+    dht = seg(0xC4, bytes([0x00]) + bytes(_ENC_DC_BITS) + _ENC_DC_VALS) + seg(
+        0xC4, bytes([0x10]) + bytes(_ENC_AC_BITS) + _ENC_AC_VALS
+    )
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    out = bytearray(b"\xff\xd8" + dqt + sof + dht + dri)
+    for ci, (plane, (ch, cv)) in enumerate(zip(planes, samplings)):
+        # non-interleaved raster over the component's OWN block grid
+        nbx = -(-(-(-(width * ch) // hy)) // 8)
+        nby = -(-(-(-(height * cv) // vy)) // 8)
+        out += seg(0xDA, bytes([1, ci + 1, 0x00, 0, 63, 0]))
+        writer = _BitWriter()
+        pred = 0
+        for b in range(nbx * nby):
+            if restart_interval and b and b % restart_interval == 0:
+                out += writer.finish()
+                out += bytes([0xFF, 0xD0 + (b // restart_interval - 1) % 8])
+                writer = _BitWriter()
+                pred = 0
+            by, bx = divmod(b, nbx)
+            pred = _encode_jpeg_block(
+                writer,
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                quant,
+                dc_map,
+                ac_map,
+                pred,
+            )
+        out += writer.finish()
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def encode_jpeg_gray(

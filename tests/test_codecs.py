@@ -295,13 +295,15 @@ def test_jpeg_unsupported_variants_raise_not_implemented():
     cmyk = base[:i] + cmyk_sof + base[i + old_len :]
     with pytest.raises(NotImplementedError, match="4-component"):
         codecs.decode_image(cmyk)
-    # non-interleaved multi-scan: 3-component SOF but a 1-component SOS
+    # non-interleaved multi-scan DECODES since round 8; a 3-component
+    # frame whose only scan covers component 1 is malformed (two
+    # components never coded), not env-bound
     color = codecs.encode_jpeg_rgb(np.full((8, 8, 3), 99, np.uint8))
     j = color.index(b"\xff\xda")
     single_sos = b"\xff\xda" + (8).to_bytes(2, "big") + bytes([1, 1, 0x00, 0, 63, 0])
     old_sos_len = 2 + int.from_bytes(color[j + 2 : j + 4], "big")
     noninterleaved = color[:j] + single_sos + color[j + old_sos_len :]
-    with pytest.raises(NotImplementedError, match="non-interleaved"):
+    with pytest.raises(ValueError, match="missing component"):
         codecs.decode_image(noninterleaved)
 
 
@@ -1355,3 +1357,45 @@ def test_progressive_jpeg_roundtrip_property(img, successive):
         img, quality=80, successive=successive
     )
     np.testing.assert_array_equal(codecs.decode_image(prog), base)
+
+
+# --- sequential non-interleaved multi-scan JPEG (T.81 A.2) ------------------
+
+
+def test_multiscan_jpeg_equals_interleaved_decode():
+    """One component per SOS, same coefficients as the interleaved
+    encoding — decode must match exactly, across subsampling and
+    restart intervals."""
+    rng = np.random.default_rng(31)
+    for shape in [(8, 8), (24, 17), (33, 40), (1, 1)]:
+        img3 = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+        for sub in ("444", "420"):
+            base = codecs.decode_image(
+                codecs.encode_jpeg_rgb(img3, quality=85, subsample=sub)
+            )
+            for ri in (0, 3):
+                ms = codecs.encode_jpeg_rgb_multiscan(
+                    img3, quality=85, subsample=sub, restart_interval=ri
+                )
+                np.testing.assert_array_equal(codecs.decode_image(ms), base)
+
+
+def test_multiscan_jpeg_malformed():
+    img3 = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    ms = codecs.encode_jpeg_rgb_multiscan(img3)
+    # dropping the last scan leaves a component undecoded
+    last_sos = ms.rfind(b"\xff\xda")
+    with pytest.raises(ValueError, match="missing component"):
+        codecs.decode_image(ms[:last_sos] + b"\xff\xd9")
+    # truncation inside a scan raises uniformly
+    with pytest.raises(ValueError):
+        codecs.decode_image(ms[: len(ms) // 2])
+    # a partially interleaved scan (Ns=2 of 3) stays env-bound: craft
+    # an SOS header claiming 2 components
+    first_sos = ms.find(b"\xff\xda")
+    bad = bytearray(ms)
+    bad[first_sos + 2 : first_sos + 4] = (10).to_bytes(2, "big")
+    bad[first_sos + 4] = 2
+    bad[first_sos + 5 : first_sos + 12] = bytes([1, 0x00, 2, 0x00, 0, 63, 0])
+    with pytest.raises(NotImplementedError, match="partially interleaved"):
+        codecs.decode_image(bytes(bad))
