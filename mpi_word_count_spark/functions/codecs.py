@@ -2699,10 +2699,10 @@ def encode_mp4_stub(
 
 # --- TIFF -------------------------------------------------------------------
 # Baseline TIFF 6.0 (public Adobe spec): header + IFD entry walk,
-# 8-bit grayscale or RGB strips, either byte order; uncompressed,
-# PackBits (§9) and LZW (§13, MSB-first + EarlyChange) compressions,
-# horizontal-differencing predictor (§14). JPEG-compressed TIFF
-# raises NotImplementedError.
+# 8-bit grayscale or RGB, either byte order, strip (§3) or tile
+# (§15) organization; uncompressed, PackBits (§9) and LZW (§13,
+# MSB-first + EarlyChange) compressions, horizontal-differencing
+# predictor (§14). JPEG-compressed TIFF raises NotImplementedError.
 
 _TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4}  # BYTE ASCII SHORT LONG
 
@@ -2742,8 +2742,6 @@ def _decode_tiff(data: bytes) -> np.ndarray:
     try:
         width = tags[256][0]
         height = tags[257][0]
-        strip_offs = tags[273]
-        strip_counts = tags[279]
     except KeyError as exc:
         raise ValueError(f"TIFF missing required tag: {exc}") from exc
     compression = tags.get(259, [1])[0]
@@ -2756,28 +2754,76 @@ def _decode_tiff(data: bytes) -> np.ndarray:
     predictor = tags.get(317, [1])[0]
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor}")
-    # compression is PER STRIP (TIFF 6.0 §13: each strip is its own
-    # stream, starting with a ClearCode for LZW) — decompress strips
-    # independently, never the concatenation. PackBits happens to be
-    # concatenation-safe but gets the same per-strip treatment.
-    strips = [data[o : o + c] for o, c in zip(strip_offs, strip_counts)]
-    if compression == 5:  # LZW (TIFF 6.0 §13: MSB-first, EarlyChange)
-        raw = b"".join(_tiff_lzw_decode(s) for s in strips)
-    elif compression == 32773:  # PackBits (Apple RLE, TIFF 6.0 §9)
-        raw = b"".join(_packbits_decode(s) for s in strips)
+
+    def decompress(chunk: bytes) -> bytes:
+        # compression is PER STRIP/TILE (TIFF 6.0 §13: each is its own
+        # stream, starting with a ClearCode for LZW) — decompress each
+        # independently, never the concatenation. PackBits happens to
+        # be concatenation-safe but gets the same treatment.
+        if compression == 5:  # LZW (§13: MSB-first, EarlyChange)
+            return _tiff_lzw_decode(chunk)
+        if compression == 32773:  # PackBits (Apple RLE, §9)
+            return _packbits_decode(chunk)
+        return chunk
+
+    def unpredict(px: np.ndarray) -> np.ndarray:
+        if predictor == 2:
+            # horizontal differencing (§14): stored samples are deltas
+            # to the left neighbour, per sample plane — undo with a
+            # mod-256 row cumsum
+            return (np.cumsum(px, axis=1, dtype=np.uint32) & 0xFF).astype(
+                np.uint8
+            )
+        return px
+
+    if 322 in tags:  # tiled organization (TIFF 6.0 §15)
+        try:
+            tw = tags[322][0]
+            tl = tags[323][0]
+            tile_offs = tags[324]
+            tile_counts = tags[325]
+        except KeyError as exc:
+            raise ValueError(f"tiled TIFF missing tag: {exc}") from exc
+        if tw <= 0 or tl <= 0 or tw % 16 or tl % 16:
+            raise ValueError(f"bad TIFF tile size {tw}x{tl}")
+        across = -(-width // tw)
+        down = -(-height // tl)
+        if len(tile_offs) < across * down or len(tile_counts) < across * down:
+            raise ValueError("TIFF tile index shorter than tile grid")
+        out = np.zeros((height, width, spp), dtype=np.uint8)
+        for t in range(across * down):
+            ty, tx = divmod(t, across)
+            raw = decompress(
+                data[tile_offs[t] : tile_offs[t] + tile_counts[t]]
+            )
+            if len(raw) < tw * tl * spp:
+                raise ValueError(
+                    f"TIFF tile {t} short: {len(raw)} < {tw * tl * spp}"
+                )
+            tile = unpredict(
+                np.frombuffer(raw, dtype=np.uint8, count=tw * tl * spp)
+                .reshape(tl, tw, spp)
+            )
+            h = min(tl, height - ty * tl)  # edge tiles carry padding
+            w = min(tw, width - tx * tw)
+            out[ty * tl : ty * tl + h, tx * tw : tx * tw + w] = tile[:h, :w]
+        px = out
     else:
-        raw = b"".join(strips)
-    if len(raw) < width * height * spp:
-        raise ValueError(
-            f"TIFF strip data short: {len(raw)} < {width * height * spp}"
+        try:
+            strip_offs = tags[273]
+            strip_counts = tags[279]
+        except KeyError as exc:
+            raise ValueError(f"TIFF missing required tag: {exc}") from exc
+        strips = [data[o : o + c] for o, c in zip(strip_offs, strip_counts)]
+        raw = b"".join(decompress(s) for s in strips)
+        if len(raw) < width * height * spp:
+            raise ValueError(
+                f"TIFF strip data short: {len(raw)} < {width * height * spp}"
+            )
+        px = unpredict(
+            np.frombuffer(raw, dtype=np.uint8, count=width * height * spp)
+            .reshape(height, width, spp)
         )
-    px = np.frombuffer(raw, dtype=np.uint8, count=width * height * spp)
-    px = px.reshape(height, width, spp)
-    if predictor == 2:
-        # horizontal differencing (TIFF 6.0 §14): each stored sample is
-        # the delta to its left neighbour, per sample plane — undo with
-        # a mod-256 row cumsum
-        px = (np.cumsum(px, axis=1, dtype=np.uint32) & 0xFF).astype(np.uint8)
     if spp == 3:
         return px.astype(np.float32).mean(axis=2)
     return px.reshape(height, width).astype(np.float32)
@@ -2929,6 +2975,93 @@ def _packbits_encode(data: bytes) -> bytes:
             j += 1
         out += bytes([j - i - 1]) + data[i:j]
         i = j
+    return bytes(out)
+
+
+def encode_tiff_tiled(
+    gray: np.ndarray,
+    tile_w: int = 16,
+    tile_l: int = 16,
+    compression: int = 1,
+    predictor: int = 1,
+) -> bytes:
+    """Encode (H, W) uint8 grayscale as a TILED little-endian TIFF 6.0
+    (§15): TileWidth/TileLength tags (must be multiples of 16), one
+    independently-compressed stream per tile (none / LZW / PackBits),
+    edge tiles zero-padded to full tile size, optional horizontal-
+    differencing predictor applied per tile row. Test encoder for the
+    tiled decode path."""
+    arr = np.asarray(gray, dtype=np.uint8)
+    h, w = arr.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    if tile_w % 16 or tile_l % 16:
+        raise ValueError("TIFF tile dims must be multiples of 16")
+    across, down = -(-w // tile_w), -(-h // tile_l)
+    n = across * down
+    payloads: list[bytes] = []
+    for t in range(n):
+        ty, tx = divmod(t, across)
+        block = np.zeros((tile_l, tile_w), dtype=np.uint8)
+        seg = arr[
+            ty * tile_l : ty * tile_l + tile_l,
+            tx * tile_w : tx * tile_w + tile_w,
+        ]
+        block[: seg.shape[0], : seg.shape[1]] = seg
+        if predictor == 2:
+            block = (
+                np.diff(block.astype(np.int16), axis=1, prepend=0) % 256
+            ).astype(np.uint8)
+        payload = block.tobytes()
+        if compression == 5:
+            payload = _tiff_lzw_encode(payload)
+        elif compression == 32773:
+            payload = _packbits_encode(payload)
+        payloads.append(payload)
+
+    entries: list[tuple[int, int, int, int]] = [
+        (256, 4, 1, w),
+        (257, 4, 1, h),
+        (258, 3, 1, 8),
+        (259, 3, 1, compression),
+        (262, 3, 1, 1),
+    ]
+    if predictor == 2:
+        entries.append((317, 3, 1, 2))
+    entries += [(322, 4, 1, tile_w), (323, 4, 1, tile_l)]
+    n_entries = len(entries) + 2  # + TileOffsets + TileByteCounts
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * n_entries + 4
+    # external LONG arrays unless a single value fits inline (≤4 bytes)
+    ext = bytearray()
+    if n == 1:
+        offs_value_is_inline = True
+        tiles_pos = data_off
+    else:
+        offs_value_is_inline = False
+        offs_pos = data_off
+        cnts_pos = offs_pos + 4 * n
+        tiles_pos = cnts_pos + 4 * n
+    offsets = []
+    cursor = tiles_pos
+    for p in payloads:
+        offsets.append(cursor)
+        cursor += len(p)
+    if offs_value_is_inline:
+        entries += [(324, 4, 1, offsets[0]), (325, 4, 1, len(payloads[0]))]
+    else:
+        entries += [(324, 4, n, offs_pos), (325, 4, n, cnts_pos)]
+        ext += b"".join(struct.pack("<I", o) for o in offsets)
+        ext += b"".join(struct.pack("<I", len(p)) for p in payloads)
+    entries.sort()
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+    out += struct.pack("<H", n_entries)
+    for tag, typ, count, value in entries:
+        out += struct.pack("<HHII", tag, typ, count, value)
+    out += struct.pack("<I", 0)  # next-IFD pointer
+    out += ext
+    for p in payloads:
+        out += p
     return bytes(out)
 
 

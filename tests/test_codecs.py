@@ -1399,3 +1399,49 @@ def test_multiscan_jpeg_malformed():
     bad[first_sos + 5 : first_sos + 12] = bytes([1, 0x00, 2, 0x00, 0, 63, 0])
     with pytest.raises(NotImplementedError, match="partially interleaved"):
         codecs.decode_image(bytes(bad))
+
+
+# --- tiled TIFF (TIFF 6.0 §15) ----------------------------------------------
+
+
+def test_tiff_tiled_roundtrip_matrix():
+    """Tiled organization: per-tile compressed streams, zero-padded
+    edge tiles, per-tile-row predictor — exact roundtrips across
+    tile geometries, all three compressions, and the predictor."""
+    rng = np.random.default_rng(41)
+    for shape in [(16, 16), (40, 33), (17, 50), (5, 5)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        for comp in (1, 5, 32773):
+            for pred in (1, 2):
+                t = codecs.encode_tiff_tiled(
+                    img, 16, 16, compression=comp, predictor=pred
+                )
+                assert codecs.media_dimensions(t) == (
+                    shape[1], shape[0], "tiff",
+                )
+                np.testing.assert_array_equal(
+                    codecs.decode_image(t).astype(np.uint8), img
+                )
+
+
+def test_tiff_tiled_malformed():
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, (40, 40), dtype=np.uint8)
+    t = codecs.encode_tiff_tiled(img, compression=5)
+    with pytest.raises(ValueError):
+        codecs.decode_image(t[:-10])  # truncated tile stream
+    # non-multiple-of-16 tile dims are malformed per §15
+    bad = bytearray(t)
+    idx = bad.find((322).to_bytes(2, "little"), 8)
+    bad[idx + 8 : idx + 12] = (20).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="tile size"):
+        codecs.decode_image(bytes(bad))
+
+
+@settings(max_examples=40, deadline=None)
+@given(img=_uint8_images(max_h=20, max_w=20), comp=st.sampled_from([1, 5, 32773]))
+def test_tiff_tiled_roundtrip_property(img, comp):
+    t = codecs.encode_tiff_tiled(img, compression=comp, predictor=2)
+    np.testing.assert_array_equal(
+        codecs.decode_image(t).astype(np.uint8), img
+    )
