@@ -744,6 +744,11 @@ def _decode_jpeg_multiscan(
     height, width, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
+    if not all(
+        1 <= ch <= 4 and 1 <= cv <= 4 and hmax % ch == 0 and vmax % cv == 0
+        for _, ch, cv, _ in comps
+    ):
+        raise NotImplementedError("non-integer-ratio JPEG sampling factors")
     mcus_x = -(-width // (8 * hmax))
     mcus_y = -(-height // (8 * vmax))
     by_id = {cid: i for i, (cid, _, _, _) in enumerate(comps)}

@@ -426,3 +426,158 @@ def unigram_em_segment_stats(
     freqs = track_cache(word_freqs(docs))
     vocab, _use = unigram_em_train(freqs, rounds, k_multi, max_piece)
     return _segment_stats_df(freqs, vocab, max_piece)
+
+
+# --- subword regularization: n-best segmentation (Kudo 2018 §3.1) -----------
+
+UNIGRAM_NBEST_K = 3
+
+
+def _unigram_kbest(
+    word: str, vocab: dict[str, int], max_piece: int, k: int
+) -> list[tuple[int, int, str]]:
+    """The k best segmentations of one word, ranked lexicographically
+    by (total_cost, n_pieces, seg) — the k-best extension of
+    _unigram_dp (whose ordering argument carries over unchanged: all
+    three components are additive / equal-length-concat monotone, so
+    appending the same piece to two prefixes preserves their order).
+    Standard k-shortest-paths in a DAG: the m-th best path into
+    position i through edge (i-len → i) extends the m-th best path at
+    i-len, so keeping k candidates per position is lossless. Distinct
+    candidates are distinct segmentations by construction (different
+    last piece, or different prefix seg), so no dedup pass is needed.
+    Returns ≤ k tuples, ascending; [0] equals _unigram_dp (property-
+    tested)."""
+    n = len(word)
+    dp: list[list[tuple[int, int, str]]] = [[] for _ in range(n + 1)]
+    dp[0] = [(0, 0, "")]
+    for i in range(1, n + 1):
+        cands: list[tuple[int, int, str]] = []
+        for length in range(1, min(max_piece, i) + 1):
+            piece = word[i - length : i]
+            c = vocab.get(piece)
+            if c is None:
+                continue
+            for prev in dp[i - length]:
+                seg = piece if prev[2] == "" else prev[2] + "," + piece
+                cands.append((prev[0] + c, prev[1] + 1, seg))
+        cands.sort()
+        dp[i] = cands[:k]
+    if not dp[n]:
+        raise ValueError(f"word {word!r} not segmentable under vocab")
+    return dp[n]
+
+
+def _nbest_df(
+    freqs: DataFrame, vocab: dict[str, int], max_piece: int, k: int
+) -> DataFrame:
+    """(word, freq, rank, cost, pieces, seg) — one row per word type
+    per n-best segmentation, nb_rank 1-based in (cost, pieces, seg)
+    order. Same Arrow-kernel shape as _segment_stats_df: the DP runs
+    over the Zipf-bounded word-TYPE table with the model-sized vocab
+    in the closure; output is ≤ k rows per type."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def kernel(batches):
+        for pdf in batches:
+            out: dict[str, list] = {
+                "word": [], "freq": [], "nb_rank": [],
+                "cost": [], "pieces": [], "seg": [],
+            }
+            for word, freq in zip(pdf["word"], pdf["freq"]):
+                for r, (cost, pieces, seg) in enumerate(
+                    _unigram_kbest(word, vocab, max_piece, k), start=1
+                ):
+                    out["word"].append(word)
+                    out["freq"].append(int(freq))
+                    out["nb_rank"].append(r)
+                    out["cost"].append(cost)
+                    out["pieces"].append(pieces)
+                    out["seg"].append(seg)
+            yield pd.DataFrame(out)
+
+    schema = T.StructType(
+        [
+            T.StructField("word", T.StringType(), False),
+            T.StructField("freq", T.LongType(), False),
+            T.StructField("nb_rank", T.IntegerType(), False),
+            T.StructField("cost", T.LongType(), False),
+            T.StructField("pieces", T.LongType(), False),
+            T.StructField("seg", T.StringType(), False),
+        ]
+    )
+    return freqs.mapInPandas(kernel, schema=schema)
+
+
+def unigram_nbest_segments(
+    docs: DataFrame,
+    k: int = UNIGRAM_NBEST_K,
+    k_multi: int = UNIGRAM_K_MULTI,
+    max_piece: int = UNIGRAM_MAX_PIECE,
+) -> DataFrame:
+    """Subword regularization's enumeration half (Kudo 2018 §3.1,
+    sentencepiece `nbest_size`): the n best segmentations per word
+    type under the frequency-initialized unigram costs. Corpus-sized
+    work is unchanged from unigram_segment_stats (one word-count +
+    one piece-count shuffle); the k-best DP replaces the 1-best DP in
+    the same Arrow kernel."""
+    freqs = word_freqs(docs)
+    vocab = unigram_vocab(freqs, k_multi, max_piece)
+    return _nbest_df(freqs, vocab, max_piece, k)
+
+
+def unigram_sampled_segments(
+    docs: DataFrame,
+    k: int = UNIGRAM_NBEST_K,
+    k_multi: int = UNIGRAM_K_MULTI,
+    max_piece: int = UNIGRAM_MAX_PIECE,
+) -> DataFrame:
+    """Subword regularization's sampling half: ONE segmentation per
+    word type, drawn uniformly from its n-best list — sentencepiece's
+    `SampleEncode(nbest_size=k, alpha→0)` limit, where the sampling
+    distribution P(seg)^α flattens to uniform over the n-best. The
+    draw is the deterministic md5-uniform (py_hash32(word) mod
+    n_best), so the sample is bit-reproducible across engines,
+    partitionings, and retries — the same reproducibility contract as
+    dsir_gumbel_sample. Columns: (word, freq, n_best, pick, cost,
+    pieces, seg)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from mpi_word_count_spark.functions.hashing import py_hash32
+
+    freqs = word_freqs(docs)
+    vocab = unigram_vocab(freqs, k_multi, max_piece)
+
+    def kernel(batches):
+        for pdf in batches:
+            out: dict[str, list] = {
+                "word": [], "freq": [], "n_best": [],
+                "pick": [], "cost": [], "pieces": [], "seg": [],
+            }
+            for word, freq in zip(pdf["word"], pdf["freq"]):
+                nbest = _unigram_kbest(word, vocab, max_piece, k)
+                pick = py_hash32(word, "useg") % len(nbest)
+                cost, pieces, seg = nbest[pick]
+                out["word"].append(word)
+                out["freq"].append(int(freq))
+                out["n_best"].append(len(nbest))
+                out["pick"].append(pick + 1)
+                out["cost"].append(cost)
+                out["pieces"].append(pieces)
+                out["seg"].append(seg)
+            yield pd.DataFrame(out)
+
+    schema = T.StructType(
+        [
+            T.StructField("word", T.StringType(), False),
+            T.StructField("freq", T.LongType(), False),
+            T.StructField("n_best", T.IntegerType(), False),
+            T.StructField("pick", T.IntegerType(), False),
+            T.StructField("cost", T.LongType(), False),
+            T.StructField("pieces", T.LongType(), False),
+            T.StructField("seg", T.StringType(), False),
+        ]
+    )
+    return freqs.mapInPandas(kernel, schema=schema)

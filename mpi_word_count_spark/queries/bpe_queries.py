@@ -565,3 +565,101 @@ def q_unigram_em_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mpi_word_count_spark.operators.bpe import unigram_em_segment_stats
 
     return unigram_em_segment_stats(table(spark, "documents", sf_dir))
+
+
+# --- subword regularization: n-best + sampled segmentation ------------------
+
+from mpi_word_count_spark.functions.hashing import sql_hash32  # noqa: E402
+from mpi_word_count_spark.operators.bpe import (  # noqa: E402
+    UNIGRAM_NBEST_K,
+    unigram_nbest_segments,
+    unigram_sampled_segments,
+)
+
+
+def _nbest_ranked_cte() -> str:
+    """Every segmentation of every word under the frequency-
+    initialized vocab v0 (the _em_base_ctes derivation), carrying the
+    comma-joined seg string, ranked per word by the DP's
+    (cost, pieces, seg) order — the enumeration that proves the
+    k-best DP's output IS the global top-k."""
+    return _em_base_ctes() + f""",
+    edgesN AS MATERIALIZED (
+        SELECT w.word, CAST(s.s - 1 AS INT) AS j,
+               CAST(s.s - 1 + l.l AS INT) AS i, v.piece, v.cost
+        FROM words w,
+             (SELECT unnest(range(1, {UNIGRAM_MAX_PIECE} + 1)) AS l) l,
+             LATERAL (SELECT unnest(range(1, length(w.word) - l.l + 2)) AS s) s,
+             v0 v
+        WHERE substr(w.word, CAST(s.s AS INT), CAST(l.l AS INT)) = v.piece
+    ),
+    pathsN AS (
+        SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost, 0 AS pieces,
+               '' AS seg
+        FROM words
+        UNION ALL
+        SELECT e.word, e.i, p.cost + e.cost, p.pieces + 1,
+               CASE WHEN p.seg = '' THEN e.piece
+                    ELSE p.seg || ',' || e.piece END
+        FROM pathsN p JOIN edgesN e ON e.word = p.word AND e.j = p.pos
+    ),
+    rankedN AS MATERIALIZED (
+        SELECT word, cost, pieces, seg,
+               row_number() OVER (PARTITION BY word
+                                  ORDER BY cost, pieces, seg) AS rnk
+        FROM pathsN WHERE pos = length(word)
+    )"""
+
+
+@register(
+    "unigram_nbest_segments",
+    oracle=f"""
+    WITH RECURSIVE {_nbest_ranked_cte()}
+    SELECT w.word, w.freq, CAST(r.rnk AS INT) AS nb_rank, r.cost,
+           CAST(r.pieces AS BIGINT) AS pieces, r.seg
+    FROM words w JOIN rankedN r USING (word)
+    WHERE r.rnk <= {UNIGRAM_NBEST_K}
+    """,
+)
+def q_unigram_nbest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword regularization, enumeration half (Kudo 2018 §3.1;
+    sentencepiece `nbest_size`): the n best segmentations per word
+    type under the unigram-LM integer costs, ranked by the same
+    (cost, pieces, seg) lexicographic order the 1-best DP uses. The
+    k-best DP keeps k candidates per char position (k-shortest-paths
+    in the segmentation DAG — lossless because the ordering is
+    additive/concat-monotone); the oracle ENUMERATES every
+    segmentation with the seg-carrying recursive CTE and ranks with a
+    window, so the hash match proves the distributed k-best DP equals
+    the global top-k. Corpus-sized work is unchanged from
+    unigram_segment_stats (word-count + piece-count shuffles); the DP
+    runs in the same Arrow kernel over the Zipf-bounded type table."""
+    return unigram_nbest_segments(table(spark, "documents", sf_dir))
+
+
+@register(
+    "unigram_sampled_segments",
+    oracle=f"""
+    WITH RECURSIVE {_nbest_ranked_cte()},
+    topk AS (SELECT * FROM rankedN WHERE rnk <= {UNIGRAM_NBEST_K}),
+    nb AS (SELECT word, CAST(count(*) AS INT) AS n_best FROM topk GROUP BY 1)
+    SELECT w.word, w.freq, nb.n_best,
+           CAST(r.rnk AS INT) AS pick, r.cost,
+           CAST(r.pieces AS BIGINT) AS pieces, r.seg
+    FROM words w
+    JOIN nb USING (word)
+    JOIN topk r ON r.word = w.word
+               AND r.rnk = 1 + ({sql_hash32("w.word", "useg")} % nb.n_best)
+    """,
+)
+def q_unigram_sampled_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword regularization, sampling half: one segmentation per
+    word type drawn uniformly from its n-best list — sentencepiece's
+    `SampleEncode(nbest_size=k)` in the α→0 limit where P(seg)^α
+    flattens to uniform. The draw is the deterministic md5-uniform
+    (hash32(word, 'useg') mod n_best), bit-reproducible across
+    engines/partitionings/retries — the dsir_gumbel_sample contract.
+    The oracle enumerates + ranks all segmentations and applies the
+    identical arithmetic, so the hash match proves both the n-best
+    list and the draw."""
+    return unigram_sampled_segments(table(spark, "documents", sf_dir))

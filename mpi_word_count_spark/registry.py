@@ -60,7 +60,71 @@ _LOADED = False
 # whose defects were fixed this round come FIRST; long-green queries take
 # the later slots and rotate back in on subsequent rounds.
 _PRIORITY = [
-    # --- the 50-row driver budget, round 8 ---------------------------
+    # --- the 50-row driver budget, round 9 ---------------------------
+    # VERDICT r8 item 3: all never-verified queues are at 0, so this
+    # round's budget = flagship + the 2 round-9 additions (subword
+    # regularization) + media_decode_census (the aggregate consumer of
+    # this round's multiscan sampling-factor guard, ADVICE r8 — the
+    # other media queries' fixture results cannot reach the new
+    # error-only path) + the stalest ledger rows: all 25 queries whose
+    # last driver-green row is round 3, then the 21 oldest round-4
+    # rows. Max ledger age drops from r3 to r4-vintage.
+    # flagship: a fresh row EVERY round, whatever else rotates
+    "wordcount",
+    # round-9 new queries (k-best subword regularization)
+    "unigram_nbest_segments",
+    "unigram_sampled_segments",
+    # changed decode path this round (multiscan guard)
+    "media_decode_census",
+    # stale rotation: last driver row in round 3 (25 queries)
+    "packed_sequences",
+    "q10_returned_items",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_bracket_revenue",
+    "q22_dormant_rich_customers",
+    "q4_late_order_priority",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "quality_scores",
+    "salted_wordcount",
+    "scalar_function_sampler",
+    "scrubbed_docs",
+    "simhash_dups",
+    "sql_wordcount",
+    "streaming_dedup",
+    "tfidf_top_terms",
+    "token_stats",
+    "word_doc_frequency",
+    "wordcount_compat",
+    "wordcount_per_doc",
+    "wordcount_topk",
+    # stale rotation: last driver row in round 4 (oldest 21)
+    "ann_lsh_partitioned",
+    "approx_distinct_words",
+    "approx_value_quantiles",
+    "benchmark_contamination",
+    "blocklist_filter_stats",
+    "bloom_prefilter_stats",
+    "cms_word_counts",
+    "cogrouped_user_totals",
+    "corpus_mixture",
+    "csv_roundtrip",
+    "curation_funnel",
+    "duplicate_passages",
+    "edit_distance_dups",
+    "event_gaps",
+    "events_hourly_gapfill",
+    "events_json_buckets",
+    "events_last_order_asof",
+    "events_variant_stats",
+    "events_zorder_keys",
+    "hll_sketch_rollup",
+    "html_boilerplate_strip",
+    # --- the 50-row driver budget, round 8 (now overflow) -------------
     # VERDICT r7 item 2: the 5 round-7 queries that have judge-green
     # but no driver row yet lead; then round-8 additions (unigram EM,
     # media decode census) and the media queries whose decode paths
@@ -111,7 +175,7 @@ _PRIORITY = [
     "simhash_fingerprints",
     "streaming_wordcount",
     "top3_orders_per_customer",
-    # stale rotation: last driver row in round 3 (first 15)
+    # stale rotation: last driver row in round 3 (first 13)
     "ann_ivf",
     "bigram_counts",
     "bigram_pmi",

@@ -27,12 +27,18 @@ from mpi_word_count_spark.session import get_spark  # noqa: E402
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only: set[str] | None = None
+    skip_idx: set[int] = set()
     for i, a in enumerate(sys.argv):
         if a == "--only":
             only = set(sys.argv[i + 1].split(","))
+            skip_idx.add(i + 1)
+    args = [
+        a
+        for i, a in enumerate(sys.argv[1:], start=1)
+        if not a.startswith("--") and i not in skip_idx
+    ]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = get_spark(app_name="sweep")
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()

@@ -260,3 +260,86 @@ def test_unigram_em_vocab_refines_and_prunes(spark):
     used_costs = [r["em_cost"] for r in out.values() if r["em_use"] > 0]
     floor = [r["em_cost"] for r in out.values() if r["em_use"] == 0]
     assert all(f > max(used_costs) for f in floor)
+
+
+def test_unigram_kbest_property_one_best_and_global_topk():
+    """VERDICT r8 item 4's contract: the 1-best of the k-best DP
+    equals the existing DP on random (word, vocab) draws, and the
+    k-best list equals the brute-force global top-k by
+    (cost, pieces, seg) — sorted, distinct, every entry a valid
+    segmentation."""
+    from itertools import combinations
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mpi_word_count_spark.operators.bpe import _unigram_dp, _unigram_kbest
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        word=st.text(alphabet="abc", min_size=1, max_size=8),
+        k=st.integers(min_value=1, max_value=5),
+        data=st.data(),
+    )
+    def prop(word, k, data):
+        # random vocab: all single chars (keeps every word segmentable)
+        # plus a random subset of multi-char substrings, random costs
+        subs = sorted(
+            {
+                word[a:b]
+                for a in range(len(word))
+                for b in range(a + 2, min(a + 4, len(word)) + 1)
+            }
+        )
+        chosen = data.draw(st.sets(st.sampled_from(subs)) if subs else st.just(set()))
+        vocab = {c: data.draw(st.integers(1, 9)) for c in "abc"}
+        for p in chosen:
+            vocab[p] = data.draw(st.integers(1, 9))
+        kb = _unigram_kbest(word, vocab, 4, k)
+        assert kb[0] == _unigram_dp(word, vocab, 4)
+        assert kb == sorted(kb) and len({s for _, _, s in kb}) == len(kb)
+        # brute-force enumeration of ALL segmentations -> global top-k
+        n = len(word)
+        all_segs = []
+        for cuts_n in range(n):
+            for cuts in combinations(range(1, n), cuts_n):
+                bounds = [0, *cuts, n]
+                pieces = [word[a:b] for a, b in zip(bounds, bounds[1:])]
+                if any(len(p) > 4 or p not in vocab for p in pieces):
+                    continue
+                all_segs.append(
+                    (sum(vocab[p] for p in pieces), len(pieces), ",".join(pieces))
+                )
+        assert kb == sorted(all_segs)[:k]
+
+    prop()
+
+
+def test_unigram_sampled_pick_matches_hash(spark):
+    """The sampled segmentation is the md5-uniform draw from the
+    n-best list — replicate the pick python-side per word."""
+    from mpi_word_count_spark.functions.hashing import py_hash32
+    from mpi_word_count_spark.operators.bpe import (
+        UNIGRAM_NBEST_K,
+        unigram_nbest_segments,
+        unigram_sampled_segments,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa ab aa ba abc"), (2, "ab aa ca abc abc")],
+        "doc_id long, text string",
+    )
+    nbest = {}
+    for r in unigram_nbest_segments(docs).collect():
+        nbest.setdefault(r["word"], []).append(
+            (r["nb_rank"], r["cost"], r["pieces"], r["seg"])
+        )
+    picked = {r["word"]: r for r in unigram_sampled_segments(docs).collect()}
+    assert set(picked) == set(nbest)
+    for word, rows in nbest.items():
+        rows.sort()
+        assert len(rows) <= UNIGRAM_NBEST_K
+        want = rows[py_hash32(word, "useg") % len(rows)]
+        got = picked[word]
+        assert (got["pick"], got["cost"], got["pieces"], got["seg"]) == want
+        assert got["n_best"] == len(rows)

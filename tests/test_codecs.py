@@ -1401,6 +1401,23 @@ def test_multiscan_jpeg_malformed():
         codecs.decode_image(bytes(bad))
 
 
+def test_multiscan_jpeg_non_integer_sampling_ratio():
+    """ADVICE r8: the multiscan path must enforce the same
+    sampling-factor guard as the interleaved and progressive paths —
+    a non-integer hmax/h ratio is NotImplementedError, never a
+    mis-sized plane or broadcast crash."""
+    img3 = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3) % 256
+    ms = bytearray(codecs.encode_jpeg_rgb_multiscan(img3))
+    sof = ms.find(b"\xff\xc0")
+    assert sof > 0
+    # component spec starts at sof+2(marker)+2(len)+1(prec)+4(dims)+1(Nf)
+    comp0 = sof + 10
+    ms[comp0 + 1] = 0x31  # comp 1: h=3, v=1
+    ms[comp0 + 4] = 0x21  # comp 2: h=2, v=1 -> hmax=3, 3 % 2 != 0
+    with pytest.raises(NotImplementedError, match="non-integer-ratio"):
+        codecs.decode_image(bytes(ms))
+
+
 # --- tiled TIFF (TIFF 6.0 §15) ----------------------------------------------
 
 
