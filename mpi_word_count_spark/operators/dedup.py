@@ -472,6 +472,7 @@ def dup_clusters(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iters: int = 25,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Connected components over duplicate pairs → (doc_id, cluster_id)
     with cluster_id = min doc id of the component; docs in no pair are
@@ -493,18 +494,26 @@ def dup_clusters(
     goes exponential (measured: round 0 = 7.8s, round 1 = 104s at
     sf0.1 with cached inputs; 2.9s total after truncation). Eager
     localCheckpoint on the edge list and each round's labels keeps
-    every plan O(1). At cluster scale prefer reliable checkpoint()
-    (localCheckpoint loses blocks with a dead executor); same shape.
+    every plan O(1). At cluster scale pass reliable_checkpoint=True
+    (requires sparkContext.setCheckpointDir): localCheckpoint loses
+    blocks with a dead executor, reliable checkpoint() writes rounds
+    to the checkpoint FS and survives executor loss — same plan
+    shape, exercised by tests/test_dedup.py::
+    test_dup_clusters_reliable_checkpoint.
     """
     from mpi_word_count_spark.operators import track_releaser
 
+    ckpt = (
+        (lambda d: d.checkpoint(eager=True))
+        if reliable_checkpoint
+        else (lambda d: d.localCheckpoint(eager=True))
+    )
     e = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
-    edges = _symmetrize(e).localCheckpoint()
-    labels_ckpt = (
+    edges = ckpt(_symmetrize(e))
+    labels_ckpt = ckpt(
         edges.select(F.col("src").alias("v"))
         .distinct()
         .withColumn("label", F.col("v"))
-        .localCheckpoint()
     )
     labels = labels_ckpt
     converged = False
@@ -532,8 +541,8 @@ def dup_clusters(
                 ).alias("label"),
                 F.col("label").alias("_old"),
             )
-            .localCheckpoint()
         )
+        round_ckpt = ckpt(round_ckpt)
         changed = round_ckpt.filter(F.col("label") != F.col("_old")).count()
         _unpersist_local_ckpt(labels_ckpt)  # superseded round's blocks
         labels_ckpt = round_ckpt

@@ -32,7 +32,10 @@ Scale design (100 TB / 10^10 nodes):
   localCheckpoint'ed; per-round plans stay O(1) because each round's
   ranks are lineage-truncated too (the same analyzed-plan-doubling
   hazard measured in dup_clusters — see its docstring). On a real
-  cluster prefer reliable checkpoint() for executor-loss recovery.
+  cluster prefer reliable checkpoint() for executor-loss recovery —
+  the swap is exercised (identical results, files on the checkpoint
+  FS) by tests/test_dedup.py::test_dup_clusters_reliable_checkpoint
+  on the same iteration shape.
 - rounds are FIXED (default 6), not convergence-tested: fixed-round
   PageRank is the production form for ranking (ordering stabilizes
   long before values), keeps every job identical, and is what an

@@ -683,3 +683,70 @@ def test_winnowing_short_docs_still_fingerprint(spark):
     assert len(by_doc[1]) == 1 and len(by_doc[2]) == 1 and len(by_doc[3]) == 1
     assert by_doc[1] == by_doc[2]          # identical short docs match
     assert by_doc[1] != by_doc[3]
+
+
+def test_dup_clusters_reliable_checkpoint(spark, tmp_path):
+    """Cluster-mode durability, exercised not just documented (VERDICT
+    r8 item 5): the same iteration under reliable checkpoint() — rounds
+    written to the checkpoint FS (survives executor loss, unlike
+    localCheckpoint blocks) — produces identical clusters, and the
+    checkpoint directory actually receives RDD checkpoint files."""
+    import os
+
+    from mpi_word_count_spark.operators.dedup import dup_clusters
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt_dir)
+    try:
+        docs = spark.createDataFrame(
+            [(i, f"text {i}") for i in range(1, 8)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame(
+            [(2, 3), (1, 2), (5, 6)], "d1 long, d2 long"
+        )
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dup_clusters(
+                docs, pairs, reliable_checkpoint=True
+            ).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+        # the rounds really went through the reliable checkpoint path
+        files = [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(ckpt_dir)
+            for f in fs
+        ]
+        assert files, "no RDD checkpoint files written under the dir"
+    finally:
+        # reset (py4j name for the Scala setter `checkpointDir_=`):
+        # a later .checkpoint() in this session must not land in the
+        # pytest tmp dir after its cleanup
+        sc = spark.sparkContext
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None)
+        )
+
+
+def test_unpersist_local_ckpt_private_reach_pinned(spark):
+    """Pin the non-public py4j accessor path _unpersist_local_ckpt
+    depends on (VERDICT r8 minor): if a Spark upgrade renames
+    queryExecution/analyzed/rdd, THIS test fails loudly — otherwise
+    the helper would silently degrade to GC-paced block release and
+    only show up as episodic latency. Calls the chain WITHOUT the
+    broad guard and asserts the unpersist really flips the RDD's
+    storage level."""
+    from mpi_word_count_spark.operators.dedup import _unpersist_local_ckpt
+
+    df = spark.range(100).localCheckpoint(eager=True)
+    jrdd = df._jdf.queryExecution().analyzed().rdd()  # no try/except
+    assert jrdd is not None
+    assert jrdd.getStorageLevel().useMemory(), (
+        "localCheckpoint RDD not cached — the accessor path resolved "
+        "to the wrong RDD"
+    )
+    _unpersist_local_ckpt(df)
+    lvl = df._jdf.queryExecution().analyzed().rdd().getStorageLevel()
+    assert not lvl.useMemory() and not lvl.useDisk(), (
+        "unpersist did not reach the checkpoint RDD"
+    )
