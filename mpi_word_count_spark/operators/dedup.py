@@ -73,14 +73,20 @@ def shingles_col(col: Column | str, n: int = 3) -> Column:
 
 
 def doc_shingles(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    probe: DataFrame | None = None,
 ) -> DataFrame:
     """(id, shingle) exploded distinct-shingle table — the inverted
     index input. One narrow two-phase pass (tokenize, then shingle),
-    no shuffle."""
+    no shuffle. `probe` forwards to widen(): pass the base relation
+    when `df` is a narrow decoration of it, so the width check never
+    physically plans a composite tree (see widen's docstring)."""
     from mpi_word_count_spark.operators import widen
 
-    toks = widen(df).select(
+    toks = widen(df, probe=probe).select(
         F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("_toks")
     )
     return toks.select(
@@ -272,8 +278,11 @@ def _verify_candidates_jaccard(
         .union(candidates.select(F.col(right).alias(id_col)))
         .distinct()
     )
+    # probe=df: the semi join preserves df's partitioning, and letting
+    # widen() plan the candidates subtree cost ~2s of driver time per
+    # plan build (the dedup_clusters drift, VERDICT r8 item 2)
     pruned = df.join(F.broadcast(cand_ids), id_col, "left_semi")
-    sh = doc_shingles(pruned, id_col, text_col, n)
+    sh = doc_shingles(pruned, id_col, text_col, n, probe=df)
     sa_, sb_ = sh.alias("sa"), sh.alias("sb")
     inter = (
         candidates.join(sa_, F.col(left) == F.col("sa.doc_id"))
