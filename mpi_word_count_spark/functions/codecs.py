@@ -535,6 +535,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     frame: tuple[int, int, list[tuple[int, int]]] | None = None  # h, w, comps
     restart_interval = 0
     progressive = False
+    precision = 8
     pos = 2
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
@@ -558,12 +559,19 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             _jpeg_parse_dht(body, huff)
         elif marker in (0xC0, 0xC1, 0xC2):  # sequential or progressive
             precision = body[0]
-            if precision != 8:
+            if precision not in (8, 12):
                 raise NotImplementedError(f"{precision}-bit JPEG")
             h, w = struct.unpack(">HH", body[1:5])
             ncomp = body[5]
             if ncomp not in (1, 3):
                 raise NotImplementedError(f"{ncomp}-component JPEG")
+            if precision == 12 and (marker == 0xC2 or ncomp != 1):
+                # 12-bit extended sequential grayscale (SOF1, the
+                # medical-imaging profile) is implemented; 12-bit
+                # color and 12-bit progressive stay env-bound
+                raise NotImplementedError(
+                    "12-bit JPEG supported for sequential grayscale only"
+                )
             comps = []
             for i in range(ncomp):
                 cid, sampling, tq = body[6 + 3 * i : 9 + 3 * i]
@@ -611,7 +619,13 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                     raise ValueError("JPEG scan references undefined tables")
                 scan.append(spec)
             return _decode_jpeg_scan(
-                data, pos + 2 + seglen, height, width, scan, restart_interval
+                data,
+                pos + 2 + seglen,
+                height,
+                width,
+                scan,
+                restart_interval,
+                precision=precision,
             )
         pos += 2 + seglen
     raise ValueError("JPEG SOS marker not found")
@@ -623,10 +637,12 @@ def _decode_jpeg_block(
     ac_table: dict[tuple[int, int], int],
     quant: np.ndarray,
     pred: int,
+    level: float = 128.0,
 ) -> tuple[np.ndarray, int]:
     """One 8x8 data unit: DC diff + AC run-lengths -> dequantized,
-    dezigzagged, IDCT'd spatial block (level-shifted). Returns the
-    block and the updated DC predictor."""
+    dezigzagged, IDCT'd spatial block (level-shifted by `level` =
+    2^(P-1), T.81 A.3.1). Returns the block and the updated DC
+    predictor."""
     zz = np.zeros(64, dtype=np.int64)
     t = reader.decode_symbol(dc_table)
     pred += _extend(reader.read_bits(t), t)
@@ -646,7 +662,7 @@ def _decode_jpeg_block(
         zz[k] = _extend(reader.read_bits(size), size)
         k += 1
     coef = (zz * quant)[_ZIGZAG].reshape(8, 8).astype(np.float64)
-    return _DCT_C.T @ coef @ _DCT_C + 128.0, pred
+    return _DCT_C.T @ coef @ _DCT_C + level, pred
 
 
 def _decode_jpeg_scan(
@@ -656,12 +672,15 @@ def _decode_jpeg_scan(
     width: int,
     comps: list[dict],
     restart_interval: int,
+    precision: int = 8,
 ) -> np.ndarray:
     """Interleaved-MCU entropy decode (T.81 A.2.3): each MCU carries
     h_i x v_i blocks per component in component order; every component
     keeps its own DC predictor; restart markers reset all predictors.
     Sub-sampled component planes are upsampled by pixel replication
-    before color conversion."""
+    before color conversion. precision=12 (extended sequential,
+    grayscale only — _decode_jpeg guards) level-shifts by 2048, clips
+    to [0, 4095], then scales to the 0..255 decode_image range."""
     if height <= 0 or width <= 0:
         raise ValueError(f"bad JPEG dims: {width}x{height}")
     hmax = max(c["h"] for c in comps)
@@ -700,23 +719,31 @@ def _decode_jpeg_scan(
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
                         block, preds[ci] = _decode_jpeg_block(
-                            reader, c["dc"], c["ac"], c["quant"], preds[ci]
+                            reader,
+                            c["dc"],
+                            c["ac"],
+                            c["quant"],
+                            preds[ci],
+                            level=float(1 << (precision - 1)),
                         )
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_idx += 1
+    maxval = float((1 << precision) - 1)
     full = [
         np.clip(
             np.repeat(
                 np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
             )[:height, :width],
             0.0,
-            255.0,
+            maxval,
         )
         for c, plane in zip(comps, planes)
     ]
     if len(full) == 1:
+        if precision != 8:
+            return (full[0] * (255.0 / maxval)).astype(np.float32)
         return full[0].astype(np.float32)
     y, cb, cr = full  # BT.601 inverse (ITU-T T.871)
     r = y + 1.402 * (cr - 128.0)
@@ -1605,6 +1632,88 @@ def encode_jpeg_gray(
     entropy += writer.finish()
     headers = _jpeg_headers(quant, height, width, [(1, 1)], restart_interval)
     return headers + bytes(entropy) + b"\xff\xd9"
+
+
+# 12-bit extended-sequential tables: DC categories run to 15 and AC
+# sizes to 14 (T.81 Tables F.6/F.7 extended ranges). 16 DC symbols at
+# length 5 (max code 15 < 31) and 226 AC symbols at length 8 (max code
+# 225 < 255) keep the all-1-bits codeword unassigned, same argument as
+# the 8-bit tables above.
+_ENC_DC12_BITS = [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_ENC_DC12_VALS = bytes(range(16))
+_ENC_AC12_BITS = [0, 0, 0, 0, 0, 0, 0, 226, 0, 0, 0, 0, 0, 0, 0, 0]
+_ENC_AC12_VALS = bytes(
+    sorted(
+        {(r << 4) | s for r in range(16) for s in range(1, 15)} | {0x00, 0xF0}
+    )
+)
+
+
+def encode_jpeg_gray12(
+    gray: np.ndarray, quality: int = 90, restart_interval: int = 0
+) -> bytes:
+    """Encode a (H, W) uint16 grayscale array (samples 0..4095) as a
+    12-bit EXTENDED SEQUENTIAL single-component JPEG (SOF1, T.81
+    process 2 — the medical-imaging profile). Same pipeline as
+    encode_jpeg_gray with the 12-bit parameters: level shift 2048,
+    16-bit DQT entries (Pq=1, Annex K table x16 to keep relative
+    quantization comparable), and Huffman tables extended to DC
+    category 15 / AC size 14. Test support for the 12-bit decode
+    path; lossy — roundtrip tests use tolerance."""
+    arr = np.asarray(gray, dtype=np.uint16)
+    if arr.ndim != 2:
+        raise ValueError(f"expected (H, W) grayscale, got {arr.shape}")
+    if arr.size and int(arr.max()) > 4095:
+        raise ValueError("12-bit JPEG samples must be in [0, 4095]")
+    height, width = arr.shape
+    if height == 0 or width == 0:
+        raise ValueError("empty image")
+    quant = _jpeg_quant_for_quality(quality) * 16
+    bh, bw = (height + 7) // 8, (width + 7) // 8
+    padded = np.pad(
+        arr.astype(np.float64) - 2048.0,
+        ((0, bh * 8 - height), (0, bw * 8 - width)),
+        mode="edge",
+    )
+    dc_map = _huffman_encode_map(_ENC_DC12_BITS, _ENC_DC12_VALS)
+    ac_map = _huffman_encode_map(_ENC_AC12_BITS, _ENC_AC12_VALS)
+    entropy = bytearray()
+    writer = _BitWriter()
+    pred = 0
+    block_no = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and block_no and block_no % restart_interval == 0:
+                entropy += writer.finish()
+                entropy += bytes([0xFF, 0xD0 + (block_no // restart_interval - 1) % 8])
+                writer = _BitWriter()
+                pred = 0
+            block_no += 1
+            pred = _encode_jpeg_block(
+                writer,
+                padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                quant,
+                dc_map,
+                ac_map,
+                pred,
+            )
+    entropy += writer.finish()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(
+        0xDB,
+        bytes([0x10])  # Pq=1 (16-bit entries), Tq=0
+        + b"".join(struct.pack(">H", int(x)) for x in quant[_UNZIGZAG]),
+    )
+    sof = seg(0xC1, struct.pack(">BHHB", 12, height, width, 1) + bytes([1, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00]) + bytes(_ENC_DC12_BITS) + _ENC_DC12_VALS) + seg(
+        0xC4, bytes([0x10]) + bytes(_ENC_AC12_BITS) + _ENC_AC12_VALS
+    )
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + dri + sos + bytes(entropy) + b"\xff\xd9"
 
 
 # --- progressive JPEG test encoder (T.81 Annex G) ---------------------------

@@ -354,17 +354,19 @@ def q_media_dimensions_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from mpi_word_count_spark.functions import codecs
 
-        # JPEG alternates baseline/progressive (SOF0/SOF2) by doc
-        # parity — same kind, same dims, so the oracle is unchanged
-        # while the header parse covers both frame types
+        # JPEG rotates baseline/progressive/12-bit (SOF0/SOF2/SOF1) by
+        # doc_id mod 3 — same kind, same dims, so the oracle is
+        # unchanged while the header parse covers all three frame types
         encoders = [
             lambda a, d: codecs.encode_png(a),
             lambda a, d: codecs.encode_bmp(a),
             lambda a, d: codecs.encode_gif(a),
             lambda a, d: (
-                codecs.encode_jpeg_gray_progressive(a)
-                if d % 2
-                else codecs.encode_jpeg_gray(a)
+                codecs.encode_jpeg_gray(a)
+                if d % 3 == 0
+                else codecs.encode_jpeg_gray_progressive(a)
+                if d % 3 == 1
+                else codecs.encode_jpeg_gray12(a.astype(np.uint16) * 16)
             ),
             lambda a, d: codecs.encode_avi_dib([a]),
             lambda a, d: codecs.encode_mp4_stub(a.shape[1], a.shape[0]),
@@ -566,18 +568,21 @@ def q_media_decode_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from mpi_word_count_spark.functions import codecs
 
-        # JPEG alternates baseline/progressive (SOF0/SOF2) by doc
-        # parity: both decode for real since round 8, so the census
-        # counts — and the oracle — are identical, while the REAL
-        # Annex G decode path runs inside the driver-verified query
+        # JPEG rotates baseline/progressive/12-bit (SOF0/SOF2/SOF1) by
+        # doc_id mod 3: all three decode for real (12-bit since round
+        # 9), so the census counts — and the oracle — are identical,
+        # while the Annex G and extended-sequential decode paths run
+        # inside the driver-verified query
         encoders = [
             ("png", lambda a, d: codecs.encode_png(a)),
             ("bmp", lambda a, d: codecs.encode_bmp(a)),
             ("gif", lambda a, d: codecs.encode_gif(a)),
             ("jpeg", lambda a, d: (
-                codecs.encode_jpeg_gray_progressive(a)
-                if d % 2
-                else codecs.encode_jpeg_gray(a)
+                codecs.encode_jpeg_gray(a)
+                if d % 3 == 0
+                else codecs.encode_jpeg_gray_progressive(a)
+                if d % 3 == 1
+                else codecs.encode_jpeg_gray12(a.astype(np.uint16) * 16)
             )),
             ("avi", lambda a, d: codecs.encode_avi_dib([a])),
             ("mp4", lambda a, d: codecs.encode_mp4_stub(

@@ -66,9 +66,10 @@ _PRIORITY = [
     # regularization) + media_decode_census (the aggregate consumer of
     # this round's multiscan sampling-factor guard, ADVICE r8 — the
     # other media queries' fixture results cannot reach the new
-    # error-only path) + the stalest ledger rows: all 25 queries whose
-    # last driver-green row is round 3, then the 21 oldest round-4
-    # rows. Max ledger age drops from r3 to r4-vintage.
+    # error-only path) + media_dimensions_stats (12-bit JPEG joined
+    # its format rotation) + the stalest ledger rows: all 25 queries
+    # whose last driver-green row is round 3, then the 20 oldest
+    # round-4 rows. Max ledger age drops from r3 to r4-vintage.
     # flagship: a fresh row EVERY round, whatever else rotates
     "wordcount",
     # round-9 new queries (k-best subword regularization)
@@ -123,7 +124,8 @@ _PRIORITY = [
     "events_variant_stats",
     "events_zorder_keys",
     "hll_sketch_rollup",
-    "html_boilerplate_strip",
+    # changed implementation (12-bit JPEG in the format rotation)
+    "media_dimensions_stats",
     # --- the 50-row driver budget, round 8 (now overflow) -------------
     # VERDICT r7 item 2: the 5 round-7 queries that have judge-green
     # but no driver row yet lead; then round-8 additions (unigram EM,

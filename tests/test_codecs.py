@@ -1462,3 +1462,79 @@ def test_tiff_tiled_roundtrip_property(img, comp):
     np.testing.assert_array_equal(
         codecs.decode_image(t).astype(np.uint8), img
     )
+
+
+# --- 12-bit extended sequential JPEG (T.81 process 2) ------------------------
+
+
+def test_jpeg12_roundtrip_matrix():
+    """12-bit grayscale (SOF1, 16-bit DQT, extended Huffman ranges):
+    tolerance roundtrips across shapes/qualities, restart markers,
+    header dims, and the DC-only near-exact case."""
+    for shape in [(8, 8), (24, 17), (33, 40), (1, 1)]:
+        h, w = shape
+        base = np.linspace(0, 4095, h * w).reshape(h, w).astype(np.uint16)
+        for q in (75, 95):
+            enc = codecs.encode_jpeg_gray12(base, quality=q)
+            dec = codecs.decode_image(enc)
+            assert dec.shape == shape
+            # decode_image contract: 0..255 range whatever the bit depth
+            orig255 = base.astype(np.float64) * (255.0 / 4095.0)
+            assert np.abs(dec - orig255).mean() < 6.0
+        assert codecs.media_dimensions(enc) == (w, h, "jpeg")
+    rng = np.random.default_rng(53)
+    img = rng.integers(0, 4096, (24, 24), dtype=np.uint16)
+    np.testing.assert_array_equal(
+        codecs.decode_image(
+            codecs.encode_jpeg_gray12(img, quality=90, restart_interval=2)
+        ),
+        codecs.decode_image(codecs.encode_jpeg_gray12(img, quality=90)),
+    )
+    flat = np.full((16, 16), 3000, dtype=np.uint16)
+    d = codecs.decode_image(codecs.encode_jpeg_gray12(flat))
+    assert np.abs(d - 3000 * 255.0 / 4095.0).max() < 0.5
+
+
+def test_jpeg12_beats_8bit_on_fine_gradient():
+    """The reason 12-bit exists: a gradient spanning 2 8-bit counts
+    (512 12-bit counts) quantizes to visible steps at 8 bits but
+    roundtrips smoothly at 12 — the 12-bit path must carry the extra
+    precision end to end, not truncate internally."""
+    h, w = 16, 64
+    g12 = np.linspace(2000, 2511, h * w).reshape(h, w).astype(np.uint16)
+    g8 = np.round(g12.astype(np.float64) * (255.0 / 4095.0)).astype(np.uint8)
+    dec12 = codecs.decode_image(codecs.encode_jpeg_gray12(g12, quality=95))
+    dec8 = codecs.decode_image(codecs.encode_jpeg_gray(g8, quality=95))
+    target = g12.astype(np.float64) * (255.0 / 4095.0)
+    err12 = np.abs(dec12 - target).mean()
+    err8 = np.abs(dec8 - target).mean()
+    assert err12 < err8, (err12, err8)
+    assert err12 < 0.2
+
+
+def test_jpeg12_unsupported_variants_raise():
+    img = np.full((8, 8), 2048, dtype=np.uint16)
+    enc = bytearray(codecs.encode_jpeg_gray12(img))
+    sof = enc.find(b"\xff\xc1")
+    # 12-bit progressive: flip SOF1 -> SOF2
+    prog = bytearray(enc)
+    prog[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="grayscale only"):
+        codecs.decode_image(bytes(prog))
+    # 12-bit color: claim 3 components (header-level check fires
+    # before any entropy decode)
+    color = bytearray(enc)
+    color[sof + 9] = 3
+    with pytest.raises(NotImplementedError, match="grayscale only"):
+        codecs.decode_image(bytes(color))
+    # 16-bit precision stays NotImplementedError
+    deep = bytearray(enc)
+    deep[sof + 4] = 16
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        codecs.decode_image(bytes(deep))
+    # out-of-range samples rejected at encode time
+    with pytest.raises(ValueError, match="4095"):
+        codecs.encode_jpeg_gray12(np.full((4, 4), 4096, dtype=np.uint16))
+    # truncation raises uniformly
+    with pytest.raises(ValueError):
+        codecs.decode_image(bytes(enc[: len(enc) // 2]))
