@@ -2818,7 +2818,7 @@ def encode_mp4_stub(
 # MSB-first + EarlyChange) compressions, horizontal-differencing
 # predictor (§14). JPEG-compressed TIFF raises NotImplementedError.
 
-_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4}  # BYTE ASCII SHORT LONG
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 7: 1}  # BYTE ASCII SHORT LONG UNDEFINED
 
 
 def _tiff_ifd(data: bytes, bo: str) -> dict[int, list[int]]:
@@ -2840,7 +2840,7 @@ def _tiff_ifd(data: bytes, bo: str) -> dict[int, list[int]]:
         off = e + 8 if total <= 4 else struct.unpack(bo + "I", data[e + 8 : e + 12])[0]
         if off + total > len(data):
             raise ValueError(f"truncated TIFF tag {tag} data")
-        fmt = {1: "B", 2: "B", 3: "H", 4: "I"}[typ]
+        fmt = {1: "B", 2: "B", 3: "H", 4: "I", 7: "B"}[typ]
         tags[tag] = list(struct.unpack(bo + fmt * count, data[off : off + total]))
     return tags
 
@@ -2859,7 +2859,7 @@ def _decode_tiff(data: bytes) -> np.ndarray:
     except KeyError as exc:
         raise ValueError(f"TIFF missing required tag: {exc}") from exc
     compression = tags.get(259, [1])[0]
-    if compression not in (1, 5, 32773):
+    if compression not in (1, 5, 7, 32773):
         raise NotImplementedError(f"TIFF compression {compression}")
     spp = tags.get(277, [1])[0]
     bits = tags.get(258, [8])[0]
@@ -2868,6 +2868,55 @@ def _decode_tiff(data: bytes) -> np.ndarray:
     predictor = tags.get(317, [1])[0]
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor}")
+    if compression == 7:
+        # "new-style" JPEG-in-TIFF (TIFF TechNote 2): each strip is an
+        # independent JPEG interchange/abbreviated stream; a JPEGTables
+        # tag (347) may carry the shared DQT/DHT as an abbreviated
+        # tables-only stream that logically precedes every strip
+        if 322 in tags:
+            raise NotImplementedError("JPEG-in-TIFF tiled organization")
+        if spp != 1:
+            raise NotImplementedError("JPEG-in-TIFF color (YCbCr photometric)")
+        if predictor != 1:
+            raise ValueError("TIFF predictor is undefined for JPEG compression")
+        tables = bytes(tags[347]) if 347 in tags else None
+        if tables is not None and (
+            tables[:2] != b"\xff\xd8" or tables[-2:] != b"\xff\xd9"
+        ):
+            raise ValueError("bad JPEGTables stream")
+        try:
+            strip_offs = tags[273]
+            strip_counts = tags[279]
+        except KeyError as exc:
+            raise ValueError(f"TIFF missing required tag: {exc}") from exc
+        rows_per_strip = tags.get(278, [height])[0]
+        if rows_per_strip <= 0:
+            raise ValueError(f"bad TIFF RowsPerStrip {rows_per_strip}")
+        parts: list[np.ndarray] = []
+        covered = 0
+        for i, (o, c) in enumerate(zip(strip_offs, strip_counts)):
+            strip = data[o : o + c]
+            if strip[:2] != b"\xff\xd8":
+                raise ValueError(f"TIFF JPEG strip {i} missing SOI")
+            stream = (
+                strip
+                if tables is None
+                else b"\xff\xd8" + tables[2:-2] + strip[2:]
+            )
+            arr = _decode_jpeg(stream)
+            want = min(rows_per_strip, height - covered)
+            if arr.shape[0] < want or arr.shape[1] < width:
+                raise ValueError(
+                    f"TIFF JPEG strip {i} decoded {arr.shape}, "
+                    f"needs >= ({want}, {width})"
+                )
+            parts.append(arr[:want, :width])
+            covered += want
+            if covered >= height:
+                break
+        if covered < height:
+            raise ValueError("TIFF JPEG strips cover fewer rows than ImageLength")
+        return np.vstack(parts).astype(np.float32)
 
     def decompress(chunk: bytes) -> bytes:
         # compression is PER STRIP/TILE (TIFF 6.0 §13: each is its own
@@ -3185,6 +3234,118 @@ def _tiff_dimensions(data: bytes) -> tuple[int, int]:
     if 256 not in tags or 257 not in tags:
         raise ValueError("TIFF missing dimension tags")
     return tags[256][0], tags[257][0]
+
+
+def _jpeg_table_split(stream: bytes) -> tuple[bytes, bytes]:
+    """Split a full interchange JPEG into (tables-only abbreviated
+    stream, table-less abbreviated stream) — T.81 B.4/B.5, the two
+    halves TIFF TechNote 2's JPEGTables organization stores. The
+    tables stream carries every DQT/DHT segment between SOI and EOI;
+    the abbreviated stream keeps everything else (SOF/DRI/SOS +
+    entropy) verbatim."""
+    if stream[:2] != b"\xff\xd8":
+        raise ValueError("bad JPEG signature")
+    tables = bytearray(b"\xff\xd8")
+    rest = bytearray(b"\xff\xd8")
+    pos = 2
+    while pos + 2 <= len(stream):
+        if stream[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = stream[pos + 1]
+        if marker == 0xDA:  # SOS: entropy data through EOI, verbatim
+            rest += stream[pos:]
+            break
+        (seglen,) = struct.unpack(">H", stream[pos + 2 : pos + 4])
+        seg = stream[pos : pos + 2 + seglen]
+        (tables if marker in (0xDB, 0xC4) else rest).extend(seg)
+        pos += 2 + seglen
+    else:
+        raise ValueError("JPEG SOS marker not found")
+    tables += b"\xff\xd9"
+    return bytes(tables), bytes(rest)
+
+
+def encode_tiff_jpeg(
+    gray: np.ndarray,
+    quality: int = 90,
+    rows_per_strip: int = 16,
+    shared_tables: bool = False,
+) -> bytes:
+    """Encode (H, W) uint8 grayscale as a JPEG-compressed little-endian
+    TIFF (compression 7, TIFF TechNote 2 "new-style"): the image is cut
+    into RowsPerStrip bands, each band JPEG-encoded independently
+    (encode_jpeg_gray). shared_tables=True factors the common DQT/DHT
+    into a JPEGTables tag (347) and stores table-less abbreviated
+    streams per strip — the layout real writers (libtiff) emit. Test
+    encoder for the compression-7 decode path."""
+    arr = np.asarray(gray, dtype=np.uint8)
+    if arr.ndim != 2:
+        raise ValueError(f"expected (H, W) grayscale, got {arr.shape}")
+    h, w = arr.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    if rows_per_strip <= 0:
+        raise ValueError(f"bad rows_per_strip {rows_per_strip}")
+    n = -(-h // rows_per_strip)
+    streams = [
+        encode_jpeg_gray(
+            arr[i * rows_per_strip : (i + 1) * rows_per_strip], quality
+        )
+        for i in range(n)
+    ]
+    tables = b""
+    if shared_tables:
+        # quality is fixed, so every strip writes identical DQT/DHT
+        tables, _ = _jpeg_table_split(streams[0])
+        streams = [_jpeg_table_split(s)[1] for s in streams]
+
+    entries: list[tuple[int, int, int, int]] = [
+        (256, 4, 1, w),
+        (257, 4, 1, h),
+        (258, 3, 1, 8),
+        (259, 3, 1, 7),            # Compression: JPEG (TechNote 2)
+        (262, 3, 1, 1),            # Photometric: BlackIsZero
+        (277, 3, 1, 1),
+        (278, 4, 1, rows_per_strip),
+    ]
+    n_entries = len(entries) + 2 + (1 if shared_tables else 0)
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * n_entries + 4
+    ext = bytearray()
+    cursor = data_off
+    if n == 1:
+        offs_entry_pending = True  # values inline once offsets known
+    else:
+        offs_entry_pending = False
+        offs_pos = cursor
+        cnts_pos = offs_pos + 4 * n
+        cursor = cnts_pos + 4 * n
+    if shared_tables:
+        tables_pos = cursor
+        cursor += len(tables)
+        entries.append((347, 7, len(tables), tables_pos))
+    offsets = []
+    for s in streams:
+        offsets.append(cursor)
+        cursor += len(s)
+    if offs_entry_pending:
+        entries += [(273, 4, 1, offsets[0]), (279, 4, 1, len(streams[0]))]
+    else:
+        entries += [(273, 4, n, offs_pos), (279, 4, n, cnts_pos)]
+        ext += b"".join(struct.pack("<I", o) for o in offsets)
+        ext += b"".join(struct.pack("<I", len(s)) for s in streams)
+    entries.sort()
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+    out += struct.pack("<H", n_entries)
+    for tag, typ, count, value in entries:
+        out += struct.pack("<HHII", tag, typ, count, value)
+    out += struct.pack("<I", 0)  # next-IFD pointer
+    out += ext
+    if shared_tables:
+        out += tables
+    for s in streams:
+        out += s
+    return bytes(out)
 
 
 def encode_tiff(gray: np.ndarray) -> bytes:

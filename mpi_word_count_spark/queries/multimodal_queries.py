@@ -370,7 +370,11 @@ def q_media_dimensions_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             lambda a, d: codecs.encode_avi_dib([a]),
             lambda a, d: codecs.encode_mp4_stub(a.shape[1], a.shape[0]),
-            lambda a, d: codecs.encode_tiff(a),
+            lambda a, d: (
+                codecs.encode_tiff(a)
+                if d % 2
+                else codecs.encode_tiff_jpeg(a, shared_tables=True)
+            ),
         ]
         for pdf in batches:
             ids, kinds, ws, hs = [], [], [], []
@@ -588,7 +592,11 @@ def q_media_decode_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("mp4", lambda a, d: codecs.encode_mp4_stub(
                 a.shape[1], a.shape[0], codec=b"avc1"
             )),
-            ("tiff", lambda a, d: codecs.encode_tiff(a)),
+            ("tiff", lambda a, d: (
+                codecs.encode_tiff(a)
+                if d % 2
+                else codecs.encode_tiff_jpeg(a, shared_tables=True)
+            )),
         ]
 
         def try_decode(kind: str, payload: bytes) -> None:

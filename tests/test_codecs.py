@@ -4,6 +4,8 @@ through the Spark-side mapInPandas kernel."""
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -893,13 +895,16 @@ def test_tiff_roundtrip_and_dimensions():
         codecs.decode_image(t[:30])  # truncated IFD
     with pytest.raises(ValueError):
         codecs.decode_image(b"MM\x00*" + b"\x00\x00\x01\x00")  # bad IFD offset
-    # JPEG-in-TIFF stays env-bound (NotImplementedError); an LZW tag
-    # over a non-LZW stream is malformed data (ValueError) now that
-    # compression 5 decodes for real
+    # Deflate-in-TIFF stays env-bound (NotImplementedError); a JPEG or
+    # LZW tag over a raw-pixel stream is malformed data (ValueError)
+    # now that compressions 5 and 7 decode for real
     patched = bytearray(t)
     idx = patched.find((259).to_bytes(2, "little"), 8)
-    patched[idx + 8] = 7  # JPEG compression
+    patched[idx + 8] = 8  # Adobe Deflate
     with pytest.raises(NotImplementedError):
+        codecs.decode_image(bytes(patched))
+    patched[idx + 8] = 7  # JPEG tag, but strip bytes are raw pixels
+    with pytest.raises(ValueError):
         codecs.decode_image(bytes(patched))
     patched[idx + 8] = 5  # LZW tag, but strip bytes are raw pixels
     with pytest.raises(ValueError):
@@ -1538,3 +1543,73 @@ def test_jpeg12_unsupported_variants_raise():
     # truncation raises uniformly
     with pytest.raises(ValueError):
         codecs.decode_image(bytes(enc[: len(enc) // 2]))
+
+
+# --- JPEG-in-TIFF (compression 7, TIFF TechNote 2) ----------------------------
+
+
+def test_tiff_jpeg_roundtrip_matrix():
+    """New-style JPEG-in-TIFF: per-strip JPEG streams, with and
+    without the JPEGTables (347) shared-tables organization, across
+    strip geometries including non-8-aligned and single-strip."""
+    rng = np.random.default_rng(61)
+    for shape in [(16, 16), (40, 33), (17, 50), (5, 5), (1, 1)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        for rps in (8, 16, 7):
+            for st in (False, True):
+                t = codecs.encode_tiff_jpeg(
+                    img, quality=90, rows_per_strip=rps, shared_tables=st
+                )
+                d = codecs.decode_image(t)
+                assert d.shape == shape
+                assert codecs.media_dimensions(t) == (
+                    shape[1], shape[0], "tiff"
+                )
+                assert np.abs(d - img.astype(np.float64)).mean() < 15
+        # JPEGTables and inline-tables organizations decode identically
+        np.testing.assert_array_equal(
+            codecs.decode_image(codecs.encode_tiff_jpeg(img, rows_per_strip=8)),
+            codecs.decode_image(
+                codecs.encode_tiff_jpeg(img, rows_per_strip=8, shared_tables=True)
+            ),
+        )
+
+
+def test_tiff_jpeg_strips_equal_whole_image_jpeg():
+    """With 8-row-aligned strips, the per-strip encode decodes EXACTLY
+    like one whole-image JPEG: blocks are 8-row bands and DC prediction
+    is lossless coding, so strip boundaries cannot change decoded
+    values. Multi-strip case (4 strips of 8 rows)."""
+    rng = np.random.default_rng(67)
+    img = rng.integers(0, 256, (32, 20), dtype=np.uint8)
+    whole = codecs.decode_image(codecs.encode_jpeg_gray(img, quality=85))
+    for st in (False, True):
+        strips = codecs.decode_image(
+            codecs.encode_tiff_jpeg(
+                img, quality=85, rows_per_strip=8, shared_tables=st
+            )
+        )
+        np.testing.assert_array_equal(strips, whole)
+
+
+def test_tiff_jpeg_malformed_and_unsupported():
+    img = np.arange(16 * 16, dtype=np.uint8).reshape(16, 16)
+    t = codecs.encode_tiff_jpeg(img, rows_per_strip=8, shared_tables=True)
+    # truncation inside a strip raises, never a partial image
+    with pytest.raises(ValueError):
+        codecs.decode_image(t[: len(t) - 20])
+    # corrupt JPEGTables signature
+    tab_at = t.find(b"\xff\xd8", 2)  # first embedded SOI = tables stream
+    bad = bytearray(t)
+    bad[tab_at] = 0x00
+    with pytest.raises(ValueError):
+        codecs.decode_image(bytes(bad))
+    # tiled + compression 7 is NotImplementedError, not silence:
+    # craft by patching a tiled TIFF's compression tag to 7
+    tiled = bytearray(codecs.encode_tiff_tiled(img, 16, 16, compression=1))
+    # find the compression IFD entry (tag 259, LE) and set value to 7
+    i = tiled.find(struct.pack("<HH", 259, 3))
+    assert i > 0
+    tiled[i + 8 : i + 12] = struct.pack("<I", 7)
+    with pytest.raises(NotImplementedError, match="tiled"):
+        codecs.decode_image(bytes(tiled))
