@@ -535,6 +535,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     frame: tuple[int, int, list[tuple[int, int]]] | None = None  # h, w, comps
     restart_interval = 0
     progressive = False
+    lossless = False
     precision = 8
     pos = 2
     while pos + 2 <= len(data):
@@ -578,13 +579,31 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append((cid, sampling >> 4, sampling & 0x0F, tq))
             frame = (h, w, comps)
             progressive = marker == 0xC2
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC3:  # lossless sequential (T.81 process 14)
+            precision = body[0]
+            if not 2 <= precision <= 16:
+                raise ValueError(f"bad lossless JPEG precision {precision}")
+            h, w = struct.unpack(">HH", body[1:5])
+            ncomp = body[5]
+            if ncomp != 1:
+                raise NotImplementedError(
+                    "lossless JPEG supported for grayscale only"
+                )
+            cid, sampling, tq = body[6:9]
+            frame = (h, w, [(cid, sampling >> 4, sampling & 0x0F, tq)])
+            lossless = True
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"JPEG SOF{marker - 0xC0} not supported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS: entropy data follows
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            if lossless:
+                return _decode_jpeg_lossless(
+                    data, pos + 2 + seglen, frame, body, huff,
+                    restart_interval, precision,
+                )
             if progressive:
                 # the progressive loop owns the marker walk from the
                 # first SOS on (scans interleave with DHT/DQT/DRI)
@@ -965,6 +984,76 @@ def _ac_refine_block(
     return eobrun
 
 
+def _decode_jpeg_lossless(
+    data: bytes,
+    start: int,
+    frame: tuple[int, int, list[tuple[int, int, int, int]]],
+    sos_body: bytes,
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]],
+    restart_interval: int,
+    precision: int,
+) -> np.ndarray:
+    """Lossless sequential JPEG (T.81 process 14, SOF3, grayscale):
+    every sample is Huffman-coded as a category + magnitude bits (the
+    DC-coefficient coding model, categories 0-16 with the category-16
+    "+32768" special case) over a prediction from decoded neighbours
+    a=left, b=above, c=above-left — selector Ss picks one of the seven
+    H.1.2 predictors; the first sample predicts 2^(P-1), the rest of
+    the first line uses a, the first column uses b. Reconstruction is
+    (pred + diff) mod 2^16. Restart markers and point transforms stay
+    NotImplementedError; no quantization or DCT exists in this
+    process, so decode is bit-exact."""
+    height, width, _comps = frame
+    if height <= 0 or width <= 0:
+        raise ValueError(f"bad JPEG dims: {width}x{height}")
+    ns = sos_body[0]
+    if ns != 1:
+        raise NotImplementedError("lossless JPEG multi-component scan")
+    tables = sos_body[2]
+    dc = huff.get((0, tables >> 4))
+    if dc is None:
+        raise ValueError("JPEG scan references undefined tables")
+    predictor = sos_body[3]  # Ss reused as the predictor selector
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"bad lossless JPEG predictor {predictor}")
+    if sos_body[5] & 0x0F:
+        raise NotImplementedError("lossless JPEG point transform")
+    if restart_interval:
+        raise NotImplementedError("lossless JPEG restart markers")
+    segments, _end = _split_entropy_segments(data, start)
+    reader = _BitReader(segments[0])
+    out = np.zeros((height, width), dtype=np.int64)
+    for y in range(height):
+        for x in range(width):
+            t = reader.decode_symbol(dc)
+            diff = 32768 if t == 16 else _extend(reader.read_bits(t), t)
+            if y == 0 and x == 0:
+                pred = 1 << (precision - 1)
+            elif y == 0:
+                pred = int(out[0, x - 1])
+            elif x == 0:
+                pred = int(out[y - 1, 0])
+            else:
+                a = int(out[y, x - 1])
+                b = int(out[y - 1, x])
+                c = int(out[y - 1, x - 1])
+                pred = {
+                    1: a,
+                    2: b,
+                    3: c,
+                    4: a + b - c,
+                    5: a + ((b - c) >> 1),
+                    6: b + ((a - c) >> 1),
+                    7: (a + b) >> 1,
+                }[predictor]
+            out[y, x] = (pred + diff) & 0xFFFF
+    maxval = float((1 << precision) - 1)
+    px = np.clip(out.astype(np.float64), 0.0, maxval)
+    if precision != 8:
+        return (px * (255.0 / maxval)).astype(np.float32)
+    return px.astype(np.float32)
+
+
 def _decode_jpeg_progressive(
     data: bytes,
     pos: int,
@@ -1196,7 +1285,7 @@ def _jpeg_dimensions(data: bytes) -> tuple[int, int]:
             pos += 2
             continue
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
-        if marker in (0xC0, 0xC1, 0xC2):  # SOF0 baseline / ext / progressive
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3):  # baseline/ext/progressive/lossless
             h, w = struct.unpack(">HH", data[pos + 5 : pos + 9])
             return w, h
         pos += 2 + seglen
@@ -1714,6 +1803,77 @@ def encode_jpeg_gray12(
     dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     return b"\xff\xd8" + dqt + sof + dht + dri + sos + bytes(entropy) + b"\xff\xd9"
+
+
+# lossless-process tables: difference categories 0..16 (T.81 H.1.2.2's
+# SSSS range, with 16 = the "+32768" case). 17 symbols at length 5
+# (max code 16 < 31) keep the all-1-bits codeword unassigned.
+_ENC_DCL_BITS = [0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_ENC_DCL_VALS = bytes(range(17))
+
+
+def encode_jpeg_gray_lossless(
+    gray: np.ndarray, predictor: int = 1, precision: int = 8
+) -> bytes:
+    """Encode (H, W) grayscale as a LOSSLESS sequential JPEG (SOF3,
+    T.81 process 14): per-sample prediction (selector 1-7) and
+    Huffman-coded differences — no DCT, no quantization, bit-exact
+    roundtrip. precision 8 takes uint8 input, precision 12 uint16
+    samples in [0, 4095]. Test support for the SOF3 decode path."""
+    if precision not in (8, 12):
+        raise ValueError(f"precision {precision} not in (8, 12)")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"bad lossless predictor {predictor}")
+    arr = np.asarray(gray, dtype=np.uint8 if precision == 8 else np.uint16)
+    if arr.ndim != 2:
+        raise ValueError(f"expected (H, W) grayscale, got {arr.shape}")
+    if precision == 12 and arr.size and int(arr.max()) > 4095:
+        raise ValueError("12-bit lossless samples must be in [0, 4095]")
+    height, width = arr.shape
+    if height == 0 or width == 0:
+        raise ValueError("empty image")
+    dc_map = _huffman_encode_map(_ENC_DCL_BITS, _ENC_DCL_VALS)
+    writer = _BitWriter()
+    out = arr.astype(np.int64)
+    for y in range(height):
+        for x in range(width):
+            if y == 0 and x == 0:
+                pred = 1 << (precision - 1)
+            elif y == 0:
+                pred = int(out[0, x - 1])
+            elif x == 0:
+                pred = int(out[y - 1, 0])
+            else:
+                a = int(out[y, x - 1])
+                b = int(out[y - 1, x])
+                c = int(out[y - 1, x - 1])
+                pred = {
+                    1: a,
+                    2: b,
+                    3: c,
+                    4: a + b - c,
+                    5: a + ((b - c) >> 1),
+                    6: b + ((a - c) >> 1),
+                    7: (a + b) >> 1,
+                }[predictor]
+            diff = int(out[y, x]) - pred
+            t = _category(diff)
+            code, length = dc_map[t]
+            writer.write(code, length)
+            if t:
+                writer.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+    entropy = writer.finish()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    sof = seg(
+        0xC3,
+        struct.pack(">BHHB", precision, height, width, 1) + bytes([1, 0x11, 0]),
+    )
+    dht = seg(0xC4, bytes([0x00]) + bytes(_ENC_DCL_BITS) + _ENC_DCL_VALS)
+    sos = seg(0xDA, bytes([1, 1, 0x00, predictor, 0, 0]))
+    return b"\xff\xd8" + sof + dht + sos + entropy + b"\xff\xd9"
 
 
 # --- progressive JPEG test encoder (T.81 Annex G) ---------------------------

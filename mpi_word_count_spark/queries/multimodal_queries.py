@@ -354,19 +354,22 @@ def q_media_dimensions_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from mpi_word_count_spark.functions import codecs
 
-        # JPEG rotates baseline/progressive/12-bit (SOF0/SOF2/SOF1) by
-        # doc_id mod 3 — same kind, same dims, so the oracle is
-        # unchanged while the header parse covers all three frame types
+        # JPEG rotates baseline/progressive/12-bit/lossless
+        # (SOF0/SOF2/SOF1/SOF3) by doc_id mod 4 — same kind, same
+        # dims, so the oracle is unchanged while the header parse
+        # covers all four frame types
         encoders = [
             lambda a, d: codecs.encode_png(a),
             lambda a, d: codecs.encode_bmp(a),
             lambda a, d: codecs.encode_gif(a),
             lambda a, d: (
                 codecs.encode_jpeg_gray(a)
-                if d % 3 == 0
+                if d % 4 == 0
                 else codecs.encode_jpeg_gray_progressive(a)
-                if d % 3 == 1
+                if d % 4 == 1
                 else codecs.encode_jpeg_gray12(a.astype(np.uint16) * 16)
+                if d % 4 == 2
+                else codecs.encode_jpeg_gray_lossless(a)
             ),
             lambda a, d: codecs.encode_avi_dib([a]),
             lambda a, d: codecs.encode_mp4_stub(a.shape[1], a.shape[0]),
@@ -572,21 +575,24 @@ def q_media_decode_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from mpi_word_count_spark.functions import codecs
 
-        # JPEG rotates baseline/progressive/12-bit (SOF0/SOF2/SOF1) by
-        # doc_id mod 3: all three decode for real (12-bit since round
-        # 9), so the census counts — and the oracle — are identical,
-        # while the Annex G and extended-sequential decode paths run
-        # inside the driver-verified query
+        # JPEG rotates baseline/progressive/12-bit/lossless
+        # (SOF0/SOF2/SOF1/SOF3) by doc_id mod 4: all four decode for
+        # real (12-bit and lossless since round 9), so the census
+        # counts — and the oracle — are identical, while the Annex G,
+        # extended-sequential, and process-14 decode paths run inside
+        # the driver-verified query
         encoders = [
             ("png", lambda a, d: codecs.encode_png(a)),
             ("bmp", lambda a, d: codecs.encode_bmp(a)),
             ("gif", lambda a, d: codecs.encode_gif(a)),
             ("jpeg", lambda a, d: (
                 codecs.encode_jpeg_gray(a)
-                if d % 3 == 0
+                if d % 4 == 0
                 else codecs.encode_jpeg_gray_progressive(a)
-                if d % 3 == 1
+                if d % 4 == 1
                 else codecs.encode_jpeg_gray12(a.astype(np.uint16) * 16)
+                if d % 4 == 2
+                else codecs.encode_jpeg_gray_lossless(a)
             )),
             ("avi", lambda a, d: codecs.encode_avi_dib([a])),
             ("mp4", lambda a, d: codecs.encode_mp4_stub(

@@ -1613,3 +1613,60 @@ def test_tiff_jpeg_malformed_and_unsupported():
     tiled[i + 8 : i + 12] = struct.pack("<I", 7)
     with pytest.raises(NotImplementedError, match="tiled"):
         codecs.decode_image(bytes(tiled))
+
+
+# --- lossless JPEG (SOF3, T.81 process 14) ------------------------------------
+
+
+def test_jpeg_lossless_roundtrip_exact_all_predictors():
+    """No DCT, no quantization: decode must return the input EXACTLY,
+    for every H.1.2 predictor, at 8 and 12 bits."""
+    rng = np.random.default_rng(71)
+    for shape in [(8, 8), (24, 17), (1, 1), (5, 40)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        for p in range(1, 8):
+            enc = codecs.encode_jpeg_gray_lossless(img, predictor=p)
+            np.testing.assert_array_equal(
+                codecs.decode_image(enc), img.astype(np.float32)
+            )
+            assert codecs.media_dimensions(enc) == (shape[1], shape[0], "jpeg")
+    img12 = rng.integers(0, 4096, (16, 16), dtype=np.uint16)
+    for p in (1, 4, 7):
+        dec = codecs.decode_image(
+            codecs.encode_jpeg_gray_lossless(img12, predictor=p, precision=12)
+        )
+        np.testing.assert_array_equal(
+            dec, (img12.astype(np.float64) * (255.0 / 4095.0)).astype(np.float32)
+        )
+
+
+def test_jpeg_lossless_malformed_and_unsupported():
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    enc = bytearray(codecs.encode_jpeg_gray_lossless(img, predictor=4))
+    # truncation raises, never a partial image
+    with pytest.raises(ValueError):
+        codecs.decode_image(bytes(enc[: len(enc) - 4]))
+    # color lossless stays env-bound
+    sof = enc.find(b"\xff\xc3")
+    color = bytearray(enc)
+    color[sof + 9] = 3
+    with pytest.raises(NotImplementedError, match="grayscale"):
+        codecs.decode_image(bytes(color))
+    # point transform stays env-bound (Al nibble of the SOS tail)
+    sos = enc.rfind(b"\xff\xda")
+    ptd = bytearray(enc)
+    ptd[sos + 9] = 0x02
+    with pytest.raises(NotImplementedError, match="point transform"):
+        codecs.decode_image(bytes(ptd))
+    # bad predictor selector is malformed data
+    badp = bytearray(enc)
+    badp[sos + 7] = 0
+    with pytest.raises(ValueError, match="predictor"):
+        codecs.decode_image(bytes(badp))
+    # encoder input validation
+    with pytest.raises(ValueError, match="predictor"):
+        codecs.encode_jpeg_gray_lossless(img, predictor=8)
+    with pytest.raises(ValueError, match="4095"):
+        codecs.encode_jpeg_gray_lossless(
+            np.full((4, 4), 4096, dtype=np.uint16), precision=12
+        )
