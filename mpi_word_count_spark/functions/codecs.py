@@ -2974,9 +2974,10 @@ def encode_mp4_stub(
 # --- TIFF -------------------------------------------------------------------
 # Baseline TIFF 6.0 (public Adobe spec): header + IFD entry walk,
 # 8-bit grayscale or RGB, either byte order, strip (§3) or tile
-# (§15) organization; uncompressed, PackBits (§9) and LZW (§13,
-# MSB-first + EarlyChange) compressions, horizontal-differencing
-# predictor (§14). JPEG-compressed TIFF raises NotImplementedError.
+# (§15) organization; uncompressed, PackBits (§9), LZW (§13,
+# MSB-first + EarlyChange) and Deflate (8/32946, zlib) compressions,
+# horizontal-differencing predictor (§14), and per-strip JPEG
+# (compression 7, TechNote 2).
 
 _TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 7: 1}  # BYTE ASCII SHORT LONG UNDEFINED
 
@@ -3019,7 +3020,7 @@ def _decode_tiff(data: bytes) -> np.ndarray:
     except KeyError as exc:
         raise ValueError(f"TIFF missing required tag: {exc}") from exc
     compression = tags.get(259, [1])[0]
-    if compression not in (1, 5, 7, 32773):
+    if compression not in (1, 5, 7, 8, 32773, 32946):
         raise NotImplementedError(f"TIFF compression {compression}")
     spp = tags.get(277, [1])[0]
     bits = tags.get(258, [8])[0]
@@ -3085,6 +3086,11 @@ def _decode_tiff(data: bytes) -> np.ndarray:
         # be concatenation-safe but gets the same treatment.
         if compression == 5:  # LZW (§13: MSB-first, EarlyChange)
             return _tiff_lzw_decode(chunk)
+        if compression in (8, 32946):  # Adobe Deflate / old Deflate
+            try:
+                return zlib.decompress(chunk)
+            except zlib.error as exc:
+                raise ValueError(f"bad TIFF deflate stream: {exc}") from exc
         if compression == 32773:  # PackBits (Apple RLE, §9)
             return _packbits_decode(chunk)
         return chunk
@@ -3338,6 +3344,8 @@ def encode_tiff_tiled(
         payload = block.tobytes()
         if compression == 5:
             payload = _tiff_lzw_encode(payload)
+        elif compression == 8:
+            payload = zlib.compress(payload)
         elif compression == 32773:
             payload = _packbits_encode(payload)
         payloads.append(payload)

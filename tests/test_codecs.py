@@ -278,10 +278,16 @@ def test_jpeg_unsupported_variants_raise_not_implemented():
     progressive = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(ValueError, match="Se"):
         codecs.decode_image(progressive)
-    # lossless JPEG (SOF3) stays env-bound
+    # lossless (SOF3) DECODES since round 9; a baseline stream merely
+    # relabeled SOF3 carries Ss=0, which is malformed AS lossless (the
+    # predictor selector must be 1-7) — bad data, not env-bound
     lossless = base.replace(b"\xff\xc0", b"\xff\xc3", 1)
-    with pytest.raises(NotImplementedError, match="SOF3"):
+    with pytest.raises(ValueError, match="predictor"):
         codecs.decode_image(lossless)
+    # hierarchical JPEG (SOF5) stays env-bound
+    hier = base.replace(b"\xff\xc0", b"\xff\xc5", 1)
+    with pytest.raises(NotImplementedError, match="SOF5"):
+        codecs.decode_image(hier)
     # 4-component (CMYK-style) SOF: rebuild the frame header
     i = base.index(b"\xff\xc0")
     seglen = 8 + 3 * 4
@@ -895,13 +901,17 @@ def test_tiff_roundtrip_and_dimensions():
         codecs.decode_image(t[:30])  # truncated IFD
     with pytest.raises(ValueError):
         codecs.decode_image(b"MM\x00*" + b"\x00\x00\x01\x00")  # bad IFD offset
-    # Deflate-in-TIFF stays env-bound (NotImplementedError); a JPEG or
-    # LZW tag over a raw-pixel stream is malformed data (ValueError)
-    # now that compressions 5 and 7 decode for real
+    # CCITT fax compression stays env-bound (NotImplementedError); a
+    # JPEG, Deflate, or LZW tag over a raw-pixel stream is malformed
+    # data (ValueError) now that compressions 5, 7, and 8 decode for
+    # real
     patched = bytearray(t)
     idx = patched.find((259).to_bytes(2, "little"), 8)
-    patched[idx + 8] = 8  # Adobe Deflate
+    patched[idx + 8] = 3  # CCITT Group 3 fax
     with pytest.raises(NotImplementedError):
+        codecs.decode_image(bytes(patched))
+    patched[idx + 8] = 8  # Deflate tag, but strip bytes are raw pixels
+    with pytest.raises(ValueError):
         codecs.decode_image(bytes(patched))
     patched[idx + 8] = 7  # JPEG tag, but strip bytes are raw pixels
     with pytest.raises(ValueError):
@@ -1433,7 +1443,7 @@ def test_tiff_tiled_roundtrip_matrix():
     rng = np.random.default_rng(41)
     for shape in [(16, 16), (40, 33), (17, 50), (5, 5)]:
         img = rng.integers(0, 256, shape, dtype=np.uint8)
-        for comp in (1, 5, 32773):
+        for comp in (1, 5, 8, 32773):
             for pred in (1, 2):
                 t = codecs.encode_tiff_tiled(
                     img, 16, 16, compression=comp, predictor=pred
