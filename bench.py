@@ -227,23 +227,38 @@ def main() -> None:
     # re-gate between passes maximizes the chance pass 2 is clean.
     for pass_no in range(2):
         if pass_no:
+            # JVM housekeeping at the pass boundary: let the
+            # ContextCleaner reclaim pass-1 shuffle files/broadcasts
+            # NOW (weak-ref cleanup needs a GC on a heap this large —
+            # see session.py's periodicGC note) so pass 2 measures
+            # plans, not accumulated block-manager litter.
+            spark.sparkContext._jvm.System.gc()
             wait_for_quiet_host(threshold=2.0, max_wait_s=300.0)
         for name in HEADLINE:
             for _ in range(2):
                 timed_run(name)
-    # spread guard (round-7, tightened round-9 from 2.0x to 1.6x): a
-    # >1.6x best-to-worst spread on a non-trivial query means a noise
-    # burst landed inside at least one window; up to 2 extra runs
-    # recover the steady-state minimum instead of recording the noise.
-    for name in HEADLINE:
-        runs = runs_meta[name]["runs"]
-        extra = 0
-        while extra < 2 and min(runs) > 0.5 and max(runs) / min(runs) > 1.6:
-            timed_run(name)
-            extra += 1
+            # spread guard (round-7, tightened round-9 from 2.0x to
+            # 1.6x): a >1.6x best-to-worst spread on a non-trivial
+            # query means a noise burst landed inside at least one
+            # window; up to 2 extra runs recover the steady-state
+            # minimum. Runs INLINE after the second pass's runs — a
+            # separate guard phase at list end measured the oldest,
+            # most block-laden session state (a dedup_clusters guard
+            # run hit 128s vs a 10.6s in-pass min) and would record
+            # only noise.
+            if pass_no:
+                runs = runs_meta[name]["runs"]
+                extra = 0
+                while (
+                    extra < 2
+                    and min(runs) > 0.5
+                    and max(runs) / min(runs) > 1.6
+                ):
+                    timed_run(name)
+                    extra += 1
+                runs_meta[name]["t_wall"] = round(time.time(), 1)
     for name in HEADLINE:
         timings[name] = min(runs_meta[name]["runs"])
-        runs_meta[name]["t_wall"] = round(time.time(), 1)
 
     total = round(sum(timings.values()), 3)
     # Hygiene metadata (per-run times, load averages) goes to a

@@ -45,6 +45,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # ContextCleaner is weak-reference-driven: on a large heap that
+        # never full-GCs, shuffle files / broadcast blocks from
+        # completed jobs are never reclaimed and a long session slows
+        # progressively (measured: a 7.6s fresh-session query ran 21s
+        # mid-bench and 128s at bench end). The default periodic-GC
+        # interval (30min) outlives a whole bench; 5min bounds the
+        # litter. Same knob a long-running cluster driver needs.
+        .config("spark.cleaner.periodicGC.interval", "5min")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

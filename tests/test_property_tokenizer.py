@@ -169,3 +169,26 @@ def test_winnowing_guarantee_on_random_shared_runs(
     for r in sel:
         by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
     assert by_doc.get(1, set()) & by_doc.get(2, set())
+
+
+def test_widen_probe_decides_but_df_repartitions(spark):
+    """widen(probe=...) (round 9, the dedup_clusters fix): the WIDTH
+    decision comes from the probe relation — so a composite frame
+    never gets physically planned just to count partitions — while
+    the repartition still applies to df itself."""
+    from pyspark.sql import functions as F
+
+    from mpi_word_count_spark.operators import widen
+
+    target = spark.sparkContext.defaultParallelism
+    narrow_base = spark.range(1_000).coalesce(1)
+    ids = spark.range(100).select(F.col("id"))
+    decorated = narrow_base.join(F.broadcast(ids), "id", "left_semi")
+    # narrow probe -> df repartitioned to full parallelism
+    out = widen(decorated, probe=narrow_base)
+    assert out is not decorated
+    assert out.rdd.getNumPartitions() == target
+    # wide probe -> identity on df, whatever df's own width is
+    wide_base = spark.range(1_000).repartition(target)
+    decorated2 = wide_base.join(F.broadcast(ids), "id", "left_semi")
+    assert widen(decorated2, probe=wide_base) is decorated2
