@@ -75,6 +75,10 @@ _PRIORITY = [
     # round-9 new queries (k-best subword regularization)
     "unigram_nbest_segments",
     "unigram_sampled_segments",
+    # round-9 new queries (privacy: k-anon ladder, central + local DP)
+    "k_anonymity_audit",
+    "dp_event_counts",
+    "dp_randomized_response",
     # changed decode path this round (multiscan guard)
     "media_decode_census",
     # stale rotation: last driver row in round 3 (25 queries)
@@ -877,6 +881,7 @@ def _load_all() -> None:
         join_queries,
         multimodal_queries,
         pipeline_queries,
+        privacy_queries,
         relational_queries,
         similarity_queries,
         streaming_queries,
