@@ -1,0 +1,276 @@
+"""Distributed-statistics queries: the Poisson bootstrap (the
+cluster-scale resampling scheme) and closed-form OLS regression on
+exact integer sufficient statistics.
+
+Both are "ML on sufficient statistics" shapes: the corpus-sized work
+is ONE partial-aggregated pass; everything model-sized happens in
+closed form on the aggregate. That is the only resampling/regression
+design that survives 100 TB — a classical bootstrap (sample n rows
+WITH replacement, B times) needs global coordination per replica,
+while the Poisson approximation draws each row's replica multiplicity
+independently (Poisson(1) ≈ Binomial(n, 1/n)), which is embarrassingly
+parallel and is the standard large-scale formulation (Chamandy et al.
+2012, "Estimating Uncertainty for Massive Data Streams").
+
+Determinism device: replica multiplicities come from the md5-uniform
+(`sample_hash_u`, one draw per (row, replica)) cut against HARDCODED
+Poisson(1) CDF literals — the identical decimal literals appear in
+both engines' expressions, so the resample is bit-reproducible.
+Regression exactness comes from integer milli/centi-unit surrogates:
+every sufficient statistic is an exact integer sum (DECIMAL(38,0) on
+Spark, HUGEINT in DuckDB — no float summation-order drift), and the
+final Cramer solve runs the TEXTUALLY IDENTICAL double formula on
+both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mpi_word_count_spark.functions.hashing import sql_hash32
+from mpi_word_count_spark.functions.parity import sql_portable_round
+from mpi_word_count_spark.registry import register
+from mpi_word_count_spark.tables import table
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap
+# ---------------------------------------------------------------------------
+
+BOOTSTRAP_B = 32
+
+# Poisson(1) CDF, P(X <= k) for k = 0..5; multiplicity capped at 6
+# (P(X > 6) ≈ 8.3e-5). The literals are the mechanism spec: both
+# engines compare the SAME md5-uniform against the SAME constants.
+_POISSON_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+    "0.9994058151824183",
+)
+
+
+def _poisson_weight_sql(u_expr: str) -> str:
+    branches = " ".join(
+        f"WHEN {u_expr} < {p} THEN {k}" for k, p in enumerate(_POISSON_CDF)
+    )
+    return f"(CASE {branches} ELSE 6 END)"
+
+
+_BOOT_ORACLE = f"""
+    WITH reps AS (
+        SELECT b.b AS b,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               (({sql_hash32(
+                   "CAST(o_orderkey AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)",
+                   "boot")} + 0.5) / 4294967296.0) AS u
+        FROM orders, (SELECT unnest(range(0, {BOOTSTRAP_B})) AS b) b
+    )
+    SELECT b,
+           CAST(sum(w) AS BIGINT) AS n_eff,
+           {sql_portable_round(
+               '(CAST(sum(w * cents) AS DOUBLE)'
+               ' / CAST(sum(w) AS DOUBLE)) / 100.0', 4)} AS boot_mean
+    FROM (SELECT b, cents, {_poisson_weight_sql('u')} AS w FROM reps)
+    GROUP BY b
+"""
+
+
+@register("poisson_bootstrap_ci", oracle=_BOOT_ORACLE)
+def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap distribution of the mean order price: B=32
+    resamples where each order's multiplicity in replica b is an
+    independent Poisson(1) draw from the md5-uniform seeded by
+    (orderkey, b). The output table IS the bootstrap distribution —
+    its spread is the standard error, its quantiles the CI; emitting
+    the replicas (not just a CI pair) is what production monitoring
+    wants anyway (the replicas merge across days, CIs don't).
+
+    Scale shape: explode ×B map-side, then ONE groupBy(b) whose
+    partial aggregation reduces every task's contribution to B rows
+    before the exchange — total shuffle traffic is B × #tasks tiny
+    rows regardless of corpus size, the textbook distributed
+    bootstrap. Prices ride as exact integer cents (floor(x·100+0.5)),
+    so replica sums are order-independent and the only float ops are
+    the final two divisions, textually identical on both engines."""
+    from mpi_word_count_spark.operators.curation import sample_hash_u
+    from mpi_word_count_spark.functions.parity import portable_round
+
+    o = table(spark, "orders", sf_dir)
+    rep = o.select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        F.col("o_orderkey"),
+        F.explode(F.sequence(F.lit(0), F.lit(BOOTSTRAP_B - 1))).alias("b"),
+    )
+    u = sample_hash_u(
+        F.concat(
+            F.col("o_orderkey").cast("string"),
+            F.lit(":"),
+            F.col("b").cast("string"),
+        ),
+        "boot",
+    )
+    w = F.expr(_poisson_weight_sql("u"))
+    weighted = rep.withColumn("u", u).withColumn("w", w)
+    return weighted.groupBy("b").agg(
+        F.sum("w").cast("bigint").alias("n_eff"),
+        portable_round(
+            (
+                F.sum(F.col("w") * F.col("cents")).cast("double")
+                / F.sum("w").cast("double")
+            )
+            / 100.0,
+            4,
+        ).alias("boot_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Closed-form OLS on exact integer sufficient statistics
+# ---------------------------------------------------------------------------
+
+# Shared formula text (selectExpr on Spark, SELECT in DuckDB): the
+# Cramer solve of the 3x3 normal equations for
+#   price_dollars ~ 1 + quantity + discount_pp
+# over sufficient-statistic columns n, sq, sd, sqq, sqd, sdd and the
+# cent-unit response sums syc, sqyc, sdyc, syyc (all exact integers
+# cast to DOUBLE). Unit conversion (cents -> dollars) happens on the
+# aggregate, inside the shared text.
+_OLS_VARS = """
+        n AS nn, sq, sd, sqq, sqd, sdd,
+        syc / 100.0 AS sy, sqyc / 100.0 AS sqy, sdyc / 100.0 AS sdy,
+        syyc / 10000.0 AS syy
+"""
+
+_OLS_DET = "(nn*(sqq*sdd - sqd*sqd) - sq*(sq*sdd - sqd*sd) + sd*(sq*sqd - sqq*sd))"
+_OLS_DET0 = "(sy*(sqq*sdd - sqd*sqd) - sq*(sqy*sdd - sqd*sdy) + sd*(sqy*sqd - sqq*sdy))"
+_OLS_DET1 = "(nn*(sqy*sdd - sqd*sdy) - sy*(sq*sdd - sqd*sd) + sd*(sq*sdy - sqy*sd))"
+_OLS_DET2 = "(nn*(sqq*sdy - sqy*sqd) - sq*(sq*sdy - sqy*sd) + sy*(sq*sqd - sqq*sd))"
+
+_OLS_FINAL = f"""
+    SELECT CAST(nn AS BIGINT) AS n_rows,
+           {sql_portable_round(f'{_OLS_DET0} / {_OLS_DET}', 6)} AS beta_intercept,
+           {sql_portable_round(f'{_OLS_DET1} / {_OLS_DET}', 6)} AS beta_qty,
+           {sql_portable_round(f'{_OLS_DET2} / {_OLS_DET}', 6)} AS beta_disc_pp,
+           {sql_portable_round(
+               f'1.0 - (syy - (({_OLS_DET0} / {_OLS_DET}) * sy'
+               f' + ({_OLS_DET1} / {_OLS_DET}) * sqy'
+               f' + ({_OLS_DET2} / {_OLS_DET}) * sdy))'
+               ' / (syy - (sy * sy) / nn)', 6)} AS r_squared
+"""
+
+_OLS_ORACLE = f"""
+    WITH raw AS (
+        SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+               CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS yc
+        FROM lineitem
+    ),
+    sums AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(q AS HUGEINT)) AS DOUBLE) AS sq,
+               CAST(sum(CAST(d AS HUGEINT)) AS DOUBLE) AS sd,
+               CAST(sum(CAST(q * q AS HUGEINT)) AS DOUBLE) AS sqq,
+               CAST(sum(CAST(q * d AS HUGEINT)) AS DOUBLE) AS sqd,
+               CAST(sum(CAST(d * d AS HUGEINT)) AS DOUBLE) AS sdd,
+               CAST(sum(CAST(yc AS HUGEINT)) AS DOUBLE) AS syc,
+               CAST(sum(CAST(q * yc AS HUGEINT)) AS DOUBLE) AS sqyc,
+               CAST(sum(CAST(d * yc AS HUGEINT)) AS DOUBLE) AS sdyc,
+               CAST(sum(CAST(yc AS HUGEINT) * CAST(yc AS HUGEINT)) AS DOUBLE)
+                   AS syyc
+        FROM raw
+    ),
+    vars AS (SELECT {_OLS_VARS} FROM sums)
+    {_OLS_FINAL}
+    FROM vars
+"""
+
+
+@register("price_ols_model", oracle=_OLS_ORACLE)
+def q_price_ols_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple linear regression in ONE aggregation pass: fit
+    extendedprice (dollars) ~ intercept + quantity + discount
+    (percentage points) by accumulating the 3x3 normal-equation
+    sufficient statistics and solving in closed form (Cramer), plus
+    R². This is how regression actually runs on cluster-scale data —
+    the sums are map-side partial aggregates, the solve is O(1) on
+    the 10-number aggregate; no gradient iterations, no data movement
+    beyond one count-style shuffle.
+
+    Exactness: regressors/response ride as exact integers (quantity,
+    discount in pp, price in cents), summed in DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB) so no summation-order drift exists; the Cramer
+    solve then runs the same double formula text on both engines."""
+    li = table(spark, "lineitem", sf_dir)
+    q = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("bigint")
+    d = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint")
+    yc = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    raw = li.select(q.alias("q"), d.alias("d"), yc.alias("yc"))
+
+    def s(expr) -> F.Column:
+        return F.sum(expr.cast("decimal(38,0)")).cast("double")
+
+    sums = raw.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        s(F.col("q")).alias("sq"),
+        s(F.col("d")).alias("sd"),
+        s(F.col("q") * F.col("q")).alias("sqq"),
+        s(F.col("q") * F.col("d")).alias("sqd"),
+        s(F.col("d") * F.col("d")).alias("sdd"),
+        s(F.col("yc")).alias("syc"),
+        s(F.col("q") * F.col("yc")).alias("sqyc"),
+        s(F.col("d") * F.col("yc")).alias("sdyc"),
+        F.sum(
+            F.col("yc").cast("decimal(19,0)") * F.col("yc").cast("decimal(19,0)")
+        )
+        .cast("double")
+        .alias("syyc"),
+    )
+    vars_df = sums.selectExpr(*_split_select(_OLS_VARS))
+    out = vars_df.selectExpr(*_split_select(_OLS_FINAL_EXPRS))
+    # Spark parses the 1000000.0 round-scale literal as DECIMAL, so the
+    # rounded columns come out DECIMAL(…); present them as DOUBLE like
+    # the oracle (exact: the decimal is floor_result/10^6, whose
+    # nearest-double equals the oracle's double division).
+    return out.select(
+        "n_rows",
+        *[
+            F.col(c).cast("double").alias(c)
+            for c in ("beta_intercept", "beta_qty", "beta_disc_pp", "r_squared")
+        ],
+    )
+
+
+def _split_select(block: str) -> list[str]:
+    """Split a shared `a AS x, b AS y` text block into selectExpr
+    items (top-level commas only — the formulas contain no commas
+    outside function calls, and portable-round emits none)."""
+    items: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in block:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            items.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        items.append(tail)
+    return items
+
+
+# the SELECT-list of _OLS_FINAL without the leading keyword, so the
+# identical formula text feeds Spark's selectExpr
+_OLS_FINAL_EXPRS = _OLS_FINAL.strip()
+if not _OLS_FINAL_EXPRS.startswith("SELECT "):  # pragma: no cover
+    raise RuntimeError("_OLS_FINAL must start with SELECT")
+_OLS_FINAL_EXPRS = _OLS_FINAL_EXPRS[len("SELECT ") :]

@@ -79,6 +79,9 @@ _PRIORITY = [
     "k_anonymity_audit",
     "dp_event_counts",
     "dp_randomized_response",
+    # round-9 new queries (distributed statistics)
+    "poisson_bootstrap_ci",
+    "price_ols_model",
     # changed decode path this round (multiscan guard)
     "media_decode_census",
     # stale rotation: last driver row in round 3 (25 queries)
@@ -884,6 +887,7 @@ def _load_all() -> None:
         privacy_queries,
         relational_queries,
         similarity_queries,
+        stats_queries,
         streaming_queries,
         subquery_queries,
         text_queries,

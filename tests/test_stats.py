@@ -1,0 +1,79 @@
+"""Distributed-statistics family: Poisson-bootstrap mechanism checked
+against a row-level md5 replica, OLS checked against numpy's lstsq on
+the same fixture."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+
+from mpi_word_count_spark.queries.stats_queries import (
+    BOOTSTRAP_B,
+    _POISSON_CDF,
+    q_poisson_bootstrap_ci,
+    q_price_ols_model,
+)
+from tests.conftest import SF_DIR
+
+
+def _u32(seed: str, value: str) -> float:
+    h = int(hashlib.md5(f"{seed}:{value}".encode()).hexdigest()[:8], 16)
+    return (h + 0.5) / 4294967296.0
+
+
+def _w(u: float) -> int:
+    for k, p in enumerate(_POISSON_CDF):
+        if u < float(p):
+            return k
+    return 6
+
+
+def test_poisson_bootstrap_matches_rowlevel_replica(spark):
+    rows = {r["b"]: r for r in q_poisson_bootstrap_ci(spark, SF_DIR).collect()}
+    assert set(rows) == set(range(BOOTSTRAP_B))
+    pdf = pd.read_parquet(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    cents = np.floor(pdf["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+    keys = pdf["o_orderkey"].astype(str).to_numpy()
+    n = len(cents)
+    for b in (0, 7, BOOTSTRAP_B - 1):  # exact replica on three replicas
+        w = np.array([_w(_u32("boot", f"{k}:{b}")) for k in keys], dtype=np.int64)
+        n_eff = int(w.sum())
+        mean = (float((w * cents).sum()) / float(n_eff)) / 100.0
+        assert rows[b]["n_eff"] == n_eff
+        assert abs(rows[b]["boot_mean"] - mean) < 1e-3
+    # replica sizes concentrate around n (Poisson(1) sum), means around
+    # the true mean — the distribution is a usable CI
+    true_mean = float(cents.mean()) / 100.0
+    se = float(cents.std()) / 100.0 / math.sqrt(n)
+    for r in rows.values():
+        assert abs(r["n_eff"] - n) < 6 * math.sqrt(n)
+        assert abs(r["boot_mean"] - true_mean) < 8 * se
+    # non-degenerate: replicas actually differ
+    assert len({r["boot_mean"] for r in rows.values()}) > BOOTSTRAP_B // 2
+
+
+def test_price_ols_matches_numpy_lstsq(spark):
+    row = q_price_ols_model(spark, SF_DIR).collect()[0]
+    pdf = pd.read_parquet(
+        f"{SF_DIR}/lineitem.parquet",
+        columns=["l_quantity", "l_discount", "l_extendedprice"],
+    )
+    q = np.floor(pdf["l_quantity"].to_numpy() + 0.5)
+    d = np.floor(pdf["l_discount"].to_numpy() * 100 + 0.5)
+    y = np.floor(pdf["l_extendedprice"].to_numpy() * 100 + 0.5) / 100.0
+    X = np.column_stack([np.ones_like(q), q, d])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert row["n_rows"] == len(q)
+    assert abs(row["beta_intercept"] - beta[0]) < 1e-3 * max(1.0, abs(beta[0]))
+    assert abs(row["beta_qty"] - beta[1]) < 1e-3 * max(1.0, abs(beta[1]))
+    assert abs(row["beta_disc_pp"] - beta[2]) < 1e-3 * max(1.0, abs(beta[2]))
+    pred = X @ beta
+    ss_res = float(((y - pred) ** 2).sum())
+    ss_tot = float(((y - y.mean()) ** 2).sum())
+    assert abs(row["r_squared"] - (1.0 - ss_res / ss_tot)) < 1e-6
+    assert 0.0 < row["r_squared"] <= 1.0
