@@ -581,3 +581,80 @@ def unigram_sampled_segments(
         ]
     )
     return freqs.mapInPandas(kernel, schema=schema)
+
+
+# --- WordPiece (greedy longest-match-first) ---------------------------------
+
+
+def _wordpiece_greedy(
+    word: str, pieces: set[str], max_piece: int
+) -> tuple[int, str]:
+    """MaxMatch: repeatedly take the LONGEST vocab piece that prefixes
+    the remaining suffix (Devlin et al. 2019's WordPiece inference;
+    Song et al. 2021 §2). Total because every single character is in
+    the vocab. Returns (n_pieces, comma-joined segmentation) — unlike
+    the unigram DP this is a one-pass greedy, so the segmentation can
+    be strictly worse than the DP optimum (tests plant such a case)."""
+    out: list[str] = []
+    pos, n = 0, len(word)
+    while pos < n:
+        ln = min(max_piece, n - pos)
+        while ln > 0 and word[pos : pos + ln] not in pieces:
+            ln -= 1
+        if ln == 0:
+            raise ValueError(f"word {word!r} not coverable by vocab")
+        out.append(word[pos : pos + ln])
+        pos += ln
+    return len(out), ",".join(out)
+
+
+def wordpiece_segment_stats(
+    docs: DataFrame,
+    k_multi: int = UNIGRAM_K_MULTI,
+    max_piece: int = UNIGRAM_MAX_PIECE,
+) -> DataFrame:
+    """Per word type: the WordPiece greedy longest-match segmentation
+    under the frequency-derived piece vocabulary (the same singles +
+    top-k_multi substrings unigram_segment_stats scores, so the BPE /
+    unigram-LM / WordPiece triad is comparable on one vocab). Output
+    (word, freq, n_chars, n_pieces, seg) — the seg column pins the
+    whole token SEQUENCE, not just its length.
+
+    Scale shape: identical to unigram_segment_stats — one word-count
+    shuffle + one piece-count shuffle to derive the vocab; the greedy
+    scan runs in an Arrow kernel over the Zipf-bounded word-TYPE
+    table with the model-sized piece set in the closure. Per word the
+    scan is O(len · max_piece) worst case (LinMaxMatch's failure
+    links would make it O(len); at max_piece=4 the constant is
+    irrelevant)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    freqs = word_freqs(docs)
+    pieces = set(unigram_vocab(freqs, k_multi, max_piece))
+
+    def kernel(batches):
+        for pdf in batches:
+            out = {
+                "word": [], "freq": [], "n_chars": [],
+                "n_pieces": [], "seg": [],
+            }
+            for word, freq in zip(pdf["word"], pdf["freq"]):
+                n_pieces, seg = _wordpiece_greedy(word, pieces, max_piece)
+                out["word"].append(word)
+                out["freq"].append(int(freq))
+                out["n_chars"].append(len(word))
+                out["n_pieces"].append(n_pieces)
+                out["seg"].append(seg)
+            yield pd.DataFrame(out)
+
+    schema = T.StructType(
+        [
+            T.StructField("word", T.StringType(), False),
+            T.StructField("freq", T.LongType(), False),
+            T.StructField("n_chars", T.IntegerType(), False),
+            T.StructField("n_pieces", T.LongType(), False),
+            T.StructField("seg", T.StringType(), False),
+        ]
+    )
+    return freqs.mapInPandas(kernel, schema=schema)

@@ -663,3 +663,84 @@ def q_unigram_sampled_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical arithmetic, so the hash match proves both the n-best
     list and the draw."""
     return unigram_sampled_segments(table(spark, "documents", sf_dir))
+
+
+# --- WordPiece (greedy longest-match) ----------------------------------------
+
+from mpi_word_count_spark.operators.bpe import (  # noqa: E402
+    wordpiece_segment_stats,
+)
+
+# Same words/pieces_all/vocab0 derivation as _UNIGRAM_ORACLE (the triad
+# shares one vocabulary); then the greedy edge at each position is the
+# LONGEST vocab match (row_number by length DESC), and the recursion
+# follows the unique greedy edge — linear, one row per (word, step).
+_WORDPIECE_ORACLE = f"""
+    WITH RECURSIVE words AS (
+        SELECT w AS word, CAST(count(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(regexp_split_to_array(lower(text),
+                          '{{REGEX}}')) AS w
+            FROM documents
+        ) WHERE regexp_matches(w, '^[a-z0-9]+$')
+        GROUP BY 1
+    ),
+    pieces_all AS (
+        SELECT substr(word, CAST(s.s AS INT), CAST(l.l AS INT)) AS piece,
+               sum(freq) AS pfreq
+        FROM words,
+             (SELECT unnest(range(1, {UNIGRAM_MAX_PIECE} + 1)) AS l) l,
+             LATERAL (SELECT unnest(range(1, length(word) - l.l + 2)) AS s) s
+        GROUP BY 1
+    ),
+    vocab0 AS (
+        SELECT piece, pfreq FROM pieces_all WHERE length(piece) = 1
+        UNION ALL
+        SELECT piece, pfreq FROM (
+            SELECT piece, pfreq FROM pieces_all WHERE length(piece) >= 2
+            ORDER BY pfreq DESC, piece ASC LIMIT {UNIGRAM_K_MULTI}
+        )
+    ),
+    greedy AS MATERIALIZED (
+        SELECT word, j, piece, l FROM (
+            SELECT w.word, CAST(s.s - 1 AS INT) AS j,
+                   substr(w.word, CAST(s.s AS INT), CAST(l.l AS INT)) AS piece,
+                   CAST(l.l AS INT) AS l,
+                   row_number() OVER (
+                       PARTITION BY w.word, s.s ORDER BY l.l DESC) AS rn
+            FROM words w,
+                 (SELECT unnest(range(1, {UNIGRAM_MAX_PIECE} + 1)) AS l) l,
+                 LATERAL (SELECT unnest(range(1, length(w.word) - l.l + 2))
+                          AS s) s,
+                 vocab0 v
+            WHERE substr(w.word, CAST(s.s AS INT), CAST(l.l AS INT)) = v.piece
+        ) q WHERE rn = 1
+    ),
+    paths AS (
+        SELECT word, 0 AS pos, 0 AS np, '' AS seg FROM words
+        UNION ALL
+        SELECT p.word, p.pos + g.l, p.np + 1,
+               CASE WHEN p.seg = '' THEN g.piece
+                    ELSE p.seg || ',' || g.piece END
+        FROM paths p JOIN greedy g ON g.word = p.word AND g.j = p.pos
+    )
+    SELECT w.word, w.freq, CAST(length(w.word) AS INT) AS n_chars,
+           CAST(p.np AS BIGINT) AS n_pieces, p.seg
+    FROM words w JOIN paths p ON p.word = w.word AND p.pos = length(w.word)
+""".replace("{REGEX}", sql_regex())
+
+
+@register("wordpiece_segment_stats", oracle=_WORDPIECE_ORACLE)
+def q_wordpiece_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece greedy longest-match tokenization (BERT's inference
+    rule) under the SAME frequency-derived vocabulary the unigram-LM
+    queries score — completing the tokenizer triad (BPE merges /
+    unigram-LM Viterbi / WordPiece MaxMatch) on one comparable vocab.
+    The oracle precomputes each position's unique longest vocab match
+    and follows it with a linear seg-carrying recursion, so the hash
+    locks every word's full token sequence, not a summary.
+
+    100 TB shape: identical to unigram_segment_stats — corpus touched
+    by ONE word-count shuffle; greedy scan is an Arrow kernel over
+    the Zipf-bounded word-type table (operators/bpe.py
+    wordpiece_segment_stats)."""
+    return wordpiece_segment_stats(table(spark, "documents", sf_dir))

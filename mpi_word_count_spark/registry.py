@@ -82,6 +82,8 @@ _PRIORITY = [
     # round-9 new queries (distributed statistics)
     "poisson_bootstrap_ci",
     "price_ols_model",
+    # round-9 new query (tokenizer triad completion)
+    "wordpiece_segment_stats",
     # changed decode path this round (multiscan guard)
     "media_decode_census",
     # stale rotation: last driver row in round 3 (25 queries)

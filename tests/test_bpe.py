@@ -343,3 +343,34 @@ def test_unigram_sampled_pick_matches_hash(spark):
         got = picked[word]
         assert (got["pick"], got["cost"], got["pieces"], got["seg"]) == want
         assert got["n_best"] == len(rows)
+
+
+def test_wordpiece_greedy_vs_dp_and_coverage(spark):
+    """MaxMatch semantics: every piece is a vocab member, pieces
+    concatenate back to the word, and greedy can be STRICTLY worse
+    than the DP optimum (the planted vocab where taking the longest
+    prefix 'ab' forces 3 pieces but a|bcd is 2)."""
+    from mpi_word_count_spark.operators.bpe import (
+        _unigram_dp,
+        _wordpiece_greedy,
+    )
+
+    vocab = {"a", "b", "c", "d", "ab", "bcd"}
+    n, seg = _wordpiece_greedy("abcd", vocab, max_piece=4)
+    assert (n, seg) == (3, "ab,c,d")
+    unit = {p: 1 for p in vocab}
+    assert _unigram_dp("abcd", unit, 4)[1] == 2  # a|bcd beats greedy
+
+    from mpi_word_count_spark.operators.bpe import wordpiece_segment_stats
+
+    docs = spark.createDataFrame(
+        [(1, "aa ab aab ba abc cab"), (2, "ab aa ca abc abcab")],
+        "doc_id long, text string",
+    )
+    rows = wordpiece_segment_stats(docs).collect()
+    assert rows
+    for r in rows:
+        pieces = r["seg"].split(",")
+        assert "".join(pieces) == r["word"]
+        assert r["n_pieces"] == len(pieces)
+        assert r["n_chars"] == len(r["word"])
