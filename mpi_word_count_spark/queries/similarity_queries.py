@@ -923,3 +923,181 @@ def margin_knn_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label") == MARGIN_LABEL_A,
         F.col("label") == MARGIN_LABEL_B,
     )
+
+
+# --- retrieval evaluation (MRR / MAP / nDCG) ---------------------------------
+
+EVAL_K = 10
+
+# Integer-surrogate gain tables, shared VERBATIM by both engines so no
+# transcendental is evaluated at query time and no float summation
+# order exists: DCG gains are 1/log2(rank+1) in micro-units
+# (quantization ~1e-6, invisible at the 4-decimal presentation),
+# reciprocal ranks are 2520/rank (2520 = lcm(1..10), exact integers).
+_DCG_MICRO = (1000000, 630930, 500000, 430677, 386853,
+              356207, 333333, 315465, 301030, 289065)
+_IDCG_MICRO = (1000000, 1630930, 2130930, 2561607, 2948460,
+               3304667, 3638000, 3953465, 4254495, 4543560)
+_RR_2520 = (2520, 1260, 840, 630, 504, 420, 360, 315, 280, 252)
+
+_GAIN_CASE = "CASE rank " + " ".join(
+    f"WHEN {r + 1} THEN {g}" for r, g in enumerate(_DCG_MICRO)
+) + " END"
+_RR_CASE = "CASE first_rank " + " ".join(
+    f"WHEN {r + 1} THEN {g}" for r, g in enumerate(_RR_2520)
+) + " END"
+_AP_UNIT_CASE = "CASE rank " + " ".join(
+    f"WHEN {r + 1} THEN {g}" for r, g in enumerate(_RR_2520)
+) + " END"
+_IDCG_CASE = "CASE least(n_rel, 10) " + " ".join(
+    f"WHEN {m + 1} THEN {v}" for m, v in enumerate(_IDCG_MICRO)
+) + " END"
+
+# final per-query metric formulas over columns
+# (q_id, n_rel, hits, dcg_micro, ap_scaled, first_rank) — shared text
+_EVAL_FINAL = f"""
+    SELECT q_id,
+           CAST(n_rel AS BIGINT) AS n_rel,
+           CAST(hits AS BIGINT) AS hits,
+           (hits / 10.0) AS precision_at_10,
+           (CASE WHEN n_rel = 0 THEN 0.0
+                 ELSE {sql_portable_round(
+                     'CAST(hits AS DOUBLE) / CAST(n_rel AS DOUBLE)', 4)}
+            END) AS recall_at_10,
+           {sql_portable_round(
+               f'coalesce({_RR_CASE}, 0) / 2520.0', 4)} AS mrr_at_10,
+           (CASE WHEN n_rel = 0 THEN 0.0
+                 ELSE {sql_portable_round(
+                     'CAST(ap_scaled AS DOUBLE)'
+                     ' / (2520.0 * least(n_rel, 10))', 4)}
+            END) AS ap_at_10,
+           (CASE WHEN n_rel = 0 THEN 0.0
+                 ELSE {sql_portable_round(
+                     f'CAST(dcg_micro AS DOUBLE)'
+                     f' / CAST({_IDCG_CASE} AS DOUBLE)', 4)}
+            END) AS ndcg_at_10
+"""
+
+_EVAL_ORACLE = f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding, label AS q_label
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (
+        SELECT vec_id, embedding, label
+        FROM embeddings WHERE vec_id >= {N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.q_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(c.embedding::DOUBLE[],
+                                            q.embedding::DOUBLE[]), 4)
+                   AS cosine,
+               CASE WHEN c.label = q.q_label THEN 1 ELSE 0 END AS rel
+        FROM c, q
+    ),
+    top AS (
+        SELECT * FROM (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY q_id ORDER BY cosine DESC, neighbor_id ASC
+            ) AS INT) AS rank FROM scored
+        ) WHERE rank <= {EVAL_K}
+    ),
+    cum AS (
+        SELECT *, sum(rel) OVER (
+            PARTITION BY q_id ORDER BY rank
+        ) AS cum_rel FROM top
+    ),
+    nrel AS (
+        SELECT q.q_id, count(c.vec_id) AS n_rel
+        FROM q LEFT JOIN c ON c.label = q.q_label
+        GROUP BY 1
+    ),
+    perq AS (
+        SELECT q_id,
+               CAST(sum(rel) AS BIGINT) AS hits,
+               CAST(sum(rel * ({_GAIN_CASE})) AS BIGINT) AS dcg_micro,
+               CAST(sum(rel * cum_rel * ({_AP_UNIT_CASE})) AS BIGINT)
+                   AS ap_scaled,
+               min(CASE WHEN rel = 1 THEN rank END) AS first_rank
+        FROM cum GROUP BY 1
+    )
+    {_EVAL_FINAL}
+    FROM perq JOIN nrel USING (q_id)
+"""
+
+
+@register("retrieval_eval_metrics", oracle=_EVAL_ORACLE)
+def q_retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation of the brute-force cosine ranker:
+    per query (vec_id < 10, candidates = the rest of the corpus,
+    relevance = label match), precision@10, recall@10, MRR, AP@10 and
+    nDCG@10 — the metric suite every embedding/retrieval deployment
+    reports. All rank-dependent weights are shared integer literal
+    tables (micro-quantized 1/log2(r+1) gains; lcm(1..10)-scaled
+    reciprocal ranks), so the metric arithmetic is exact integer sums
+    with two final divisions — no transcendental evaluation, no float
+    summation-order drift, on either engine.
+
+    100 TB shape: the ranking reuses ann_bruteforce_topk (broadcast
+    queries, per-task heaps — the corpus never self-joins); n_rel
+    comes from ONE label histogram joined to the broadcast query
+    labels; every metric then lives on the K×|queries| top table —
+    model-sized arithmetic after one corpus pass."""
+    from pyspark.sql import Window
+
+    emb = table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    c = emb.filter(F.col("vec_id") >= N_QUERIES)
+    qlab = q.select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")
+    )
+
+    topk = ann_bruteforce_topk(c, q, k=EVAL_K)
+    nlab = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    top = (
+        topk.join(nlab, "neighbor_id")
+        .join(F.broadcast(qlab), "q_id")
+        .select(
+            "q_id",
+            "rank",
+            F.when(F.col("n_label") == F.col("q_label"), 1)
+            .otherwise(0)
+            .alias("rel"),
+        )
+    )
+    cum = top.withColumn(
+        "cum_rel",
+        F.sum("rel").over(Window.partitionBy("q_id").orderBy("rank")),
+    )
+    perq = cum.groupBy("q_id").agg(
+        F.sum("rel").cast("bigint").alias("hits"),
+        F.sum(F.col("rel") * F.expr(_GAIN_CASE)).cast("bigint").alias("dcg_micro"),
+        F.sum(F.col("rel") * F.col("cum_rel") * F.expr(_AP_UNIT_CASE))
+        .cast("bigint")
+        .alias("ap_scaled"),
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("first_rank"),
+    )
+    lab_hist = c.groupBy("label").agg(F.count(F.lit(1)).alias("cnt"))
+    nrel = qlab.join(
+        F.broadcast(lab_hist), qlab.q_label == lab_hist.label, "left"
+    ).select("q_id", F.coalesce(F.col("cnt"), F.lit(0)).alias("n_rel"))
+    joined = perq.join(nrel, "q_id")
+    exprs = _EVAL_FINAL.strip()
+    if not exprs.startswith("SELECT "):  # pragma: no cover
+        raise RuntimeError("_EVAL_FINAL must start with SELECT")
+    from mpi_word_count_spark.queries.stats_queries import _split_select
+
+    out = joined.selectExpr(*_split_select(exprs[len("SELECT ") :]))
+    # Spark parses the decimal round-scale literals as DECIMAL; present
+    # every metric as DOUBLE like the oracle (value-preserving: each is
+    # an exact small-denominator rational).
+    metric_cols = [
+        "precision_at_10", "recall_at_10", "mrr_at_10", "ap_at_10",
+        "ndcg_at_10",
+    ]
+    return out.select(
+        "q_id", "n_rel", "hits",
+        *[F.col(m).cast("double").alias(m) for m in metric_cols],
+    )

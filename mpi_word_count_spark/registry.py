@@ -84,6 +84,8 @@ _PRIORITY = [
     "price_ols_model",
     # round-9 new query (tokenizer triad completion)
     "wordpiece_segment_stats",
+    # round-9 new query (retrieval evaluation suite)
+    "retrieval_eval_metrics",
     # changed decode path this round (multiscan guard)
     "media_decode_census",
     # stale rotation: last driver row in round 3 (25 queries)

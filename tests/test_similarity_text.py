@@ -637,3 +637,62 @@ def test_matrix_lit_bit_exact(spark):
                     # -0.0 == 0.0 under ==; pin the sign bit too
                     np.signbit(g) == np.signbit(float(want))
                 ), (want, g)
+
+
+def test_retrieval_eval_matches_numpy_reference(spark):
+    """Recompute the full metric suite in numpy with TRUE log2 gains
+    and standard AP/MRR formulas: integer columns must match exactly,
+    float metrics within the micro-quantization (<2e-4)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from mpi_word_count_spark.queries.similarity_queries import (
+        EVAL_K,
+        N_QUERIES,
+        q_retrieval_eval_metrics,
+    )
+    from tests.conftest import SF_DIR
+
+    got = {r["q_id"]: r for r in q_retrieval_eval_metrics(spark, SF_DIR).collect()}
+    pdf = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    vecs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    labels = pdf["label"].to_numpy()
+    qm = ids < N_QUERIES
+    assert set(got) == set(ids[qm])
+    norms = np.linalg.norm(vecs, axis=1)
+    for qi in np.where(qm)[0]:
+        cm = ids >= N_QUERIES
+        cos = np.round(
+            (vecs[cm] @ vecs[qi]) / (norms[cm] * norms[qi]), 4
+        )
+        order = np.lexsort((ids[cm], -cos))[:EVAL_K]
+        rel = (labels[cm][order] == labels[qi]).astype(int)
+        n_rel = int((labels[cm] == labels[qi]).sum())
+        row = got[ids[qi]]
+        assert row["n_rel"] == n_rel
+        assert row["hits"] == int(rel.sum())
+        assert abs(row["precision_at_10"] - rel.sum() / EVAL_K) < 1e-9
+        if n_rel:
+            assert abs(row["recall_at_10"] - rel.sum() / n_rel) < 1e-3
+        first = np.nonzero(rel)[0]
+        mrr = 1.0 / (first[0] + 1) if len(first) else 0.0
+        assert abs(row["mrr_at_10"] - mrr) < 1e-3
+        cum = np.cumsum(rel)
+        ap = (
+            float((rel * cum / np.arange(1, EVAL_K + 1)).sum())
+            / min(n_rel, EVAL_K)
+            if n_rel
+            else 0.0
+        )
+        assert abs(row["ap_at_10"] - ap) < 2e-4
+        dcg = float((rel / np.log2(np.arange(2, EVAL_K + 2))).sum())
+        idcg = sum(
+            1.0 / math.log2(i + 2) for i in range(min(n_rel, EVAL_K))
+        )
+        ndcg = dcg / idcg if n_rel else 0.0
+        assert abs(row["ndcg_at_10"] - ndcg) < 2e-4
+    # non-vacuous: some query actually retrieves relevant items
+    assert any(r["hits"] > 0 for r in got.values())
