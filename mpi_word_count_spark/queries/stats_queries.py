@@ -274,3 +274,117 @@ _OLS_FINAL_EXPRS = _OLS_FINAL.strip()
 if not _OLS_FINAL_EXPRS.startswith("SELECT "):  # pragma: no cover
     raise RuntimeError("_OLS_FINAL must start with SELECT")
 _OLS_FINAL_EXPRS = _OLS_FINAL_EXPRS[len("SELECT ") :]
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend exponential smoothing
+# ---------------------------------------------------------------------------
+
+# binary-rational smoothing constants: every recurrence step is a sum
+# of exact IEEE products, so the sequential fold is bit-reproducible
+# across engines (no rounding needed until presentation)
+HOLT_ALPHA = 0.25
+HOLT_BETA = 0.125
+
+_HOLT_ORACLE = f"""
+    WITH RECURSIVE hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1000.0 AS y
+        FROM events GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT event_type, y,
+               CAST(row_number() OVER (
+                   PARTITION BY event_type ORDER BY h) AS INT) AS t
+        FROM hourly
+    ),
+    nper AS (SELECT event_type, max(t) AS n_hours FROM series GROUP BY 1),
+    holt AS (
+        SELECT event_type, t, y AS l, CAST(0.0 AS DOUBLE) AS b
+        FROM series WHERE t = 1
+        UNION ALL
+        SELECT s.event_type, s.t,
+               {HOLT_ALPHA} * s.y + {1 - HOLT_ALPHA} * (h.l + h.b),
+               {HOLT_BETA} * (({HOLT_ALPHA} * s.y
+                               + {1 - HOLT_ALPHA} * (h.l + h.b)) - h.l)
+                   + {1 - HOLT_BETA} * h.b
+        FROM holt h
+        JOIN series s ON s.event_type = h.event_type AND s.t = h.t + 1
+    )
+    SELECT h.event_type,
+           CAST(n.n_hours AS BIGINT) AS n_hours,
+           {sql_portable_round('h.l', 4)} AS level,
+           {sql_portable_round('h.b', 4)} AS trend,
+           {sql_portable_round('h.l + h.b', 4)} AS forecast_next
+    FROM holt h JOIN nper n
+      ON n.event_type = h.event_type AND h.t = n.n_hours
+"""
+
+
+@register("events_holt_trend", oracle=_HOLT_ORACLE)
+def q_events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + linear trend) of the
+    hourly revenue series per event type, returning the final state
+    and the one-step forecast — the classic streaming-forecast
+    recurrence (Holt 1957; Hyndman & Athanasopoulos ch. 8) that
+    events_ewma_hourly's single-parameter smoother cannot express.
+    Smoothing constants are binary rationals (α=1/4, β=1/8), inputs
+    ride as exact integer milli-units, and both engines run the
+    TEXTUALLY identical recurrence in the same order, so the fold is
+    bit-reproducible; the oracle verifies it with a recursive CTE.
+
+    100 TB shape: the corpus-sized stage is ONE partial-aggregated
+    (event_type, hour) shuffle; the sequential fold runs per key over
+    the hourly series — calendar-bounded (8,760 points/year), O(1)
+    state, inside one Arrow batch per key (applyInPandas). Keys fold
+    in parallel; no corpus-sized window, no driver loop."""
+    import math
+
+    import pandas as pd
+
+    ev = table(spark, "events", sf_dir)
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("bigint")
+            ).alias("milli")
+        )
+        .select(
+            "event_type",
+            "h",
+            (F.col("milli").cast("double") / 1000.0).alias("y"),
+        )
+    )
+
+    def r4(x: float) -> float:
+        return math.floor(x * 10000.0 + 0.5) / 10000.0
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("h")
+        ys = [float(v) for v in pdf["y"]]
+        lev, tr = ys[0], 0.0
+        for y in ys[1:]:
+            new_l = HOLT_ALPHA * y + (1 - HOLT_ALPHA) * (lev + tr)
+            tr = HOLT_BETA * (new_l - lev) + (1 - HOLT_BETA) * tr
+            lev = new_l
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_hours": [len(ys)],
+                "level": [r4(lev)],
+                "trend": [r4(tr)],
+                "forecast_next": [r4(lev + tr)],
+            }
+        )
+
+    return hourly.groupBy("event_type").applyInPandas(
+        fold,
+        schema=(
+            "event_type string, n_hours long, level double, "
+            "trend double, forecast_next double"
+        ),
+    )

@@ -86,6 +86,8 @@ _PRIORITY = [
     "wordpiece_segment_stats",
     # round-9 new query (retrieval evaluation suite)
     "retrieval_eval_metrics",
+    # round-9 new query (Holt double-exponential smoothing)
+    "events_holt_trend",
     # changed decode path this round (multiscan guard)
     "media_decode_census",
     # stale rotation: last driver row in round 3 (25 queries)

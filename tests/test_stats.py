@@ -77,3 +77,40 @@ def test_price_ols_matches_numpy_lstsq(spark):
     ss_tot = float(((y - y.mean()) ** 2).sum())
     assert abs(row["r_squared"] - (1.0 - ss_res / ss_tot)) < 1e-6
     assert 0.0 < row["r_squared"] <= 1.0
+
+
+def test_holt_trend_matches_pandas_replay_and_learns_slope(spark):
+    import math
+
+    from mpi_word_count_spark.queries.stats_queries import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+        q_events_holt_trend,
+    )
+
+    got = {r["event_type"]: r for r in q_events_holt_trend(spark, SF_DIR).collect()}
+    pdf = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["event_type", "ts", "value"])
+    pdf["h"] = pdf["ts"].dt.floor("h")
+    pdf["milli"] = np.floor(pdf["value"].to_numpy() * 1000 + 0.5).astype(np.int64)
+    hourly = pdf.groupby(["event_type", "h"])["milli"].sum().reset_index()
+    for et, grp in hourly.groupby("event_type"):
+        ys = [float(m) / 1000.0 for m in grp.sort_values("h")["milli"]]
+        lev, tr = ys[0], 0.0
+        for y in ys[1:]:
+            new_l = HOLT_ALPHA * y + (1 - HOLT_ALPHA) * (lev + tr)
+            tr = HOLT_BETA * (new_l - lev) + (1 - HOLT_BETA) * tr
+            lev = new_l
+        row = got[et]
+        assert row["n_hours"] == len(ys)
+        assert row["level"] == math.floor(lev * 10000.0 + 0.5) / 10000.0
+        assert row["trend"] == math.floor(tr * 10000.0 + 0.5) / 10000.0
+        assert row["forecast_next"] == math.floor((lev + tr) * 10000.0 + 0.5) / 10000.0
+    # sanity on the recurrence itself: a clean linear series converges
+    # to its slope
+    lev, tr = 10.0, 0.0
+    for t in range(1, 200):
+        y = 10.0 + 2.0 * t
+        new_l = HOLT_ALPHA * y + (1 - HOLT_ALPHA) * (lev + tr)
+        tr = HOLT_BETA * (new_l - lev) + (1 - HOLT_BETA) * tr
+        lev = new_l
+    assert abs(tr - 2.0) < 1e-6
