@@ -388,3 +388,168 @@ def q_events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trend double, forecast_next double"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-fold cross-validated OLS (fold-complement sufficient statistics)
+# ---------------------------------------------------------------------------
+
+CV_FOLDS = 5
+
+# Stage texts shared verbatim by selectExpr (Spark) and the oracle
+# CTEs (DuckDB). Stage 1 converts per-fold exact integer sums into the
+# fold-side doubles (f*) and the TRAIN-side (complement = totals -
+# fold) doubles named exactly as the _OLS_DET formulas expect; stage 2
+# solves the normal equations per fold; stage 3 scores the held-out
+# fold through the quadratic form — SSE from sufficient statistics, no
+# residual pass, no float summation-order drift anywhere.
+_CV_VARS = """
+        fold,
+        fn, fsq, fsd, fsqq, fsqd, fsdd,
+        fsyc / 100.0 AS fsy, fsqyc / 100.0 AS fsqy, fsdyc / 100.0 AS fsdy,
+        fsyyc / 10000.0 AS fsyy,
+        tn - fn AS nn, tsq - fsq AS sq, tsd - fsd AS sd,
+        tsqq - fsqq AS sqq, tsqd - fsqd AS sqd, tsdd - fsdd AS sdd,
+        (tsyc - fsyc) / 100.0 AS sy, (tsqyc - fsqyc) / 100.0 AS sqy,
+        (tsdyc - fsdyc) / 100.0 AS sdy
+"""
+
+_CV_BETAS = f"""
+        fold, fn, fsq, fsd, fsqq, fsqd, fsdd, fsy, fsqy, fsdy, fsyy,
+        {_OLS_DET0} / {_OLS_DET} AS b0,
+        {_OLS_DET1} / {_OLS_DET} AS b1,
+        {_OLS_DET2} / {_OLS_DET} AS b2
+"""
+
+_CV_FINAL = f"""
+    SELECT fold,
+           CAST(fn AS BIGINT) AS n_test,
+           {sql_portable_round('b0', 6)} AS beta_intercept,
+           {sql_portable_round('b1', 6)} AS beta_qty,
+           {sql_portable_round('b2', 6)} AS beta_disc_pp,
+           {sql_portable_round(
+               'sqrt((fsyy - 2.0 * (b0 * fsy + b1 * fsqy + b2 * fsdy)'
+               ' + (b0 * b0 * fn + b1 * b1 * fsqq + b2 * b2 * fsdd'
+               ' + 2.0 * b0 * b1 * fsq + 2.0 * b0 * b2 * fsd'
+               ' + 2.0 * b1 * b2 * fsqd)) / fn)', 4)} AS rmse_test
+"""
+
+_CV_ORACLE = f"""
+    WITH raw AS (
+        SELECT ({sql_hash32(
+            "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)",
+            "cv")}) % {CV_FOLDS} AS fold,
+               CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+               CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS yc
+        FROM lineitem
+    ),
+    foldsums AS (
+        SELECT fold,
+               CAST(count(*) AS DOUBLE) AS fn,
+               CAST(sum(CAST(q AS HUGEINT)) AS DOUBLE) AS fsq,
+               CAST(sum(CAST(d AS HUGEINT)) AS DOUBLE) AS fsd,
+               CAST(sum(CAST(q * q AS HUGEINT)) AS DOUBLE) AS fsqq,
+               CAST(sum(CAST(q * d AS HUGEINT)) AS DOUBLE) AS fsqd,
+               CAST(sum(CAST(d * d AS HUGEINT)) AS DOUBLE) AS fsdd,
+               CAST(sum(CAST(yc AS HUGEINT)) AS DOUBLE) AS fsyc,
+               CAST(sum(CAST(q * yc AS HUGEINT)) AS DOUBLE) AS fsqyc,
+               CAST(sum(CAST(d * yc AS HUGEINT)) AS DOUBLE) AS fsdyc,
+               CAST(sum(CAST(yc AS HUGEINT) * CAST(yc AS HUGEINT)) AS DOUBLE)
+                   AS fsyyc
+        FROM raw GROUP BY 1
+    ),
+    totals AS (
+        SELECT sum(fn) AS tn, sum(fsq) AS tsq, sum(fsd) AS tsd,
+               sum(fsqq) AS tsqq, sum(fsqd) AS tsqd, sum(fsdd) AS tsdd,
+               sum(fsyc) AS tsyc, sum(fsqyc) AS tsqyc, sum(fsdyc) AS tsdyc
+        FROM foldsums
+    ),
+    vars AS (SELECT {_CV_VARS} FROM foldsums, totals),
+    betas AS (SELECT {_CV_BETAS} FROM vars)
+    {_CV_FINAL}
+    FROM betas
+"""
+
+
+@register("price_ols_cv", oracle=_CV_ORACLE)
+def q_price_ols_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validation of the price regression WITHOUT
+    retraining passes: per-fold exact-integer sufficient statistics
+    are aggregated ONCE; each fold's training sums are the totals
+    minus its own sums (complement by subtraction — exact, because
+    the sums are integers), the normal equations solve per fold in
+    closed form, and the held-out RMSE comes from the same fold sums
+    through the expanded quadratic form — no residual scan, no second
+    pass over the data, no float summation-order drift. This is the
+    pattern that makes model selection tractable at 100 TB: k-fold CV
+    for the cost of one aggregation shuffle, k × O(1) solves.
+
+    Folds are md5-assigned by line-item key, so the split is
+    deterministic and partition-independent on both engines."""
+    from mpi_word_count_spark.functions.hashing import hash32
+
+    li = table(spark, "lineitem", sf_dir)
+    fold = (
+        hash32(
+            F.concat(
+                F.col("l_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("l_linenumber").cast("string"),
+            ),
+            "cv",
+        )
+        % CV_FOLDS
+    )
+    q = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("bigint")
+    d = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint")
+    yc = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    raw = li.select(
+        fold.alias("fold"), q.alias("q"), d.alias("d"), yc.alias("yc")
+    )
+
+    def s(expr) -> F.Column:
+        return F.sum(expr.cast("decimal(38,0)")).cast("double")
+
+    foldsums = raw.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("double").alias("fn"),
+        s(F.col("q")).alias("fsq"),
+        s(F.col("d")).alias("fsd"),
+        s(F.col("q") * F.col("q")).alias("fsqq"),
+        s(F.col("q") * F.col("d")).alias("fsqd"),
+        s(F.col("d") * F.col("d")).alias("fsdd"),
+        s(F.col("yc")).alias("fsyc"),
+        s(F.col("q") * F.col("yc")).alias("fsqyc"),
+        s(F.col("d") * F.col("yc")).alias("fsdyc"),
+        F.sum(
+            F.col("yc").cast("decimal(19,0)") * F.col("yc").cast("decimal(19,0)")
+        )
+        .cast("double")
+        .alias("fsyyc"),
+    )
+    totals = foldsums.agg(
+        F.sum("fn").alias("tn"),
+        F.sum("fsq").alias("tsq"),
+        F.sum("fsd").alias("tsd"),
+        F.sum("fsqq").alias("tsqq"),
+        F.sum("fsqd").alias("tsqd"),
+        F.sum("fsdd").alias("tsdd"),
+        F.sum("fsyc").alias("tsyc"),
+        F.sum("fsqyc").alias("tsqyc"),
+        F.sum("fsdyc").alias("tsdyc"),
+    )
+    joined = foldsums.crossJoin(F.broadcast(totals))
+    vars_df = joined.selectExpr(*_split_select(_CV_VARS))
+    betas = vars_df.selectExpr(*_split_select(_CV_BETAS))
+    final = _CV_FINAL.strip()
+    if not final.startswith("SELECT "):  # pragma: no cover
+        raise RuntimeError("_CV_FINAL must start with SELECT")
+    out = betas.selectExpr(*_split_select(final[len("SELECT ") :]))
+    return out.select(
+        "fold",
+        "n_test",
+        *[
+            F.col(c).cast("double").alias(c)
+            for c in ("beta_intercept", "beta_qty", "beta_disc_pp", "rmse_test")
+        ],
+    )

@@ -88,6 +88,8 @@ _PRIORITY = [
     "retrieval_eval_metrics",
     # round-9 new query (Holt double-exponential smoothing)
     "events_holt_trend",
+    # round-9 new query (k-fold CV by sufficient-statistic subtraction)
+    "price_ols_cv",
     # changed decode path this round (multiscan guard)
     "media_decode_census",
     # stale rotation: last driver row in round 3 (25 queries)

@@ -114,3 +114,39 @@ def test_holt_trend_matches_pandas_replay_and_learns_slope(spark):
         tr = HOLT_BETA * (new_l - lev) + (1 - HOLT_BETA) * tr
         lev = new_l
     assert abs(tr - 2.0) < 1e-6
+
+
+def test_price_ols_cv_matches_numpy_per_fold(spark):
+    """Replay the 5-fold CV in numpy: same md5 fold assignment,
+    lstsq on each complement, residual RMSE on the held-out fold."""
+    from mpi_word_count_spark.queries.stats_queries import (
+        CV_FOLDS,
+        q_price_ols_cv,
+    )
+
+    got = {r["fold"]: r for r in q_price_ols_cv(spark, SF_DIR).collect()}
+    assert set(got) == set(range(CV_FOLDS))
+    pdf = pd.read_parquet(
+        f"{SF_DIR}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_extendedprice"],
+    )
+    fold = np.array(
+        [
+            int(hashlib.md5(f"cv:{ok}:{ln}".encode()).hexdigest()[:8], 16) % CV_FOLDS
+            for ok, ln in zip(pdf["l_orderkey"], pdf["l_linenumber"])
+        ]
+    )
+    q = np.floor(pdf["l_quantity"].to_numpy() + 0.5)
+    d = np.floor(pdf["l_discount"].to_numpy() * 100 + 0.5)
+    y = np.floor(pdf["l_extendedprice"].to_numpy() * 100 + 0.5) / 100.0
+    X = np.column_stack([np.ones_like(q), q, d])
+    for f in range(CV_FOLDS):
+        tr, te = fold != f, fold == f
+        beta, *_ = np.linalg.lstsq(X[tr], y[tr], rcond=None)
+        rmse = float(np.sqrt(((y[te] - X[te] @ beta) ** 2).mean()))
+        row = got[f]
+        assert row["n_test"] == int(te.sum())
+        assert abs(row["beta_intercept"] - beta[0]) < 1e-3 * max(1.0, abs(beta[0]))
+        assert abs(row["beta_qty"] - beta[1]) < 1e-3 * max(1.0, abs(beta[1]))
+        assert abs(row["beta_disc_pp"] - beta[2]) < 1e-3 * max(1.0, abs(beta[2]))
+        assert abs(row["rmse_test"] - rmse) < 1e-2 * max(1.0, rmse)
