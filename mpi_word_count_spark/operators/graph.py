@@ -350,3 +350,55 @@ def trade_graph_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     return e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+
+
+LPA_ROUNDS = 4
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = LPA_ROUNDS,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) with a
+    self-loop per node: community(v) starts as v's own id; each round
+    every node adopts the most frequent label among its neighbors AND
+    itself (count DESC, label ASC tie-break — fully deterministic,
+    all-integer). The self-edge is the standard damping that stops
+    the 2-coloring oscillation synchronous LPA exhibits on bipartite
+    graphs.
+
+    edges: DataFrame[src, dst], both orientations present (same
+    contract as pagerank_fixed_point). Per round: one equi-join on
+    src + one (node, label) count shuffle + one argmax aggregation —
+    never a window over the corpus. Lineage is truncated on the
+    pagerank cadence argument (every 3 rounds; each round references
+    its predecessor once, so depth grows linearly)."""
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    withself = edges.union(
+        nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+    ).localCheckpoint()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for i in range(1, rounds + 1):
+        counted = (
+            withself.join(
+                labels.select(
+                    F.col("node").alias("_ln"), F.col("label").alias("_lab")
+                ),
+                withself["src"] == F.col("_ln"),
+            )
+            .groupBy(F.col("dst").alias("node"), F.col("_lab").alias("label"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            counted.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.neg")).alias("label"))
+        )
+        if i % checkpoint_every == 0 and i < rounds:
+            labels = labels.localCheckpoint()
+    return labels

@@ -497,3 +497,78 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("node div 2").alias("key"),
         F.col("rank_fp"),
     )
+
+
+# --- label-propagation communities -------------------------------------------
+
+from mpi_word_count_spark.operators.graph import (  # noqa: E402
+    LPA_ROUNDS,
+    label_propagation,
+)
+
+
+def _lpa_oracle(rounds: int = LPA_ROUNDS) -> str:
+    chain = []
+    for t in range(1, rounds + 1):
+        chain.append(
+            f"""l{t} AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (
+                       PARTITION BY node ORDER BY cnt DESC, label ASC
+                   ) AS rn
+            FROM (
+                SELECT b.dst AS node, l.label, count(*) AS cnt
+                FROM bi2 b JOIN l{t - 1} l ON l.node = b.src
+                GROUP BY 1, 2
+            ) c
+        ) r WHERE rn = 1
+    )"""
+        )
+    return f"""
+    WITH e AS (
+        SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    bi AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    nodes AS (SELECT DISTINCT src AS node FROM bi),
+    bi2 AS (SELECT src, dst FROM bi UNION ALL SELECT node, node FROM nodes),
+    l0 AS (SELECT node, node AS label FROM nodes),
+    {",".join(chain)}
+    SELECT label AS community,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(count(CASE WHEN node % 2 = 0 THEN 1 END) AS BIGINT)
+               AS n_customers,
+           CAST(count(CASE WHEN node % 2 = 1 THEN 1 END) AS BIGINT)
+               AS n_suppliers
+    FROM l{rounds}
+    GROUP BY 1
+    """
+
+
+@register("trade_graph_communities", oracle=_lpa_oracle())
+def q_trade_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the customer↔supplier trade graph by
+    synchronous label propagation (4 fixed rounds, self-loop damping,
+    deterministic count-then-min-label adoption), rolled up to
+    (community, size, customers, suppliers) — the market-segmentation
+    view PageRank's centrality ranking doesn't give. The oracle
+    unrolls the identical all-integer recurrence one CTE block per
+    round, so the hash proves every node's label trajectory.
+
+    100 TB shape: per round one src equi-join + one partially-
+    aggregated (node, label) count shuffle + one argmax agg; label
+    state is 16 bytes/node; lineage truncated on the PageRank cadence
+    (operators/graph.py label_propagation)."""
+    orders = table(spark, "orders", sf_dir)
+    lineitem = table(spark, "lineitem", sf_dir)
+    labels = label_propagation(trade_graph_edges(orders, lineitem))
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.count(F.when(F.col("node") % 2 == 0, 1))
+        .cast("bigint")
+        .alias("n_customers"),
+        F.count(F.when(F.col("node") % 2 == 1, 1))
+        .cast("bigint")
+        .alias("n_suppliers"),
+    )

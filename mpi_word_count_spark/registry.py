@@ -90,6 +90,8 @@ _PRIORITY = [
     "events_holt_trend",
     # round-9 new query (k-fold CV by sufficient-statistic subtraction)
     "price_ols_cv",
+    # round-9 new query (label-propagation communities)
+    "trade_graph_communities",
     # changed decode path this round (multiscan guard)
     "media_decode_census",
     # stale rotation: last driver row in round 3 (25 queries)

@@ -234,3 +234,24 @@ def test_personalized_pagerank_concentrates_on_seeds(spark):
         return sum(ranks.get(s, 0) for s in seeds) / tot
 
     assert share(ppr) > 3 * share(glob)
+
+
+def test_label_propagation_separates_components_deterministically(spark):
+    """Two disjoint cliques must converge to two communities labeled
+    by each clique's minimum node id; a star collapses to the hub's
+    label in one round (self-loop damping, min-label tie-break)."""
+    from mpi_word_count_spark.operators.graph import label_propagation
+
+    def undirected(pairs):
+        rows = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+        return spark.createDataFrame(rows, "src long, dst long")
+
+    cliques = undirected(
+        [(2, 4), (4, 6), (2, 6), (1, 3), (3, 5), (1, 5)]
+    )
+    got = {r["node"]: r["label"] for r in label_propagation(cliques).collect()}
+    assert got == {2: 2, 4: 2, 6: 2, 1: 1, 3: 1, 5: 1}
+
+    star = undirected([(0, 2), (0, 4), (0, 6)])
+    got = {r["node"]: r["label"] for r in label_propagation(star, rounds=1).collect()}
+    assert got == {0: 0, 2: 0, 4: 0, 6: 0}
