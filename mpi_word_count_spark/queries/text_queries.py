@@ -1804,3 +1804,90 @@ def q_packing_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (count(DISTINCT seq_no) * 2048) AS BIGINT)"
         ).alias("fill_rate_milli"),
     )
+
+
+# --- readability (Flesch/Kincaid) --------------------------------------------
+
+# shared coefficient literals (Kincaid et al. 1975; Flesch 1948)
+_FK = ("0.39", "11.8", "15.59")
+_FRE = ("206.835", "1.015", "84.6")
+
+
+@register(
+    "readability_scores",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    counts AS (
+        SELECT doc_id,
+               greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                   AS n_sentences,
+               greatest(1, len(t)) AS n_words,
+               greatest(1, len(regexp_extract_all(lower(text), '[aeiouy]+')))
+                   AS n_syllables
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           {sql_portable_round(
+               f'{_FK[0]} * (CAST(n_words AS DOUBLE)'
+               f' / CAST(n_sentences AS DOUBLE))'
+               f' + {_FK[1]} * (CAST(n_syllables AS DOUBLE)'
+               f' / CAST(n_words AS DOUBLE)) - {_FK[2]}', 4)} AS fk_grade,
+           {sql_portable_round(
+               f'{_FRE[0]} - {_FRE[1]} * (CAST(n_words AS DOUBLE)'
+               f' / CAST(n_sentences AS DOUBLE))'
+               f' - {_FRE[2]} * (CAST(n_syllables AS DOUBLE)'
+               f' / CAST(n_words AS DOUBLE))', 4)} AS reading_ease
+    FROM counts
+    """,
+)
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document readability: Flesch-Kincaid grade level and
+    Flesch reading ease from sentence, word and vowel-group-syllable
+    counts — the classic text-difficulty signals a curation pipeline
+    feeds into curriculum ordering and audience filters (alongside
+    gopher_quality_flags' structural gates). Syllables use the
+    standard vowel-group heuristic ([aeiouy]+ runs — groups never
+    span the tokenizer's delimiters, so counting them on the raw
+    lowercased text equals summing per word); all counts are exact
+    integers, the two divisions and coefficient literals are shared
+    text, so the scores hash-match exactly.
+
+    Scale shape: a pure per-row projection (regexp counts inside
+    whole-stage codegen) — no shuffle at all; the plan is a scan +
+    project at any corpus size."""
+    from mpi_word_count_spark.tokenizer import split_words
+
+    docs = table(spark, "documents", sf_dir)
+    n_words = F.size(
+        F.filter(split_words(F.lower(F.col("text"))), lambda x: x != "")
+    )
+    base = docs.select(
+        "doc_id",
+        F.greatest(
+            F.lit(1), F.regexp_count(F.col("text"), F.lit(r"[.!?]+"))
+        ).alias("n_sentences"),
+        F.greatest(F.lit(1), n_words).alias("n_words"),
+        F.greatest(
+            F.lit(1),
+            F.regexp_count(F.lower(F.col("text")), F.lit(r"[aeiouy]+")),
+        ).alias("n_syllables"),
+    )
+    ws = F.col("n_words").cast("double") / F.col("n_sentences").cast("double")
+    sw = F.col("n_syllables").cast("double") / F.col("n_words").cast("double")
+    from mpi_word_count_spark.functions.parity import portable_round
+
+    return base.select(
+        "doc_id",
+        F.col("n_sentences").cast("bigint").alias("n_sentences"),
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("n_syllables").cast("bigint").alias("n_syllables"),
+        portable_round(
+            float(_FK[0]) * ws + float(_FK[1]) * sw - float(_FK[2]), 4
+        ).alias("fk_grade"),
+        portable_round(
+            float(_FRE[0]) - float(_FRE[1]) * ws - float(_FRE[2]) * sw, 4
+        ).alias("reading_ease"),
+    )

@@ -563,3 +563,108 @@ def q_events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.lit(1000) * F.col("n") > F.lit(2) * F.col("ewma_milli"))
         ).alias("spike"),
     ).orderBy("event_type", "hour")
+
+
+# --- Benford first-digit forensics -------------------------------------------
+
+# log10(1 + 1/d) quantized at 1e-12, shared verbatim by both engines
+# (no log evaluated at query time)
+_BENFORD_P = (
+    "0.301029995664", "0.176091259056", "0.124938736608",
+    "0.096910013008", "0.079181246048", "0.066946789631",
+    "0.057991946978", "0.051152522447", "0.045757490561",
+)
+
+_BENFORD_P_CASE = "CASE digit " + " ".join(
+    f"WHEN {d + 1} THEN {p}" for d, p in enumerate(_BENFORD_P)
+) + " END"
+
+# shared final metric text over columns (digit, n_obs, total)
+_BENFORD_FINAL = f"""
+    SELECT digit,
+           CAST(n_obs AS BIGINT) AS n_obs,
+           {{pr}}
+           AS p_obs,
+           CAST({_BENFORD_P_CASE} AS DOUBLE) AS p_benford,
+           {{chi}}
+           AS chi2_term
+"""
+
+
+def _benford_final() -> str:
+    from mpi_word_count_spark.functions.parity import sql_portable_round
+
+    return _BENFORD_FINAL.format(
+        pr=sql_portable_round(
+            "CAST(n_obs AS DOUBLE) / CAST(total AS DOUBLE)", 6
+        ),
+        chi=sql_portable_round(
+            f"(CAST(n_obs AS DOUBLE) - CAST(total AS DOUBLE)"
+            f" * ({_BENFORD_P_CASE}))"
+            f" * (CAST(n_obs AS DOUBLE) - CAST(total AS DOUBLE)"
+            f" * ({_BENFORD_P_CASE}))"
+            f" / (CAST(total AS DOUBLE) * ({_BENFORD_P_CASE}))",
+            6,
+        ),
+    )
+
+
+_BENFORD_ORACLE = f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM orders
+    ),
+    counted AS (
+        SELECT digit, count(*) AS n_obs FROM digits GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_obs) AS total FROM counted)
+    {_benford_final()}
+    FROM counted, tot
+"""
+
+
+@register("benford_price_audit", oracle=_BENFORD_ORACLE)
+def q_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit forensics (Benford's law): the leading
+    digit of every order total against the log10(1+1/d) expectation,
+    with each digit's chi-square contribution — the standard fraud /
+    synthetic-data / unit-mixup screen a data platform runs on any
+    monetary column before publishing it. Expected proportions are
+    1e-12-quantized shared literals, so no logarithm is evaluated at
+    query time and the only floats are three divisions on exact
+    integer counts.
+
+    (On TPC-H's uniformly-generated prices the audit correctly FAILS
+    Benford — large chi2 — which is the point: synthetic data screams
+    synthetic. The test pins a geometric series that passes.)
+
+    Scale shape: one partial-aggregated 9-group count shuffle; the
+    metric arithmetic runs on the 9-row aggregate against a broadcast
+    1-row total."""
+    from mpi_word_count_spark.functions.parity import portable_round  # noqa: F401
+    from mpi_word_count_spark.queries.stats_queries import _split_select
+
+    o = table(spark, "orders", sf_dir)
+    digits = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counted = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    tot = counted.agg(F.sum("n_obs").alias("total"))
+    joined = counted.crossJoin(F.broadcast(tot))
+    final = _benford_final().strip()
+    if not final.startswith("SELECT "):  # pragma: no cover
+        raise RuntimeError("benford final must start with SELECT")
+    out = joined.selectExpr(*_split_select(final[len("SELECT ") :]))
+    return out.select(
+        "digit",
+        "n_obs",
+        *[
+            F.col(c).cast("double").alias(c)
+            for c in ("p_obs", "p_benford", "chi2_term")
+        ],
+    )

@@ -92,6 +92,9 @@ _PRIORITY = [
     "price_ols_cv",
     # round-9 new query (label-propagation communities)
     "trade_graph_communities",
+    # round-9 new queries (Benford forensics, readability)
+    "benford_price_audit",
+    "readability_scores",
     # changed decode path this round (multiscan guard)
     "media_decode_census",
     # stale rotation: last driver row in round 3 (25 queries)

@@ -696,3 +696,34 @@ def test_retrieval_eval_matches_numpy_reference(spark):
         assert abs(row["ndcg_at_10"] - ndcg) < 2e-4
     # non-vacuous: some query actually retrieves relevant items
     assert any(r["hits"] > 0 for r in got.values())
+
+
+def test_readability_matches_python_replica(spark):
+    import math
+    import re
+
+    import pandas as pd
+
+    from mpi_word_count_spark.queries.text_queries import (
+        q_readability_scores,
+    )
+    from mpi_word_count_spark.tokenizer import (
+        DEFAULT_DELIMITERS,
+        delimiter_regex,
+    )
+    from tests.conftest import SF_DIR
+
+    got = {r["doc_id"]: r for r in q_readability_scores(spark, SF_DIR).collect()}
+    pdf = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    splitter = re.compile(delimiter_regex(DEFAULT_DELIMITERS))
+    assert len(got) == len(pdf)
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        s = max(1, len(re.findall(r"[.!?]+", text)))
+        w = max(1, sum(1 for t in splitter.split(text.lower()) if t))
+        syl = max(1, len(re.findall(r"[aeiouy]+", text.lower())))
+        fk = 0.39 * (w / s) + 11.8 * (syl / w) - 15.59
+        ease = 206.835 - 1.015 * (w / s) - 84.6 * (syl / w)
+        row = got[doc_id]
+        assert (row["n_sentences"], row["n_words"], row["n_syllables"]) == (s, w, syl)
+        assert row["fk_grade"] == math.floor(fk * 10000.0 + 0.5) / 10000.0
+        assert row["reading_ease"] == math.floor(ease * 10000.0 + 0.5) / 10000.0

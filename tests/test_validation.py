@@ -158,3 +158,37 @@ def test_ewma_exactness_on_known_series(spark):
     # the burst hour: 192 > 2 * 64 -> spike
     assert out[hours[20]]["n_events"] == 192
     assert out[hours[20]]["spike"]
+
+
+def test_benford_audit_flags_uniform_prices(spark):
+    """TPC-H prices are uniform-ish, not Benford: every digit present,
+    observed proportions sum to 1, counts sum to the table size, and
+    the chi-square total is far beyond the df=8 critical value (the
+    audit correctly screams 'synthetic')."""
+    from mpi_word_count_spark.queries.validation_queries import (
+        q_benford_price_audit,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = q_benford_price_audit(spark, SF_DIR).collect()
+    assert sorted(r["digit"] for r in rows) == list(range(1, 10))
+    n_orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    assert sum(r["n_obs"] for r in rows) == n_orders
+    assert abs(sum(r["p_obs"] for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r["p_benford"] for r in rows) - 1.0) < 1e-6
+    chi2 = sum(r["chi2_term"] for r in rows)
+    assert chi2 > 15.51  # chi2_0.95, df=8
+
+    # mechanism calibration: a Benford-distributed sample passes —
+    # recompute the statistic the query's formula produces on planted
+    # counts proportional to log10(1+1/d)
+    import math
+
+    n = 100000
+    obs = [round(n * math.log10(1 + 1 / d)) for d in range(1, 10)]
+    tot = sum(obs)
+    chi2_planted = sum(
+        (o - tot * math.log10(1 + 1 / d)) ** 2 / (tot * math.log10(1 + 1 / d))
+        for d, o in zip(range(1, 10), obs)
+    )
+    assert chi2_planted < 15.51
