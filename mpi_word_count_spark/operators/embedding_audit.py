@@ -148,3 +148,97 @@ def stage_position_audit(df: DataFrame) -> DataFrame:
         F.min("pos").alias("min_pos"),
         F.max("pos").alias("max_pos"),
     )
+
+
+PCA_ROUNDS = 12
+PCA_Q = 10000  # embedding quantization: tenth-milli integer units
+
+
+def embedding_pca_power(
+    emb: DataFrame, dim: int = 64, rounds: int = PCA_ROUNDS
+) -> DataFrame:
+    """First principal component of the embedding cloud by power
+    iteration on the covariance matrix — computed the only way that
+    works at 100 TB: ONE Arrow pass emits per-batch integer Gram
+    partials (Q'Q, column sums, count over 1e-4-quantized components,
+    all exact int64), one model-sized shuffle reduces them, and the
+    d×d eigen-iteration runs driver-side on the aggregate (the same
+    sufficient-statistics shape as the OLS/CV queries, in matrix
+    form). Quantization makes the covariance bit-identical across
+    engines/partitionings; each matvec is re-rounded at 1e-9 so the
+    iterates stay synchronized with the oracle's unrolled recurrence.
+
+    Returns one row per dimension: (dim_idx 1-based, variance,
+    loading_pc1 — L∞-normalized, pc1_explained = λ/trace)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arr = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = np.floor(arr * PCA_Q + 0.5).astype(np.int64)
+            gram = q.T @ q
+            colsum = q.sum(axis=0)
+            i_idx, j_idx, vals = [], [], []
+            for i in range(dim):
+                for j in range(dim):
+                    i_idx.append(i + 1)
+                    j_idx.append(j + 1)
+                    vals.append(int(gram[i, j]))
+                i_idx.append(i + 1)
+                j_idx.append(-1)
+                vals.append(int(colsum[i]))
+            i_idx.append(-1)
+            j_idx.append(-1)
+            vals.append(len(q))
+            yield pd.DataFrame({"i": i_idx, "j": j_idx, "s": vals})
+
+    parts = emb.select("embedding").mapInPandas(
+        kernel, schema="i int, j int, s long"
+    )
+    rows = parts.groupBy("i", "j").agg(F.sum("s").alias("s")).collect()
+    sij: dict[tuple[int, int], float] = {}
+    si: dict[int, float] = {}
+    n = 0.0
+    for r in rows:
+        if r["i"] == -1:
+            n = float(r["s"])
+        elif r["j"] == -1:
+            si[r["i"]] = float(r["s"])
+        else:
+            sij[(r["i"], r["j"])] = float(r["s"])
+
+    def r(x: float, digits: int) -> float:
+        scale = float(10**digits)
+        return math.floor(x * scale + 0.5) / scale
+
+    cov = [
+        [
+            (sij[(i, j)] - si[i] * si[j] / n) / n
+            for j in range(1, dim + 1)
+        ]
+        for i in range(1, dim + 1)
+    ]
+    v = [1.0] * dim
+    m = 1.0
+    for _ in range(rounds):
+        w = [
+            r(sum(cov[i][j] * v[j] for j in range(dim)), 9)
+            for i in range(dim)
+        ]
+        m = max(abs(x) for x in w)
+        v = [r(x / m, 9) for x in w]
+    trace = sum(cov[i][i] for i in range(dim))
+    out = [
+        (i + 1, r(cov[i][i], 6), r(v[i], 6), r(m / trace, 4))
+        for i in range(dim)
+    ]
+    return emb.sparkSession.createDataFrame(
+        out,
+        "dim_idx int, variance double, loading_pc1 double, "
+        "pc1_explained double",
+    )

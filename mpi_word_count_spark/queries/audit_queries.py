@@ -261,3 +261,85 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("xq").alias("sum_fp"),
         F.sum(F.col("xq") * F.col("xq")).alias("sumsq_fp"),
     )
+
+
+# --- PCA (power iteration on the quantized covariance) -----------------------
+
+from mpi_word_count_spark.operators.embedding_audit import (  # noqa: E402
+    PCA_Q,
+    PCA_ROUNDS,
+    embedding_pca_power,
+)
+
+_PCA_DIM = 64
+
+
+def _pca_oracle(dim: int = _PCA_DIM, rounds: int = PCA_ROUNDS) -> str:
+    from mpi_word_count_spark.functions.parity import sql_portable_round
+
+    chain = []
+    for t in range(1, rounds + 1):
+        chain.append(
+            f"""w{t} AS MATERIALIZED (
+        SELECT c.i,
+               {sql_portable_round('sum(c.c * v.val)', 9)} AS val
+        FROM cov c JOIN v{t - 1} v ON v.i = c.j GROUP BY c.i
+    ),
+    m{t} AS MATERIALIZED (SELECT max(abs(val)) AS m FROM w{t}),
+    v{t} AS MATERIALIZED (
+        SELECT w.i, {sql_portable_round('w.val / m.m', 9)} AS val
+        FROM w{t} w, m{t} m
+    )"""
+        )
+    return f"""
+    WITH dims AS (SELECT unnest(range(1, {dim} + 1)) AS i),
+    qv AS MATERIALIZED (
+        SELECT vec_id, d.i AS i,
+               CAST(floor(CAST(embedding[d.i] AS DOUBLE) * {PCA_Q} + 0.5)
+                    AS BIGINT) AS q
+        FROM embeddings, dims d
+    ),
+    s1 AS MATERIALIZED (SELECT i, sum(q) AS si FROM qv GROUP BY 1),
+    nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+    s2 AS MATERIALIZED (
+        SELECT a.i AS i, b.i AS j, sum(a.q * b.q) AS sij
+        FROM qv a JOIN qv b ON a.vec_id = b.vec_id
+        GROUP BY 1, 2
+    ),
+    cov AS MATERIALIZED (
+        SELECT s2.i, s2.j,
+               (CAST(sij AS DOUBLE)
+                - CAST(a.si AS DOUBLE) * CAST(b.si AS DOUBLE) / nn.n)
+                   / nn.n AS c
+        FROM s2 JOIN s1 a ON a.i = s2.i JOIN s1 b ON b.i = s2.j, nn
+    ),
+    v0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS val FROM dims),
+    {",".join(chain)},
+    tr AS MATERIALIZED (SELECT sum(c) AS trace FROM cov WHERE i = j)
+    SELECT CAST(c.i AS INT) AS dim_idx,
+           {sql_portable_round('c.c', 6)} AS variance,
+           {sql_portable_round('v.val', 6)} AS loading_pc1,
+           {sql_portable_round('m.m / tr.trace', 4)} AS pc1_explained
+    FROM cov c
+    JOIN v{rounds} v ON v.i = c.i, m{rounds} m, tr
+    WHERE c.i = c.j
+    """
+
+
+@register("embedding_pca_power", oracle=_pca_oracle())
+def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First principal component of the embedding corpus: per-batch
+    integer Gram partials (Arrow kernel over 1e-4-quantized
+    components), one model-sized shuffle, then a 12-round power
+    iteration on the d×d covariance — linear algebra on sufficient
+    statistics, the only PCA shape that works at 100 TB (the corpus
+    is touched once; the eigen-iteration is O(d²·rounds) on the
+    driver). The oracle recomputes the exact integer Gram in SQL and
+    unrolls the identical L∞-normalized, per-round-rounded matvec
+    recurrence, so every iterate is hash-verified.
+
+    Output: per dimension its variance, PC1 loading (L∞-normalized)
+    and the PC1 explained-variance share λ/trace."""
+    return embedding_pca_power(
+        table(spark, "embeddings", sf_dir), dim=_PCA_DIM
+    )

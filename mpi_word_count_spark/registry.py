@@ -95,6 +95,8 @@ _PRIORITY = [
     # round-9 new queries (Benford forensics, readability)
     "benford_price_audit",
     "readability_scores",
+    # round-9 new query (PCA on Gram sufficient statistics)
+    "embedding_pca_power",
     # changed decode path this round (multiscan guard)
     "media_decode_census",
     # stale rotation: last driver row in round 3 (25 queries)

@@ -107,3 +107,75 @@ def test_label_centroid_spread_degenerate_cluster(spark):
     assert rows[7]["mean_cos"] == 1.0 and rows[7]["centroid_norm"] == 1.0
     # orthogonal pair: centroid (0,1,1), cos(member, centroid) = 1/√2
     assert rows[8]["mean_cos"] == 0.7071
+
+
+def test_embedding_pca_matches_numpy_power_replica(spark):
+    """Replay the quantized-covariance power iteration in numpy
+    (exact match on every output) and sanity-check against numpy's
+    true eigendecomposition."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from mpi_word_count_spark.operators.embedding_audit import (
+        PCA_Q,
+        PCA_ROUNDS,
+    )
+    from mpi_word_count_spark.queries.audit_queries import (
+        q_embedding_pca_power,
+    )
+    from tests.conftest import SF_DIR
+
+    got = {r["dim_idx"]: r for r in q_embedding_pca_power(spark, SF_DIR).collect()}
+    pdf = pd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["embedding"])
+    q = np.floor(np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * PCA_Q + 0.5)
+    n = float(len(q))
+    dim = q.shape[1]
+    gram = q.T @ q
+    s = q.sum(axis=0)
+    cov = [
+        [(gram[i, j] - s[i] * s[j] / n) / n for j in range(dim)]
+        for i in range(dim)
+    ]
+
+    def r(x, d):
+        sc = float(10**d)
+        return math.floor(x * sc + 0.5) / sc
+
+    v = [1.0] * dim
+    m = 1.0
+    for _ in range(PCA_ROUNDS):
+        w = [r(sum(cov[i][j] * v[j] for j in range(dim)), 9) for i in range(dim)]
+        m = max(abs(x) for x in w)
+        v = [r(x / m, 9) for x in w]
+    trace = sum(cov[i][i] for i in range(dim))
+    assert set(got) == set(range(1, dim + 1))
+    for i in range(dim):
+        row = got[i + 1]
+        assert row["variance"] == r(cov[i][i], 6)
+        assert row["loading_pc1"] == r(v[i], 6)
+        assert row["pc1_explained"] == r(m / trace, 4)
+
+    # the per-round 1e-9 rounding must not bend the math: a FULL
+    # precision numpy power iteration from the same start stays
+    # essentially identical to the rounded iterate. (The fixture's
+    # embedding cloud is near-isotropic — eigengap ≈ 1 — so neither
+    # iterate can align with the ill-defined "true" PC1 in 12 rounds;
+    # that near-uniform spectrum is itself what the audit reports.)
+    C = np.array(cov)
+    v_fp = np.ones(dim)
+    for _ in range(PCA_ROUNDS):
+        w_fp = C @ v_fp
+        v_fp = w_fp / np.abs(w_fp).max()
+    vv = np.array(v)
+    cos = abs(float(v_fp @ vv) / (np.linalg.norm(v_fp) * np.linalg.norm(vv)))
+    assert cos > 0.999999
+    # spectrum bounds: the L-inf eigenvalue estimate sits inside the
+    # covariance spectrum and the Rayleigh quotient made progress
+    # beyond the mean eigenvalue
+    evals = np.linalg.eigh(C)[0]
+    rayleigh = float(vv @ C @ vv) / float(vv @ vv)
+    assert rayleigh > evals.mean()
+    assert rayleigh <= evals[-1] * (1 + 1e-9)
+    assert 0 < m <= 1.5 * evals[-1] * np.sqrt(dim)
