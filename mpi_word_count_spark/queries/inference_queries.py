@@ -347,3 +347,180 @@ def q_model_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("keep_rate_milli"),
         portable_round(F.avg("score"), 4).alias("mean_score"),
     )
+
+
+# --- ROC-AUC from the score histogram ----------------------------------------
+
+_AUC_ORACLE = f"""
+    WITH hist AS (
+        SELECT CAST(floor(value * 1000 + 0.5) AS BIGINT) AS score,
+               CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                    AS BIGINT) AS pos,
+               CAST(count(CASE WHEN event_type <> 'purchase' THEN 1 END)
+                    AS BIGINT) AS neg
+        FROM events GROUP BY 1
+    ),
+    cum AS (
+        SELECT score, pos, neg,
+               coalesce(sum(neg) OVER (
+                   ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS neg_below
+        FROM hist
+    ),
+    agg AS (
+        SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+               CAST(sum(neg) AS BIGINT) AS n_neg,
+               CAST(count(*) AS BIGINT) AS n_scores,
+               CAST(sum(pos * (2 * neg_below + neg)) AS BIGINT) AS auc2num
+        FROM cum
+    )
+    SELECT n_pos, n_neg, n_scores,
+           {sql_portable_round(
+               'CAST(auc2num AS DOUBLE)'
+               ' / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))',
+               6)} AS auc,
+           {sql_portable_round(
+               'CAST(auc2num AS DOUBLE)'
+               ' / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) - 1.0',
+               6)} AS gini
+    FROM agg
+"""
+
+
+@register("value_auc_audit", oracle=_AUC_ORACLE)
+def q_value_auc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC (and Gini) of "event value predicts purchase" — the
+    rank statistic every scoring model ships with, computed the
+    histogram way: AUC = P(score⁺ > score⁻) + ½P(tie) falls out of
+    one pass over the per-score (pos, neg) histogram with a
+    cumulative-negatives window, as exact integer arithmetic
+    (auc2num/2PN) — never a global rank over rows. Ties get the
+    standard midrank credit.
+
+    Scale shape: ONE partial-aggregated groupBy(score) shuffle
+    (scores ride as exact milli-units); the cumsum window runs over
+    the score-DOMAIN-bounded histogram (≤ ~500k rows whatever the
+    corpus size — the bucket-offset argument of order_price_deciles),
+    then a 1-row aggregate."""
+    from pyspark.sql import Window
+
+    ev = table(spark, "events", sf_dir)
+    hist = ev.groupBy(
+        F.floor(F.col("value") * 1000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("score")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("bigint")
+        .alias("pos"),
+        F.count(F.when(F.col("event_type") != "purchase", 1))
+        .cast("bigint")
+        .alias("neg"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.withColumn(
+        "neg_below", F.coalesce(F.sum("neg").over(w), F.lit(0))
+    )
+    agg = cum.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("neg").cast("bigint").alias("n_neg"),
+        F.count(F.lit(1)).cast("bigint").alias("n_scores"),
+        F.sum(
+            F.col("pos") * (2 * F.col("neg_below") + F.col("neg"))
+        )
+        .cast("bigint")
+        .alias("auc2num"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "n_scores",
+        portable_round(
+            F.col("auc2num").cast("double")
+            / (
+                2.0
+                * F.col("n_pos").cast("double")
+                * F.col("n_neg").cast("double")
+            ),
+            6,
+        ).alias("auc"),
+        portable_round(
+            F.col("auc2num").cast("double")
+            / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
+            - 1.0,
+            6,
+        ).alias("gini"),
+    )
+
+
+# --- weight-of-evidence / information value binning ---------------------------
+
+WOE_BAND = 50  # value band width
+
+
+_WOE_ORACLE = f"""
+    WITH bands AS (
+        SELECT CAST(floor(value / {WOE_BAND}) AS BIGINT) AS band,
+               CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                    AS BIGINT) AS n_good,
+               CAST(count(CASE WHEN event_type <> 'purchase' THEN 1 END)
+                    AS BIGINT) AS n_bad
+        FROM events GROUP BY 1
+    ),
+    tot AS (
+        SELECT sum(n_good) AS tg, sum(n_bad) AS tb FROM bands
+    )
+    SELECT band, n_good, n_bad,
+           {sql_portable_round(
+               'ln(((CAST(n_good AS DOUBLE) + 0.5) / CAST(tg AS DOUBLE))'
+               ' / ((CAST(n_bad AS DOUBLE) + 0.5) / CAST(tb AS DOUBLE)))',
+               4)} AS woe,
+           {sql_portable_round(
+               '((CAST(n_good AS DOUBLE) + 0.5) / CAST(tg AS DOUBLE)'
+               ' - (CAST(n_bad AS DOUBLE) + 0.5) / CAST(tb AS DOUBLE))'
+               ' * ln(((CAST(n_good AS DOUBLE) + 0.5) / CAST(tg AS DOUBLE))'
+               ' / ((CAST(n_bad AS DOUBLE) + 0.5) / CAST(tb AS DOUBLE)))',
+               6)} AS iv_term
+    FROM bands, tot
+"""
+
+
+@register("woe_value_bands", oracle=_WOE_ORACLE)
+def q_woe_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value binning of event value
+    against the purchase target — the credit-scoring-lineage feature
+    diagnostic (Siddiqi 2006) curation pipelines use to decide
+    whether a numeric signal carries selection power. Bands are fixed
+    widths (no global quantile sort); counts are exact integers with
+    the standard +0.5 empty-cell smoothing; WOE's logarithm follows
+    the established transcendental-plus-round-4 parity pattern
+    (dsir_gumbel_sample).
+
+    Scale shape: one partial-aggregated groupBy(band) shuffle, then
+    arithmetic on the band table against a broadcast 1-row total."""
+    ev = table(spark, "events", sf_dir)
+    bands = ev.groupBy(
+        F.floor(F.col("value") / WOE_BAND).cast("bigint").alias("band")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("bigint")
+        .alias("n_good"),
+        F.count(F.when(F.col("event_type") != "purchase", 1))
+        .cast("bigint")
+        .alias("n_bad"),
+    )
+    tot = bands.agg(
+        F.sum("n_good").alias("tg"), F.sum("n_bad").alias("tb")
+    )
+    j = bands.crossJoin(F.broadcast(tot))
+    pg = (F.col("n_good").cast("double") + 0.5) / F.col("tg").cast("double")
+    pb = (F.col("n_bad").cast("double") + 0.5) / F.col("tb").cast("double")
+    woe = F.log(pg / pb)
+    return j.select(
+        "band",
+        "n_good",
+        "n_bad",
+        portable_round(woe, 4).alias("woe"),
+        portable_round((pg - pb) * woe, 6).alias("iv_term"),
+    )

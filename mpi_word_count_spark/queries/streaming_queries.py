@@ -763,3 +763,23 @@ def q_streaming_manifest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_chars",
         F.lit(n_commits).cast("bigint").alias("n_commits"),
     )
+
+
+from mpi_word_count_spark.queries.stats_queries import (  # noqa: E402
+    _HOLT_ORACLE as _HOLT_PARITY_ORACLE,
+)
+from mpi_word_count_spark.streaming.queries import (  # noqa: E402
+    streaming_holt_forecast,
+)
+
+
+@register("streaming_holt_forecast", oracle=_HOLT_PARITY_ORACLE)
+def q_streaming_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live Holt level+trend forecast per event type as a custom
+    stateful streaming operator (applyInPandasWithState) — the
+    streaming twin of events_holt_trend, verified against the SAME
+    recursive-CTE oracle (batch/stream parity on the finite fixture).
+    See streaming/queries.py streaming_holt_forecast for the
+    state/ordering contract."""
+    ev = stream_table(spark, "events", sf_dir)
+    return run_to_completion(streaming_holt_forecast(ev), "update")

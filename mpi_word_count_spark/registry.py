@@ -97,6 +97,11 @@ _PRIORITY = [
     "readability_scores",
     # round-9 new query (PCA on Gram sufficient statistics)
     "embedding_pca_power",
+    # round-9 new queries (model-eval: AUC, WOE/IV)
+    "value_auc_audit",
+    "woe_value_bands",
+    # round-9 new query (stateful streaming forecast twin)
+    "streaming_holt_forecast",
     # changed decode path this round (multiscan guard)
     "media_decode_census",
     # stale rotation: last driver row in round 3 (25 queries)

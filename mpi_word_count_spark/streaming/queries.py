@@ -360,3 +360,79 @@ def click_attribution_outer(
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
         "left_outer",
     )
+
+
+def streaming_holt_forecast(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch Holt smoother (queries/
+    stats_queries.py events_holt_trend): a custom stateful operator
+    keeps (level, trend, n_hours) per event type in explicit state
+    and folds each arriving batch's hourly milli-exact sums through
+    the identical α=1/4, β=1/8 recurrence, re-emitting the one-step
+    forecast on every update — the live-forecast shape of the batch
+    query.
+
+    Batch-parity contract: events within a batch are ordered by
+    (ts, event_id) and bucketed to hours inside the fold, so over the
+    finite one-batch fixture the emitted state equals the batch
+    recurrence exactly (shared oracle). Across batches the fold
+    assumes hour-aligned batch boundaries (a production deployment
+    puts a watermarked hourly pre-aggregation upstream, or holds the
+    open hour in state); state is 3 numbers × |event types| — RocksDB
+    scale is trivial."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ALPHA, BETA = 0.25, 0.125
+
+    def r4(x: float) -> float:
+        return math.floor(x * 10000.0 + 0.5) / 10000.0
+
+    def update(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values(["ts", "event_id"])
+        hours = rows["ts"].dt.floor("h")
+        milli = (
+            (rows["value"].to_numpy() * 1000 + 0.5)
+        )
+        import numpy as np
+
+        milli = np.floor(milli).astype("int64")
+        hourly = pd.Series(milli).groupby(hours.to_numpy()).sum()
+        ys = [float(v) / 1000.0 for v in hourly]
+        if state.exists:
+            lev, tr, n = state.get
+        else:
+            lev, tr, n = ys[0], 0.0, 1
+            ys = ys[1:]
+        for y in ys:
+            new_l = ALPHA * y + (1 - ALPHA) * (lev + tr)
+            tr = BETA * (new_l - lev) + (1 - BETA) * tr
+            lev = new_l
+            n += 1
+        state.update((lev, tr, n))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_hours": [n],
+                "level": [r4(lev)],
+                "trend": [r4(tr)],
+                "forecast_next": [r4(lev + tr)],
+            }
+        )
+
+    return (
+        events.select("event_type", "ts", "event_id", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "event_type string, n_hours long, level double, "
+                "trend double, forecast_next double"
+            ),
+            stateStructType="level double, trend double, n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -120,3 +120,60 @@ def test_wilson_ci_properties(spark):
     biggest = max(widths.values(), key=lambda t: t[1])
     smallest = min(widths.values(), key=lambda t: t[1])
     assert biggest[0] < smallest[0]
+
+
+def test_value_auc_matches_rank_formula(spark):
+    """Midrank AUC replayed via pandas average ranks (the
+    Mann-Whitney identity) must match the histogram computation."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from mpi_word_count_spark.queries.inference_queries import (
+        q_value_auc_audit,
+    )
+    from tests.conftest import SF_DIR
+
+    row = q_value_auc_audit(spark, SF_DIR).collect()[0]
+    pdf = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["event_type", "value"])
+    score = np.floor(pdf["value"].to_numpy() * 1000 + 0.5).astype(np.int64)
+    pos = (pdf["event_type"] == "purchase").to_numpy()
+    n_pos, n_neg = int(pos.sum()), int((~pos).sum())
+    ranks = pd.Series(score).rank(method="average").to_numpy()
+    auc = (float(ranks[pos].sum()) - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+    assert row["n_pos"] == n_pos and row["n_neg"] == n_neg
+    assert row["n_scores"] == len(np.unique(score))
+    assert row["auc"] == math.floor(auc * 1e6 + 0.5) / 1e6
+    assert abs(row["gini"] - (2 * auc - 1)) < 2e-6
+
+
+def test_woe_bands_match_python_replica(spark):
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from mpi_word_count_spark.queries.inference_queries import (
+        WOE_BAND,
+        q_woe_value_bands,
+    )
+    from tests.conftest import SF_DIR
+
+    got = {r["band"]: r for r in q_woe_value_bands(spark, SF_DIR).collect()}
+    pdf = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["event_type", "value"])
+    band = np.floor(pdf["value"].to_numpy() / WOE_BAND).astype(np.int64)
+    good = (pdf["event_type"] == "purchase").to_numpy()
+    tg, tb = int(good.sum()), int((~good).sum())
+    iv_total = 0.0
+    for b in np.unique(band):
+        g = int((good & (band == b)).sum())
+        bad = int((~good & (band == b)).sum())
+        pg, pb = (g + 0.5) / tg, (bad + 0.5) / tb
+        woe = math.log(pg / pb)
+        row = got[b]
+        assert (row["n_good"], row["n_bad"]) == (g, bad)
+        assert abs(row["woe"] - woe) < 1e-4
+        assert abs(row["iv_term"] - (pg - pb) * woe) < 1e-6
+        iv_total += (pg - pb) * woe
+    assert iv_total >= 0.0  # IV is a sum of non-negative terms

@@ -495,6 +495,10 @@ UNPART_WINDOW_ALLOWED = {
         "cumsum over per-score-bucket token totals (score quantization"
         " domain)"
     ),
+    "value_auc_audit": (
+        "cumulative-negatives window over the per-score (pos, neg)"
+        " histogram — score domain is milli-quantized and bounded"
+    ),
 }
 
 

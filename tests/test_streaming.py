@@ -410,3 +410,25 @@ def test_stateful_totals_under_rocksdb_provider(spark):
         )
     )
     assert rows == {r["user_id"]: (r["n"], r["t"]) for r in want.collect()}
+
+
+def test_streaming_holt_forecast_equals_batch(spark):
+    """Batch/stream parity for the stateful Holt operator: over the
+    finite one-batch fixture the streaming fold must equal the batch
+    recurrence row for row."""
+    from mpi_word_count_spark.queries.stats_queries import (
+        q_events_holt_trend,
+    )
+    from mpi_word_count_spark.queries.streaming_queries import (
+        q_streaming_holt_forecast,
+    )
+    from tests.conftest import SF_DIR
+
+    batch = {r["event_type"]: r for r in q_events_holt_trend(spark, SF_DIR).collect()}
+    stream = {r["event_type"]: r for r in q_streaming_holt_forecast(spark, SF_DIR).collect()}
+    assert set(batch) == set(stream) and batch
+    for et in batch:
+        b, s = batch[et], stream[et]
+        assert (b["n_hours"], b["level"], b["trend"], b["forecast_next"]) == (
+            s["n_hours"], s["level"], s["trend"], s["forecast_next"]
+        )
