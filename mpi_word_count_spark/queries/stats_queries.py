@@ -553,3 +553,114 @@ def q_price_ols_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in ("beta_intercept", "beta_qty", "beta_disc_pp", "rmse_test")
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov test
+# ---------------------------------------------------------------------------
+
+_KS_ORACLE = f"""
+    WITH hist AS (
+        SELECT CAST(floor(value * 1000 + 0.5) AS BIGINT) AS score,
+               CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                    AS BIGINT) AS c1,
+               CAST(count(CASE WHEN event_type <> 'purchase' THEN 1 END)
+                    AS BIGINT) AS c2
+        FROM events GROUP BY 1
+    ),
+    cum AS (
+        SELECT score,
+               sum(c1) OVER (ORDER BY score) AS cum1,
+               sum(c2) OVER (ORDER BY score) AS cum2
+        FROM hist
+    ),
+    tot AS (
+        SELECT max(cum1) AS n1, max(cum2) AS n2 FROM cum
+    ),
+    diffs AS (
+        SELECT score, abs(cum1 * n2 - cum2 * n1) AS dnum, n1, n2
+        FROM cum, tot
+    ),
+    best AS (
+        SELECT score, dnum, n1, n2 FROM (
+            SELECT *, row_number() OVER (
+                ORDER BY dnum DESC, score ASC) AS rn
+            FROM diffs
+        ) WHERE rn = 1
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1,
+           CAST(n2 AS BIGINT) AS n2,
+           score AS d_at_score,
+           {sql_portable_round(
+               'CAST(dnum AS DOUBLE)'
+               ' / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))', 6)}
+               AS ks_d,
+           {sql_portable_round(
+               '(CAST(dnum AS DOUBLE)'
+               ' / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))'
+               ' * sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))'
+               ' / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))', 6)}
+               AS ks_stat
+    FROM best
+"""
+
+
+@register("value_ks_test", oracle=_KS_ORACLE)
+def q_value_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test: does the event-value
+    distribution differ between purchase and non-purchase events? The
+    supremum CDF gap is found as an EXACT integer maximum —
+    |cum1·n2 − cum2·n1| over the milli-quantized score histogram —
+    so the argmax location is deterministic (ties break on the lower
+    score); the only floats are the final normalizations (sqrt is
+    IEEE-exact). ks_stat is the √(n1·n2/(n1+n2))·D statistic whose
+    asymptotic null distribution is Kolmogorov's.
+
+    Scale shape: identical to value_auc_audit — one partial-aggregated
+    groupBy(score) shuffle, cumulative windows over the score-DOMAIN-
+    bounded histogram, a 1-row result."""
+    from pyspark.sql import Window
+
+    ev = table(spark, "events", sf_dir)
+    hist = ev.groupBy(
+        F.floor(F.col("value") * 1000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("score")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("bigint")
+        .alias("c1"),
+        F.count(F.when(F.col("event_type") != "purchase", 1))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "score",
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+    )
+    tot = cum.agg(F.max("cum1").alias("n1"), F.max("cum2").alias("n2"))
+    diffs = cum.crossJoin(F.broadcast(tot)).select(
+        "score",
+        F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")).alias(
+            "dnum"
+        ),
+        "n1",
+        "n2",
+    )
+    best = diffs.orderBy(F.desc("dnum"), F.asc("score")).limit(1)
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    d = F.col("dnum").cast("double") / (n1d * n2d)
+    from mpi_word_count_spark.functions.parity import portable_round
+
+    return best.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.col("score").alias("d_at_score"),
+        portable_round(d, 6).alias("ks_d"),
+        portable_round(
+            d * F.sqrt((n1d * n2d) / (n1d + n2d)), 6
+        ).alias("ks_stat"),
+    )

@@ -102,6 +102,8 @@ _PRIORITY = [
     "woe_value_bands",
     # round-9 new query (stateful streaming forecast twin)
     "streaming_holt_forecast",
+    # round-9 new query (two-sample KS test)
+    "value_ks_test",
     # changed decode path this round (multiscan guard)
     "media_decode_census",
     # stale rotation: last driver row in round 3 (25 queries)

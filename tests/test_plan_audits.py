@@ -499,6 +499,10 @@ UNPART_WINDOW_ALLOWED = {
         "cumulative-negatives window over the per-score (pos, neg)"
         " histogram — score domain is milli-quantized and bounded"
     ),
+    "value_ks_test": (
+        "two cumulative-count windows over the same score-domain-"
+        "bounded histogram as value_auc_audit"
+    ),
 }
 
 

@@ -150,3 +150,24 @@ def test_price_ols_cv_matches_numpy_per_fold(spark):
         assert abs(row["beta_qty"] - beta[1]) < 1e-3 * max(1.0, abs(beta[1]))
         assert abs(row["beta_disc_pp"] - beta[2]) < 1e-3 * max(1.0, abs(beta[2]))
         assert abs(row["rmse_test"] - rmse) < 1e-2 * max(1.0, rmse)
+
+
+def test_ks_test_matches_numpy_replica(spark):
+    from mpi_word_count_spark.queries.stats_queries import q_value_ks_test
+
+    row = q_value_ks_test(spark, SF_DIR).collect()[0]
+    pdf = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["event_type", "value"])
+    score = np.floor(pdf["value"].to_numpy() * 1000 + 0.5).astype(np.int64)
+    is1 = (pdf["event_type"] == "purchase").to_numpy()
+    s1, s2 = np.sort(score[is1]), np.sort(score[~is1])
+    n1, n2 = len(s1), len(s2)
+    grid = np.unique(score)
+    cdf1 = np.searchsorted(s1, grid, side="right")
+    cdf2 = np.searchsorted(s2, grid, side="right")
+    dnum = np.abs(cdf1.astype(np.int64) * n2 - cdf2.astype(np.int64) * n1)
+    k = int(np.argmax(dnum))  # argmax returns FIRST max = lowest score
+    d = dnum[k] / (n1 * n2)
+    assert (row["n1"], row["n2"]) == (n1, n2)
+    assert row["d_at_score"] == int(grid[k])
+    assert abs(row["ks_d"] - d) < 1e-6
+    assert abs(row["ks_stat"] - d * math.sqrt(n1 * n2 / (n1 + n2))) < 1e-6
