@@ -133,6 +133,21 @@ HEADLINE = [
     # state per word; the sampled twin shares the plan so one entry
     # tracks the family)
     "unigram_nbest_segments",
+    # round-9 additions (session 2), one entry per NEW plan shape:
+    # explode-x-B + B-row partial agg (the distributed bootstrap)
+    "poisson_bootstrap_ci",
+    # Arrow integer-Gram partials + model-sized shuffle + driver
+    # eigen-iteration (linear algebra on sufficient statistics)
+    "embedding_pca_power",
+    # iterative LPA: per round one src join + (node,label) count +
+    # argmax agg — the two-shuffle-per-round iterative shape
+    "trade_graph_communities",
+    # fold-complement CV: one 11-sum agg + 5 closed-form solves
+    "price_ols_cv",
+    # rollup Expand x4 + count(DISTINCT) over grouping sets
+    "k_anonymity_audit",
+    # applyInPandasWithState custom stateful operator (streaming)
+    "streaming_holt_forecast",
 ]
 
 

@@ -61,15 +61,14 @@ _LOADED = False
 # the later slots and rotate back in on subsequent rounds.
 _PRIORITY = [
     # --- the 50-row driver budget, round 9 ---------------------------
-    # VERDICT r8 item 3: all never-verified queues are at 0, so this
-    # round's budget = flagship + the 2 round-9 additions (subword
-    # regularization) + media_decode_census (the aggregate consumer of
-    # this round's multiscan sampling-factor guard, ADVICE r8 — the
-    # other media queries' fixture results cannot reach the new
-    # error-only path) + media_dimensions_stats (12-bit JPEG joined
-    # its format rotation) + the stalest ledger rows: all 25 queries
-    # whose last driver-green row is round 3, then the 20 oldest
-    # round-4 rows. Max ledger age drops from r3 to r4-vintage.
+    # VERDICT r8 item 3 + session-2 additions. Budget = flagship + the
+    # 19 round-9 additions (2 subword-regularization, then the 17
+    # session-2 queries: privacy, distributed stats, WordPiece,
+    # retrieval/model eval, LPA communities, PCA, forensics,
+    # readability, streaming Holt — every one driver-dark until now)
+    # + media_decode_census / media_dimensions_stats (changed decode
+    # paths) + the stalest ledger rows (round-3 vintage) up to the
+    # 50-row cut. The round-4 rotation below the cut rolls to r10.
     # flagship: a fresh row EVERY round, whatever else rotates
     "wordcount",
     # round-9 new queries (k-best subword regularization)
