@@ -1292,6 +1292,29 @@ def _jpeg_dimensions(data: bytes) -> tuple[int, int]:
     raise ValueError("JPEG SOF marker not found")
 
 
+def _jpeg_components(data: bytes) -> int:
+    """Walk JPEG markers to the first SOF frame header and read the
+    component count Nf — pure header parse, no entropy decode. Used
+    by the JPEG-in-TIFF path to reject strips whose component count
+    contradicts the TIFF's declared SamplesPerPixel."""
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3):
+            return data[pos + 9]
+        pos += 2 + seglen
+    raise ValueError("JPEG SOF marker not found")
+
+
 # --- test-support encoders (tiny, lossless, pure stdlib) -------------------
 
 
@@ -3064,6 +3087,14 @@ def _decode_tiff(data: bytes) -> np.ndarray:
                 if tables is None
                 else b"\xff\xd8" + tables[2:-2] + strip[2:]
             )
+            # SPP=1 declares grayscale: a color strip is malformed
+            # (and _decode_jpeg would silently channel-mean it)
+            ncomp = _jpeg_components(stream)
+            if ncomp != 1:
+                raise ValueError(
+                    f"TIFF JPEG strip {i} has {ncomp} components "
+                    "under SamplesPerPixel=1"
+                )
             arr = _decode_jpeg(stream)
             want = min(rows_per_strip, height - covered)
             if arr.shape[0] < want or arr.shape[1] < width:

@@ -165,8 +165,12 @@ def embedding_pca_power(
     d×d eigen-iteration runs driver-side on the aggregate (the same
     sufficient-statistics shape as the OLS/CV queries, in matrix
     form). Quantization makes the covariance bit-identical across
-    engines/partitionings; each matvec is re-rounded at 1e-9 so the
-    iterates stay synchronized with the oracle's unrolled recurrence.
+    engines/partitionings; the power iteration itself then runs on a
+    1e-9-quantized INTEGER covariance with an integer iterate, so
+    every matvec term and every half-up re-rounding is exact and
+    order-independent — the same exact-integer-sum parity pattern as
+    the OLS/KS/AUC queries (a float fold would depend on summation
+    order, which the SQL oracle does not guarantee).
 
     Returns one row per dimension: (dim_idx 1-based, variance,
     loading_pc1 — L∞-normalized, pc1_explained = λ/trace)."""
@@ -212,6 +216,11 @@ def embedding_pca_power(
         else:
             sij[(r["i"], r["j"])] = float(r["s"])
 
+    if n == 0.0:
+        raise ValueError(
+            "embedding_pca_power: empty embeddings input (n=0)"
+        )
+
     def r(x: float, digits: int) -> float:
         scale = float(10**digits)
         return math.floor(x * scale + 0.5) / scale
@@ -223,18 +232,41 @@ def embedding_pca_power(
         ]
         for i in range(1, dim + 1)
     ]
-    v = [1.0] * dim
-    m = 1.0
+    # Quantize the covariance to 1e-9 integer units and run the whole
+    # recurrence in exact integer arithmetic: Python // is floor
+    # division, mirrored in the oracle by an emulated floor-div over
+    # HUGEINT, so every 64-term matvec sum is order-independent and
+    # every half-up rounding is a rational, not a float op.
+    Q = 10**9
+    covq = [
+        [math.floor(cov[i][j] * float(Q) + 0.5) for j in range(dim)]
+        for i in range(dim)
+    ]
+    vq = [Q] * dim  # iterate at 1e-9 scale; v0 = all-ones
+    m = 0
     for _ in range(rounds):
-        w = [
-            r(sum(cov[i][j] * v[j] for j in range(dim)), 9)
+        wq = [
+            (sum(covq[i][j] * vq[j] for j in range(dim)) + Q // 2) // Q
             for i in range(dim)
         ]
-        m = max(abs(x) for x in w)
-        v = [r(x / m, 9) for x in w]
-    trace = sum(cov[i][i] for i in range(dim))
+        m = max(abs(x) for x in wq)
+        if m == 0:
+            raise ValueError(
+                "embedding_pca_power: degenerate (all-zero) covariance"
+            )
+        vq = [(2 * x * Q + m) // (2 * m) for x in wq]
+    trq = sum(covq[i][i] for i in range(dim))
+    if trq <= 0:
+        raise ValueError(
+            "embedding_pca_power: non-positive covariance trace"
+        )
     out = [
-        (i + 1, r(cov[i][i], 6), r(v[i], 6), r(m / trace, 4))
+        (
+            i + 1,
+            r(cov[i][i], 6),
+            ((vq[i] + 500) // 1000) / 1e6,
+            ((2 * m * 10**4 + trq) // (2 * trq)) / 1e4,
+        )
         for i in range(dim)
     ]
     return emb.sparkSession.createDataFrame(

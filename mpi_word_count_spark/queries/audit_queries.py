@@ -274,20 +274,35 @@ from mpi_word_count_spark.operators.embedding_audit import (  # noqa: E402
 _PCA_DIM = 64
 
 
+def _fdiv(x: str, q: str) -> str:
+    """SQL floor division of integers (DuckDB // truncates toward
+    zero; Python // floors — this emulates the Python semantics)."""
+    return (
+        f"(({x}) // ({q}) - CASE WHEN (({x}) % ({q})) <> 0 "
+        f"AND ({x}) < 0 THEN 1 ELSE 0 END)"
+    )
+
+
 def _pca_oracle(dim: int = _PCA_DIM, rounds: int = PCA_ROUNDS) -> str:
     from mpi_word_count_spark.functions.parity import sql_portable_round
 
+    # The recurrence is pure integer arithmetic over the 1e-9-quantized
+    # covariance (HUGEINT), mirroring the operator's Python ints: the
+    # matvec sum is order-independent, the half-up roundings are exact
+    # rational floor-divs — no float fold anywhere in the iteration.
     chain = []
     for t in range(1, rounds + 1):
         chain.append(
             f"""w{t} AS MATERIALIZED (
         SELECT c.i,
-               {sql_portable_round('sum(c.c * v.val)', 9)} AS val
-        FROM cov c JOIN v{t - 1} v ON v.i = c.j GROUP BY c.i
+               {_fdiv('sum(c.cq * v.vq) + 500000000', '1000000000')}
+                   AS wq
+        FROM covq c JOIN v{t - 1} v ON v.i = c.j GROUP BY c.i
     ),
-    m{t} AS MATERIALIZED (SELECT max(abs(val)) AS m FROM w{t}),
+    m{t} AS MATERIALIZED (SELECT max(abs(wq)) AS m FROM w{t}),
     v{t} AS MATERIALIZED (
-        SELECT w.i, {sql_portable_round('w.val / m.m', 9)} AS val
+        SELECT w.i,
+               {_fdiv('2 * w.wq * 1000000000 + m.m', '2 * m.m')} AS vq
         FROM w{t} w, m{t} m
     )"""
         )
@@ -313,13 +328,20 @@ def _pca_oracle(dim: int = _PCA_DIM, rounds: int = PCA_ROUNDS) -> str:
                    / nn.n AS c
         FROM s2 JOIN s1 a ON a.i = s2.i JOIN s1 b ON b.i = s2.j, nn
     ),
-    v0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS val FROM dims),
+    covq AS MATERIALIZED (
+        SELECT i, j,
+               CAST(floor(c * 1000000000 + 0.5) AS HUGEINT) AS cq
+        FROM cov
+    ),
+    v0 AS (SELECT i, CAST(1000000000 AS HUGEINT) AS vq FROM dims),
     {",".join(chain)},
-    tr AS MATERIALIZED (SELECT sum(c) AS trace FROM cov WHERE i = j)
+    tr AS MATERIALIZED (SELECT sum(cq) AS trq FROM covq WHERE i = j)
     SELECT CAST(c.i AS INT) AS dim_idx,
            {sql_portable_round('c.c', 6)} AS variance,
-           {sql_portable_round('v.val', 6)} AS loading_pc1,
-           {sql_portable_round('m.m / tr.trace', 4)} AS pc1_explained
+           CAST({_fdiv('v.vq + 500', '1000')} AS DOUBLE) / 1000000.0
+               AS loading_pc1,
+           CAST((2 * m.m * 10000 + tr.trq) // (2 * tr.trq) AS DOUBLE)
+               / 10000.0 AS pc1_explained
     FROM cov c
     JOIN v{rounds} v ON v.i = c.i, m{rounds} m, tr
     WHERE c.i = c.j

@@ -5,6 +5,7 @@ edge cases (empty vectors) and twin equivalence."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from mpi_word_count_spark.functions.vector import norm
@@ -109,6 +110,24 @@ def test_label_centroid_spread_degenerate_cluster(spark):
     assert rows[8]["mean_cos"] == 0.7071
 
 
+def test_embedding_pca_degenerate_inputs_raise(spark):
+    """Empty input (n=0) and an all-constant cloud (zero covariance)
+    must fail loudly, not divide by zero (ADVICE r9)."""
+    from mpi_word_count_spark.operators.embedding_audit import (
+        embedding_pca_power,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        embedding_pca_power(empty, dim=4)
+    const = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="degenerate|trace"):
+        embedding_pca_power(const, dim=4)
+
+
 def test_embedding_pca_matches_numpy_power_replica(spark):
     """Replay the quantized-covariance power iteration in numpy
     (exact match on every output) and sanity-check against numpy's
@@ -143,19 +162,32 @@ def test_embedding_pca_matches_numpy_power_replica(spark):
         sc = float(10**d)
         return math.floor(x * sc + 0.5) / sc
 
-    v = [1.0] * dim
-    m = 1.0
+    # exact-integer recurrence replica (the operator's parity form):
+    # quantize cov at 1e-9, fold entirely in Python ints
+    Q = 10**9
+    covq = [
+        [math.floor(cov[i][j] * float(Q) + 0.5) for j in range(dim)]
+        for i in range(dim)
+    ]
+    vq = [Q] * dim
+    m = 0
     for _ in range(PCA_ROUNDS):
-        w = [r(sum(cov[i][j] * v[j] for j in range(dim)), 9) for i in range(dim)]
-        m = max(abs(x) for x in w)
-        v = [r(x / m, 9) for x in w]
-    trace = sum(cov[i][i] for i in range(dim))
+        wq = [
+            (sum(covq[i][j] * vq[j] for j in range(dim)) + Q // 2) // Q
+            for i in range(dim)
+        ]
+        m = max(abs(x) for x in wq)
+        vq = [(2 * x * Q + m) // (2 * m) for x in wq]
+    trq = sum(covq[i][i] for i in range(dim))
     assert set(got) == set(range(1, dim + 1))
     for i in range(dim):
         row = got[i + 1]
         assert row["variance"] == r(cov[i][i], 6)
-        assert row["loading_pc1"] == r(v[i], 6)
-        assert row["pc1_explained"] == r(m / trace, 4)
+        assert row["loading_pc1"] == ((vq[i] + 500) // 1000) / 1e6
+        assert row["pc1_explained"] == (
+            ((2 * m * 10**4 + trq) // (2 * trq)) / 1e4
+        )
+    v = [x / Q for x in vq]
 
     # the per-round 1e-9 rounding must not bend the math: a FULL
     # precision numpy power iteration from the same start stays
@@ -178,4 +210,5 @@ def test_embedding_pca_matches_numpy_power_replica(spark):
     rayleigh = float(vv @ C @ vv) / float(vv @ vv)
     assert rayleigh > evals.mean()
     assert rayleigh <= evals[-1] * (1 + 1e-9)
-    assert 0 < m <= 1.5 * evals[-1] * np.sqrt(dim)
+    # m is at the 1e-9 integer iterate scale; bring back to cov units
+    assert 0 < m / Q <= 1.5 * evals[-1] * np.sqrt(dim)

@@ -1625,6 +1625,26 @@ def test_tiff_jpeg_malformed_and_unsupported():
         codecs.decode_image(bytes(tiled))
 
 
+def test_tiff_jpeg_color_strip_under_spp1_rejected():
+    """A 3-component JPEG strip under SamplesPerPixel=1 is malformed
+    (the TIFF declares grayscale): decode must raise ValueError, not
+    vstack an RGB-shaped array into the grayscale pipeline."""
+    img = np.arange(16 * 16, dtype=np.uint8).reshape(16, 16)
+    t = bytearray(codecs.encode_tiff_jpeg(img, rows_per_strip=16))
+    color = codecs.encode_jpeg_rgb(np.dstack([img, img, img]))
+    # single-strip layout: the strip is the file tail and tags 273/279
+    # hold inline LONG values — splice the color stream in and patch
+    # StripByteCounts
+    i273 = t.find(struct.pack("<HHI", 273, 4, 1))
+    i279 = t.find(struct.pack("<HHI", 279, 4, 1))
+    assert i273 > 0 and i279 > 0
+    off = struct.unpack("<I", t[i273 + 8 : i273 + 12])[0]
+    t[i279 + 8 : i279 + 12] = struct.pack("<I", len(color))
+    t = t[:off] + color
+    with pytest.raises(ValueError, match="components"):
+        codecs.decode_image(bytes(t))
+
+
 # --- lossless JPEG (SOF3, T.81 process 14) ------------------------------------
 
 
