@@ -1007,6 +1007,165 @@ def embedding_dup_pairs_banded(
     )
 
 
+def incremental_embedding_dups(
+    emb: DataFrame,
+    batch_filter: Column,
+    threshold: float = 0.4,
+    num_bands: int = NUM_EMB_BANDS,
+    planes_per_band: int = EMB_PLANES_PER_BAND,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    corpus_buckets: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental SEMANTIC near-duplicate classification of a new
+    vector batch against an existing embedding corpus — the embedding
+    twin of incremental_minhash_dups (and the continuous-ingest piece
+    of the ANN family). Returns one row per BATCH vector: (vec_id,
+    dup_of, status, n_matches, max_cosine) with status ∈
+    {dup_of_corpus, dup_in_batch, unique}; corpus matches take
+    precedence, dup_of is the smallest qualifying id of the winning
+    class, and every match is verified with exact cosine ≥ τ (never
+    bucket collision alone).
+
+    The incremental point: when `corpus_buckets` is supplied (a
+    persisted hyperplane-LSH bucket store — num_bands longs/vector
+    written once per corpus version, (_id, band, bucket)), ONLY the
+    batch is banded; the corpus contributes nothing but its stored
+    band keys to the candidate join, and corpus vectors are scanned
+    only to verify the (few) candidates. At 100 TB that is the
+    difference between re-banding the corpus per snapshot and reading
+    kilobytes per incoming vector.
+
+    Plan shape (the batch is small by nature — one ingest tick):
+      1. batch band keys (scan-local) broadcast against the corpus
+         bucket store → candidate (batch, corpus) id pairs; every
+         candidate contains a batch vector, so fan-out is
+         O(batch · bands), never O(corpus · bands);
+      2. batch-vs-batch candidates from the broadcast self-join of
+         the batch band keys (larger id owns the pair, like the
+         MinHash twin);
+      3. ONE corpus scan ⋈ broadcast(candidates) ⋈ broadcast(batch
+         vectors) → exact cosine on candidate rows only.
+    The corpus is never self-joined and its vectors are never
+    shuffled. Deterministic md5-derived planes, so the DuckDB oracle
+    reproduces the identical candidate set and verdicts.
+
+    Without `corpus_buckets` both sides are banded in one pass
+    (fixture mode; the bucket-store path is equivalence-tested in
+    tests/test_dedup.py)."""
+    from mpi_word_count_spark.functions.vector import dot, norm
+    from mpi_word_count_spark.operators import track_cache
+
+    if corpus_buckets is None:
+        all_bands = embedding_band_keys(
+            emb.withColumn("_is_batch", batch_filter),
+            num_bands,
+            planes_per_band,
+            id_col,
+            vec_col,
+            dim,
+            extra_cols=("_is_batch",),
+        )
+        batch_bands = all_bands.filter(F.col("_is_batch")).select(
+            "_id", "band", "bucket"
+        )
+        corpus_bands = all_bands.filter(~F.col("_is_batch")).select(
+            "_id", "band", "bucket"
+        )
+    else:
+        batch_bands = embedding_band_keys(
+            emb.filter(batch_filter),
+            num_bands,
+            planes_per_band,
+            id_col,
+            vec_col,
+            dim,
+        )
+        corpus_bands = corpus_buckets.select("_id", "band", "bucket")
+    batch_bands = track_cache(batch_bands)
+    bb = batch_bands.alias("bb")
+    corpus_cands = (
+        corpus_bands.alias("o")
+        .join(
+            F.broadcast(bb),
+            (F.col("bb.band") == F.col("o.band"))
+            & (F.col("bb.bucket") == F.col("o.bucket")),
+        )
+        .select(
+            F.col("bb._id").alias("did"),
+            F.col("o._id").alias("other"),
+            F.lit(False).alias("other_is_batch"),
+        )
+    )
+    batch_cands = (
+        bb.join(
+            F.broadcast(batch_bands.alias("o2")),
+            (F.col("bb.band") == F.col("o2.band"))
+            & (F.col("bb.bucket") == F.col("o2.bucket"))
+            & (F.col("o2._id") < F.col("bb._id")),
+        )
+        .select(
+            F.col("bb._id").alias("did"),
+            F.col("o2._id").alias("other"),
+            F.lit(True).alias("other_is_batch"),
+        )
+    )
+    candidates = corpus_cands.unionByName(batch_cands).distinct()
+    batch_vecs = emb.filter(batch_filter).select(
+        F.col(id_col).alias("did"),
+        F.col(vec_col).alias("_bvec"),
+        norm(F.col(vec_col)).alias("_bnorm"),
+    )
+    other_vecs = emb.select(
+        F.col(id_col).alias("other"),
+        F.col(vec_col).alias("_ovec"),
+        norm(F.col(vec_col)).alias("_onorm"),
+    )
+    passed = (
+        other_vecs.join(F.broadcast(candidates), "other")
+        .join(F.broadcast(batch_vecs), "did")
+        .select(
+            "did",
+            "other",
+            "other_is_batch",
+            F.round(
+                dot(F.col("_bvec"), F.col("_ovec"))
+                / (F.col("_bnorm") * F.col("_onorm")),
+                4,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    agg = passed.groupBy("did").agg(
+        F.min(F.when(~F.col("other_is_batch"), F.col("other"))).alias("c_min"),
+        F.min(F.when(F.col("other_is_batch"), F.col("other"))).alias("b_min"),
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.max("cosine").alias("max_cosine"),
+    )
+    status = (
+        F.when(F.col("c_min").isNotNull(), F.lit("dup_of_corpus"))
+        .when(F.col("b_min").isNotNull(), F.lit("dup_in_batch"))
+        .otherwise(F.lit("unique"))
+    )
+    flags = emb.select(F.col(id_col).alias("vec_id"), batch_filter.alias("is_batch"))
+    return (
+        flags.filter(F.col("is_batch"))
+        # agg is batch-sized: broadcast so the closing left join (and
+        # with it the whole plan) never shuffles
+        .join(F.broadcast(agg), flags.vec_id == agg.did, "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("c_min"), F.col("b_min")).alias("dup_of"),
+            status.alias("status"),
+            F.coalesce(F.col("n_matches"), F.lit(0).cast("bigint")).alias(
+                "n_matches"
+            ),
+            F.col("max_cosine"),
+        )
+    )
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     threshold: float = 0.4,

@@ -24,6 +24,7 @@ from mpi_word_count_spark.operators.dedup import (
     edit_distance_pairs,
     embedding_dup_pairs_banded,
     exact_dedup,
+    incremental_embedding_dups,
     incremental_exact_dedup,
     incremental_minhash_dups,
     minhash_lsh_pairs,
@@ -553,6 +554,79 @@ def q_incremental_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, "documents", sf_dir),
         batch_filter=F.col("doc_id") % BATCH_MOD == 0,
         threshold=JACCARD_THRESHOLD,
+    )
+
+
+def _incremental_embedding_oracle() -> str:
+    """Replicates incremental_embedding_dups: hyperplane band keys
+    (shared SQL twin sql_embedding_bands), batch-driven candidate join
+    (every candidate contains a batch vector; batch-batch pairs owned
+    by the larger id), exact-cosine verification, corpus-first
+    precedence."""
+    return f"""
+    WITH bands AS (
+{sql_embedding_bands()}
+    ),
+    flags AS (
+        SELECT vec_id, vec_id % {BATCH_MOD} = 0 AS is_batch FROM embeddings
+    ),
+    tb AS (
+        SELECT b.vec_id, b.band, b.bucket, f.is_batch
+        FROM bands b JOIN flags f ON b.vec_id = f.vec_id
+    ),
+    cand AS (
+        SELECT DISTINCT bb.vec_id AS did, o.vec_id AS other,
+                        o.is_batch AS other_is_batch
+        FROM tb bb JOIN tb o ON bb.band = o.band AND bb.bucket = o.bucket
+        WHERE bb.is_batch AND o.vec_id <> bb.vec_id
+          AND (NOT o.is_batch OR o.vec_id < bb.vec_id)
+    ),
+    passed AS (
+        SELECT c.did, c.other, c.other_is_batch,
+               round(list_cosine_similarity(e1.embedding::DOUBLE[],
+                                            e2.embedding::DOUBLE[]), 4)
+                   AS cosine
+        FROM cand c
+        JOIN embeddings e1 ON e1.vec_id = c.did
+        JOIN embeddings e2 ON e2.vec_id = c.other
+        WHERE round(list_cosine_similarity(e1.embedding::DOUBLE[],
+                                           e2.embedding::DOUBLE[]), 4)
+              >= {COSINE_DUP_THRESHOLD}
+    ),
+    agg AS (
+        SELECT did,
+               min(CASE WHEN NOT other_is_batch THEN other END) AS c_min,
+               min(CASE WHEN other_is_batch THEN other END) AS b_min,
+               CAST(count(*) AS BIGINT) AS n_matches,
+               max(cosine) AS max_cosine
+        FROM passed GROUP BY 1
+    )
+    SELECT f.vec_id,
+           coalesce(a.c_min, a.b_min) AS dup_of,
+           CASE WHEN a.c_min IS NOT NULL THEN 'dup_of_corpus'
+                WHEN a.b_min IS NOT NULL THEN 'dup_in_batch'
+                ELSE 'unique' END AS status,
+           coalesce(a.n_matches, 0) AS n_matches,
+           a.max_cosine
+    FROM flags f LEFT JOIN agg a ON f.vec_id = a.did
+    WHERE f.is_batch
+    """
+
+
+@register("incremental_embedding_dups", oracle=_incremental_embedding_oracle())
+def q_incremental_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus SEMANTIC near-dup classification (vectors with
+    vec_id % 5 == 0 play the incoming ingest tick): hyperplane-LSH
+    candidates where every pair contains a batch vector, exact-cosine
+    verification, corpus matches outrank in-batch ones — the embedding
+    twin of incremental_minhash_dups and the continuous-ingest piece
+    of the ANN family. The bucket-store path (corpus banded once,
+    only the batch banded fresh) is equivalence-tested in
+    tests/test_dedup.py."""
+    return incremental_embedding_dups(
+        table(spark, "embeddings", sf_dir),
+        batch_filter=F.col("vec_id") % BATCH_MOD == 0,
+        threshold=COSINE_DUP_THRESHOLD,
     )
 
 

@@ -325,6 +325,123 @@ def test_incremental_minhash_signature_store_path(spark, tmp_path):
     assert any(s == "dup_of_corpus" for _, _, s, _ in inline)
 
 
+def test_incremental_embedding_bucket_store_path(spark, tmp_path):
+    """The embedding twin of the signature-store test: corpus band
+    keys persisted once (parquet bucket store) and passed back in must
+    yield the IDENTICAL classification as the all-in-one computation —
+    with only the batch being banded fresh on the store path."""
+    from pyspark.sql import functions as F
+
+    from mpi_word_count_spark.operators import release_caches
+    from mpi_word_count_spark.operators.dedup import (
+        embedding_band_keys,
+        incremental_embedding_dups,
+    )
+    from mpi_word_count_spark.tables import table
+    from tests.conftest import SF_DIR
+
+    emb = table(spark, "embeddings", SF_DIR)
+    batch = F.col("vec_id") % 5 == 0
+
+    inline = {
+        (r["vec_id"], r["dup_of"], r["status"], r["n_matches"], r["max_cosine"])
+        for r in incremental_embedding_dups(emb, batch).collect()
+    }
+    release_caches()
+
+    store = str(tmp_path / "bucketstore")
+    embedding_band_keys(emb.filter(~batch)).write.mode("overwrite").parquet(store)
+    buckets = spark.read.parquet(store)
+    via_store = {
+        (r["vec_id"], r["dup_of"], r["status"], r["n_matches"], r["max_cosine"])
+        for r in incremental_embedding_dups(
+            emb, batch, corpus_buckets=buckets
+        ).collect()
+    }
+    release_caches()
+    assert inline == via_store
+    assert any(s == "dup_of_corpus" for _, _, s, _, _ in inline)
+
+
+def test_incremental_embedding_band_recall(spark):
+    """Band-recall properties of the hyperplane bucketing driving
+    incremental_embedding_dups:
+    - positive-scale invariance: bucket(c·v) == bucket(v) for c > 0
+      (sign bits see direction only), so a rescaled re-ingest of a
+      corpus vector ALWAYS collides in every band;
+    - empirical S-curve floor: planted near-duplicates at cos ≈ 0.98
+      (small deterministic perturbation) are recalled as
+      dup_of_corpus at well above the 1−(1−(1−θ/π)^3)^8 ≈ 0.97
+      analytic rate's test floor of 80%."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mpi_word_count_spark.operators import release_caches
+    from mpi_word_count_spark.operators.dedup import (
+        embedding_band_keys,
+        incremental_embedding_dups,
+    )
+    from mpi_word_count_spark.functions.hashing import py_hash32
+
+    dim, n = 16, 60
+
+    def unit(seed: str) -> list[float]:
+        raw = [
+            py_hash32(f"{seed}c{d}") / 2147483648.0 - 1.0 for d in range(dim)
+        ]
+        nrm = math.sqrt(sum(x * x for x in raw))
+        return [x / nrm for x in raw]
+
+    corpus = [(10 + i, unit(f"v{i}")) for i in range(n)]
+    # batch = the same vectors, perturbed a little and rescaled; plus
+    # one far-away probe that must classify unique
+    eps = 0.2  # ||delta|| = 0.2 on unit vectors -> cos ≈ 0.98
+    batch = []
+    for i in range(n):
+        d = unit(f"d{i}")
+        v = [2.5 * (corpus[i][1][k] + eps * d[k]) for k in range(dim)]
+        batch.append((1000 + i, v))
+    batch.append((2000, unit("far-away-probe")))
+    df = spark.createDataFrame(
+        [(vid, [float(x) for x in vec]) for vid, vec in corpus + batch],
+        "vec_id long, embedding array<float>",
+    )
+    is_batch = F.col("vec_id") >= 1000
+
+    # scale invariance: banding the 2.5x-rescaled copies of the corpus
+    # vectors reproduces the corpus band keys exactly
+    scaled = spark.createDataFrame(
+        [(vid, [7.25 * x for x in vec]) for vid, vec in corpus],
+        "vec_id long, embedding array<float>",
+    )
+    orig_keys = {
+        (r["_id"], r["band"], r["bucket"])
+        for r in embedding_band_keys(df.filter(~is_batch), dim=dim).collect()
+    }
+    scaled_keys = {
+        (r["_id"], r["band"], r["bucket"])
+        for r in embedding_band_keys(scaled, dim=dim).collect()
+    }
+    assert orig_keys == scaled_keys
+
+    rows = {
+        r["vec_id"]: r
+        for r in incremental_embedding_dups(
+            df, is_batch, threshold=0.9, dim=dim
+        ).collect()
+    }
+    release_caches()
+    recalled = sum(
+        1
+        for i in range(n)
+        if rows[1000 + i]["status"] == "dup_of_corpus"
+        and rows[1000 + i]["dup_of"] == 10 + i
+    )
+    assert recalled >= 0.8 * n
+    assert rows[2000]["status"] == "unique"
+
+
 def test_passage_windows_stride_contract(spark):
     """The two thinning knobs have different guarantees. stride is
     POSITIONAL: copies of a region share a strided window only when

@@ -132,11 +132,27 @@ def test_no_quadratic_joins_in_registered_dedup_plans(spark):
         "dedup_clusters_twostar",
         "edit_distance_dups",
         "incremental_exact_dedup",
+        "incremental_embedding_dups",
         "media_phash_dups",
     ):
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_incremental_embedding_dups_batch_side_broadcasts(spark):
+    # the continuous-ingest contract: candidate generation and
+    # verification broadcast the BATCH side (band keys, candidate id
+    # pairs, batch vectors); the corpus is only ever the probe side of
+    # broadcast hash joins — it is never shuffled and never self-joined
+    plan = plan_of(spark, "incremental_embedding_dups")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # no shuffle-side (sort-merge / shuffled-hash) join anywhere: every
+    # join in the plan rides a broadcast of batch-derived relations
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
 
 
 def test_semantic_dedup_is_equi_join(spark):
