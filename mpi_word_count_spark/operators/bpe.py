@@ -91,16 +91,22 @@ def greedy_merge(syms: list[str], left: str, right: str, merged: str) -> list[st
 
 
 def train_bpe(
-    word_freq: list[tuple[str, int]], merges: int = DEFAULT_MERGES
+    word_freq: list[tuple[str, int]],
+    merges: int = DEFAULT_MERGES,
+    split=None,
 ) -> list[tuple[str, str, str, int]]:
     """Train a BPE merge table on a (word, freq) list.
 
     Returns up to `merges` rows of (left, right, merged, pair_count)
     in learned order. Pair selection tie-break: count DESC, left ASC,
-    right ASC (bytewise — words are ALNUM_WORD so ASCII-only).
-    Stops early if no adjacent pair remains.
-    """
-    seqs: list[tuple[list[str], int]] = [(list(w), f) for w, f in word_freq]
+    right ASC (bytewise — words are ALNUM_WORD so ASCII-only in the
+    char form; the byte form's remapped symbols compare identically
+    by code point and by UTF-8 bytes). Stops early if no adjacent
+    pair remains. `split` maps a word to its initial symbol sequence
+    (default: one symbol per character; byte_symbols for the
+    byte-level form)."""
+    split = split or list
+    seqs: list[tuple[list[str], int]] = [(split(w), f) for w, f in word_freq]
     table: list[tuple[str, str, str, int]] = []
     for _ in range(merges):
         counts: dict[tuple[str, str], int] = {}
@@ -151,6 +157,94 @@ def encode_col(col: Column | str, merge_table: list[tuple[str, str, str, int]]) 
     merge literals chain into per-row folds in rank order — no UDF,
     no shuffle, whole-stage-codegen'd per scanned row."""
     syms = chars_col(col)
+    for left, right, merged, _ in merge_table:
+        syms = apply_merge_col(syms, left, right, merged)
+    return syms
+
+
+# --- byte-level BPE (the GPT-2 / tiktoken form) -----------------------------
+# Operate on UTF-8 BYTES instead of characters, with every byte
+# remapped to a printable unicode char (the GPT-2 bytes_to_unicode
+# table) so symbols stay ordinary strings in every engine. No unknown
+# tokens by construction: all 256 bytes have a base symbol, so ANY
+# word — punctuation, emoji, mixed scripts — encodes. The merge loop,
+# greedy fold, and positional SQL-oracle formulation are IDENTICAL to
+# the char form; only the initial symbol split differs.
+
+
+def _gpt2_byte_map() -> dict[int, str]:
+    """The GPT-2 bytes_to_unicode remap: printable latin-1 bytes map
+    to themselves, the rest to U+0100+k in first-free order. Bijective
+    over 0..255; code-point order of the images of 33..126 equals
+    byte order, so tie-breaks on ASCII corpora match the char form."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(0xA1, 0xAD))
+        + list(range(0xAE, 0x100))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(0x100 + n)
+            n += 1
+    return {b: chr(c) for b, c in zip(bs, cs)}
+
+
+BYTE_TO_CHAR: dict[int, str] = _gpt2_byte_map()
+CHAR_TO_BYTE: dict[str, int] = {c: b for b, c in BYTE_TO_CHAR.items()}
+
+
+def byte_symbols(word: str) -> list[str]:
+    """word -> remapped UTF-8 byte symbol sequence (Python twin of
+    byte_symbols_col; the `split` argument for byte-level train_bpe)."""
+    return [BYTE_TO_CHAR[b] for b in word.encode("utf-8")]
+
+
+def byte_decode(symbols: list[str]) -> str:
+    """Invert byte-level BPE: concatenate symbols, unmap each char to
+    its byte, UTF-8 decode. Total on any encoder output (merged
+    symbols are concatenations of base symbols, so the char stream is
+    always a valid image of the original byte stream)."""
+    return bytes(CHAR_TO_BYTE[ch] for ch in "".join(symbols)).decode("utf-8")
+
+
+def byte_remap_sql_array(dialect: str = "duckdb") -> str:
+    """The 256-entry byte->symbol table as a DuckDB list literal
+    (ANSI string quoting: single quotes doubled, backslash literal;
+    non-ASCII symbols embed as UTF-8). The Spark side uses F.lit of
+    the same values instead — Spark's default string literal treats
+    backslash as an escape, so one shared literal TEXT cannot parse
+    in both engines; shared VALUES are what the parity needs."""
+    if dialect != "duckdb":
+        raise ValueError("SQL-text remap literal is DuckDB-only")
+    items = ",".join(
+        "'" + BYTE_TO_CHAR[b].replace("'", "''") + "'" for b in range(256)
+    )
+    return f"[{items}]"
+
+
+def byte_symbols_col(col: Column | str) -> Column:
+    """word -> remapped UTF-8 byte symbols, pure JVM built-ins (no
+    UDF): hex(encode(w)) -> 2-char groups -> value -> 256-entry
+    remap array literal."""
+    c = F.col(col) if isinstance(col, str) else col
+    hexes = F.regexp_extract_all(F.hex(F.encode(c, "UTF-8")), F.lit(".."), 0)
+    remap = F.lit([BYTE_TO_CHAR[b] for b in range(256)])
+    return F.transform(
+        hexes,
+        lambda h: F.element_at(remap, F.conv(h, 16, 10).cast("int") + 1),
+    )
+
+
+def byte_encode_col(
+    col: Column | str, merge_table: list[tuple[str, str, str, int]]
+) -> Column:
+    """word -> byte-level BPE symbol array under a learned merge
+    table: the same literal-merge fold chain as encode_col, over the
+    byte symbol split."""
+    syms = byte_symbols_col(col)
     for left, right, merged, _ in merge_table:
         syms = apply_merge_col(syms, left, right, merged)
     return syms

@@ -284,6 +284,148 @@ def q_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- byte-level BPE (GPT-2 / tiktoken form) ----------------------------------
+
+from mpi_word_count_spark.operators.bpe import (  # noqa: E402
+    byte_encode_col,
+    byte_remap_sql_array,
+    byte_symbols,
+)
+
+
+def _byte_base_ctes(n_types: int) -> str:
+    """Byte-level initial symbol tables: words are NOT restricted to
+    the alnum class (byte BPE has no unknown tokens by construction —
+    every byte has a base symbol); s0 symbols come from the word's
+    UTF-8 bytes through the GPT-2 remap, derived in SQL from
+    hex(encode(word)) exactly as byte_symbols_col does in Spark."""
+    remap = byte_remap_sql_array("duckdb")
+    return f"""
+    toks AS MATERIALIZED (
+        SELECT unnest(regexp_split_to_array(lower(text), '{sql_regex()}')) AS w
+        FROM documents
+    ),
+    freqs AS MATERIALIZED (
+        SELECT w AS word, count(*) AS freq FROM toks WHERE w <> '' GROUP BY 1
+    ),
+    vocab AS MATERIALIZED (
+        SELECT word FROM freqs ORDER BY freq DESC, word LIMIT {n_types}
+    ),
+    hx AS MATERIALIZED (
+        SELECT word, freq, regexp_extract_all(hex(encode(word)), '..') AS a
+        FROM freqs
+    ),
+    sraw AS MATERIALIZED (
+        SELECT word, freq,
+               unnest(generate_series(1, len(a))) AS pos,
+               unnest(a) AS h
+        FROM hx
+    ),
+    s0 AS MATERIALIZED (
+        SELECT word, freq, pos,
+               list_extract({remap},
+                   (strpos('0123456789ABCDEF', h[1]) - 1) * 16
+                   + strpos('0123456789ABCDEF', h[2])) AS sym
+        FROM sraw
+    )"""
+
+
+def _byte_chain(rounds: int, n_types: int) -> str:
+    # the per-round merge CTEs are symbol-agnostic — reuse the char
+    # form's positional greedy formulation verbatim over the byte s0
+    return _byte_base_ctes(n_types) + "," + ",".join(
+        _round_ctes(k) for k in range(1, rounds + 1)
+    )
+
+
+def _byte_merges_oracle(
+    rounds: int = DEFAULT_MERGES, n_types: int = DEFAULT_VOCAB_TYPES
+) -> str:
+    unions = "\n    UNION ALL ".join(
+        f"SELECT {k} AS merge_rank, bl AS left_sym, br AS right_sym, "
+        f"bm AS merged, cnt AS pair_count FROM best{k}"
+        for k in range(1, rounds + 1)
+    )
+    return f"""
+    WITH {_byte_chain(rounds, n_types)}
+    SELECT * FROM ({unions}) ORDER BY merge_rank
+    """
+
+
+def _byte_token_counts_oracle(
+    rounds: int = DEFAULT_MERGES, n_types: int = DEFAULT_VOCAB_TYPES
+) -> str:
+    return f"""
+    WITH {_byte_chain(rounds, n_types)},
+    wsz AS MATERIALIZED (
+        SELECT word, count(*) AS n_sub FROM s{rounds} GROUP BY 1
+    ),
+    dtok AS MATERIALIZED (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '{sql_regex()}')) AS w
+        FROM documents
+    ),
+    dw AS MATERIALIZED (
+        SELECT doc_id, w AS word, count(*) AS cnt
+        FROM dtok WHERE w <> '' GROUP BY 1, 2
+    )
+    SELECT dw.doc_id,
+           CAST(sum(dw.cnt) AS BIGINT) AS n_words,
+           CAST(sum(dw.cnt * ws.n_sub) AS BIGINT) AS n_subwords,
+           CAST(sum(dw.cnt * strlen(dw.word)) AS BIGINT) AS n_bytes
+    FROM dw JOIN wsz ws ON ws.word = dw.word
+    GROUP BY 1
+    """
+
+
+@register("byte_bpe_merges", oracle=_byte_merges_oracle())
+def q_byte_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a 16-merge BYTE-level BPE table (the GPT-2/tiktoken
+    form) on the documents corpus: symbols are GPT-2-remapped UTF-8
+    bytes, the word table is unrestricted (no unknown tokens by
+    construction), and the merge loop/tie-breaks are the char form's.
+    Same 100 TB shape as bpe_merges: one word-count shuffle, then a
+    driver-side loop over the bounded top-2000 type slice."""
+    docs = table(spark, "documents", sf_dir)
+    toks = tokenize(docs, col="text")
+    freqs = toks.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    merges = train_bpe(top_vocab(freqs), split=byte_symbols)
+    rows = [
+        (i + 1, left, right, merged, cnt)
+        for i, (left, right, merged, cnt) in enumerate(merges)
+    ]
+    return spark.createDataFrame(rows, MERGE_SCHEMA).orderBy("merge_rank")
+
+
+@register("byte_bpe_token_counts", oracle=_byte_token_counts_oracle())
+def q_byte_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the learned BYTE-level BPE
+    table, plus the byte length the GPT-2 bytes/token compression
+    ratio is quoted against. Identical plan shape to bpe_token_counts:
+    ONE tokenize into (doc_id, word, cnt) [cached], word types by
+    re-aggregation, each TYPE encoded once via the literal-merge
+    folds over the byte split, sizes broadcast back."""
+    docs = table(spark, "documents", sf_dir)
+    tok = tokenize(docs, col="text", keep=["doc_id"])
+    dw = track_cache(
+        tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    freqs = dw.groupBy("word").agg(F.sum("cnt").alias("freq"))
+    merges = train_bpe(top_vocab(freqs), split=byte_symbols)
+    wsz = freqs.select(
+        "word", F.size(byte_encode_col("word", merges)).alias("n_sub")
+    )
+    return (
+        dw.join(F.broadcast(wsz), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_sub")).alias("n_subwords"),
+            F.sum(F.col("cnt") * F.octet_length("word")).alias("n_bytes"),
+        )
+    )
+
+
 # --- unigram-LM segmentation (sentencepiece counterpart) --------------------
 
 from mpi_word_count_spark.operators.bpe import (  # noqa: E402

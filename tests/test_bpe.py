@@ -161,6 +161,79 @@ def test_greedy_merge_properties_hypothesis():
     check()
 
 
+def test_byte_bpe_roundtrip_random_utf8():
+    """encode∘decode = id on arbitrary UTF-8 text, under ANY merge
+    table: merged symbols are concatenations of base symbols, so the
+    symbol stream always unmaps to the original byte stream — the
+    no-unknown-tokens guarantee byte-level BPE exists for."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mpi_word_count_spark.operators.bpe import (
+        BYTE_TO_CHAR,
+        byte_decode,
+        byte_symbols,
+        greedy_merge,
+        train_bpe,
+    )
+
+    # a bijective remap covering all 256 bytes is the precondition
+    assert sorted(BYTE_TO_CHAR) == list(range(256))
+    assert len(set(BYTE_TO_CHAR.values())) == 256
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(min_size=1, max_size=40))
+    def check(word):
+        table = train_bpe([(word, 1)], merges=8, split=byte_symbols)
+        syms = byte_symbols(word)
+        for left, right, merged, _ in table:
+            syms = greedy_merge(syms, left, right, merged)
+        assert byte_decode(syms) == word
+        # pre-merge base symbols decode too
+        assert byte_decode(byte_symbols(word)) == word
+
+    check()
+
+
+def test_byte_bpe_fold_matches_python_and_char_form(spark):
+    """The Spark byte fold (byte_encode_col) agrees with the Python
+    greedy loop on adversarial + corpus words (including multi-byte
+    UTF-8, where one char is SEVERAL symbols); and on a pure-ASCII
+    alnum corpus the byte merge table degenerates to exactly the char
+    form's table (the remap is identity on [a-z0-9])."""
+    from mpi_word_count_spark.operators.bpe import (
+        byte_encode_col,
+        byte_symbols,
+        greedy_merge,
+        train_bpe,
+        top_vocab,
+        word_freqs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    freqs = word_freqs(docs)  # alnum-only word table
+    vocab = top_vocab(freqs)
+    char_table = train_bpe(vocab)
+    byte_table = train_bpe(vocab, split=byte_symbols)
+    assert char_table == byte_table  # ASCII alnum: byte form == char form
+
+    words = ["aaaa", "naïve", "héllo", "日本語", "x", "café-au-lait"]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: list(r["syms"])
+        for r in df.select(
+            "word", byte_encode_col("word", byte_table).alias("syms")
+        ).collect()
+    }
+    for w in words:
+        expect = byte_symbols(w)
+        for left, right, merged, _ in byte_table:
+            expect = greedy_merge(expect, left, right, merged)
+        assert got[w] == expect, w
+        # multi-byte chars split into several base symbols
+        assert len(byte_symbols(w)) == len(w.encode("utf-8"))
+
+
 def test_unigram_segmentation_dp(spark):
     """The unigram DP returns the true global minimum: brute-force
     enumeration over every segmentation agrees on (min_cost,
