@@ -273,6 +273,90 @@ def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _streaming_embedding_dedup_oracle() -> str:
+    from mpi_word_count_spark.queries.dedup_queries import (
+        COSINE_DUP_THRESHOLD,
+        sql_embedding_bands,
+    )
+
+    return f"""
+    WITH bands AS (
+{sql_embedding_bands()}
+    ),
+    flags AS (
+        SELECT vec_id, vec_id % {STREAM_BATCH_MOD} = 0 AS is_batch
+        FROM embeddings
+    ),
+    tb AS (
+        SELECT b.* FROM bands b JOIN flags f ON b.vec_id = f.vec_id
+        WHERE f.is_batch
+    ),
+    tc AS (
+        SELECT b.* FROM bands b JOIN flags f ON b.vec_id = f.vec_id
+        WHERE NOT f.is_batch
+    ),
+    coll AS (
+        SELECT bb.vec_id AS did, o.vec_id AS other,
+               round(list_cosine_similarity(e1.embedding::DOUBLE[],
+                                            e2.embedding::DOUBLE[]), 4)
+                   AS cosine
+        FROM tb bb
+        JOIN tc o ON bb.band = o.band AND bb.bucket = o.bucket
+        JOIN embeddings e1 ON e1.vec_id = bb.vec_id
+        JOIN embeddings e2 ON e2.vec_id = o.vec_id
+    )
+    SELECT f.vec_id,
+           min(CASE WHEN c.cosine >= {COSINE_DUP_THRESHOLD}
+                    THEN c.other END) AS dup_of,
+           CASE WHEN min(CASE WHEN c.cosine >= {COSINE_DUP_THRESHOLD}
+                              THEN c.other END) IS NOT NULL
+                THEN 'dup_of_corpus' ELSE 'unique' END AS status,
+           CAST(count(CASE WHEN c.cosine >= {COSINE_DUP_THRESHOLD}
+                           THEN 1 END) AS BIGINT) AS n_collisions,
+           max(CASE WHEN c.cosine >= {COSINE_DUP_THRESHOLD}
+                    THEN c.cosine END) AS max_cosine
+    FROM flags f LEFT JOIN coll c ON c.did = f.vec_id
+    WHERE f.is_batch
+    GROUP BY f.vec_id
+    """
+
+
+@register(
+    "streaming_embedding_dedup", oracle=_streaming_embedding_dedup_oracle()
+)
+def q_streaming_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest semantic dedup (vectors with vec_id % 5 == 0
+    play the arriving stream): hyperplane-LSH banding on the stream,
+    stream-static LEFT joins against the broadcast corpus bucket
+    store + corpus vectors, exact-cosine verification, one stateful
+    per-vector aggregation — the streaming face of
+    incremental_embedding_dups, verified against the identical batch
+    SQL."""
+    from mpi_word_count_spark.operators.dedup import embedding_band_keys
+    from mpi_word_count_spark.queries.dedup_queries import (
+        COSINE_DUP_THRESHOLD,
+    )
+    from mpi_word_count_spark.streaming.queries import (
+        streaming_embedding_dedup,
+    )
+
+    stream = stream_table(spark, "embeddings", sf_dir).filter(
+        F.col("vec_id") % STREAM_BATCH_MOD == 0
+    )
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") % STREAM_BATCH_MOD != 0
+    )
+    return run_to_completion(
+        streaming_embedding_dedup(
+            stream,
+            corpus_buckets=embedding_band_keys(corpus),
+            corpus_vecs=corpus,
+            threshold=COSINE_DUP_THRESHOLD,
+        ),
+        "complete",
+    )
+
+
 def _synth_stream_oracle() -> str:
     from mpi_word_count_spark.sources.synthetic import sql_synth_corpus_cte
 

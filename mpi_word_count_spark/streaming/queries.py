@@ -281,6 +281,87 @@ def streaming_incremental_dedup(
     )
 
 
+def streaming_embedding_dedup(
+    stream_vecs: DataFrame,
+    corpus_buckets: DataFrame,
+    corpus_vecs: DataFrame,
+    threshold: float = 0.4,
+    num_bands: int | None = None,
+    planes_per_band: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Continuous-ingest SEMANTIC dedup vs a persisted embedding
+    corpus — the streaming face of incremental_embedding_dups: each
+    arriving vector is banded scan-local (hyperplane LSH), LEFT-joined
+    against the static corpus bucket store (broadcast), candidates
+    verified with exact cosine against the static corpus vectors
+    (broadcast), then ONE stateful aggregation per stream vector
+    classifies it dup_of_corpus / unique with the smallest matching
+    corpus id.
+
+    n_collisions counts (band, candidate) collision rows that pass τ —
+    a pair colliding in k bands counts k (keeping the plan at ONE
+    stateful aggregation; streams disallow distinct aggregates).
+    In-stream (batch-vs-batch) pairing is the batch twin's job; at
+    unbounded scale, bound pre-dedup state upstream with
+    dropDuplicatesWithinWatermark on the vector id.
+
+    State: one (dup_of, n, max_cos) triple per stream vector; the
+    corpus contributes only its bucket store (num_bands longs/vector)
+    and candidate-row vector reads — never re-banded, never shuffled.
+    """
+    from mpi_word_count_spark.functions.vector import dot, norm
+    from mpi_word_count_spark.operators.dedup import (
+        EMB_PLANES_PER_BAND,
+        NUM_EMB_BANDS,
+        embedding_band_keys,
+    )
+
+    nb = num_bands or NUM_EMB_BANDS
+    ppb = planes_per_band or EMB_PLANES_PER_BAND
+    bands = embedding_band_keys(
+        stream_vecs, nb, ppb, id_col, vec_col, dim, extra_cols=(vec_col,)
+    )
+    store = corpus_buckets.select(
+        F.col("_id").alias("other"), "band", "bucket"
+    )
+    cvecs = corpus_vecs.select(
+        F.col(id_col).alias("other"),
+        F.col(vec_col).alias("_ovec"),
+        norm(F.col(vec_col)).alias("_onorm"),
+    )
+    scored = (
+        bands.join(F.broadcast(store), ["band", "bucket"], "left")
+        .join(F.broadcast(cvecs), "other", "left")
+        .select(
+            F.col("_id").alias("vec_id"),
+            F.col("other"),
+            F.round(
+                dot(F.col(vec_col), F.col("_ovec"))
+                / (norm(F.col(vec_col)) * F.col("_onorm")),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    hit = F.col("cosine") >= threshold
+    agg = scored.groupBy("vec_id").agg(
+        F.min(F.when(hit, F.col("other"))).alias("dup_of"),
+        F.count(F.when(hit, F.lit(1))).alias("n_collisions"),
+        F.max(F.when(hit, F.col("cosine"))).alias("max_cosine"),
+    )
+    return agg.select(
+        "vec_id",
+        "dup_of",
+        F.when(F.col("dup_of").isNotNull(), F.lit("dup_of_corpus"))
+        .otherwise(F.lit("unique"))
+        .alias("status"),
+        "n_collisions",
+        "max_cosine",
+    )
+
+
 def streaming_dedup_within_watermark(
     events: DataFrame, watermark: str = "1 hour"
 ) -> DataFrame:

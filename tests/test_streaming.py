@@ -513,6 +513,50 @@ def test_rocksdb_state_pressure_multi_micro_batch(spark, tmp_path):
     assert final.exceptAll(want).isEmpty() and want.exceptAll(final).isEmpty()
 
 
+def test_streaming_embedding_dedup_consistent_with_batch_twin(spark):
+    """The streaming classifier must agree with the batch twin on the
+    corpus axis: identical dup_of for corpus-matched vectors (the
+    smallest qualifying corpus id), and 'unique' exactly when the
+    batch twin found no corpus match (batch-internal pairs are out of
+    the streaming surface's scope by design)."""
+    from mpi_word_count_spark.operators.dedup import (
+        incremental_embedding_dups,
+    )
+    from mpi_word_count_spark.queries.dedup_queries import (
+        BATCH_MOD,
+        COSINE_DUP_THRESHOLD,
+    )
+    from mpi_word_count_spark.queries.streaming_queries import (
+        q_streaming_embedding_dedup,
+    )
+    from mpi_word_count_spark.tables import table
+    from tests.conftest import SF_DIR
+
+    stream_rows = {
+        r["vec_id"]: r for r in q_streaming_embedding_dedup(spark, SF_DIR).collect()
+    }
+    batch_rows = {
+        r["vec_id"]: r
+        for r in incremental_embedding_dups(
+            table(spark, "embeddings", SF_DIR),
+            batch_filter=F.col("vec_id") % BATCH_MOD == 0,
+            threshold=COSINE_DUP_THRESHOLD,
+        ).collect()
+    }
+    assert set(stream_rows) == set(batch_rows) and stream_rows
+    n_corpus = 0
+    for vid, s in stream_rows.items():
+        b = batch_rows[vid]
+        if b["status"] == "dup_of_corpus":
+            n_corpus += 1
+            assert s["status"] == "dup_of_corpus"
+            assert s["dup_of"] == b["dup_of"]
+            assert s["max_cosine"] >= COSINE_DUP_THRESHOLD
+        else:
+            assert s["status"] == "unique" and s["dup_of"] is None
+    assert n_corpus > 0
+
+
 def test_streaming_holt_forecast_equals_batch(spark):
     """Batch/stream parity for the stateful Holt operator: over the
     finite one-batch fixture the streaming fold must equal the batch
