@@ -148,6 +148,16 @@ HEADLINE = [
     "k_anonymity_audit",
     # applyInPandasWithState custom stateful operator (streaming)
     "streaming_holt_forecast",
+    # round-10 additions, one entry per NEW plan shape:
+    # batch-broadcast embedding ingest: banded batch broadcast against
+    # the corpus bucket store, zero shuffle joins, one corpus scan
+    "incremental_embedding_dups",
+    # byte-level BPE: hex-split + 256-entry remap transform feeding
+    # the literal-merge fold chain (byte_bpe_merges shares the plan)
+    "byte_bpe_token_counts",
+    # stream-static LEFT joins against the broadcast bucket store +
+    # one stateful classification aggregate
+    "streaming_embedding_dedup",
 ]
 
 

@@ -60,7 +60,70 @@ _LOADED = False
 # whose defects were fixed this round come FIRST; long-green queries take
 # the later slots and rotate back in on subsequent rounds.
 _PRIORITY = [
-    # --- the 50-row driver budget, round 9 ---------------------------
+    # --- the 50-row driver budget, round 10 --------------------------
+    # VERDICT r9 item 2: drain the r4 ledger vintage. Budget = flagship
+    # + the 4 round-10 additions + embedding_pca_power (exact-integer
+    # recurrence rework this round) + ALL 39 queries whose newest
+    # driver row is r4-vintage + the 5 alphabetically-first r5 rows.
+    # The remaining 41 r5 rows roll to r11 (max ledger age after this
+    # round = r5; judge independently re-verified 40 of the r4/r5 set
+    # green in r9, so none is suspected wrong — the evidence is old).
+    # flagship: a fresh row EVERY round, whatever else rotates
+    "wordcount",
+    # round-10 new queries
+    "incremental_embedding_dups",
+    "byte_bpe_merges",
+    "byte_bpe_token_counts",
+    "streaming_embedding_dedup",
+    # changed implementation this round (integer power iteration)
+    "embedding_pca_power",
+    # stale rotation: ALL 39 rows whose newest driver row is round 4
+    "blocklist_filter_stats",
+    "bloom_prefilter_stats",
+    "cms_word_counts",
+    "cogrouped_user_totals",
+    "corpus_mixture",
+    "csv_roundtrip",
+    "curation_funnel",
+    "duplicate_passages",
+    "edit_distance_dups",
+    "event_gaps",
+    "events_hourly_gapfill",
+    "events_json_buckets",
+    "events_last_order_asof",
+    "events_variant_stats",
+    "events_zorder_keys",
+    "hll_sketch_rollup",
+    "html_boilerplate_strip",
+    "incremental_exact_dedup",
+    "overlapping_order_pairs",
+    "partitioned_events_rollup",
+    "passage_dup_spans",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "quota_sample_per_source",
+    "repetition_scores",
+    "scd2_customer_upsert",
+    "streaming_click_attribution",
+    "streaming_enriched_counts",
+    "streaming_session_counts",
+    "streaming_sliding_counts",
+    "streaming_stateful_totals",
+    "streaming_tumbling_counts",
+    "trade_graph_kcore",
+    "unicode_nfc_stats",
+    "url_domain_stats",
+    "user_erasure_audit",
+    "user_session_counts",
+    # stalest r5 rows (alphabetical head; the rest roll to r11)
+    "ab_power_analysis",
+    "ab_test_readout",
+    "ann_filtered",
+    "attribution_model_comparison",
+    "bloom_fpr_audit",
+    # --- the 50-row driver budget, round 9 (history) ------------------
     # VERDICT r8 item 3 + session-2 additions. Budget = flagship + the
     # 19 round-9 additions (2 subword-regularization, then the 17
     # session-2 queries: privacy, distributed stats, WordPiece,

@@ -348,6 +348,94 @@ spark.stop()
 """
 
 
+# Pregel-family scaling (round-10, VERDICT r9 item 4): the iterative
+# graph loop (pagerank/k-core/LPA) is 3 of the 10 most expensive bench
+# queries but had no measured core-count curve. Synthetic directed
+# graph, both orientations appended (the operators' undirected
+# convention): 1M nodes / 8M base edges, endpoints hash-derived so the
+# corpus is deterministic and JVM-generated. Per round the plan is ONE
+# src equi-join + ONE partially-aggregated dst shuffle — this curve
+# measures exactly that join/shuffle pair under thread scaling.
+PAGERANK_NODES = 1_000_000
+PAGERANK_EDGES = 8_000_000
+PAGERANK_ROUNDS = 6
+
+_PAGERANK_PREP = r"""
+import os, sys, tempfile
+sys.path.insert(0, os.getcwd())
+from pyspark.sql import SparkSession, functions as F
+
+n_nodes, n_edges = int(sys.argv[1]), int(sys.argv[2])
+path = os.path.join(
+    tempfile.gettempdir(), "spark_graft_scratch", f"pagerank_scale_{n_edges}.parquet"
+)
+if os.path.exists(os.path.join(path, "_SUCCESS")):
+    sys.exit(0)
+spark = (
+    SparkSession.builder.master("local[32]")
+    .appName("scaling-pagerank-prep")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+# deterministic pseudo-random digraph: src cycles all nodes (so every
+# node has outdeg >= 1 even before the reverse orientation), dst is
+# murmur3-derived; both orientations appended = undirected convention
+base = spark.range(n_edges).repartition(64).select(
+    (F.col("id") % n_nodes).alias("src"),
+    F.pmod(F.hash(F.col("id"), F.lit(7)), F.lit(n_nodes)).cast("long").alias("dst"),
+).filter(F.col("src") != F.col("dst"))
+edges = base.unionByName(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+edges.write.mode("overwrite").parquet(path)
+spark.stop()
+"""
+
+_PAGERANK_WORKER = r"""
+import json, os, sys, tempfile, time
+sys.path.insert(0, os.getcwd())
+from pyspark.sql import SparkSession
+from mpi_word_count_spark import operators
+from mpi_word_count_spark.operators.graph import pagerank_fixed_point
+
+n = int(sys.argv[1])
+n_edges = int(sys.argv[4])
+iterations = int(sys.argv[5])
+
+spark = (
+    SparkSession.builder.master(f"local[{n}]")
+    .appName(f"scaling-pagerank-{n}")
+    .config("spark.sql.shuffle.partitions", str(n))
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.driver.memory", "16g")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+corpus_path = os.path.join(
+    tempfile.gettempdir(), "spark_graft_scratch", f"pagerank_scale_{n_edges}.parquet"
+)
+assert os.path.exists(os.path.join(corpus_path, "_SUCCESS")), "prep did not run"
+
+def edges():
+    # 64 parquet files: the scan is already n-wide for every n here
+    return spark.read.parquet(corpus_path)
+
+# warm one tiny loop (JIT/codegen + the checkpoint path), then best-of-2
+pagerank_fixed_point(edges().limit(5000), iterations=2).write.format("noop").mode(
+    "overwrite"
+).save()
+operators.release_caches()
+best = float("inf")
+for _ in range(2):
+    t0 = time.monotonic()
+    pagerank_fixed_point(edges(), iterations=iterations).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    operators.release_caches()
+    best = min(best, time.monotonic() - t0)
+print(json.dumps({"n": n, "sec": round(best, 3)}))
+spark.stop()
+"""
+
+
 _DEDUP_PREP = r"""
 import os, sys, tempfile
 sys.path.insert(0, os.getcwd())
@@ -389,6 +477,7 @@ def run_point(
         "dedup": _DEDUP_WORKER,
         "semdedup": _SEMDEDUP_WORKER,
         "video": _VIDEO_WORKER,
+        "pagerank": _PAGERANK_WORKER,
     }.get(mode, _WORKER)
     out = subprocess.run(
         [sys.executable, "-c", worker, str(n), mode, sf_dir, str(copies)]
@@ -471,6 +560,40 @@ def main() -> None:
             "frame_side": VIDEO_SIDE,
             "strong_sec": vid,
             "strong_speedup": {n: round(t1 / t, 2) for n, t in vid.items()},
+        }
+    elif os.environ.get("SPARK_GRAFT_SCALE_MODE") == "pagerank":
+        subprocess.run(
+            [sys.executable, "-c", _PAGERANK_PREP,
+             str(PAGERANK_NODES), str(PAGERANK_EDGES)],
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=1800,
+        )
+        pr = {
+            n: run_point(n, "pagerank", sf_dir, PAGERANK_EDGES,
+                         [str(PAGERANK_ROUNDS)])
+            for n in cores
+        }
+        t1 = pr[cores[0]]
+        # round decomposition at the top core count: setup (edge scan,
+        # degree agg, adjacency checkpoint) vs per-round join+shuffle
+        # cost, from a 1-round run at the same point
+        n_top = cores[-1]
+        t_one = run_point(n_top, "pagerank", sf_dir, PAGERANK_EDGES, ["1"])
+        per_round = max(0.0, (pr[n_top] - t_one) / max(PAGERANK_ROUNDS - 1, 1))
+        result = {
+            "metric": "pagerank_scaling",
+            "n_nodes": PAGERANK_NODES,
+            "n_base_edges": PAGERANK_EDGES,
+            "rounds": PAGERANK_ROUNDS,
+            "strong_sec": pr,
+            "strong_speedup": {n: round(t1 / t, 2) for n, t in pr.items()},
+            "decomposition_at_top": {
+                "cores": n_top,
+                "one_round_sec": round(t_one, 3),
+                "per_round_sec": round(per_round, 3),
+                "setup_sec": round(t_one - per_round, 3),
+            },
         }
     elif os.environ.get("SPARK_GRAFT_SCALE_MODE") == "dedup_weak":
         # data-axis weak scaling: DISTINCT corpus grows with the
