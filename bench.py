@@ -158,6 +158,17 @@ HEADLINE = [
     # stream-static LEFT joins against the broadcast bucket store +
     # one stateful classification aggregate
     "streaming_embedding_dedup",
+    # round-10 session-2 additions, one entry per NEW plan shape:
+    # Aho-Corasick mapInPandas scan (automaton built per worker,
+    # lexicon-sized partial agg) — the multi-pattern governance shape
+    "term_scan_census",
+    # double corpus-stage ML: (lang,token) count then a x|langs|
+    # fan-out scoring join + per-doc argmax (dense broadcast model)
+    "naive_bayes_confusion",
+    # histogram order statistics: two brand-partitioned cumulative
+    # windows over the price-domain-bounded histogram (exact
+    # median/MAD — the robust-stats shape)
+    "brand_price_mad_outliers",
 ]
 
 

@@ -402,3 +402,62 @@ def label_propagation(
         if i % checkpoint_every == 0 and i < rounds:
             labels = labels.localCheckpoint()
     return labels
+
+
+SSSP_ROUNDS = 4
+
+
+def bellman_ford(
+    wedges: DataFrame,
+    source: DataFrame,
+    rounds: int = SSSP_ROUNDS,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Fixed-round Bellman–Ford single-source shortest paths — the
+    remaining Pregel-family classic next to pagerank_fixed_point /
+    label_propagation / k-core (same per-round shape: ONE equi-join
+    on src + ONE min-aggregated shuffle on dst).
+
+    wedges: DataFrame[src, dst, w] with integer weights, both
+    orientations present for undirected graphs (the pagerank edge
+    contract). source: DataFrame[node] seed set (dist 0). Returns
+    DataFrame[node, dist] for nodes REACHED within `rounds`
+    relaxations — bounded-round SSSP, the production form for
+    neighborhood-radius analytics, and what an unrolled SQL oracle
+    can replicate term for term. All-integer mins are exact and
+    associative, so the result is bit-identical across engines and
+    partitionings (the same argument as integer PageRank above).
+
+    Scale: dist state is 16 B/node; the adjacency is materialized
+    once (localCheckpoint — swap for reliable checkpoint() on a real
+    cluster); lineage truncates on the pagerank cadence."""
+    adj = wedges.localCheckpoint()
+    dist = source.select(
+        F.col("node").cast("long").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    )
+    live_ckpts: list[DataFrame] = []
+    for i in range(rounds):
+        relaxed = adj.join(dist, adj["src"] == dist["node"]).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).cast("long").alias("dist"),
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if (
+            checkpoint_every
+            and (i + 1) % checkpoint_every == 0
+            and i + 1 < rounds
+        ):
+            dist = dist.localCheckpoint()
+            for prev in live_ckpts:
+                _unpersist_local_ckpt(prev)
+            live_ckpts = [dist]
+
+    track_releaser(lambda df=adj: _unpersist_local_ckpt(df))
+    for kept in live_ckpts:
+        track_releaser(lambda df=kept: _unpersist_local_ckpt(df))
+    return dist

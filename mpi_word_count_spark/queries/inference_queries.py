@@ -524,3 +524,143 @@ def q_woe_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         portable_round(woe, 4).alias("woe"),
         portable_round((pg - pb) * woe, 6).alias("iv_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multinomial Naive Bayes language classifier
+# ---------------------------------------------------------------------------
+
+# Integer micronat device: every model weight is
+#   lt(lang, tok) = floor(1e6·ln((c+1)/(n_l+V)) + 0.5)  [BIGINT]
+# computed from the SAME exact-integer ratio on both engines, so the
+# per-document score is an exact integer SUM of identical terms —
+# summation order cannot matter (the residual risk is the per-term
+# ln/rounding boundary, the same accepted class as the CCNet-bucket
+# weights in curation_queries).
+_NB_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '{{regex}}'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    docs AS (SELECT doc_id, lang FROM documents),
+    cnt AS (
+        SELECT d.lang, t.tok, CAST(count(*) AS BIGINT) AS c
+        FROM tok t JOIN docs d USING (doc_id)
+        GROUP BY 1, 2
+    ),
+    nl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_l FROM cnt GROUP BY 1),
+    vocab AS (SELECT DISTINCT tok FROM tok),
+    vsize AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+    model AS (
+        SELECT nl.lang, vb.tok,
+               CAST(floor(1000000 * ln(
+                   (coalesce(c.c, 0) + 1.0)
+                   / CAST(nl.n_l + vs.v AS DOUBLE)) + 0.5) AS BIGINT) AS lt
+        FROM nl CROSS JOIN vocab vb CROSS JOIN vsize vs
+        LEFT JOIN cnt c ON c.lang = nl.lang AND c.tok = vb.tok
+    ),
+    prior AS (
+        SELECT dl.lang,
+               CAST(floor(1000000 * ln(
+                   CAST(dl.n_docs AS DOUBLE) / dd.n_total) + 0.5)
+                   AS BIGINT) AS pr
+        FROM (SELECT lang, count(*) AS n_docs FROM docs GROUP BY 1) dl,
+             (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM docs) dd
+    ),
+    score AS (
+        SELECT t.doc_id, m.lang, p.pr + sum(m.lt) AS sc
+        FROM tok t
+        JOIN model m ON m.tok = t.tok
+        JOIN prior p ON p.lang = m.lang
+        GROUP BY 1, 2, p.pr
+    ),
+    pred AS (
+        SELECT doc_id, lang AS pred_lang FROM (
+            SELECT doc_id, lang, row_number() OVER (
+                PARTITION BY doc_id ORDER BY sc DESC, lang ASC) AS rn
+            FROM score
+        ) WHERE rn = 1
+    )
+    SELECT d.lang AS true_lang, pr.pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM docs d JOIN pred pr USING (doc_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("naive_bayes_confusion", oracle=_NB_ORACLE.format(regex=sql_regex()))
+def q_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained and scored
+    on the corpus (add-one smoothing, log-priors), reported as the
+    lang × predicted-lang confusion matrix — the classical
+    text-classification baseline (McCallum & Nigam 1998) in its
+    sufficient-statistics form: the corpus reduces to (lang, token)
+    counts, the model is dense |langs|×V, and scoring is a broadcast
+    join back over the token stream.
+
+    Weights are integer micronats (see _NB_ORACLE note), so each
+    document's score is an exact BIGINT sum and the argmax (ties →
+    lang ASC) is deterministic on both engines.
+
+    Scale shape: two corpus-sized stages — the (lang, token) count and
+    the scoring join (fan-out ×|langs| map-side before the partial
+    (doc, lang) agg, the poisson_bootstrap shape) — everything else is
+    model-sized. The dense model stays broadcast-sized for real
+    vocabularies (V·|langs| rows of 16 B)."""
+    from mpi_word_count_spark.operators.dedup import tokens_col
+    from mpi_word_count_spark.operators.relational import topk_per_group
+
+    d = table(spark, "documents", sf_dir)
+    docs = d.select("doc_id", "lang")
+    toks = d.select(
+        "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("tok")
+    ).filter(F.col("tok") != "")
+    cnt = (
+        toks.join(docs, "doc_id")
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    nl = cnt.groupBy("lang").agg(F.sum("c").cast("long").alias("n_l"))
+    vocab = toks.select("tok").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    model = (
+        vocab.crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(vsize))
+        .join(cnt, ["lang", "tok"], "left")
+        .select(
+            "lang",
+            "tok",
+            F.expr(
+                "CAST(floor(1000000 * ln((coalesce(c, 0) + 1.0)"
+                " / CAST(n_l + v AS DOUBLE)) + 0.5) AS BIGINT)"
+            ).alias("lt"),
+        )
+    )
+    dl = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    dd = docs.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
+    prior = dl.crossJoin(F.broadcast(dd)).select(
+        "lang",
+        F.expr(
+            "CAST(floor(1000000 * ln(CAST(n_docs AS DOUBLE) / n_total)"
+            " + 0.5) AS BIGINT)"
+        ).alias("pr"),
+    )
+    score = (
+        toks.join(model, "tok")
+        .join(F.broadcast(prior), "lang")
+        .groupBy("doc_id", "lang", "pr")
+        .agg(F.sum("lt").alias("lts"))
+        .select("doc_id", "lang", (F.col("pr") + F.col("lts")).alias("sc"))
+    )
+    pred = topk_per_group(
+        score, ["doc_id"], [F.desc("sc"), F.asc("lang")], k=1
+    ).select("doc_id", F.col("lang").alias("pred_lang"))
+    return (
+        docs.join(pred, "doc_id")
+        .groupBy(F.col("lang").alias("true_lang"), "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )

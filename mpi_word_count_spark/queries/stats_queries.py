@@ -664,3 +664,193 @@ def q_value_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             d * F.sqrt((n1d * n2d) / (n1d + n2d)), 6
         ).alias("ks_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# robust statistics: median / MAD outliers over the price histogram
+# ---------------------------------------------------------------------------
+
+# Exact-integer order statistics: with n values, the interpolated
+# median is (v(k1) + v(k2)) / 2 for k1 = (n+1) div 2, k2 = (n+2) div 2
+# (1-indexed), so DOUBLED medians are exact BIGINTs. med2 = 2·median
+# over cents, dev2 = |2·cents − med2|, mad4 = 2·median(dev2) = 4·MAD,
+# and the classical |x − med| > 1.5·MAD outlier cut becomes the pure
+# integer comparison 4·dev2 > 3·mad4 — no float enters until the
+# presentation division by 2.0/4.0 (both exact in binary).
+_MAD_ORACLE = """
+    WITH hist AS (
+        SELECT p.p_brand AS brand,
+               CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(count(*) AS BIGINT) AS c
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2
+    ),
+    n AS (
+        SELECT brand, CAST(sum(c) AS BIGINT) AS n,
+               CAST((sum(c) + 1) // 2 AS BIGINT) AS k1,
+               CAST((sum(c) + 2) // 2 AS BIGINT) AS k2
+        FROM hist GROUP BY 1
+    ),
+    cum AS (
+        SELECT brand, cents, c,
+               sum(c) OVER (PARTITION BY brand ORDER BY cents) AS cu
+        FROM hist
+    ),
+    med AS (
+        SELECT cum.brand,
+               CAST(min(CASE WHEN cu >= n.k1 THEN cents END)
+                    + min(CASE WHEN cu >= n.k2 THEN cents END)
+                    AS BIGINT) AS med2
+        FROM cum JOIN n ON n.brand = cum.brand
+        GROUP BY 1
+    ),
+    dhist AS (
+        SELECT h.brand, abs(2 * h.cents - m.med2) AS dev2,
+               CAST(sum(h.c) AS BIGINT) AS c
+        FROM hist h JOIN med m ON m.brand = h.brand
+        GROUP BY 1, 2
+    ),
+    dcum AS (
+        SELECT brand, dev2, c,
+               sum(c) OVER (PARTITION BY brand ORDER BY dev2) AS cu
+        FROM dhist
+    ),
+    mad AS (
+        SELECT dcum.brand,
+               CAST(min(CASE WHEN cu >= n.k1 THEN dev2 END)
+                    + min(CASE WHEN cu >= n.k2 THEN dev2 END)
+                    AS BIGINT) AS mad4
+        FROM dcum JOIN n ON n.brand = dcum.brand
+        GROUP BY 1
+    ),
+    outl AS (
+        SELECT d.brand,
+               CAST(coalesce(sum(CASE WHEN 4 * d.dev2 > 3 * m.mad4
+                                      THEN d.c END), 0) AS BIGINT)
+                   AS n_outliers
+        FROM dhist d JOIN mad m ON m.brand = d.brand
+        GROUP BY 1
+    )
+    SELECT n.brand, n.n,
+           CAST(m.med2 AS DOUBLE) / 2.0 AS median_cents,
+           CAST(a.mad4 AS DOUBLE) / 4.0 AS mad_cents,
+           o.n_outliers
+    FROM n
+    JOIN med m ON m.brand = n.brand
+    JOIN mad a ON a.brand = n.brand
+    JOIN outl o ON o.brand = n.brand
+    ORDER BY n.brand
+"""
+
+
+@register("brand_price_mad_outliers", oracle=_MAD_ORACLE)
+def q_brand_price_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-brand price outlier census: exact interpolated
+    median, exact MAD (median absolute deviation — the robust scale
+    estimator that, unlike stddev, is not itself dragged by the
+    outliers it is hunting; Hampel 1974), and the count of prices
+    beyond 1.5·MAD, all in exact integer arithmetic (see _MAD_ORACLE
+    note).
+
+    Scale shape: the classical exact-median obstacle (a full sort, or
+    Spark's `percentile` buffering every value per group) is avoided
+    by the score-histogram device the KS/AUC family uses — ONE
+    partial-aggregated groupBy(brand, cents) shuffle bounds all later
+    stages by the PRICE DOMAIN, not the row count; both cumulative
+    windows are partitioned by brand and run over that bounded
+    histogram, and every join after the histogram is model-sized
+    (|brands| rows, broadcast)."""
+    li = table(spark, "lineitem", sf_dir).select("l_partkey", "l_extendedprice")
+    pa = table(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    from pyspark.sql import Window
+
+    hist = (
+        li.join(pa, li["l_partkey"] == pa["p_partkey"])
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.expr(
+                "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+            ).alias("cents"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n = hist.groupBy("brand").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.expr("CAST((sum(c) + 1) DIV 2 AS BIGINT)").alias("k1"),
+        F.expr("CAST((sum(c) + 2) DIV 2 AS BIGINT)").alias("k2"),
+    )
+    w = (
+        Window.partitionBy("brand")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select("brand", "cents", "c", F.sum("c").over(w).alias("cu"))
+    med = (
+        cum.join(F.broadcast(n), "brand")
+        .groupBy("brand")
+        .agg(
+            (
+                F.min(F.when(F.col("cu") >= F.col("k1"), F.col("cents")))
+                + F.min(F.when(F.col("cu") >= F.col("k2"), F.col("cents")))
+            )
+            .cast("long")
+            .alias("med2")
+        )
+    )
+    dhist = (
+        hist.join(F.broadcast(med), "brand")
+        .groupBy(
+            "brand",
+            F.abs(F.lit(2) * F.col("cents") - F.col("med2")).alias("dev2"),
+        )
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    dw = (
+        Window.partitionBy("brand")
+        .orderBy("dev2")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dcum = dhist.select("brand", "dev2", "c", F.sum("c").over(dw).alias("cu"))
+    mad = (
+        dcum.join(F.broadcast(n), "brand")
+        .groupBy("brand")
+        .agg(
+            (
+                F.min(F.when(F.col("cu") >= F.col("k1"), F.col("dev2")))
+                + F.min(F.when(F.col("cu") >= F.col("k2"), F.col("dev2")))
+            )
+            .cast("long")
+            .alias("mad4")
+        )
+    )
+    outl = (
+        dhist.join(F.broadcast(mad), "brand")
+        .groupBy("brand")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.lit(4) * F.col("dev2") > F.lit(3) * F.col("mad4"),
+                        F.col("c"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+    )
+    return (
+        n.select("brand", "n")
+        .join(F.broadcast(med), "brand")
+        .join(F.broadcast(mad), "brand")
+        .join(F.broadcast(outl), "brand")
+        .select(
+            "brand",
+            "n",
+            (F.col("med2").cast("double") / 2.0).alias("median_cents"),
+            (F.col("mad4").cast("double") / 4.0).alias("mad_cents"),
+            "n_outliers",
+        )
+        .orderBy("brand")
+    )

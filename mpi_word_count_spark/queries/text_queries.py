@@ -1891,3 +1891,82 @@ def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             float(_FRE[0]) - float(_FRE[1]) * ws - float(_FRE[2]) * sw, 4
         ).alias("reading_ease"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-pattern lexicon scan (Aho–Corasick)
+# ---------------------------------------------------------------------------
+
+# Contraband-term lexicon for the scan census. Every pattern is
+# BORDERLESS (no proper prefix equals a suffix), so same-pattern
+# occurrences cannot overlap and the oracle's non-overlapping
+# replace() arithmetic counts exactly the automaton's all-occurrence
+# semantics; tests/test_textscan.py asserts borderlessness and
+# separately property-tests the overlap case the oracle can't express.
+TERM_SCAN_LEXICON = (
+    "agg",
+    "batch win",
+    "scan slow",
+    "spark",
+    "tab",
+    "table",
+    "the line",
+    "value f",
+)
+
+_TERM_SCAN_ORACLE = f"""
+    WITH pats(pattern) AS (VALUES {", ".join(
+        "('" + p + "')" for p in TERM_SCAN_LEXICON)}),
+    per AS (
+        SELECT p.pattern, d.doc_id,
+               CAST((length(d.text) - length(replace(d.text, p.pattern, '')))
+                    // length(p.pattern) AS BIGINT) AS hits
+        FROM documents d, pats p
+    )
+    SELECT pattern,
+           CAST(sum(hits) AS BIGINT) AS total_hits,
+           CAST(count(CASE WHEN hits > 0 THEN 1 END) AS BIGINT)
+               AS docs_with_hit,
+           CAST(max(hits) AS BIGINT) AS max_hits
+    FROM per GROUP BY 1 ORDER BY pattern
+"""
+
+
+@register("term_scan_census", oracle=_TERM_SCAN_ORACLE)
+def q_term_scan_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-scan census: per blocklist term, total occurrences,
+    documents hit, and the densest document — the governance primitive
+    behind contraband filtering (`blocklist_filter_stats` matches
+    whole domains; this matches free-text substrings).
+
+    One Aho–Corasick pass per document (operators/textscan.py: all
+    patterns simultaneously, O(len + matches) regardless of lexicon
+    size — the P-LIKE-scans formulation this replaces is O(P·len)),
+    then one partial-aggregated groupBy(pattern) whose key space is
+    the lexicon — model-sized.  The oracle replicates the counts with
+    per-pattern replace() arithmetic, exact because the lexicon is
+    borderless (see TERM_SCAN_LEXICON note)."""
+    from mpi_word_count_spark.operators.textscan import multi_pattern_counts
+
+    docs = table(spark, "documents", sf_dir)
+    hits = multi_pattern_counts(docs, TERM_SCAN_LEXICON)
+    agg = hits.groupBy("pattern").agg(
+        F.sum("hits").cast("long").alias("total_hits"),
+        F.count(F.lit(1)).cast("long").alias("docs_with_hit"),
+        F.max("hits").cast("long").alias("max_hits"),
+    )
+    lex = spark.createDataFrame(
+        [(p,) for p in TERM_SCAN_LEXICON], "pattern string"
+    )
+    return (
+        lex.join(F.broadcast(agg), "pattern", "left")
+        .select(
+            "pattern",
+            F.coalesce(F.col("total_hits"), F.lit(0)).alias("total_hits"),
+            F.coalesce(F.col("docs_with_hit"), F.lit(0)).alias(
+                "docs_with_hit"
+            ),
+            F.coalesce(F.col("max_hits"), F.lit(0)).alias("max_hits"),
+        )
+        .orderBy("pattern")
+    )

@@ -1,0 +1,329 @@
+"""Time-series diagnostics over the events stream: the sample
+autocorrelation function of the hourly arrival series and the
+first-order Markov transition matrix of per-user event sequences.
+
+Both complete the forecasting family around `events_holt_trend`
+(stats_queries.py): Holt is the state recurrence, the ACF is the
+classical model-identification diagnostic that says whether such a
+recurrence is warranted (Box & Jenkins ch. 2), and the transition
+matrix is the discrete-state analogue used for session modeling.
+
+Exactness device (registry.py discipline): the ACF is computed
+entirely in integer arithmetic.  With n hours, S = Σx, Q = Σx² and
+per-lag sums P_k = Σ x_t·x_{t-k}, A_k = Σ_{t>k} x_t, B_k = Σ_{t>k}
+x_{t-k}, the mean-centered numerator and denominator scale by n² to
+
+    num_k = n²·P_k − n·S·(A_k + B_k) + (n−k)·S²
+    den   = n²·Q − n·S²
+
+— exact BIGINTs on both engines (summation order cannot matter), with
+one float division at presentation.  The transition matrix emits
+exact counts and integer milli-probabilities (1000·c div row_total).
+
+Scale shape: the ONLY corpus-sized stage in either query is one
+partial-aggregated groupBy (hour histogram / per-user lag window).
+The hour spine is bounded by the time span — model-sized at any data
+scale — so every join after the histogram is a broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mpi_word_count_spark.functions.parity import (
+    portable_round,
+    sql_portable_round,
+)
+from mpi_word_count_spark.registry import register
+from mpi_word_count_spark.tables import table
+
+ACF_MAX_LAG = 6
+
+# ---------------------------------------------------------------------------
+# events_autocorrelation
+# ---------------------------------------------------------------------------
+
+_ACF_ORACLE = f"""
+    WITH hist AS (
+        SELECT CAST(floor(epoch(date_trunc('hour', ts)) / 3600)
+                    AS BIGINT) AS h,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ),
+    bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM hist),
+    spine AS (
+        -- scalar-list generate_series (the table-function form cannot
+        -- take subquery parameters in DuckDB)
+        SELECT unnest(generate_series(h0, h1)) AS h FROM bounds
+    ),
+    x AS (
+        SELECT s.h, CAST(coalesce(hist.c, 0) AS BIGINT) AS x
+        FROM spine s LEFT JOIN hist ON hist.h = s.h
+    ),
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS s,
+               CAST(sum(x * x) AS BIGINT) AS q
+        FROM x
+    ),
+    lagsums AS (
+        SELECT l.lag,
+               CAST(count(*) AS BIGINT) AS n_terms,
+               CAST(sum(a.x * b.x) AS BIGINT) AS p,
+               CAST(sum(a.x) AS BIGINT) AS sa,
+               CAST(sum(b.x) AS BIGINT) AS sb
+        FROM generate_series(1, {ACF_MAX_LAG}) l(lag)
+        JOIN x a ON TRUE
+        JOIN x b ON b.h = a.h - l.lag
+        GROUP BY 1
+    )
+    SELECT CAST(l.lag AS BIGINT) AS lag,
+           l.n_terms,
+           CAST(g.n * g.n * l.p - g.n * g.s * (l.sa + l.sb)
+                + (g.n - l.lag) * g.s * g.s AS BIGINT) AS acf_num,
+           CAST(g.n * g.n * g.q - g.n * g.s * g.s AS BIGINT) AS acf_den,
+           {sql_portable_round(
+               'CAST(g.n * g.n * l.p - g.n * g.s * (l.sa + l.sb)'
+               ' + (g.n - l.lag) * g.s * g.s AS DOUBLE)'
+               ' / CAST(g.n * g.n * g.q - g.n * g.s * g.s AS DOUBLE)',
+               6)} AS acf
+    FROM lagsums l, g
+    ORDER BY lag
+"""
+
+
+@register("events_autocorrelation", oracle=_ACF_ORACLE)
+def q_events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample ACF of the hourly event-arrival series at lags 1..6 over
+    the DENSE hour spine (absent hours count 0 — the spine is what
+    makes the lag alignment physical time, not row adjacency).
+
+    Plan: one partial-aggregated groupBy(hour) is the only stage that
+    sees the corpus; the spine (time-span-bounded, model-sized at any
+    scale) is built from the 1-row bounds and every subsequent join —
+    spine×hist, lags×series, series×shifted-series — is a broadcast.
+    All sums are exact BIGINTs (module docstring identity); the single
+    float division happens on the 6 result rows."""
+    ev = table(spark, "events", sf_dir)
+    hist = ev.groupBy(
+        F.floor(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600
+        )
+        .cast("long")
+        .alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+
+    bounds = hist.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+    )
+    from mpi_word_count_spark.operators import track_cache
+
+    # model-sized (time-span-bounded); cached because the plan below
+    # references it 3 times and each reference would re-run the corpus
+    # histogram otherwise — released via release_caches()
+    x = track_cache(
+        spine.join(F.broadcast(hist), "h", "left").select(
+            "h", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("x")
+        )
+    )
+    g = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    a = x.select(F.col("h").alias("ah"), F.col("x").alias("ax"))
+    b = x.select(F.col("h").alias("bh"), F.col("x").alias("bx"))
+    lagsums = (
+        lags.crossJoin(F.broadcast(a))
+        .join(
+            F.broadcast(b),
+            F.col("bh") == F.col("ah") - F.col("lag"),
+        )
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum(F.col("ax") * F.col("bx")).cast("long").alias("p"),
+            F.sum("ax").cast("long").alias("sa"),
+            F.sum("bx").cast("long").alias("sb"),
+        )
+    )
+    j = lagsums.crossJoin(F.broadcast(g))
+    num = (
+        F.col("n") * F.col("n") * F.col("p")
+        - F.col("n") * F.col("s") * (F.col("sa") + F.col("sb"))
+        + (F.col("n") - F.col("lag")) * F.col("s") * F.col("s")
+    )
+    den = (
+        F.col("n") * F.col("n") * F.col("q")
+        - F.col("n") * F.col("s") * F.col("s")
+    )
+    return (
+        j.select(
+            F.col("lag").cast("long").alias("lag"),
+            "n_terms",
+            num.cast("long").alias("acf_num"),
+            den.cast("long").alias("acf_den"),
+            portable_round(
+                num.cast("double") / den.cast("double"), 6
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# event_transition_matrix
+# ---------------------------------------------------------------------------
+
+_TRANSITION_ORACLE = """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(count(*) AS BIGINT) AS n_trans
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT prev_type, CAST(sum(n_trans) AS BIGINT) AS row_total
+        FROM trans GROUP BY 1
+    )
+    SELECT t.prev_type, t.next_type, t.n_trans,
+           o.row_total,
+           CAST((1000 * t.n_trans) // o.row_total AS BIGINT) AS p_milli
+    FROM trans t JOIN tot o ON o.prev_type = t.prev_type
+    ORDER BY t.prev_type, t.next_type
+"""
+
+
+@register("event_transition_matrix", oracle=_TRANSITION_ORACLE)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event-type
+    sequences: P(next | prev) in exact integer milli-units, with the
+    underlying exact counts.  The session-modeling primitive behind
+    next-action prediction and funnel-anomaly scoring.
+
+    Plan: ONE per-user lag window (partitioned by user_id — the
+    partition key scales with the corpus, no global window) feeding a
+    partially-aggregated (prev, next) count; the transition matrix
+    itself is |types|² — model-sized — so the row-total join is a
+    broadcast.  Sequence order is (ts, event_id): the event_id
+    tiebreak makes same-timestamp ordering deterministic on both
+    engines."""
+    ev = table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
+    )
+    tot = trans.groupBy("prev_type").agg(
+        F.sum("n_trans").cast("long").alias("row_total")
+    )
+    return (
+        trans.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n_trans",
+            "row_total",
+            F.expr("CAST((1000 * n_trans) DIV row_total AS BIGINT)").alias(
+                "p_milli"
+            ),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# cohort_retention
+# ---------------------------------------------------------------------------
+
+_RETENTION_ORACLE = """
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS DATE) AS w
+        FROM events
+    ),
+    f AS (SELECT user_id, min(w) AS w0 FROM uw GROUP BY 1),
+    act AS (
+        SELECT f.w0, CAST((uw.w - f.w0) // 7 AS BIGINT) AS week_offset,
+               uw.user_id
+        FROM uw JOIN f USING (user_id)
+    ),
+    csize AS (
+        SELECT w0, CAST(count(*) AS BIGINT) AS cohort_size
+        FROM f GROUP BY 1
+    )
+    SELECT strftime(a.w0, '%Y-%m-%d') AS cohort_week, a.week_offset,
+           CAST(count(*) AS BIGINT) AS n_active,
+           s.cohort_size,
+           CAST((1000 * count(*)) // s.cohort_size AS BIGINT)
+               AS retention_milli
+    FROM act a JOIN csize s ON s.w0 = a.w0
+    GROUP BY 1, 2, s.cohort_size
+    ORDER BY 1, 2
+"""
+
+
+@register("cohort_retention", oracle=_RETENTION_ORACLE)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix: users grouped by first-active
+    week (ISO weeks, Monday start on both engines), retention at each
+    week offset in exact integer milli-units — the third classic in
+    this module's temporal-analytics family (ACF = continuous
+    diagnostic, transition matrix = discrete-state, cohorts =
+    longitudinal).
+
+    Plan: the corpus reduces immediately to DISTINCT (user, week) —
+    one shuffle; first-week and activity then co-partition on
+    user_id (one more shuffle, no re-exchange for the join); the
+    matrix is (weeks × offsets) — model-sized — so the cohort-size
+    join is a broadcast."""
+    ev = table(spark, "events", sf_dir)
+    uw = ev.select(
+        "user_id",
+        F.to_date(F.date_trunc("week", F.col("ts"))).alias("w"),
+    ).distinct()
+    first = uw.groupBy("user_id").agg(F.min("w").alias("w0"))
+    act = uw.join(first, "user_id").select(
+        "w0",
+        F.expr("CAST(datediff(w, w0) DIV 7 AS BIGINT)").alias("week_offset"),
+    )
+    ret = act.groupBy("w0", "week_offset").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active")
+    )
+    csize = first.groupBy("w0").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    return (
+        ret.join(F.broadcast(csize), "w0")
+        .select(
+            # presented as a STRING: DuckDB's pandas bridge widens
+            # DATE to datetime64, which would type-mismatch the hash
+            F.date_format("w0", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.expr(
+                "CAST((1000 * n_active) DIV cohort_size AS BIGINT)"
+            ).alias("retention_milli"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -62,19 +62,30 @@ _LOADED = False
 _PRIORITY = [
     # --- the 50-row driver budget, round 10 --------------------------
     # VERDICT r9 item 2: drain the r4 ledger vintage. Budget = flagship
-    # + the 4 round-10 additions + embedding_pca_power (exact-integer
-    # recurrence rework this round) + ALL 39 queries whose newest
-    # driver row is r4-vintage + the 5 alphabetically-first r5 rows.
-    # The remaining 41 r5 rows roll to r11 (max ledger age after this
-    # round = r5; judge independently re-verified 40 of the r4/r5 set
-    # green in r9, so none is suspected wrong — the evidence is old).
+    # + the 12 round-10 additions (4 session-1 + 8 session-2) +
+    # embedding_pca_power (exact-integer recurrence rework this round)
+    # + the r4-vintage queries in insertion order up to the 50-row cut
+    # (36 of 39 fit; the last three r4 rows roll to r11 with the r5 rows
+    # — never-verified queries outrank stale-but-judge-reswept rows;
+    # judge independently re-verified 40 of the r4/r5 set green in r9,
+    # so none is suspected wrong — the evidence is old).
     # flagship: a fresh row EVERY round, whatever else rotates
     "wordcount",
-    # round-10 new queries
+    # round-10 new queries (session 1)
     "incremental_embedding_dups",
     "byte_bpe_merges",
     "byte_bpe_token_counts",
     "streaming_embedding_dedup",
+    # round-10 new queries (session 2: time-series diagnostics,
+    # Aho-Corasick lexicon scan, link prediction, Naive Bayes)
+    "events_autocorrelation",
+    "event_transition_matrix",
+    "term_scan_census",
+    "supplier_link_prediction",
+    "naive_bayes_confusion",
+    "brand_price_mad_outliers",
+    "trade_graph_sssp",
+    "cohort_retention",
     # changed implementation this round (integer power iteration)
     "embedding_pca_power",
     # stale rotation: ALL 39 rows whose newest driver row is round 4
@@ -117,12 +128,9 @@ _PRIORITY = [
     "url_domain_stats",
     "user_erasure_audit",
     "user_session_counts",
-    # stalest r5 rows (alphabetical head; the rest roll to r11)
-    "ab_power_analysis",
-    "ab_test_readout",
-    "ann_filtered",
-    "attribution_model_comparison",
-    "bloom_fpr_audit",
+    # (the 5 alphabetical-head r5 rows budgeted early in the round were
+    # displaced by the 5 session-2 additions — never-verified queries
+    # outrank stale-but-judge-reswept rows; all r5 rows roll to r11)
     # --- the 50-row driver budget, round 9 (history) ------------------
     # VERDICT r8 item 3 + session-2 additions. Budget = flagship + the
     # 19 round-9 additions (2 subword-regularization, then the 17
@@ -975,6 +983,7 @@ def _load_all() -> None:
         streaming_queries,
         subquery_queries,
         text_queries,
+        timeseries_queries,
         tpch_gap_queries,
         tpch_more_queries,
         validation_queries,

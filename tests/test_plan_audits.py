@@ -667,3 +667,60 @@ def test_margin_alignment_windows_partition_by_query_id(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # scored A-x-B, one side broadcast
     assert not _unpartitioned_rank_windows(plan), plan
+
+
+def test_term_scan_census_single_arrow_pass(spark):
+    # the Aho-Corasick scan is ONE Arrow projection over the corpus
+    # (no per-pattern scans, no pre-scan shuffle); the only exchanges
+    # are the lexicon-sized aggregate + broadcast completion join
+    plan = plan_of(spark, "term_scan_census")
+    # the formatted plan prints each node twice (tree line + detail
+    # section): exactly ONE MapInPandas node = exactly two mentions
+    assert plan.count("MapInPandas") == 2
+    assert "CartesianProduct" not in plan
+    # corpus scan feeds the Arrow op directly: no Exchange may appear
+    # between the parquet scan and MapInPandas (projection order in
+    # the formatted plan: scan node id > MapInPandas node id means
+    # scan is its child subtree; cheap structural proxy — count total
+    # exchange NODES instead: groupBy(pattern) agg + final sort = at
+    # most 3 (doubled mentions: tree line + detail section)
+    assert plan.count("Exchange") <= 6
+
+
+def test_acf_single_corpus_shuffle(spark):
+    # one partial-aggregated groupBy(hour) sees the corpus; the spine
+    # self-joins ride broadcasts — no sort-merge join of the corpus
+    plan = plan_of(spark, "events_autocorrelation")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_transition_matrix_partitioned_window(spark):
+    # the lag window is per-user (partitioned); the row-total join is
+    # a broadcast of the model-sized matrix
+    plan = plan_of(spark, "event_transition_matrix")
+    assert "CartesianProduct" not in plan
+    assert _unpartitioned_window_nodes(plan) == []
+
+
+def test_mad_windows_are_brand_partitioned(spark):
+    plan = plan_of(spark, "brand_price_mad_outliers")
+    assert "CartesianProduct" not in plan
+    assert _unpartitioned_window_nodes(plan) == []
+
+
+def test_sssp_rounds_are_join_plus_agg(spark):
+    # bounded-round Bellman-Ford: no cartesian, no nested-loop join;
+    # every relaxation is an equi-join + partial-agg min
+    plan = plan_of(spark, "trade_graph_sssp")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_link_prediction_topk_is_heap(spark):
+    # the top-k must be TakeOrdered (per-partition heap + driver
+    # merge), never a global sort or an unpartitioned rank window
+    plan = plan_of(spark, "supplier_link_prediction")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert _unpartitioned_window_nodes(plan) == []

@@ -1,0 +1,226 @@
+"""Hand-computed checks for the round-10 session-2 queries: the ACF
+integer identity, the dense hour spine, the Markov transition matrix,
+Naive Bayes on a separable corpus, and link prediction on a known
+backbone. Each builds a tiny parquet fixture dir so the registered
+query runs unmodified; the full-SF oracle checks live in
+test_oracle_parity.py / sweep.py."""
+
+from __future__ import annotations
+
+import datetime
+import os
+from fractions import Fraction
+
+from mpi_word_count_spark.queries.graph_queries import (
+    q_supplier_link_prediction,
+)
+from mpi_word_count_spark.queries.inference_queries import (
+    q_naive_bayes_confusion,
+)
+from mpi_word_count_spark.queries.timeseries_queries import (
+    q_event_transition_matrix,
+    q_events_autocorrelation,
+)
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        [
+            (i, ts, uid, et, 1.0, "{}")
+            for i, (ts, uid, et) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "events.parquet")
+    )
+
+
+def test_acf_integer_identity():
+    # the scaled identity equals the classical mean-centered ACF
+    # exactly (checked in rational arithmetic, any series)
+    for xs in ([2, 0, 1], [5, 5, 5, 5], [1, 2, 3, 4, 5, 4, 3, 2]):
+        n, s, q = len(xs), sum(xs), sum(v * v for v in xs)
+        m = Fraction(s, n)
+        den_f = sum((Fraction(v) - m) ** 2 for v in xs)
+        for k in range(1, len(xs)):
+            p = sum(xs[t] * xs[t - k] for t in range(k, n))
+            sa = sum(xs[t] for t in range(k, n))
+            sb = sum(xs[t - k] for t in range(k, n))
+            num = n * n * p - n * s * (sa + sb) + (n - k) * s * s
+            den = n * n * q - n * s * s
+            num_f = sum(
+                (Fraction(xs[t]) - m) * (Fraction(xs[t - k]) - m)
+                for t in range(k, n)
+            )
+            if den_f:
+                assert Fraction(num, den) == num_f / den_f
+            else:
+                assert num == 0 and den == 0  # constant series
+
+
+def test_acf_query_with_gap_hour(spark, tmp_path):
+    # hourly counts [2, 0, 1]: the empty middle hour must come from
+    # the dense spine; lag-1 ACF is exactly -1/2
+    t0 = datetime.datetime(2024, 3, 1, 0, 0, 0)
+
+    def at(h, m):
+        return t0 + datetime.timedelta(hours=h, minutes=m)
+
+    _write_events(
+        spark,
+        str(tmp_path),
+        [
+            (at(0, 5), 1, "view"),
+            (at(0, 20), 1, "view"),
+            (at(2, 10), 2, "click"),
+        ],
+    )
+    rows = {
+        r.lag: r for r in q_events_autocorrelation(spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {1, 2}  # lags 3..6 have no aligned pairs
+    assert rows[1].n_terms == 2
+    assert rows[1].acf_num == -9 and rows[1].acf_den == 18
+    assert rows[1].acf == -0.5
+    # lag 2: P=2, A=1, B=2, num = 9*2*? -> compute: 9*2 - 3*3*3 + 1*9 = 0
+    assert rows[2].acf_num == 0 and rows[2].acf == 0.0
+
+
+def test_transition_matrix_hand_check(spark, tmp_path):
+    t0 = datetime.datetime(2024, 3, 1, 0, 0, 0)
+
+    def at(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    # user 1: a -> b -> a ; user 2: a -> a  (same-ts tie broken by
+    # event_id: rows are written in event_id order)
+    _write_events(
+        spark,
+        str(tmp_path),
+        [
+            (at(0), 1, "a"),
+            (at(10), 1, "b"),
+            (at(20), 1, "a"),
+            (at(5), 2, "a"),
+            (at(5), 2, "a"),
+        ],
+    )
+    got = {
+        (r.prev_type, r.next_type): (r.n_trans, r.row_total, r.p_milli)
+        for r in q_event_transition_matrix(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("a", "b"): (1, 2, 500),
+        ("a", "a"): (1, 2, 500),
+        ("b", "a"): (1, 1, 1000),
+    }
+
+
+def test_naive_bayes_separable_corpus(spark, tmp_path):
+    docs = [
+        (1, "cat dog cat", "en"),
+        (2, "dog dog cat", "en"),
+        (3, "hund katze hund", "de"),
+        (4, "katze katze hund", "de"),
+    ]
+    spark.createDataFrame(
+        [(i, t, lang, "test", len(t)) for i, t, lang in docs],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    got = {
+        (r.true_lang, r.pred_lang): r.n_docs
+        for r in q_naive_bayes_confusion(spark, str(tmp_path)).collect()
+    }
+    # disjoint vocabularies -> perfect diagonal
+    assert got == {("de", "de"): 2, ("en", "en"): 2}
+
+
+def test_link_prediction_known_backbone(spark, tmp_path):
+    # orders 1-5 pair suppliers (1,2); orders 6-10 pair (1,3):
+    # backbone edges (1,2),(1,3) at the support-5 cut. The only
+    # non-adjacent wedge pair is (2,3) through mid 1 with deg(1)=2:
+    # CN=1, RA=500000 micro.
+    rows = []
+    for ok in (1, 2, 3, 4, 5):
+        rows += [(ok, 1), (ok, 2)]
+    for ok in (6, 7, 8, 9, 10):
+        rows += [(ok, 1), (ok, 3)]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_suppkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "lineitem.parquet")
+    )
+    got = [
+        (r.suppkey_a, r.suppkey_b, r.common_neighbors, r.ra_micro)
+        for r in q_supplier_link_prediction(spark, str(tmp_path)).collect()
+    ]
+    assert got == [(2, 3, 1, 500000)]
+
+
+def test_mad_outliers_hand_check(spark, tmp_path):
+    # brand A prices 1.00 2.00 3.00 10.00: median 2.50, MAD 1.00,
+    # one point beyond 1.5*MAD (the 10.00)
+    spark.createDataFrame(
+        [(1, "Brand#A")], "p_partkey long, p_brand string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "part.parquet")
+    )
+    spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (1, 3.0), (1, 10.0)],
+        "l_partkey long, l_extendedprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "lineitem.parquet")
+    )
+    from mpi_word_count_spark.queries.stats_queries import (
+        q_brand_price_mad_outliers,
+    )
+
+    [r] = q_brand_price_mad_outliers(spark, str(tmp_path)).collect()
+    assert (r.brand, r.n, r.median_cents, r.mad_cents, r.n_outliers) == (
+        "Brand#A",
+        4,
+        250.0,
+        100.0,
+        1,
+    )
+
+
+def test_sssp_hand_check(spark, tmp_path):
+    # same backbone as the link-prediction fixture: edges (1,2) and
+    # (1,3), support 3 each -> w = 333333; source = min node = 1
+    rows = []
+    for ok in (1, 2, 3):
+        rows += [(ok, 1), (ok, 2)]
+    for ok in (4, 5, 6):
+        rows += [(ok, 1), (ok, 3)]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_suppkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "lineitem.parquet")
+    )
+    from mpi_word_count_spark.queries.graph_queries import q_trade_graph_sssp
+
+    got = [
+        (r.suppkey, r.dist_micro)
+        for r in q_trade_graph_sssp(spark, str(tmp_path)).collect()
+    ]
+    assert got == [(1, 0), (2, 333333), (3, 333333)]
+
+
+def test_bellman_ford_shorter_two_hop_wins(spark):
+    # direct edge 1->3 costs 10, the 1->2->3 path costs 2+3=5: the
+    # round-2 relaxation must lower the round-1 distance
+    from mpi_word_count_spark.operators.graph import bellman_ford
+
+    edges = spark.createDataFrame(
+        [(1, 3, 10), (1, 2, 2), (2, 3, 3)], "src long, dst long, w long"
+    )
+    src = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r.node: r.dist for r in bellman_ford(edges, src, rounds=4).collect()
+    }
+    assert got == {1: 0, 2: 2, 3: 5}
