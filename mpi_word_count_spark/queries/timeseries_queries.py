@@ -40,12 +40,11 @@ from mpi_word_count_spark.tables import table
 
 ACF_MAX_LAG = 6
 
-# ---------------------------------------------------------------------------
-# events_autocorrelation
-# ---------------------------------------------------------------------------
-
-_ACF_ORACLE = f"""
-    WITH hist AS (
+# shared dense hourly series: the hour histogram is the ONE
+# corpus-sized stage of every query below; the spine (time-span
+# bounded, model-sized at any corpus scale) densifies absent hours to
+# zero so lag/cumulative arithmetic runs over physical time
+_SERIES_CTE = """hist AS (
         SELECT CAST(floor(epoch(date_trunc('hour', ts)) / 3600)
                     AS BIGINT) AS h,
                CAST(count(*) AS BIGINT) AS c
@@ -60,7 +59,40 @@ _ACF_ORACLE = f"""
     x AS (
         SELECT s.h, CAST(coalesce(hist.c, 0) AS BIGINT) AS x
         FROM spine s LEFT JOIN hist ON hist.h = s.h
-    ),
+    )"""
+
+
+def _hour_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _SERIES_CTE: the dense hourly count series
+    (h, x), cached (model-sized; consumers reference it repeatedly —
+    released via release_caches())."""
+    from mpi_word_count_spark.operators import track_cache
+
+    ev = table(spark, "events", sf_dir)
+    hist = ev.groupBy(
+        F.floor(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600
+        )
+        .cast("long")
+        .alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    bounds = hist.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+    )
+    return track_cache(
+        spine.join(F.broadcast(hist), "h", "left").select(
+            "h", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("x")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_autocorrelation
+# ---------------------------------------------------------------------------
+
+_ACF_ORACLE = f"""
+    WITH {_SERIES_CTE},
     g AS (
         SELECT CAST(count(*) AS BIGINT) AS n,
                CAST(sum(x) AS BIGINT) AS s,
@@ -105,31 +137,7 @@ def q_events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine×hist, lags×series, series×shifted-series — is a broadcast.
     All sums are exact BIGINTs (module docstring identity); the single
     float division happens on the 6 result rows."""
-    ev = table(spark, "events", sf_dir)
-    hist = ev.groupBy(
-        F.floor(
-            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600
-        )
-        .cast("long")
-        .alias("h")
-    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
-
-    bounds = hist.agg(
-        F.min("h").alias("h0"), F.max("h").alias("h1")
-    )
-    spine = bounds.select(
-        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
-    )
-    from mpi_word_count_spark.operators import track_cache
-
-    # model-sized (time-span-bounded); cached because the plan below
-    # references it 3 times and each reference would re-run the corpus
-    # histogram otherwise — released via release_caches()
-    x = track_cache(
-        spine.join(F.broadcast(hist), "h", "left").select(
-            "h", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("x")
-        )
-    )
+    x = _hour_series(spark, sf_dir)
     g = x.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("s"),
@@ -326,4 +334,185 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention_milli"),
         )
         .orderBy("cohort_week", "week_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_cusum_changepoint
+# ---------------------------------------------------------------------------
+
+_CUSUM_ORACLE = f"""
+    WITH {_SERIES_CTE},
+    cum AS (
+        SELECT h, x,
+               CAST(sum(x) OVER (ORDER BY h) AS BIGINT) AS st,
+               CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS ct
+        FROM x
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sn
+        FROM x
+    ),
+    scored AS (
+        SELECT c.h, c.st, c.ct, t.n, t.sn,
+               abs(t.n * c.st - c.ct * t.sn) AS d_num
+        FROM cum c, tot t
+        WHERE c.ct < t.n
+    ),
+    best AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                ORDER BY d_num DESC, h ASC) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT h AS split_hour, n, d_num,
+           CAST((1000 * st) // ct AS BIGINT) AS mean_pre_milli,
+           CAST((1000 * (sn - st)) // (n - ct) AS BIGINT)
+               AS mean_post_milli
+    FROM best
+"""
+
+
+@register("events_cusum_changepoint", oracle=_CUSUM_ORACLE)
+def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-most-one-changepoint CUSUM scan of the hourly arrival
+    series: the split hour maximizing |n·S_t − c_t·S_n| — the exact
+    integer form of the classical max-CUSUM statistic (Page 1954;
+    same cross-multiplication device as value_ks_test, which is its
+    two-SAMPLE sibling — this is the two-REGIME-in-time form) — with
+    the exact milli-mean of each regime.
+
+    Plan: the series helper's one corpus shuffle, then a cumulative
+    window over the time-bounded spine (allowlisted bounded-domain
+    window, 2-col input) and a 1-row argmax via TakeOrdered."""
+    x = _hour_series(spark, sf_dir)
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    cum = x.select(
+        "h",
+        F.sum("x").over(w).cast("long").alias("st"),
+        F.row_number().over(Window.orderBy("h")).cast("long").alias("ct"),
+    )
+    tot = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sn"),
+    )
+    scored = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("ct") < F.col("n"))
+        .select(
+            "h",
+            "st",
+            "ct",
+            "n",
+            "sn",
+            F.abs(
+                F.col("n") * F.col("st") - F.col("ct") * F.col("sn")
+            ).alias("d_num"),
+        )
+    )
+    best = scored.orderBy(F.desc("d_num"), F.asc("h")).limit(1)
+    return best.select(
+        F.col("h").alias("split_hour"),
+        "n",
+        "d_num",
+        F.expr("CAST((1000 * st) DIV ct AS BIGINT)").alias("mean_pre_milli"),
+        F.expr(
+            "CAST((1000 * (sn - st)) DIV (n - ct) AS BIGINT)"
+        ).alias("mean_post_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# theil_sen_trend
+# ---------------------------------------------------------------------------
+
+_THEILSEN_ORACLE = f"""
+    WITH {_SERIES_CTE},
+    slopes AS (
+        SELECT CAST((1000 * (b.x - a.x)) // (b.h - a.h) AS BIGINT)
+                   AS slope_milli,
+               CAST(count(*) AS BIGINT) AS c
+        FROM x a JOIN x b ON b.h > a.h
+        GROUP BY 1
+    ),
+    m AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n_pairs,
+               CAST((sum(c) + 1) // 2 AS BIGINT) AS k1,
+               CAST((sum(c) + 2) // 2 AS BIGINT) AS k2
+        FROM slopes
+    ),
+    cums AS (
+        SELECT slope_milli, c,
+               sum(c) OVER (ORDER BY slope_milli) AS cu
+        FROM slopes
+    ),
+    med AS (
+        SELECT CAST(min(CASE WHEN cu >= m.k1 THEN slope_milli END)
+                    + min(CASE WHEN cu >= m.k2 THEN slope_milli END)
+                    AS BIGINT) AS med2
+        FROM cums, m
+    )
+    SELECT m.n_pairs,
+           CAST(med.med2 AS DOUBLE) / 2.0 AS slope_milli_per_hour
+    FROM m, med
+"""
+
+
+@register("theil_sen_trend", oracle=_THEILSEN_ORACLE)
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of the hourly arrival series: the
+    median over ALL pairwise slopes (Theil 1950; Sen 1968 — 29.3%
+    breakdown point vs 0% for OLS). Each slope is an exact integer
+    milli-unit (1000·Δx div Δh — `div`/`//` both truncate toward
+    zero, verified); the median comes from the same doubled-median
+    histogram order-statistic device as brand_price_mad_outliers, so
+    the result is exact to the half-milli.
+
+    Plan: the T-hour series is time-span-bounded, so the O(T²) pair
+    enumeration is a broadcast nested-loop of a MODEL-SIZED relation
+    with itself — bounded at any corpus scale (T grows with the time
+    span, not the row count); the slope histogram window is
+    slope-domain-bounded (allowlisted)."""
+    x = _hour_series(spark, sf_dir)
+    a = x.select(F.col("h").alias("ha"), F.col("x").alias("xa"))
+    b = x.select(F.col("h").alias("hb"), F.col("x").alias("xb"))
+    slopes = (
+        a.join(F.broadcast(b), F.col("hb") > F.col("ha"))
+        .groupBy(
+            F.expr(
+                "CAST((1000 * (xb - xa)) DIV (hb - ha) AS BIGINT)"
+            ).alias("slope_milli")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    m = slopes.agg(
+        F.sum("c").cast("long").alias("n_pairs"),
+        F.expr("CAST((sum(c) + 1) DIV 2 AS BIGINT)").alias("k1"),
+        F.expr("CAST((sum(c) + 2) DIV 2 AS BIGINT)").alias("k2"),
+    )
+    w = Window.orderBy("slope_milli").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cums = slopes.select(
+        "slope_milli", "c", F.sum("c").over(w).alias("cu")
+    )
+    med = (
+        cums.crossJoin(F.broadcast(m))
+        .agg(
+            (
+                F.min(
+                    F.when(F.col("cu") >= F.col("k1"), F.col("slope_milli"))
+                )
+                + F.min(
+                    F.when(F.col("cu") >= F.col("k2"), F.col("slope_milli"))
+                )
+            )
+            .cast("long")
+            .alias("med2")
+        )
+    )
+    return med.crossJoin(F.broadcast(m)).select(
+        "n_pairs",
+        (F.col("med2").cast("double") / 2.0).alias("slope_milli_per_hour"),
     )

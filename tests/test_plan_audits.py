@@ -470,6 +470,15 @@ def test_no_cartesian_product_anywhere_in_the_registry(spark):
 UNPART_WINDOW_ALLOWED = {
     # rank family over bounded heads (round-5 allowlist, kept)
     "zipf_fit": "rank over the top-100k TakeOrdered head",
+    # round-10: time-/value-domain-bounded series windows
+    "events_cusum_changepoint": (
+        "cumsum + row_number over the dense hour spine — bounded by"
+        " the TIME SPAN, not the corpus (2-col series input)"
+    ),
+    "theil_sen_trend": (
+        "cumsum over the pairwise-slope histogram — slope-domain-"
+        "bounded (milli-quantized), the KS/AUC histogram shape"
+    ),
     "neyman_allocation_plan": (
         "largest-remainder rank + cumsum over STRATA rows (one per"
         " event_type)"

@@ -224,3 +224,52 @@ def test_bellman_ford_shorter_two_hop_wins(spark):
         r.node: r.dist for r in bellman_ford(edges, src, rounds=4).collect()
     }
     assert got == {1: 0, 2: 2, 3: 5}
+
+
+def test_cusum_hand_check(spark, tmp_path):
+    # series [5, 5, 0, 1] (hour 2 empty -> spine zero): the regime
+    # break after hour 1 is the max-CUSUM split (arithmetic below)
+    t0 = datetime.datetime(2024, 3, 1, 0, 0, 0)
+
+    def at(h, m):
+        return t0 + datetime.timedelta(hours=h, minutes=m)
+
+    rows = [(at(h, 2 * i), 1, "view") for h in (0, 1) for i in range(5)]
+    rows.append((at(3, 1), 2, "click"))
+    # hour 3 has 1 event, hours 0-1 have 5 each, hour 2 empty ->
+    # series [5, 5, 0, 1]: S=[5,10,10], n=4, Sn=11
+    # ct=1: |20-11|=9; ct=2: |40-22|=18; ct=3: |40-33|=7 -> split ct=2
+    _write_events(spark, str(tmp_path), rows)
+    from mpi_word_count_spark.queries.timeseries_queries import (
+        q_events_cusum_changepoint,
+    )
+
+    [r] = q_events_cusum_changepoint(spark, str(tmp_path)).collect()
+    h0 = int(t0.timestamp() // 3600)
+    assert r.split_hour == h0 + 1
+    assert r.n == 4 and r.d_num == 18
+    assert r.mean_pre_milli == 5000  # (1000*10) div 2
+    assert r.mean_post_milli == 500  # (1000*1) div 2
+
+
+def test_theil_sen_hand_check(spark, tmp_path):
+    # series [0, 2, 4] (hours 0,1,2): slopes 2000,2000,2000 -> median
+    # slope 2000 milli/hour over 3 pairs
+    t0 = datetime.datetime(2024, 3, 1, 0, 0, 0)
+
+    def at(h, m):
+        return t0 + datetime.timedelta(hours=h, minutes=m)
+
+    rows = [(at(1, i), 1, "view") for i in range(2)]
+    rows += [(at(2, i), 1, "view") for i in range(4)]
+    rows += [(at(0, 30), 2, "click")]
+    # series [1, 2, 4]: slopes (0,1)=1000, (1,2)=2000, (0,2)=1500
+    # median = 1500
+    _write_events(spark, str(tmp_path), rows)
+    from mpi_word_count_spark.queries.timeseries_queries import (
+        q_theil_sen_trend,
+    )
+
+    [r] = q_theil_sen_trend(spark, str(tmp_path)).collect()
+    assert r.n_pairs == 3
+    assert r.slope_milli_per_hour == 1500.0
