@@ -461,3 +461,54 @@ def bellman_ford(
     for kept in live_ckpts:
         track_releaser(lambda df=kept: _unpersist_local_ckpt(df))
     return dist
+
+
+HITS_ROUNDS = 3
+HITS_SCALE = 1024
+HITS_RESCALE = 64
+
+
+def hits_fixed_point(
+    edges: DataFrame,
+    rounds: int = HITS_ROUNDS,
+    scale: int = HITS_SCALE,
+    rescale: int = HITS_RESCALE,
+) -> tuple[DataFrame, DataFrame]:
+    """Integer fixed-point HITS (Kleinberg 1999) on a DIRECTED edge
+    set DataFrame[src, dst]: hubs start at `scale`, each half-step
+    aggregates the opposite side's scores and rescales by an integer
+    division (`div rescale`) instead of the float L2 normalization —
+    deterministic, exact, and associative, so the scores are
+    bit-identical across engines/partitionings (the integer-PageRank
+    argument above; only the RATIO of scores matters for ranking and
+    integer rescale preserves it to the dropped low bits).
+
+    Returns (authorities: [dst, a], hubs: [src, h]) after `rounds`
+    full rounds. Overflow bound: score ≤ scale·(max_deg/rescale)^(2r)
+    — at rescale 64 a 10⁶-degree hub supports 3 rounds inside int64;
+    larger graphs raise `rescale`, trading rank resolution exactly as
+    integer PageRank trades SCALE.
+
+    Scale shape: per half-step ONE equi-join + ONE partial-aggregated
+    shuffle (the pagerank/LPA/SSSP round shape); score state is
+    16 B/node; the edge list is materialized once."""
+    adj = edges.localCheckpoint()
+    hubs = (
+        adj.select("src")
+        .distinct()
+        .select("src", F.lit(scale).cast("long").alias("h"))
+    )
+    auth = None
+    for _ in range(rounds):
+        auth = (
+            adj.join(hubs, "src")
+            .groupBy("dst")
+            .agg(F.expr(f"CAST(sum(h) DIV {rescale} AS BIGINT)").alias("a"))
+        )
+        hubs = (
+            adj.join(auth, "dst")
+            .groupBy("src")
+            .agg(F.expr(f"CAST(sum(a) DIV {rescale} AS BIGINT)").alias("h"))
+        )
+    track_releaser(lambda df=adj: _unpersist_local_ckpt(df))
+    return auth, hubs

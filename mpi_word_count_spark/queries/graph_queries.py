@@ -851,3 +851,74 @@ def q_trade_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("long").alias("suppkey"),
         F.col("dist").cast("long").alias("dist_micro"),
     ).orderBy("suppkey")
+
+
+# ---------------------------------------------------------------------------
+# HITS on the directed customer -> supplier trade graph
+# ---------------------------------------------------------------------------
+
+_HITS_TOPK = 20
+
+
+def _hits_oracle(rounds: int = 3, scale: int = 1024, rescale: int = 64) -> str:
+    head = f"""
+    WITH e AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    h0 AS (SELECT DISTINCT c, CAST({scale} AS BIGINT) AS h FROM e)"""
+    steps = ""
+    for i in range(rounds):
+        steps += f""",
+    a{i + 1} AS (
+        SELECT e.s, CAST(sum(h{i}.h) // {rescale} AS BIGINT) AS a
+        FROM e JOIN h{i} USING (c) GROUP BY 1
+    ),
+    h{i + 1} AS (
+        SELECT e.c, CAST(sum(a{i + 1}.a) // {rescale} AS BIGINT) AS h
+        FROM e JOIN a{i + 1} USING (s) GROUP BY 1
+    )"""
+    return (
+        head
+        + steps
+        + f"""
+    SELECT CAST(s AS BIGINT) AS suppkey, a AS authority_fp
+    FROM a{rounds}
+    ORDER BY a DESC, s ASC LIMIT {_HITS_TOPK}"""
+    )
+
+
+@register("trade_graph_hits", oracle=_hits_oracle())
+def q_trade_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 authority suppliers under integer fixed-point HITS on
+    the DIRECTED customer→supplier purchase graph — on a bipartite
+    graph the hub/authority duality is exactly the buyer-breadth /
+    supplier-centrality decomposition, which is what distinguishes
+    HITS from the undirected-PageRank view of the same relation
+    (operators/graph.py:hits_fixed_point for the exactness and
+    overflow arguments).
+
+    Per half-step: one equi-join + one partial-aggregated shuffle;
+    the oracle unrolls one hub and one authority CTE per round; the
+    top-k is TakeOrdered with a total (a, suppkey) order."""
+    from mpi_word_count_spark.operators.graph import hits_fixed_point
+
+    o = table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    e = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            F.col("l_suppkey").alias("dst"),
+        )
+        .distinct()
+    )
+    auth, _hubs = hits_fixed_point(e)
+    return (
+        auth.orderBy(F.desc("a"), F.asc("dst"))
+        .limit(_HITS_TOPK)
+        .select(
+            F.col("dst").cast("long").alias("suppkey"),
+            F.col("a").alias("authority_fp"),
+        )
+    )

@@ -273,3 +273,21 @@ def test_theil_sen_hand_check(spark, tmp_path):
     [r] = q_theil_sen_trend(spark, str(tmp_path)).collect()
     assert r.n_pairs == 3
     assert r.slope_milli_per_hour == 1500.0
+
+
+def test_hits_fixed_point_hand_check(spark):
+    # bipartite c1->{s10,s20}, c2->{s10}; scale 1024, rescale 2:
+    #   a1: s10 = 2048//2 = 1024, s20 = 1024//2 = 512
+    #   h1: c1 = (1024+512)//2 = 768, c2 = 1024//2 = 512
+    #   a2: s10 = (768+512)//2 = 640, s20 = 768//2 = 384
+    from mpi_word_count_spark.operators.graph import hits_fixed_point
+
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 10)], "src long, dst long"
+    )
+    auth, hubs = hits_fixed_point(edges, rounds=2, scale=1024, rescale=2)
+    assert {r.dst: r.a for r in auth.collect()} == {10: 640, 20: 384}
+    assert {r.src: r.h for r in hubs.collect()} == {
+        1: (640 + 384) // 2,
+        2: 640 // 2,
+    }
