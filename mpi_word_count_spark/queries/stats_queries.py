@@ -854,3 +854,166 @@ def q_brand_price_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# closed-form ALS: per-customer factors against fixed item factors
+# ---------------------------------------------------------------------------
+
+# One half-step of Alternating Least Squares (Koren/Bell/Volinsky
+# 2009) in its cluster-scale form: item factors FIXED (deterministic
+# md5-derived integers in [-4, 4], the demo_weights device), so each
+# user's factor vector solves an independent regularized 3x3 normal
+# equation whose sufficient statistics are exact integer sums — the
+# per-user twin of price_ols_model's global Cramer solve. λ = 1 makes
+# A = Σqqᵀ + I positive definite: det > 0 always, no degenerate
+# division.
+_ALS_DIM = 3
+_ALS_LAMBDA = 1
+
+# symmetric A with the ridge term folded in textually
+_ALS_E11 = f"(a11 + {_ALS_LAMBDA})"
+_ALS_E22 = f"(a22 + {_ALS_LAMBDA})"
+_ALS_E33 = f"(a33 + {_ALS_LAMBDA})"
+_ALS_DET = (
+    f"({_ALS_E11}*({_ALS_E22}*{_ALS_E33} - a23*a23)"
+    f" - a12*(a12*{_ALS_E33} - a23*a13)"
+    f" + a13*(a12*a23 - {_ALS_E22}*a13))"
+)
+_ALS_DET1 = (
+    f"(b1*({_ALS_E22}*{_ALS_E33} - a23*a23)"
+    f" - a12*(b2*{_ALS_E33} - a23*b3)"
+    f" + a13*(b2*a23 - {_ALS_E22}*b3))"
+)
+_ALS_DET2 = (
+    f"({_ALS_E11}*(b2*{_ALS_E33} - a23*b3)"
+    f" - b1*(a12*{_ALS_E33} - a23*a13)"
+    f" + a13*(a12*b3 - b2*a13))"
+)
+_ALS_DET3 = (
+    f"({_ALS_E11}*({_ALS_E22}*b3 - b2*a23)"
+    f" - a12*(a12*b3 - b2*a13)"
+    f" + b1*(a12*a23 - {_ALS_E22}*a13))"
+)
+
+_ALS_FINAL = f"""
+    SELECT custkey, n_items,
+           {sql_portable_round(f'{_ALS_DET1} / {_ALS_DET}', 6)} AS w1,
+           {sql_portable_round(f'{_ALS_DET2} / {_ALS_DET}', 6)} AS w2,
+           {sql_portable_round(f'{_ALS_DET3} / {_ALS_DET}', 6)} AS w3
+"""
+_ALS_FINAL_EXPRS = _ALS_FINAL.strip()[len("SELECT ") :]
+
+
+_ALS_Q_COLS = " , ".join(
+    "(("
+    + sql_hash32(f"CAST(s AS VARCHAR) || ':{d}'", "alsq")
+    + f" % 9) - 4) AS q{d}"
+    for d in (1, 2, 3)
+)
+
+_ALS_ORACLE = f"""
+    WITH pairs AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s,
+               o.o_orderkey AS ok
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    ratings AS (
+        SELECT c, s, CAST(count(*) AS BIGINT) AS r
+        FROM pairs GROUP BY 1, 2
+    ),
+    feat AS (
+        SELECT c, r, {_ALS_Q_COLS}
+        FROM ratings
+    ),
+    sums AS (
+        SELECT c AS custkey,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(q1*q1) AS DOUBLE) AS a11,
+               CAST(sum(q1*q2) AS DOUBLE) AS a12,
+               CAST(sum(q1*q3) AS DOUBLE) AS a13,
+               CAST(sum(q2*q2) AS DOUBLE) AS a22,
+               CAST(sum(q2*q3) AS DOUBLE) AS a23,
+               CAST(sum(q3*q3) AS DOUBLE) AS a33,
+               CAST(sum(r*q1) AS DOUBLE) AS b1,
+               CAST(sum(r*q2) AS DOUBLE) AS b2,
+               CAST(sum(r*q3) AS DOUBLE) AS b3
+        FROM feat GROUP BY 1
+    )
+    {_ALS_FINAL}
+    FROM sums
+    ORDER BY custkey
+"""
+
+
+@register("als_customer_factors", oracle=_ALS_ORACLE)
+def q_als_customer_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One ALS half-step: per-customer latent factors against FIXED
+    md5-derived integer item (supplier) factors, order-count implicit
+    ratings, ridge λ=1 — the recommendation-pipeline primitive in its
+    only 100 TB-viable form (module note above).
+
+    Plan: ONE corpus shuffle builds (customer, supplier, rating);
+    item factors are computed INLINE from the supplier key (no join,
+    no factor table to broadcast); the per-customer 3x3 sufficient
+    statistics ride a second partial-aggregated shuffle keyed by
+    customer, and the Cramer solve is a projection over the
+    customer-sized aggregate (the identical formula text runs on both
+    engines over exact integer sums, the price_ols_model device)."""
+    from mpi_word_count_spark.functions.hashing import hash32
+
+    o = table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.col("l_suppkey").alias("s"),
+            F.col("o_orderkey").alias("ok"),
+        )
+        .distinct()
+    )
+    ratings = pairs.groupBy("c", "s").agg(
+        F.count(F.lit(1)).cast("long").alias("r")
+    )
+    feat = ratings.select(
+        "c",
+        "r",
+        *[
+            (
+                hash32(
+                    F.concat_ws(
+                        ":", F.col("s").cast("string"), F.lit(str(d))
+                    ),
+                    "alsq",
+                )
+                % 9
+                - 4
+            ).alias(f"q{d}")
+            for d in (1, 2, 3)
+        ],
+    )
+    sums = feat.groupBy(F.col("c").alias("custkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        *[
+            F.sum(F.col(a) * F.col(b)).cast("double").alias(n)
+            for a, b, n in (
+                ("q1", "q1", "a11"),
+                ("q1", "q2", "a12"),
+                ("q1", "q3", "a13"),
+                ("q2", "q2", "a22"),
+                ("q2", "q3", "a23"),
+                ("q3", "q3", "a33"),
+            )
+        ],
+        *[
+            F.sum(F.col("r") * F.col(q)).cast("double").alias(n)
+            for q, n in (("q1", "b1"), ("q2", "b2"), ("q3", "b3"))
+        ],
+    )
+    out = sums.selectExpr(*_split_select(_ALS_FINAL_EXPRS))
+    return out.select(
+        "custkey",
+        "n_items",
+        *[F.col(c).cast("double").alias(c) for c in ("w1", "w2", "w3")],
+    ).orderBy("custkey")

@@ -62,10 +62,10 @@ _LOADED = False
 _PRIORITY = [
     # --- the 50-row driver budget, round 10 --------------------------
     # VERDICT r9 item 2: drain the r4 ledger vintage. Budget = flagship
-    # + the 15 round-10 additions (4 session-1 + 11 session-2) +
+    # + the 16 round-10 additions (4 session-1 + 12 session-2) +
     # embedding_pca_power (exact-integer recurrence rework this round)
     # + the r4-vintage queries in insertion order up to the 50-row cut
-    # (33 of 39 fit; the last six r4 rows roll to r11 with the r5 rows
+    # (32 of 39 fit; the last seven r4 rows roll to r11 with the r5 rows
     # — never-verified queries outrank stale-but-judge-reswept rows;
     # judge independently re-verified 40 of the r4/r5 set green in r9,
     # so none is suspected wrong — the evidence is old).
@@ -89,6 +89,7 @@ _PRIORITY = [
     "events_cusum_changepoint",
     "theil_sen_trend",
     "trade_graph_hits",
+    "als_customer_factors",
     # changed implementation this round (integer power iteration)
     "embedding_pca_power",
     # stale rotation: ALL 39 rows whose newest driver row is round 4

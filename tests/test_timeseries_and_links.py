@@ -291,3 +291,69 @@ def test_hits_fixed_point_hand_check(spark):
         1: (640 + 384) // 2,
         2: 640 // 2,
     }
+
+
+def test_als_factors_python_replica(spark, tmp_path):
+    # 1 customer, suppliers 7 (2 orders) and 9 (1 order): replicate
+    # the md5 factors and the Cramer solve in python, term for term
+    from mpi_word_count_spark.functions.hashing import py_hash32
+    from mpi_word_count_spark.queries.stats_queries import (
+        q_als_customer_factors,
+    )
+
+    spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "o_orderkey long, o_custkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "orders.parquet")
+    )
+    spark.createDataFrame(
+        [(1, 7), (2, 7), (3, 9)], "l_orderkey long, l_suppkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "lineitem.parquet")
+    )
+
+    def q(s, d):
+        return (py_hash32(f"{s}:{d}", "alsq") % 9) - 4
+
+    items = [(7, 2), (9, 1)]  # (supplier, rating)
+    a = {}
+    for i in (1, 2, 3):
+        for j in (1, 2, 3):
+            a[i, j] = float(sum(q(s, i) * q(s, j) for s, _ in items))
+    b = {i: float(sum(r * q(s, i) for s, r in items)) for i in (1, 2, 3)}
+    e11, e22, e33 = a[1, 1] + 1, a[2, 2] + 1, a[3, 3] + 1
+    a12, a13, a23 = a[1, 2], a[1, 3], a[2, 3]
+    b1, b2, b3 = b[1], b[2], b[3]
+    det = (
+        e11 * (e22 * e33 - a23 * a23)
+        - a12 * (a12 * e33 - a23 * a13)
+        + a13 * (a12 * a23 - e22 * a13)
+    )
+    d1 = (
+        b1 * (e22 * e33 - a23 * a23)
+        - a12 * (b2 * e33 - a23 * b3)
+        + a13 * (b2 * a23 - e22 * b3)
+    )
+    d2 = (
+        e11 * (b2 * e33 - a23 * b3)
+        - b1 * (a12 * e33 - a23 * a13)
+        + a13 * (a12 * b3 - b2 * a13)
+    )
+    d3 = (
+        e11 * (e22 * b3 - b2 * a23)
+        - a12 * (a12 * b3 - b2 * a13)
+        + b1 * (a12 * a23 - e22 * a13)
+    )
+
+    import math
+
+    def r6(v):
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
+    [row] = q_als_customer_factors(spark, str(tmp_path)).collect()
+    assert row.custkey == 1 and row.n_items == 2
+    assert (row.w1, row.w2, row.w3) == (
+        r6(d1 / det),
+        r6(d2 / det),
+        r6(d3 / det),
+    )
