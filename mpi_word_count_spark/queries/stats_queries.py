@@ -29,7 +29,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mpi_word_count_spark.functions.hashing import sql_hash32
-from mpi_word_count_spark.functions.parity import sql_portable_round
+from mpi_word_count_spark.functions.parity import (
+    portable_round,
+    sql_portable_round,
+)
 from mpi_word_count_spark.registry import register
 from mpi_word_count_spark.tables import table
 
@@ -1017,3 +1020,194 @@ def q_als_customer_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_items",
         *[F.col(c).cast("double").alias(c) for c in ("w1", "w2", "w3")],
     ).orderBy("custkey")
+
+
+# ---------------------------------------------------------------------------
+# concentration metrics: revenue Gini and supplier HHI
+# ---------------------------------------------------------------------------
+
+# Gini from the value histogram, exactly: with per-customer revenue
+# r (integer cents) bucketed into counts c_v per distinct value v
+# (ascending), the rank-sum Σ i·x_(i) decomposes per bucket as
+# v · (cum_prev + 1 + cum) · c_v / 2 — (cum_prev+cum+1)·c_v is always
+# even·odd or odd·even times... guarded by scaling by 2 throughout:
+#   G = (2·Σ i·x_(i)) / (n·Σx) − (n+1)/n
+# is emitted as 2·rank-sum (exact BIGINT), n, and total, with the one
+# float division at presentation.
+_GINI_ORACLE = f"""
+    WITH rev AS (
+        SELECT o.o_custkey,
+               CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS r
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1
+    ),
+    hist AS (
+        SELECT r AS v, CAST(count(*) AS BIGINT) AS c
+        FROM rev GROUP BY 1
+    ),
+    cum AS (
+        SELECT v, c,
+               CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cu
+        FROM hist
+    ),
+    parts AS (
+        -- per bucket: Σ over its ranks i of i·v
+        --   = v · (cu_prev+1 + cu) · c / 2 ; doubled to stay integral
+        SELECT CAST(sum(v * ((cu - c + 1) + cu) * c) AS BIGINT)
+                   AS ranksum2,
+               CAST(sum(v * c) AS BIGINT) AS total,
+               CAST(sum(c) AS BIGINT) AS n
+        FROM cum
+    )
+    SELECT n, total, ranksum2,
+           {sql_portable_round(
+               'CAST(ranksum2 AS DOUBLE)'
+               ' / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))'
+               ' - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)', 6)}
+               AS gini
+    FROM parts
+"""
+
+
+@register("revenue_gini", oracle=_GINI_ORACLE)
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the inequality /
+    concentration audit (a data-curation analogue: the same statistic
+    flags source-domination in corpus mixtures). Computed EXACTLY via
+    the revenue histogram: the sorted rank-sum Σ i·x_(i) decomposes
+    per distinct value into integer bucket terms, so no global sort
+    of customers ever happens — one revenue shuffle, one histogram
+    shuffle, a cumulative window over the value-domain-bounded
+    histogram (allowlisted), one float division on the 1-row result."""
+    o = table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_extendedprice"
+    )
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            .cast("long")
+            .alias("r")
+        )
+    )
+    hist = rev.groupBy(F.col("r").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    from pyspark.sql import Window
+
+    # bucket-offset cumsum (operators/ranking.py decomposition): the
+    # revenue histogram is customer-sized in the worst case (revenues
+    # are near-unique), so the cumulative count may NOT ride one
+    # unpartitioned window. Coarsen to $100k buckets: the offsets
+    # window runs over the bucket table (value-RANGE-bounded), the
+    # within-bucket window is partitioned by bucket.
+    bucketed = hist.withColumn("_b", F.expr("v div 10000000"))
+    w_off = (
+        Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        bucketed.groupBy("_b")
+        .agg(F.sum("c").alias("_n"))
+        .select(
+            "_b",
+            F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("_b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        bucketed.join(F.broadcast(offsets), "_b")
+        .select(
+            "v",
+            "c",
+            (F.col("_off") + F.sum("c").over(w_in)).cast("long").alias("cu"),
+        )
+    )
+    parts = cum.agg(
+        F.sum(
+            F.col("v")
+            * ((F.col("cu") - F.col("c") + 1) + F.col("cu"))
+            * F.col("c")
+        )
+        .cast("long")
+        .alias("ranksum2"),
+        F.sum(F.col("v") * F.col("c")).cast("long").alias("total"),
+        F.sum("c").cast("long").alias("n"),
+    )
+    nd = F.col("n").cast("double")
+    return parts.select(
+        "n",
+        "total",
+        "ranksum2",
+        portable_round(
+            F.col("ranksum2").cast("double")
+            / (nd * F.col("total").cast("double"))
+            - (nd + F.lit(1.0)) / nd,
+            6,
+        ).alias("gini"),
+    )
+
+
+_HHI_ORACLE = f"""
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS r
+        FROM lineitem GROUP BY 1
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_suppliers,
+               CAST(sum(CAST(r AS HUGEINT) * CAST(r AS HUGEINT))
+                    AS DOUBLE) AS sum_r2,
+               CAST(sum(r) AS DOUBLE) AS total
+        FROM rev
+    )
+    SELECT n_suppliers,
+           {sql_portable_round('10000.0 * sum_r2 / (total * total)', 6)}
+               AS hhi_points
+    FROM agg
+"""
+
+
+@register("supplier_hhi", oracle=_HHI_ORACLE)
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman index of supplier revenue concentration
+    in classic 0–10,000 points (Σ share² × 10⁴) — Gini's
+    market-structure sibling; both are corpus-mixture dominance
+    audits. One partial-aggregated shuffle to supplier revenue, one
+    1-row reduce; shares square on exact integer cents (DECIMAL /
+    HUGEINT) before the single float division."""
+    li = table(spark, "lineitem", sf_dir)
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                "bigint"
+            )
+        )
+        .cast("long")
+        .alias("r")
+    )
+    agg = rev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum(F.col("r").cast("decimal(19,0)") * F.col("r").cast("decimal(19,0)"))
+        .cast("double")
+        .alias("sum_r2"),
+        F.sum("r").cast("double").alias("total"),
+    )
+    return agg.select(
+        "n_suppliers",
+        portable_round(
+            F.lit(10000.0) * F.col("sum_r2") / (F.col("total") * F.col("total")),
+            6,
+        ).alias("hhi_points"),
+    )

@@ -479,6 +479,10 @@ UNPART_WINDOW_ALLOWED = {
         "cumsum over the pairwise-slope histogram — slope-domain-"
         "bounded (milli-quantized), the KS/AUC histogram shape"
     ),
+    "revenue_gini": (
+        "ranking.py bucket-offset cumsum over $100k revenue buckets"
+        " (the data window is partitioned by bucket)"
+    ),
     "neyman_allocation_plan": (
         "largest-remainder rank + cumsum over STRATA rows (one per"
         " event_type)"
