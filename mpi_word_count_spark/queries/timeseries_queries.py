@@ -516,3 +516,329 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         (F.col("med2").cast("double") / 2.0).alias("slope_milli_per_hour"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mann_kendall_trend
+# ---------------------------------------------------------------------------
+
+_MK_ORACLE = f"""
+    WITH {_SERIES_CTE},
+    pairs AS (
+        SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+                             WHEN b.x < a.x THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s_stat,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM x a JOIN x b ON b.h > a.h
+    ),
+    n_tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM x),
+    ties AS (
+        SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+                    AS BIGINT) AS tie18
+        FROM (SELECT CAST(count(*) AS BIGINT) AS t
+              FROM x xx GROUP BY xx.x)
+        WHERE t > 1
+    )
+    SELECT n_tot.n, p.n_pairs, p.s_stat,
+           CAST(n_tot.n * (n_tot.n - 1) * (2 * n_tot.n + 5) - ties.tie18
+                AS BIGINT) AS var18,
+           {sql_portable_round(
+               'CASE WHEN p.s_stat > 0 THEN (CAST(p.s_stat AS DOUBLE) - 1.0)'
+               ' / sqrt(CAST(n_tot.n * (n_tot.n - 1) * (2 * n_tot.n + 5)'
+               '  - ties.tie18 AS DOUBLE) / 18.0)'
+               ' WHEN p.s_stat < 0 THEN (CAST(p.s_stat AS DOUBLE) + 1.0)'
+               ' / sqrt(CAST(n_tot.n * (n_tot.n - 1) * (2 * n_tot.n + 5)'
+               '  - ties.tie18 AS DOUBLE) / 18.0)'
+               ' ELSE 0.0 END', 6)} AS z_stat
+    FROM pairs p, n_tot, ties
+"""
+
+
+@register("mann_kendall_trend", oracle=_MK_ORACLE)
+def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test on the hourly arrival series: the
+    nonparametric significance companion to theil_sen_trend (same
+    pair enumeration; Mann 1945, Kendall 1975). S = Σ sign(x_j −
+    x_i), the tie-corrected variance rides as the exact integer
+    18·Var = n(n−1)(2n+5) − Σ t(t−1)(2t+5), and the only floats are
+    the continuity-corrected z normalization (sqrt is IEEE-exact on
+    an exact-integer input, the ks_stat argument).
+
+    Plan: the series helper's one corpus shuffle; the O(T²) pair
+    fold is the Theil–Sen broadcast nested-loop over the
+    time-span-bounded series; ties come from one model-sized
+    group-by over the series values."""
+    x = _hour_series(spark, sf_dir)
+    a = x.select(F.col("h").alias("ha"), F.col("x").alias("xa"))
+    b = x.select(F.col("h").alias("hb"), F.col("x").alias("xb"))
+    pairs = a.join(F.broadcast(b), F.col("hb") > F.col("ha")).agg(
+        F.sum(
+            F.when(F.col("xb") > F.col("xa"), 1)
+            .when(F.col("xb") < F.col("xa"), -1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("s_stat"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    n_tot = x.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (
+        x.groupBy("x")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie18")
+        )
+    )
+    j = pairs.crossJoin(F.broadcast(n_tot)).crossJoin(F.broadcast(ties))
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie18")
+    ).cast("long")
+    sd = F.sqrt(var18.cast("double") / 18.0)
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat").cast("double") - 1.0) / sd,
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat").cast("double") + 1.0) / sd,
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        "n",
+        "n_pairs",
+        "s_stat",
+        var18.alias("var18"),
+        portable_round(z, 6).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# hourly_seasonality_strength
+# ---------------------------------------------------------------------------
+
+# One-way ANOVA of the hourly series grouped by HOUR-OF-DAY: eta² =
+# SSB/SST is the classical seasonality-strength score and F =
+# (SSB/(k−1)) / (SSW/(n−k)) its significance. All sufficient
+# statistics (per-group n_g, S_g, Q_g) are exact integers; the SS
+# identities SST = Q − S²/n and SSB = Σ S_g²/n_g − S²/n run as
+# TEXTUALLY IDENTICAL double formulas on both engines (the
+# price_ols_model device).
+_SEASONALITY_FINAL = f"""
+    SELECT CAST(n AS BIGINT) AS n_hours,
+           CAST(k AS BIGINT) AS n_groups,
+           {sql_portable_round('(ssbq - s * s / n) / (q - s * s / n)', 6)}
+               AS eta_squared,
+           {sql_portable_round(
+               '((ssbq - s * s / n) / (k - 1.0))'
+               ' / ((q - ssbq) / (n - k))', 6)} AS f_stat
+"""
+_SEASONALITY_FINAL_EXPRS = _SEASONALITY_FINAL.strip()[len("SELECT ") :]
+
+_SEASONALITY_ORACLE = f"""
+    WITH {_SERIES_CTE},
+    grp AS (
+        SELECT h % 24 AS hod,
+               CAST(count(*) AS BIGINT) AS ng,
+               CAST(sum(x) AS BIGINT) AS sg,
+               CAST(sum(x * x) AS BIGINT) AS qg
+        FROM x GROUP BY 1
+    ),
+    sums AS (
+        SELECT CAST(sum(ng) AS DOUBLE) AS n,
+               CAST(count(*) AS DOUBLE) AS k,
+               CAST(sum(sg) AS DOUBLE) AS s,
+               CAST(sum(qg) AS DOUBLE) AS q,
+               sum(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                   / CAST(ng AS DOUBLE)) AS ssbq
+        FROM grp
+    )
+    {_SEASONALITY_FINAL}
+    FROM sums
+"""
+
+
+@register("hourly_seasonality_strength", oracle=_SEASONALITY_ORACLE)
+def q_hourly_seasonality_strength(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hour-of-day seasonality strength of the arrival series:
+    one-way ANOVA eta² and F over the 24 hour-of-day groups (module
+    note above) — the diagnostic that says whether a seasonal term
+    belongs in the events_holt_trend model at all.
+
+    Exactness caveat recorded: `ssbq` sums 24 double terms
+    S_g²/n_g in group order — both engines aggregate the SAME 24-row
+    table but summation order is engine-internal; the 24-term sum is
+    orders of magnitude inside the 1e-6 rounding so the residual
+    risk class is the accepted per-term one. Plan: the series
+    helper's corpus shuffle, then a 24-row group-by and a 1-row
+    closed form."""
+    x = _hour_series(spark, sf_dir)
+    grp = x.groupBy((F.col("h") % 24).alias("hod")).agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("x").cast("long").alias("sg"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("qg"),
+    )
+    sums = grp.agg(
+        F.sum("ng").cast("double").alias("n"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("sg").cast("double").alias("s"),
+        F.sum("qg").cast("double").alias("q"),
+        F.sum(
+            F.col("sg").cast("double")
+            * F.col("sg").cast("double")
+            / F.col("ng").cast("double")
+        ).alias("ssbq"),
+    )
+    from mpi_word_count_spark.queries.stats_queries import _split_select
+
+    return sums.selectExpr(*_split_select(_SEASONALITY_FINAL_EXPRS)).select(
+        "n_hours",
+        "n_groups",
+        F.col("eta_squared").cast("double").alias("eta_squared"),
+        F.col("f_stat").cast("double").alias("f_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# runs_test (Wald–Wolfowitz) on the hourly series
+# ---------------------------------------------------------------------------
+
+_RUNS_Z = (
+    # degenerate guard: one-sided series (n1 or n2 = 0) has zero
+    # variance — define z = 0 rather than divide by zero (ANSI error
+    # on Spark, Inf/NaN in DuckDB)
+    "(CASE WHEN n1 = 0 OR n2 = 0 THEN 0.0 ELSE "
+    "(CAST(runs AS DOUBLE)"
+    " - (2.0 * n1 * n2 / (n1 + n2) + 1.0))"
+    " / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)"
+    " / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))"
+    " END)"
+)
+
+_RUNS_ORACLE = f"""
+    WITH {_SERIES_CTE},
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST((count(*) + 1) // 2 AS BIGINT) AS k1,
+               CAST((count(*) + 2) // 2 AS BIGINT) AS k2
+        FROM x
+    ),
+    vhist AS (
+        SELECT xx.x AS v, CAST(count(*) AS BIGINT) AS c
+        FROM x xx GROUP BY 1
+    ),
+    vcum AS (
+        SELECT v, c, sum(c) OVER (ORDER BY v) AS cu FROM vhist
+    ),
+    med AS (
+        SELECT CAST(min(CASE WHEN cu >= m.k1 THEN v END)
+                    + min(CASE WHEN cu >= m.k2 THEN v END)
+                    AS BIGINT) AS med2
+        FROM vcum, m
+    ),
+    signs AS (
+        SELECT xx.h,
+               CASE WHEN 2 * xx.x > med.med2 THEN 1 ELSE -1 END AS s
+        FROM x xx, med
+        WHERE 2 * xx.x <> med.med2
+    ),
+    seq AS (
+        SELECT s, lag(s) OVER (ORDER BY h) AS prev_s FROM signs
+    ),
+    agg AS (
+        SELECT CAST(count(CASE WHEN s = 1 THEN 1 END) AS BIGINT) AS n1,
+               CAST(count(CASE WHEN s = -1 THEN 1 END) AS BIGINT) AS n2,
+               CAST(1 + count(CASE WHEN prev_s IS NOT NULL
+                                    AND s <> prev_s THEN 1 END)
+                    AS BIGINT) AS runs
+        FROM seq
+    )
+    SELECT n1, n2, runs,
+           {sql_portable_round(_RUNS_Z, 6)} AS z_stat
+    FROM agg
+"""
+
+
+@register("runs_test", oracle=_RUNS_ORACLE)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test for randomness of the hourly arrival
+    series around its median (Wald & Wolfowitz 1940): n1/n2 counts
+    above/below (median-equal hours excluded, the standard
+    convention; the median itself is exact via the doubled-median
+    device), the run count from one lag over the time-bounded spine
+    (allowlisted), and the normal z with the identical formula text
+    on both engines — completing the nonparametric battery next to
+    mann_kendall_trend (monotonic trend) and events_cusum_changepoint
+    (single regime break): runs detects ANY serial dependence.
+
+    Plan: the series helper's one corpus shuffle; everything after is
+    model-sized."""
+    x = _hour_series(spark, sf_dir)
+    m = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("CAST((count(*) + 1) DIV 2 AS BIGINT)").alias("k1"),
+        F.expr("CAST((count(*) + 2) DIV 2 AS BIGINT)").alias("k2"),
+    )
+    vhist = x.groupBy(F.col("x").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    vcum = vhist.select("v", "c", F.sum("c").over(wv).alias("cu"))
+    med = (
+        vcum.crossJoin(F.broadcast(m))
+        .agg(
+            (
+                F.min(F.when(F.col("cu") >= F.col("k1"), F.col("v")))
+                + F.min(F.when(F.col("cu") >= F.col("k2"), F.col("v")))
+            )
+            .cast("long")
+            .alias("med2")
+        )
+    )
+    signs = (
+        x.crossJoin(F.broadcast(med))
+        .filter(F.lit(2) * F.col("x") != F.col("med2"))
+        .select(
+            "h",
+            F.when(F.lit(2) * F.col("x") > F.col("med2"), 1)
+            .otherwise(-1)
+            .alias("s"),
+        )
+    )
+    seq = signs.select(
+        "s", F.lag("s").over(Window.orderBy("h")).alias("prev_s")
+    )
+    agg = seq.agg(
+        F.count(F.when(F.col("s") == 1, 1)).cast("long").alias("n1"),
+        F.count(F.when(F.col("s") == -1, 1)).cast("long").alias("n2"),
+        (
+            F.lit(1)
+            + F.count(
+                F.when(
+                    F.col("prev_s").isNotNull()
+                    & (F.col("s") != F.col("prev_s")),
+                    1,
+                )
+            )
+        )
+        .cast("long")
+        .alias("runs"),
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "runs",
+        portable_round(F.expr(_RUNS_Z), 6).alias("z_stat"),
+    )

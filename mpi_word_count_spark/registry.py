@@ -62,10 +62,10 @@ _LOADED = False
 _PRIORITY = [
     # --- the 50-row driver budget, round 10 --------------------------
     # VERDICT r9 item 2: drain the r4 ledger vintage. Budget = flagship
-    # + the 18 round-10 additions (4 session-1 + 14 session-2) +
+    # + the 21 round-10 additions (4 session-1 + 17 session-2) +
     # embedding_pca_power (exact-integer recurrence rework this round)
     # + the r4-vintage queries in insertion order up to the 50-row cut
-    # (30 of 39 fit; the last nine r4 rows roll to r11 with the r5 rows
+    # (27 of 39 fit; the last twelve r4 rows roll to r11 with the r5 rows
     # — never-verified queries outrank stale-but-judge-reswept rows;
     # judge independently re-verified 40 of the r4/r5 set green in r9,
     # so none is suspected wrong — the evidence is old).
@@ -92,6 +92,9 @@ _PRIORITY = [
     "als_customer_factors",
     "revenue_gini",
     "supplier_hhi",
+    "mann_kendall_trend",
+    "hourly_seasonality_strength",
+    "runs_test",
     # changed implementation this round (integer power iteration)
     "embedding_pca_power",
     # stale rotation: ALL 39 rows whose newest driver row is round 4

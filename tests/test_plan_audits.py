@@ -483,6 +483,10 @@ UNPART_WINDOW_ALLOWED = {
         "ranking.py bucket-offset cumsum over $100k revenue buckets"
         " (the data window is partitioned by bucket)"
     ),
+    "runs_test": (
+        "cumsum over the series-value histogram + one lag over the"
+        " dense hour spine — both time-/value-domain-bounded"
+    ),
     "neyman_allocation_plan": (
         "largest-remainder rank + cumsum over STRATA rows (one per"
         " event_type)"

@@ -357,3 +357,96 @@ def test_als_factors_python_replica(spark, tmp_path):
         r6(d2 / det),
         r6(d3 / det),
     )
+
+
+def test_mann_kendall_hand_check(spark, tmp_path):
+    # series [1, 2, 4] (strictly rising): S = 3 over 3 pairs, no
+    # ties, var18 = 3*2*11 = 66, z = 2 / sqrt(66/18)
+    t0 = datetime.datetime(2024, 3, 1, 0, 0, 0)
+
+    def at(h, m):
+        return t0 + datetime.timedelta(hours=h, minutes=m)
+
+    rows = [(at(0, 30), 2, "click")]
+    rows += [(at(1, i) , 1, "view") for i in range(2)]
+    rows += [(at(2, i), 1, "view") for i in range(4)]
+    _write_events(spark, str(tmp_path), rows)
+    from mpi_word_count_spark.queries.timeseries_queries import (
+        q_mann_kendall_trend,
+    )
+    import math
+
+    [r] = q_mann_kendall_trend(spark, str(tmp_path)).collect()
+    assert (r.n, r.n_pairs, r.s_stat, r.var18) == (3, 3, 3, 66)
+    expect = math.floor(2.0 / math.sqrt(66.0 / 18.0) * 1e6 + 0.5) / 1e6
+    assert r.z_stat == expect
+
+
+def test_seasonality_python_replica(spark, tmp_path):
+    # 49 hourly points: counts = (hod + day) events per hour, so
+    # hour-of-day explains most but not all variance; replicate the
+    # ANOVA formula term for term in python
+    t0 = datetime.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    xs = []
+    eid = 0
+    for h in range(49):
+        c = (h % 24) % 3 + (h // 24)  # 0..2 seasonal + day trend
+        xs.append(c)
+        for i in range(c):
+            rows.append(
+                (
+                    t0 + datetime.timedelta(hours=h, minutes=i),
+                    1,
+                    "view",
+                )
+            )
+            eid += 1
+    from mpi_word_count_spark.queries.timeseries_queries import (
+        q_hourly_seasonality_strength,
+    )
+    import math
+
+    _write_events(spark, str(tmp_path), rows)
+    [r] = q_hourly_seasonality_strength(spark, str(tmp_path)).collect()
+    # python replica over the ACTUAL spine (first non-empty..last)
+    h_lo = min(h for h in range(49) if xs[h] > 0)
+    h_hi = max(h for h in range(49) if xs[h] > 0)
+    series = [(h, xs[h]) for h in range(h_lo, h_hi + 1)]
+    groups = {}
+    for h, v in series:
+        groups.setdefault(h % 24, []).append(v)
+    n = float(len(series))
+    k = float(len(groups))
+    s = float(sum(v for _, v in series))
+    q = float(sum(v * v for _, v in series))
+    ssbq = sum(
+        float(sum(vs)) * float(sum(vs)) / float(len(vs))
+        for vs in groups.values()
+    )
+    def r6(v):
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
+    assert r.n_hours == int(n) and r.n_groups == int(k)
+    assert r.eta_squared == r6((ssbq - s * s / n) / (q - s * s / n))
+    assert r.f_stat == r6(
+        ((ssbq - s * s / n) / (k - 1.0)) / ((q - ssbq) / (n - k))
+    )
+
+
+def test_runs_test_hand_check(spark, tmp_path):
+    # series [3, 1, 3, 1, 3] (hours 0..4): median 3 -> med2 = 6,
+    # equal-to-median hours (the three 3s) are EXCLUDED, leaving
+    # [-,-] (the two 1s): n1=0, n2=2, runs=1
+    t0 = datetime.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    for h, c in enumerate([3, 1, 3, 1, 3]):
+        for i in range(c):
+            rows.append(
+                (t0 + datetime.timedelta(hours=h, minutes=i), 1, "view")
+            )
+    _write_events(spark, str(tmp_path), rows)
+    from mpi_word_count_spark.queries.timeseries_queries import q_runs_test
+
+    [r] = q_runs_test(spark, str(tmp_path)).collect()
+    assert (r.n1, r.n2, r.runs) == (0, 2, 1)
