@@ -1211,3 +1211,119 @@ def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hhi_points"),
     )
+
+
+# ---------------------------------------------------------------------------
+# chi-square independence: event type x hour-of-day
+# ---------------------------------------------------------------------------
+
+_CHI2_ORACLE = f"""
+    WITH obs AS (
+        SELECT event_type,
+               CAST(floor(epoch(date_trunc('hour', ts)) / 3600)
+                    AS BIGINT) % 24 AS hod,
+               CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    rowm AS (
+        SELECT event_type, CAST(sum(o) AS BIGINT) AS r
+        FROM obs GROUP BY 1
+    ),
+    colm AS (
+        SELECT hod, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+    cells AS (
+        -- dense grid: zero-count cells still carry expected mass
+        SELECT rm.event_type, cm.hod, rm.r, cm.c,
+               CAST(coalesce(obs.o, 0) AS BIGINT) AS o
+        FROM rowm rm
+        CROSS JOIN colm cm
+        LEFT JOIN obs ON obs.event_type = rm.event_type
+                     AND obs.hod = cm.hod
+    ),
+    agg AS (
+        SELECT sum(
+                   CAST((t.n * cl.o - cl.r * cl.c) AS DOUBLE)
+                   * CAST((t.n * cl.o - cl.r * cl.c) AS DOUBLE)
+                   / (CAST(t.n AS DOUBLE) * cl.r * cl.c)
+               ) AS chi2_n,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(count(DISTINCT cl.event_type) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT cl.hod) AS BIGINT) AS n_cols,
+               CAST(max(t.n) AS BIGINT) AS n
+        FROM cells cl, tot t
+    )
+    SELECT n, n_cells,
+           CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof,
+           {sql_portable_round('chi2_n / n', 4)} AS chi2
+    FROM agg
+"""
+
+
+@register("event_hour_chi2", oracle=_CHI2_ORACLE)
+def q_event_hour_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between event type and
+    hour-of-day — the contingency-table sibling of value_ks_test
+    (distributional) and hourly_seasonality_strength (ANOVA). Each
+    cell's term is (n·O − R·C)²/(n·R·C) with EXACT integer
+    numerators (cross-multiplication, the KS device); zero-count
+    cells enter through the dense row×column grid so expected mass
+    is never dropped.
+
+    Plan: one partial-aggregated (type, hod) count is the only
+    corpus stage; margins and the |types|×24 grid are model-sized
+    broadcasts; the 120-term float sum is the accepted per-term
+    residual class (module note)."""
+    ev = table(spark, "events", sf_dir)
+    obs = ev.groupBy(
+        "event_type",
+        (
+            F.floor(
+                F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600
+            ).cast("long")
+            % 24
+        ).alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    rowm = obs.groupBy("event_type").agg(
+        F.sum("o").cast("long").alias("r")
+    )
+    colm = obs.groupBy("hod").agg(F.sum("o").cast("long").alias("c"))
+    tot = obs.agg(F.sum("o").cast("long").alias("n"))
+    cells = (
+        rowm.crossJoin(F.broadcast(colm))
+        .join(obs, ["event_type", "hod"], "left")
+        .select(
+            "event_type",
+            "hod",
+            "r",
+            "c",
+            F.coalesce(F.col("o"), F.lit(0)).cast("long").alias("o"),
+        )
+    )
+    num = (F.col("n") * F.col("o") - F.col("r") * F.col("c")).cast("double")
+    agg = (
+        cells.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                num * num
+                / (
+                    F.col("n").cast("double")
+                    * F.col("r").cast("double")
+                    * F.col("c").cast("double")
+                )
+            ).alias("chi2_n"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.countDistinct("event_type").cast("long").alias("n_rows"),
+            F.countDistinct("hod").cast("long").alias("n_cols"),
+            F.max("n").cast("long").alias("n"),
+        )
+    )
+    return agg.select(
+        "n",
+        "n_cells",
+        ((F.col("n_rows") - 1) * (F.col("n_cols") - 1))
+        .cast("long")
+        .alias("dof"),
+        portable_round(F.col("chi2_n") / F.col("n"), 4).alias("chi2"),
+    )

@@ -1970,3 +1970,102 @@ def q_term_scan_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pattern")
     )
+
+
+# ---------------------------------------------------------------------------
+# query-likelihood retrieval (Dirichlet smoothing)
+# ---------------------------------------------------------------------------
+
+QL_MU = 2000
+
+
+@register(
+    "ql_dirichlet_scores",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    tokd AS (SELECT doc_id, unnest(t) AS word FROM toks),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len
+           FROM tokd GROUP BY doc_id),
+    coll AS (SELECT CAST(count(*) AS BIGINT) AS c_total FROM tokd),
+    ctf AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS ctf
+        FROM tokd WHERE word IN {tuple(BM25_TERMS)}
+        GROUP BY word
+    ),
+    tf AS (
+        SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+        FROM tokd WHERE word IN {tuple(BM25_TERMS)}
+        GROUP BY doc_id, word
+    ),
+    scored AS (
+        SELECT dl.doc_id,
+               sum(
+                   ln((coalesce(tf.tf, 0)
+                       + {QL_MU}.0 * c.ctf / s.c_total)
+                      / (dl.len + {QL_MU}.0))
+               ) AS score
+        FROM dl
+        CROSS JOIN ctf c
+        CROSS JOIN coll s
+        LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.word = c.word
+        GROUP BY dl.doc_id
+    )
+    SELECT doc_id, {sql_portable_round("score", 4)} AS ql
+    FROM scored
+    ORDER BY {sql_portable_round("score", 4)} DESC, doc_id ASC
+    LIMIT 50
+    """,
+)
+def q_ql_dirichlet_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty 2001, μ=2000) for the SAME fixed query as bm25_scores —
+    the language-modeling scorer next to the probabilistic-relevance
+    one, completing the two classical lexical-retrieval families.
+    Unlike BM25, absent terms still contribute (the smoothed
+    collection probability), so every document is scored: the doc
+    list crosses the |terms|-row broadcast and LEFT-joins term
+    frequencies.
+
+    Shape: one tokenization feeds lengths, collection term
+    frequencies (|terms| rows, broadcast) and tf; the ×|terms|
+    fan-out is map-side before the per-doc partial agg; top-50 by
+    TakeOrdered (the bm25_scores argument). Identical float formula
+    + portable round on both engines."""
+    from mpi_word_count_spark.tokenizer import tokenize
+
+    docs = table(spark, "documents", sf_dir)
+    toks = tokenize(docs, col="text", keep=["doc_id"])
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    coll = toks.agg(F.count(F.lit(1)).cast("long").alias("c_total"))
+    terms = list(BM25_TERMS)
+    ctf = (
+        toks.filter(F.col("word").isin(terms))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("ctf"))
+    )
+    tf = (
+        toks.filter(F.col("word").isin(terms))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    mu = float(QL_MU)
+    term = F.log(
+        (F.coalesce(F.col("tf"), F.lit(0)) + mu * F.col("ctf") / F.col("c_total"))
+        / (F.col("len") + mu)
+    )
+    scored = (
+        dl.crossJoin(F.broadcast(ctf))
+        .crossJoin(F.broadcast(coll))
+        .join(tf, ["doc_id", "word"], "left")
+        .groupBy("doc_id")
+        .agg(F.sum(term).alias("score"))
+    )
+    return (
+        scored.orderBy(
+            F.desc(portable_round(F.col("score"), 4)), F.asc("doc_id")
+        )
+        .limit(50)
+        .select("doc_id", portable_round(F.col("score"), 4).alias("ql"))
+    )

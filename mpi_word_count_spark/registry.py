@@ -62,10 +62,11 @@ _LOADED = False
 _PRIORITY = [
     # --- the 50-row driver budget, round 10 --------------------------
     # VERDICT r9 item 2: drain the r4 ledger vintage. Budget = flagship
-    # + the 21 round-10 additions (4 session-1 + 17 session-2) +
+    # + the 23 round-10 additions (4 session-1 + 19 session-2) +
     # embedding_pca_power (exact-integer recurrence rework this round)
     # + the r4-vintage queries in insertion order up to the 50-row cut
-    # (27 of 39 fit; the last twelve r4 rows roll to r11 with the r5 rows
+    # (25 of 39 fit; the last fourteen r4 rows roll to r11 with the r5
+    # rows
     # — never-verified queries outrank stale-but-judge-reswept rows;
     # judge independently re-verified 40 of the r4/r5 set green in r9,
     # so none is suspected wrong — the evidence is old).
@@ -95,6 +96,8 @@ _PRIORITY = [
     "mann_kendall_trend",
     "hourly_seasonality_strength",
     "runs_test",
+    "ql_dirichlet_scores",
+    "event_hour_chi2",
     # changed implementation this round (integer power iteration)
     "embedding_pca_power",
     # stale rotation: ALL 39 rows whose newest driver row is round 4
