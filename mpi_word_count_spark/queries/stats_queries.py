@@ -762,7 +762,22 @@ def q_brand_price_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages by the PRICE DOMAIN, not the row count; both cumulative
     windows are partitioned by brand and run over that bounded
     histogram, and every join after the histogram is model-sized
-    (|brands| rows, broadcast)."""
+    (|brands| rows, broadcast).
+
+    Optimization r10 (guide §2.4 — share one exchange across
+    operations keyed the same way): the original formulation derived
+    the per-brand scalar tables (n/k1/k2, med2, mad4, n_outliers) as
+    separate aggregates re-joined by broadcast; Catalyst expanded the
+    diamond references textually into 118 Exchanges / 28 broadcast
+    joins (runtime-deduplicated by ReuseExchange, but ~10 sequential
+    AQE stages deep — 3.6 s at sf0.1). This form attaches every
+    per-brand scalar as an UNORDERED WINDOW over the same brand
+    partitioning the cumulative windows already need, so after the
+    histogram exchange there is exactly ONE brand exchange and zero
+    joins: 3 Exchanges total (hist, brand, final orderBy), same
+    arithmetic, same results (oracle-verified). An explicit cache of
+    the histogram was tried first and REJECTED: it disabled AQE in
+    the cached subtree and cost 7.8 s+ (OPTIMIZATION_r10.md)."""
     li = table(spark, "lineitem", sf_dir).select("l_partkey", "l_extendedprice")
     pa = table(spark, "part", sf_dir).select("p_partkey", "p_brand")
     from pyspark.sql import Window
@@ -777,59 +792,91 @@ def q_brand_price_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    n = hist.groupBy("brand").agg(
-        F.sum("c").cast("long").alias("n"),
-        F.expr("CAST((sum(c) + 1) DIV 2 AS BIGINT)").alias("k1"),
-        F.expr("CAST((sum(c) + 2) DIV 2 AS BIGINT)").alias("k2"),
-    )
+    wb = Window.partitionBy("brand")
     w = (
         Window.partitionBy("brand")
         .orderBy("cents")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = hist.select("brand", "cents", "c", F.sum("c").over(w).alias("cu"))
-    med = (
-        cum.join(F.broadcast(n), "brand")
-        .groupBy("brand")
-        .agg(
-            (
-                F.min(F.when(F.col("cu") >= F.col("k1"), F.col("cents")))
-                + F.min(F.when(F.col("cu") >= F.col("k2"), F.col("cents")))
-            )
-            .cast("long")
-            .alias("med2")
-        )
+    # per-brand totals as unordered windows over the SAME brand
+    # partitioning the cumulative window establishes — no extra
+    # exchange, no broadcast-join diamond
+    cum = hist.select(
+        "brand",
+        "cents",
+        "c",
+        F.sum("c").over(w).alias("cu"),
+        F.sum("c").over(wb).cast("long").alias("n"),
+    ).withColumns(
+        {
+            "k1": F.expr("CAST((n + 1) DIV 2 AS BIGINT)"),
+            "k2": F.expr("CAST((n + 2) DIV 2 AS BIGINT)"),
+        }
     )
-    dhist = (
-        hist.join(F.broadcast(med), "brand")
-        .groupBy(
-            "brand",
-            F.abs(F.lit(2) * F.col("cents") - F.col("med2")).alias("dev2"),
+    med = cum.select(
+        "brand",
+        "cents",
+        "c",
+        "n",
+        "k1",
+        "k2",
+        (
+            F.min(F.when(F.col("cu") >= F.col("k1"), F.col("cents"))).over(wb)
+            + F.min(F.when(F.col("cu") >= F.col("k2"), F.col("cents"))).over(
+                wb
+            )
         )
-        .agg(F.sum("c").cast("long").alias("c"))
+        .cast("long")
+        .alias("med2"),
+    )
+    # brand partitioning satisfies the (brand, dev2) clustering, so
+    # this aggregation needs no exchange either
+    dhist = med.groupBy(
+        "brand",
+        F.abs(F.lit(2) * F.col("cents") - F.col("med2")).alias("dev2"),
+    ).agg(
+        F.sum("c").cast("long").alias("c"),
+        F.max("n").alias("n"),
+        F.max("k1").alias("k1"),
+        F.max("k2").alias("k2"),
+        F.max("med2").alias("med2"),
     )
     dw = (
         Window.partitionBy("brand")
         .orderBy("dev2")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    dcum = dhist.select("brand", "dev2", "c", F.sum("c").over(dw).alias("cu"))
-    mad = (
-        dcum.join(F.broadcast(n), "brand")
-        .groupBy("brand")
-        .agg(
-            (
-                F.min(F.when(F.col("cu") >= F.col("k1"), F.col("dev2")))
-                + F.min(F.when(F.col("cu") >= F.col("k2"), F.col("dev2")))
-            )
-            .cast("long")
-            .alias("mad4")
-        )
+    dcum = dhist.select(
+        "brand",
+        "dev2",
+        "c",
+        "n",
+        "med2",
+        "k1",
+        "k2",
+        F.sum("c").over(dw).alias("cu"),
     )
-    outl = (
-        dhist.join(F.broadcast(mad), "brand")
-        .groupBy("brand")
+    mad = dcum.select(
+        "brand",
+        "dev2",
+        "c",
+        "n",
+        "med2",
+        (
+            F.min(F.when(F.col("cu") >= F.col("k1"), F.col("dev2"))).over(wb)
+            + F.min(F.when(F.col("cu") >= F.col("k2"), F.col("dev2"))).over(
+                wb
+            )
+        )
+        .cast("long")
+        .alias("mad4"),
+    )
+    return (
+        mad.groupBy("brand")
         .agg(
+            F.max("n").alias("n"),
+            (F.max("med2").cast("double") / 2.0).alias("median_cents"),
+            (F.max("mad4").cast("double") / 4.0).alias("mad_cents"),
             F.coalesce(
                 F.sum(
                     F.when(
@@ -840,21 +887,9 @@ def q_brand_price_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0),
             )
             .cast("long")
-            .alias("n_outliers")
+            .alias("n_outliers"),
         )
-    )
-    return (
-        n.select("brand", "n")
-        .join(F.broadcast(med), "brand")
-        .join(F.broadcast(mad), "brand")
-        .join(F.broadcast(outl), "brand")
-        .select(
-            "brand",
-            "n",
-            (F.col("med2").cast("double") / 2.0).alias("median_cents"),
-            (F.col("mad4").cast("double") / 4.0).alias("mad_cents"),
-            "n_outliers",
-        )
+        .select("brand", "n", "median_cents", "mad_cents", "n_outliers")
         .orderBy("brand")
     )
 
