@@ -815,6 +815,7 @@ def embedding_band_keys(
     vec_col: str = "embedding",
     dim: int | None = None,
     extra_cols: tuple[str, ...] = (),
+    with_all: str | None = None,
 ) -> DataFrame:
     """(_id, band, bucket[, *extra_cols]) hyperplane-LSH band keys for
     a vector table: per band, bucket = the sign bits of that band's
@@ -822,7 +823,11 @@ def embedding_band_keys(
     front end shared by embedding_dup_pairs_banded and
     embedding_contamination. `extra_cols` carries flag columns through
     so callers can band once and split afterwards instead of
-    instantiating the (heavy-to-codegen) banding expressions twice."""
+    instantiating the (heavy-to-codegen) banding expressions twice.
+    `with_all` additionally carries the vector's FULL bucket array
+    under that column name (band = array index), for consumers that
+    reason about all of a vector's bands per candidate row (the
+    first-colliding-band device in streaming_embedding_dedup)."""
     from mpi_word_count_spark.operators.similarity import (
         EMBED_DIM,
         lsh_bucket_col,
@@ -840,21 +845,24 @@ def embedding_band_keys(
             vec, planes[b * planes_per_band : (b + 1) * planes_per_band]
         )
 
-    return df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        band_bucket(F.col(vec_col), b).alias("bucket"),
-                    )
-                    for b in range(num_bands)
-                ]
-            )
-        ).alias("bk"),
-        *extra_cols,
-    ).select("_id", "bk.band", "bk.bucket", *extra_cols)
+    buckets = F.array(
+        *[band_bucket(F.col(vec_col), b) for b in range(num_bands)]
+    )
+    all_cols = (with_all,) if with_all else ()
+    return (
+        df.select(
+            F.col(id_col).alias("_id"),
+            buckets.alias("_bk_arr"),
+            *extra_cols,
+        )
+        .select(
+            "_id",
+            F.posexplode("_bk_arr").alias("band", "bucket"),
+            *extra_cols,
+            *(F.col("_bk_arr").alias(with_all),) if with_all else (),
+        )
+        .select("_id", "band", "bucket", *extra_cols, *all_cols)
+    )
 
 
 def embedding_contamination(
@@ -1053,9 +1061,18 @@ def incremental_embedding_dups(
 
     Without `corpus_buckets` both sides are banded in one pass
     (fixture mode; the bucket-store path is equivalence-tested in
-    tests/test_dedup.py)."""
+    tests/test_dedup.py).
+
+    Optimization r10: the vector table is widen()ed once at entry — a
+    small parquet input scans as ONE task, which serialized the
+    O(batch·bands) candidate fan-out and every exact-cosine fold onto
+    one core (measured 7.4 s at sf0.1, ~3x improvement from this line
+    alone; OPTIMIZATION_r10.md). At scale the scan already has
+    thousands of splits and widen is a no-op."""
     from mpi_word_count_spark.functions.vector import dot, norm
-    from mpi_word_count_spark.operators import track_cache
+    from mpi_word_count_spark.operators import track_cache, widen
+
+    emb = widen(emb)
 
     if corpus_buckets is None:
         all_bands = embedding_band_keys(

@@ -311,6 +311,24 @@ def streaming_embedding_dedup(
     State: one (dup_of, n, max_cos) triple per stream vector; the
     corpus contributes only its bucket store (num_bands longs/vector)
     and candidate-row vector reads — never re-banded, never shuffled.
+
+    Optimization r10 (guide §2.3/§3.3, measured 14.9 s → see
+    OPTIMIZATION_r10.md): (1) the stream side repartitions its banded
+    rows to full parallelism — a single-file local micro-batch scans
+    as ONE task, which serialized the whole candidate fan-out and its
+    cosine folds onto one core (at production scale arriving batches
+    are already wide and this is a batch-sized, bounded shuffle);
+    (2) the two static broadcasts (bucket store, corpus vectors) are
+    denormalized into ONE broadcast relation so the candidate join is
+    a single stream-static broadcast join; (3) cosine is evaluated
+    once per PAIR instead of once per (band, pair) collision row: the
+    store carries each corpus vector's full bucket array, a pair is
+    kept only on its FIRST colliding band, and the per-row collision
+    count is reconstructed exactly as size(matching bands) — the
+    stateful aggregate sums those sizes, so n_collisions/dup_of/
+    max_cosine are bit-identical to the per-row form (oracle-proven);
+    (4) the stream vector's norm is computed once per vector before
+    banding, not once per candidate row.
     """
     from mpi_word_count_spark.functions.vector import dot, norm
     from mpi_word_count_spark.operators.dedup import (
@@ -321,34 +339,86 @@ def streaming_embedding_dedup(
 
     nb = num_bands or NUM_EMB_BANDS
     ppb = planes_per_band or EMB_PLANES_PER_BAND
+    vecs = stream_vecs.select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm(F.col(vec_col)).alias("_vnorm"),
+    )
     bands = embedding_band_keys(
-        stream_vecs, nb, ppb, id_col, vec_col, dim, extra_cols=(vec_col,)
+        vecs,
+        nb,
+        ppb,
+        id_col,
+        vec_col,
+        dim,
+        extra_cols=(vec_col, "_vnorm"),
+        with_all="_vbuckets",
     )
-    store = corpus_buckets.select(
-        F.col("_id").alias("other"), "band", "bucket"
+    bands = bands.repartition(
+        stream_vecs.sparkSession.sparkContext.defaultParallelism
     )
-    cvecs = corpus_vecs.select(
-        F.col(id_col).alias("other"),
-        F.col(vec_col).alias("_ovec"),
-        norm(F.col(vec_col)).alias("_onorm"),
-    )
-    scored = (
-        bands.join(F.broadcast(store), ["band", "bucket"], "left")
-        .join(F.broadcast(cvecs), "other", "left")
-        .select(
-            F.col("_id").alias("vec_id"),
-            F.col("other"),
-            F.round(
-                dot(F.col(vec_col), F.col("_ovec"))
-                / (norm(F.col(vec_col)) * F.col("_onorm")),
-                4,
-            ).alias("cosine"),
+    # ONE denormalized broadcast: store rows joined with their vector
+    # and per-vector bucket array (reconstructed from the store itself
+    # — the corpus is NOT re-banded). All model-sized, built once per
+    # micro-batch trigger on the static side.
+    obuckets = (
+        corpus_buckets.groupBy("_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("band", "bucket"))),
+                lambda s: s["bucket"],
+            ).alias("_obuckets")
         )
+    )
+    # the (band, bucket) rows are re-derived from the per-vector array
+    # (pure re-slicing, the store is still never re-banded), so the
+    # build is one aggregation + one broadcast-hinted join + explode
+    # instead of agg + two shuffle joins — streaming plans get no AQE,
+    # so every avoided exchange here is a whole stage saved per trigger
+    store = (
+        obuckets.join(
+            F.broadcast(
+                corpus_vecs.select(
+                    F.col(id_col).alias("_id"),
+                    F.col(vec_col).alias("_ovec"),
+                    norm(F.col(vec_col)).alias("_onorm"),
+                )
+            ),
+            "_id",
+        )
+        .select(
+            F.col("_id").alias("other"),
+            F.posexplode("_obuckets").alias("band", "bucket"),
+            "_obuckets",
+            "_ovec",
+            "_onorm",
+        )
+        .select("other", "band", "bucket", "_obuckets", "_ovec", "_onorm")
+    )
+    joined = bands.join(F.broadcast(store), ["band", "bucket"], "left")
+    band_matches = F.filter(
+        F.expr(f"sequence(0, {nb - 1})"),
+        lambda i: F.col("_vbuckets")[i] == F.col("_obuckets")[i],
+    )
+    first_band = F.element_at(band_matches, 1)
+    scored = joined.filter(
+        F.col("other").isNull() | (first_band == F.col("band"))
+    ).select(
+        F.col("_id").alias("vec_id"),
+        F.col("other"),
+        F.round(
+            dot(F.col(vec_col), F.col("_ovec"))
+            / (F.col("_vnorm") * F.col("_onorm")),
+            4,
+        ).alias("cosine"),
+        F.size(band_matches).cast("long").alias("_n_bands"),
     )
     hit = F.col("cosine") >= threshold
     agg = scored.groupBy("vec_id").agg(
         F.min(F.when(hit, F.col("other"))).alias("dup_of"),
-        F.count(F.when(hit, F.lit(1))).alias("n_collisions"),
+        F.coalesce(
+            F.sum(F.when(hit, F.col("_n_bands"))), F.lit(0).cast("long")
+        ).alias("n_collisions"),
         F.max(F.when(hit, F.col("cosine"))).alias("max_cosine"),
     )
     return agg.select(
