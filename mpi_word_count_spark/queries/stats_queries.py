@@ -98,10 +98,16 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     bootstrap. Prices ride as exact integer cents (floor(x·100+0.5)),
     so replica sums are order-independent and the only float ops are
     the final two divisions, textually identical on both engines."""
+    from mpi_word_count_spark.operators import widen
     from mpi_word_count_spark.operators.curation import sample_hash_u
     from mpi_word_count_spark.functions.parity import portable_round
 
-    o = table(spark, "orders", sf_dir)
+    # the 2.7 MB orders scan is ONE task at sf0.1, which would serialize
+    # the x32 replica explode and its 4.8M md5 draws onto one core;
+    # widen() restores cluster width (no-op at scale — real scans have
+    # thousands of splits). Shuffled bytes: 16 B/order, BEFORE the x32
+    # explode multiplies rows, so the exchange stays corpus-sized/32.
+    o = widen(table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice"))
     rep = o.select(
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
         .cast("bigint")
