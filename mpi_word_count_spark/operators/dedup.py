@@ -830,23 +830,17 @@ def embedding_band_keys(
     first-colliding-band device in streaming_embedding_dedup)."""
     from mpi_word_count_spark.operators.similarity import (
         EMBED_DIM,
-        lsh_bucket_col,
+        lsh_bucket_array,
         lsh_planes,
     )
 
     planes = lsh_planes(num_bands * planes_per_band, dim or EMBED_DIM)
-
-    def band_bucket(vec: Column, b: int) -> Column:
-        # band b's bucket = the ANN kernel over its plane slice — ONE
-        # sign-bit implementation (similarity.lsh_bucket_col) so dedup
-        # banding can never drift from ANN banding or their shared
-        # oracle convention
-        return lsh_bucket_col(
-            vec, planes[b * planes_per_band : (b + 1) * planes_per_band]
-        )
-
-    buckets = F.array(
-        *[band_bucket(F.col(vec_col), b) for b in range(num_bands)]
+    # all bands' buckets as ONE expression; element b equals the ANN
+    # kernel (similarity.lsh_bucket_col) over band b's plane slice, so
+    # dedup banding can never drift from ANN banding or their shared
+    # oracle convention — see lsh_bucket_array's equivalence note
+    buckets = lsh_bucket_array(
+        F.col(vec_col), planes, num_bands, planes_per_band
     )
     all_cols = (with_all,) if with_all else ()
     return (

@@ -93,6 +93,51 @@ def lsh_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
     return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
+def lsh_bucket_array(
+    vec: Column, planes: list[list[float]], num_bands: int, planes_per_band: int
+) -> Column:
+    """ALL bands' buckets as ONE array<long> expression: band b's
+    element equals lsh_bucket_col(vec, planes[b·ppb:(b+1)·ppb]) — the
+    identical per-band zip_with/aggregate fold in the identical order —
+    but the 3-level plane matrix is ONE parsed literal and the per-band
+    loop is a single `transform` lambda instead of num_bands separate
+    expression trees. Measured on the banding consumers (16 bands):
+    plan BUILD (py4j expression construction + one literal parse +
+    Catalyst analysis) drops ~num_bands×; execution and values are
+    unchanged (oracle hash-verified by every banding consumer)."""
+    grouped = [
+        planes[b * planes_per_band : (b + 1) * planes_per_band]
+        for b in range(num_bands)
+    ]
+    bands_lit = F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array(" + ",".join(repr(float(x)) + "D" for x in p) + ")"
+                for p in g
+            )
+            + ")"
+            for g in grouped
+        )
+        + ")"
+    )
+    weights = F.lit([1 << p for p in range(planes_per_band)])
+    return F.transform(
+        bands_lit,
+        lambda band: F.aggregate(
+            F.zip_with(
+                band,
+                weights,
+                lambda plane, w: F.when(dot(vec, plane) >= 0, w.cast("long"))
+                .otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
 def ann_bruteforce_topk(
     vectors: DataFrame,
     queries: DataFrame,

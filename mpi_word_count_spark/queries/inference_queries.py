@@ -615,16 +615,24 @@ def q_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, "documents", sf_dir)
     docs = d.select("doc_id", "lang")
+    # lang rides through the explode instead of being joined back on
+    # doc_id afterwards (the oracle's tok⋈docs join is a no-op there:
+    # documents holds every doc_id exactly once), removing the only
+    # corpus-sized join from the training side
     toks = d.select(
-        "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("tok")
+        "doc_id",
+        "lang",
+        F.explode(tokens_col(F.lower(F.col("text")))).alias("tok"),
     ).filter(F.col("tok") != "")
-    cnt = (
-        toks.join(docs, "doc_id")
-        .groupBy("lang", "tok")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cnt = toks.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
     )
     nl = cnt.groupBy("lang").agg(F.sum("c").cast("long").alias("n_l"))
-    vocab = toks.select("tok").distinct()
+    # DISTINCT tok over the token stream == DISTINCT tok of the (lang,
+    # tok) count table (every token instance carries a lang), so the
+    # vocabulary is derived model-sized from cnt instead of
+    # re-tokenizing the corpus a third time
+    vocab = cnt.select("tok").distinct()
     vsize = vocab.agg(F.count(F.lit(1)).cast("long").alias("v"))
     model = (
         vocab.crossJoin(F.broadcast(nl))
@@ -649,7 +657,8 @@ def q_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pr"),
     )
     score = (
-        toks.join(model, "tok")
+        toks.select("doc_id", "tok")
+        .join(model, "tok")
         .join(F.broadcast(prior), "lang")
         .groupBy("doc_id", "lang", "pr")
         .agg(F.sum("lt").alias("lts"))
