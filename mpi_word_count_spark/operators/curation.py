@@ -404,6 +404,7 @@ def dsir_importance_weights(
     lambda (the CollapseProject HOF trap). No corpus self-join,
     nothing global.
     """
+    from mpi_word_count_spark.operators import track_cache, widen
     from mpi_word_count_spark.operators.dedup import tokens_col
 
     t = F.col("t")
@@ -412,6 +413,10 @@ def dsir_importance_weights(
         F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
+    # small parquet inputs scan as one task; the md5-per-gram explode
+    # below is the CPU bound stage, so restore cluster width first
+    # (no-op at scale where scans already have thousands of splits)
+    docs = widen(docs)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         target_filter.alias("_is_target"),
@@ -426,8 +431,13 @@ def dsir_importance_weights(
         "_is_target",
         (hash32(F.col("g"), seed="dsir") % num_buckets).alias("b"),
     )
-    dbc = feats.groupBy("doc_id", "_is_target", "b").agg(
-        F.count(F.lit(1)).alias("cnt")
+    # BOTH the model fit (counts) and the scoring tail read dbc: cache
+    # the thin (doc, bucket) count table so the corpus-sized tokenize +
+    # gram hash explode runs once, not twice
+    dbc = track_cache(
+        feats.groupBy("doc_id", "_is_target", "b").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
     )
     counts = dbc.groupBy("b").agg(
         F.sum(F.when(F.col("_is_target"), F.col("cnt")).otherwise(0)).alias(

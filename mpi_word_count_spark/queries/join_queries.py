@@ -218,15 +218,23 @@ def q_overlapping_order_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "e",
         )
     )
-    tiles = iv.withColumn(
-        "tile",
-        F.explode(
-            F.sequence(
-                F.date_trunc("year", "s"),
-                F.date_trunc("year", "e"),
-                F.expr("INTERVAL 1 YEAR"),
-            )
-        ),
+    from mpi_word_count_spark.operators import track_cache
+
+    # both self-join sides read tiles: cache it so the lineitem
+    # max-shipdate aggregate + orders join + tile explode run once,
+    # not once per side (the before-plan materialized the identical
+    # subtree twice)
+    tiles = track_cache(
+        iv.withColumn(
+            "tile",
+            F.explode(
+                F.sequence(
+                    F.date_trunc("year", "s"),
+                    F.date_trunc("year", "e"),
+                    F.expr("INTERVAL 1 YEAR"),
+                )
+            ),
+        )
     )
     a = tiles.alias("a")
     b = tiles.alias("b")
