@@ -495,8 +495,19 @@ def q_price_ols_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the cost of one aggregation shuffle, k × O(1) solves.
 
     Folds are md5-assigned by line-item key, so the split is
-    deterministic and partition-independent on both engines."""
+    deterministic and partition-independent on both engines.
+
+    Optimization r10 (guide §2.4/§2.5, OPTIMIZATION_r10.md): (1) the
+    5-column projection is widen()ed before the heavy per-row work —
+    the 10.8 MB lineitem parquet scans as ONE task, so the md5 fold
+    hash and ten decimal partial sums for 600k rows ran on one core
+    (no-op at scale, where the scan already has thousands of splits);
+    (2) foldsums is cached: the totals aggregate previously
+    re-instantiated the whole corpus scan + aggregation subtree (the
+    before-plan shows two identical Scan→HashAggregate chains), so the
+    md5-heavy pass executed twice per run."""
     from mpi_word_count_spark.functions.hashing import hash32
+    from mpi_word_count_spark.operators import track_cache, widen
 
     li = table(spark, "lineitem", sf_dir)
     fold = (
@@ -513,14 +524,20 @@ def q_price_ols_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("bigint")
     d = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint")
     yc = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
-    raw = li.select(
-        fold.alias("fold"), q.alias("q"), d.alias("d"), yc.alias("yc")
-    )
+    raw = widen(
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_discount",
+            "l_extendedprice",
+        )
+    ).select(fold.alias("fold"), q.alias("q"), d.alias("d"), yc.alias("yc"))
 
     def s(expr) -> F.Column:
         return F.sum(expr.cast("decimal(38,0)")).cast("double")
 
-    foldsums = raw.groupBy("fold").agg(
+    foldsums = track_cache(raw.groupBy("fold").agg(
         F.count(F.lit(1)).cast("double").alias("fn"),
         s(F.col("q")).alias("fsq"),
         s(F.col("d")).alias("fsd"),
@@ -535,7 +552,7 @@ def q_price_ols_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("double")
         .alias("fsyyc"),
-    )
+    ))
     totals = foldsums.agg(
         F.sum("fn").alias("tn"),
         F.sum("fsq").alias("tsq"),
