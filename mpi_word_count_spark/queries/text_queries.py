@@ -1432,56 +1432,36 @@ def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     absorb every term-matching document at 100 TB (round-4 verdict).
     The final top-k IS a plain orderBy().limit() heap.
     """
-    from mpi_word_count_spark.operators import track_cache
     from mpi_word_count_spark.operators.dedup import tokens_col
     from mpi_word_count_spark.operators.ranking import bucketed_global_rank
+    from mpi_word_count_spark.tokenizer import tokenize
 
     docs = table(spark, "documents", sf_dir)
     terms = list(BM25_TERMS)
 
-    # Optimization r10 (guide §2.3/§2.4, OPTIMIZATION_r10.md): the
-    # before-plan instantiated 24 corpus scans / 68 exchanges — the
-    # corpus was tokenized once per consumer (dl, dfreq, tf, posd) and
-    # bucketed_global_rank's two reads duplicated each whole ranking
-    # subtree. Now: document length is a NARROW projection
-    # (size(tokens)) — no explode, no corpus-sized shuffle; the
-    # term-FILTERED positional table `posd` is built once and cached
-    # (bounded by query-term postings at any scale) and serves tf,
-    # dfreq (derived from tf — one row per (doc,word)), and the
-    # proximity self-join; the per-doc score tables bm/prox are cached
-    # so each rank's count and join branches read them once. Values
-    # are unchanged: len/tf/df are the same integers, score formulas
-    # untouched.
-
-    # --- shared corpus passes ---------------------------------------
-    # (doc_id, len): one narrow tokenize, no explode
-    dl = track_cache(
-        docs.select(
-            "doc_id", F.size(tokens_col("text")).alias("len")
-        ).filter(F.col("len") > 0)
-    )
-    # (doc_id, word, pos) for query terms only: the one exploded pass
-    ptoks = docs.select("doc_id", tokens_col("text").alias("_toks"))
-    posd = track_cache(
-        ptoks.select("doc_id", F.posexplode("_toks").alias("p0", "word"))
-        .filter(F.col("word").isin(terms))
-        .select("doc_id", "word", (F.col("p0") + 1).alias("pos"))
-    )
-
     # --- lexical ranking (BM25, same formula as bm25_scores) --------
+    toks = tokenize(docs, col="text", keep=["doc_id"])
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("len").alias("avg_len")
     )
-    tf = posd.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    # tf holds one row per (doc, word), so df = that word's row count
-    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    dfreq = (
+        toks.filter(F.col("word").isin(terms))
+        .groupBy("word")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    tf = (
+        toks.filter(F.col("word").isin(terms))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )
     denom = F.col("tf") + BM25_K1 * (
         1.0 - BM25_B + BM25_B * F.col("len") / F.col("avg_len")
     )
-    bm = track_cache(
+    bm = (
         tf.join(F.broadcast(dfreq), "word")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
@@ -1502,8 +1482,14 @@ def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "r1")
 
     # --- proximity ranking (positional index, min pair distance) ----
+    ptoks = docs.select("doc_id", tokens_col("text").alias("_toks"))
+    posd = (
+        ptoks.select("doc_id", F.posexplode("_toks").alias("p0", "word"))
+        .filter(F.col("word").isin(terms))
+        .select("doc_id", "word", (F.col("p0") + 1).alias("pos"))
+    )
     a, b = posd.alias("a"), posd.alias("b")
-    prox = track_cache(
+    prox = (
         a.join(
             b,
             (F.col("a.doc_id") == F.col("b.doc_id"))
