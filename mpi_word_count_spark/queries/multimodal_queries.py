@@ -29,6 +29,7 @@ from mpi_word_count_spark.operators.multimodal import (
     phash_media,
     sample_frames,
 )
+from mpi_word_count_spark.operators import widen
 from mpi_word_count_spark.registry import register
 from mpi_word_count_spark.tables import table
 
@@ -647,7 +648,7 @@ def q_media_decode_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["skipped_env_bound"].append(env)
             yield pd.DataFrame(rows)
 
-    per_item = docs.select("doc_id", "text").mapInPandas(
+    per_item = widen(docs.select("doc_id", "text")).mapInPandas(
         kernel,
         schema=T.StructType(
             [
