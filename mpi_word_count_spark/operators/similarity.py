@@ -529,20 +529,62 @@ def pq_codebooks(
     ]
 
 
+def _tensor_lit(books: list[list[list[float]]]) -> Column:
+    """An m×k×sub float tensor as ONE parsed literal
+    (array<array<array<double>>>) — the _matrix_lit rationale one
+    level deeper, shared by the collapsed PQ expressions (the
+    lsh_bucket_array pattern)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")"
+                for c in book
+            )
+            + ")"
+            for book in books
+        )
+        + ")"
+    )
+
+
 def pq_codes_col(
     vec: Column, codebooks: list[list[list[float]]], dim: int = EMBED_DIM
 ) -> Column:
     """PQ encoding as a pure expression: per subspace, the index of the
     nearest codebook centroid — m small ints replace dim floats (the
     32× compression that makes a 100 TB corpus scan codes, not
-    vectors)."""
+    vectors).
+
+    Optimization r10: ONE transform over a single m×k×sub codebook
+    tensor literal instead of m separate nearest-centroid expression
+    trees (each a py4j round-trip storm — profiled at ~0.5s of the
+    ann_ivfpq plan build). The inner argmin is the IDENTICAL
+    zip_with/aggregate fold in the identical order as
+    nearest_centroid_col, so codes are bit-equal (oracle-verified by
+    every PQ consumer)."""
     m = len(codebooks)
     sub = dim // m
-    return F.array(
-        *[
-            nearest_centroid_col(F.slice(vec, i * sub + 1, sub), codebooks[i])
-            for i in range(m)
-        ]
+    return F.transform(
+        _tensor_lit(codebooks),
+        lambda book, i: F.array_min(
+            F.transform(
+                book,
+                lambda c, ci: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.slice(vec, i * sub + 1, sub),
+                            c,
+                            lambda a, b: (a.cast("double") - b) ** 2,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    ci.alias("c"),
+                ),
+            )
+        )["c"],
     )
 
 
@@ -556,17 +598,26 @@ def _adc_sq_dist(
     the values are identical."""
     m = len(codebooks)
     sub = dim // m
-    total = F.lit(0.0)
-    for i, book in enumerate(codebooks):
-        book_lit = _matrix_lit(book)
-        cent = F.element_at(book_lit, F.element_at(codes, i + 1).cast("int") + 1)
-        qs = F.slice(qvec, i * sub + 1, sub)
-        total = total + F.aggregate(
-            F.zip_with(qs, cent, lambda a, b: (a.cast("double") - b) ** 2),
+    # Optimization r10: one transform over the codebook tensor literal
+    # instead of m chained per-subspace trees; the outer aggregate sums
+    # the per-subspace partials left-to-right from 0.0 — the identical
+    # addition order as the unrolled `total = total + ...` chain, so
+    # distances are bit-equal (oracle-verified).
+    parts = F.transform(
+        _tensor_lit(codebooks),
+        lambda book, i: F.aggregate(
+            F.zip_with(
+                F.slice(qvec, i * sub + 1, sub),
+                F.element_at(
+                    book, F.element_at(codes, i + 1).cast("int") + 1
+                ),
+                lambda a, b: (a.cast("double") - b) ** 2,
+            ),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        )
-    return total
+        ),
+    )
+    return F.aggregate(parts, F.lit(0.0), lambda acc, x: acc + x)
 
 
 def _adc_scores(
