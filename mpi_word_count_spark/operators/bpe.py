@@ -152,14 +152,59 @@ def apply_merge_col(syms: Column, left: str, right: str, merged: str) -> Column:
     )
 
 
+def _apply_merge_expr(syms: Column, lit_l: Column, lit_r: Column, lit_m: Column) -> Column:
+    """apply_merge_col's fold with Column-valued merge symbols — the
+    body shared by the chained form (literal args) and the collapsed
+    single-aggregate form (element_at over the merge-table arrays)."""
+    return F.aggregate(
+        syms,
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == lit_l)
+            & (s == lit_r),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(lit_m)),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def merge_fold_col(
+    syms: Column, merge_table: list[tuple[str, str, str, int]]
+) -> Column:
+    """Apply a learned merge table to a symbol array as ONE nested
+    aggregate instead of len(merge_table) chained fold trees.
+
+    Optimization r10 (the lsh_bucket_array pattern, guide §1/§2):
+    the chained form built one F.aggregate tree per merge — ~1 s of
+    driver-side py4j expression construction per plan build at 16
+    merges. Here the outer aggregate folds over the merge INDICES in
+    rank order, reading each round's (left, right, merged) from three
+    array literals; the inner fold is _apply_merge_expr — the
+    IDENTICAL greedy left-to-right pass in the identical order, so
+    encodings are bit-equal (oracle-verified by every BPE consumer;
+    parity with greedy_merge locked by tests/test_bpe.py)."""
+    if not merge_table:
+        return syms
+    lefts = F.lit([t[0] for t in merge_table])
+    rights = F.lit([t[1] for t in merge_table])
+    merged = F.lit([t[2] for t in merge_table])
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(len(merge_table))),
+        syms,
+        lambda acc, i: _apply_merge_expr(
+            acc,
+            F.element_at(lefts, i),
+            F.element_at(rights, i),
+            F.element_at(merged, i),
+        ),
+    )
+
+
 def encode_col(col: Column | str, merge_table: list[tuple[str, str, str, int]]) -> Column:
     """word -> BPE symbol array under a learned merge table: the
-    merge literals chain into per-row folds in rank order — no UDF,
-    no shuffle, whole-stage-codegen'd per scanned row."""
-    syms = chars_col(col)
-    for left, right, merged, _ in merge_table:
-        syms = apply_merge_col(syms, left, right, merged)
-    return syms
+    merge table folds per row in rank order (merge_fold_col) — no
+    UDF, no shuffle, whole-stage-codegen'd per scanned row."""
+    return merge_fold_col(chars_col(col), merge_table)
 
 
 # --- byte-level BPE (the GPT-2 / tiktoken form) -----------------------------
@@ -242,12 +287,9 @@ def byte_encode_col(
     col: Column | str, merge_table: list[tuple[str, str, str, int]]
 ) -> Column:
     """word -> byte-level BPE symbol array under a learned merge
-    table: the same literal-merge fold chain as encode_col, over the
-    byte symbol split."""
-    syms = byte_symbols_col(col)
-    for left, right, merged, _ in merge_table:
-        syms = apply_merge_col(syms, left, right, merged)
-    return syms
+    table: the same merge-table fold as encode_col (merge_fold_col),
+    over the byte symbol split."""
+    return merge_fold_col(byte_symbols_col(col), merge_table)
 
 
 # --- unigram-LM segmentation (the SentencePiece-style counterpart) ---------
