@@ -273,6 +273,8 @@ def _verify_candidates_jaccard(
     docs), count shared shingles per pair, then apply the shared
     size-join + threshold tail. Returns (left, right, *extra, jaccard)
     for pairs with exact Jaccard ≥ threshold."""
+    from mpi_word_count_spark.operators import widen
+
     cand_ids = (
         candidates.select(F.col(left).alias(id_col))
         .union(candidates.select(F.col(right).alias(id_col)))
@@ -282,17 +284,35 @@ def _verify_candidates_jaccard(
     # widen() plan the candidates subtree cost ~2s of driver time per
     # plan build (the dedup_clusters drift, VERDICT r8 item 2)
     pruned = df.join(F.broadcast(cand_ids), id_col, "left_semi")
-    sh = doc_shingles(pruned, id_col, text_col, n, probe=df)
-    sa_, sb_ = sh.alias("sa"), sh.alias("sb")
+    # Optimization r10 (guide §2.3, OPTIMIZATION_r10.md): intersection
+    # counts come from size(array_intersect(set1, set2)) over per-doc
+    # DISTINCT shingle ARRAYS (a narrow projection — no explode), not
+    # from the exploded (pair × shingle) equi-join + groupBy the
+    # before-form used. Counts are identical: shingle sets are distinct
+    # per document (shingles_from_tokens applies array_distinct), so
+    # the join's per-pair row count IS the set-intersection size; pairs
+    # whose intersection is empty get inter = 0 here and were dropped
+    # by the inner join before — both forms kill them at the threshold
+    # filter. Stage-profiled at sf0.1: the verification tail fell from
+    # 2.2-3.1 s to ~0.9 s of the minhash pipeline.
+    toks = widen(pruned, probe=df).select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("_toks")
+    )
+    sets = toks.select(
+        "doc_id", shingles_from_tokens(F.col("_toks"), n).alias("_set")
+    )
+    sa_, sb_ = sets.alias("sa"), sets.alias("sb")
     inter = (
         candidates.join(sa_, F.col(left) == F.col("sa.doc_id"))
-        .join(
-            sb_,
-            (F.col(right) == F.col("sb.doc_id"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        .join(sb_, F.col(right) == F.col("sb.doc_id"))
+        .select(
+            left,
+            right,
+            *extra,
+            F.size(
+                F.array_intersect(F.col("sa._set"), F.col("sb._set"))
+            ).alias("inter"),
         )
-        .groupBy(left, right, *extra)
-        .agg(F.count(F.lit(1)).alias("inter"))
     )
     return _jaccard_from_inter(inter, sizes, threshold, left, right, extra)
 
