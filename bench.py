@@ -323,13 +323,22 @@ def main() -> None:
         json.dump(meta, f, indent=1)
     # Per-query map to a sidecar: it grows with the headline list
     # (>2 KB at 69 queries) and must never ride on the stdout line.
-    with open(os.path.join(here, "BENCH_queries.json"), "w") as f:
-        json.dump(
-            {"sf": sf, "n_queries": len(HEADLINE), "queries": timings},
-            f,
-            indent=1,
-            sort_keys=True,
-        )
+    # Written under BOTH the canonical name and a per-configuration
+    # name (VERDICT r10 item 2): the driver benches the same tree at
+    # two core counts and the second run used to OVERWRITE the first
+    # run's per-query record, leaving PERF/scaling with no per-query
+    # map for either config. The canonical file stays (it is what the
+    # stdout line and past rounds point at); the _c{cpus} twin makes
+    # each configuration's record durable.
+    sidecar = {
+        "sf": sf,
+        "cpus": meta["cpus"],
+        "n_queries": len(HEADLINE),
+        "queries": timings,
+    }
+    for fname in ("BENCH_queries.json", f"BENCH_queries_c{meta['cpus']}.json"):
+        with open(os.path.join(here, fname), "w") as f:
+            json.dump(sidecar, f, indent=1, sort_keys=True)
     spark.stop()
     print(stdout_line(total, len(HEADLINE), sf))
 
