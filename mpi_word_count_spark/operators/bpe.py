@@ -138,18 +138,13 @@ def apply_merge_col(syms: Column, left: str, right: str, merged: str) -> Column:
     token is never equal to `left` (merged = left||right, symbols are
     non-empty), a fresh merge can't immediately re-merge — exactly
     the greedy left-to-right semantics (tested against greedy_merge
-    in tests/test_bpe.py)."""
-    lit_l, lit_r, lit_m = F.lit(left), F.lit(right), F.lit(merged)
-    return F.aggregate(
-        syms,
-        F.expr("cast(array() as array<string>)"),
-        lambda acc, s: F.when(
-            (F.size(acc) > 0)
-            & (F.element_at(acc, -1) == lit_l)
-            & (s == lit_r),
-            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(lit_m)),
-        ).otherwise(F.concat(acc, F.array(s))),
-    )
+    in tests/test_bpe.py).
+
+    Delegates to _apply_merge_expr (ADVICE r10): the fold body lives
+    in ONE place so the chained and collapsed forms cannot silently
+    diverge — the documented greedy-merge parity depends on them
+    being the identical expression."""
+    return _apply_merge_expr(syms, F.lit(left), F.lit(right), F.lit(merged))
 
 
 def _apply_merge_expr(syms: Column, lit_l: Column, lit_r: Column, lit_m: Column) -> Column:

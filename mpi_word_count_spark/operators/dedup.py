@@ -78,19 +78,27 @@ def doc_shingles(
     text_col: str = "text",
     n: int = 3,
     probe: DataFrame | None = None,
+    extra_cols: dict[str, Column] | None = None,
 ) -> DataFrame:
     """(id, shingle) exploded distinct-shingle table — the inverted
     index input. One narrow two-phase pass (tokenize, then shingle),
     no shuffle. `probe` forwards to widen(): pass the base relation
     when `df` is a narrow decoration of it, so the width check never
-    physically plans a composite tree (see widen's docstring)."""
+    physically plans a composite tree (see widen's docstring).
+    `extra_cols` are per-document expressions over `df`'s columns
+    that ride through the explode (e.g. a length band key) — they
+    repeat per shingle row, so keep them to a few bytes."""
     from mpi_word_count_spark.operators import widen
 
+    extras = extra_cols or {}
     toks = widen(df, probe=probe).select(
-        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("_toks")
+        F.col(id_col).alias("doc_id"),
+        *[c.alias(k) for k, c in extras.items()],
+        tokens_col(text_col).alias("_toks"),
     )
     return toks.select(
         "doc_id",
+        *extras.keys(),
         F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle"),
     )
 
@@ -191,11 +199,13 @@ def _shingle_index(
     id_col: str,
     text_col: str,
     max_shingle_freq: int | None,
+    extra_cols: dict[str, Column] | None = None,
 ) -> DataFrame:
     """Inverted shingle index with the stop-shingle guard applied —
     the ONE candidate-generation input both ngram_jaccard_pairs and
-    edit_distance_pairs share (a guard fix must hit every consumer)."""
-    sh = doc_shingles(df, id_col, text_col, n)
+    edit_distance_pairs share (a guard fix must hit every consumer).
+    `extra_cols` ride through (doc_shingles docstring)."""
+    sh = doc_shingles(df, id_col, text_col, n, extra_cols=extra_cols)
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh = sh.join(freq.filter(F.col("df") <= max_shingle_freq), "shingle").drop(
@@ -204,18 +214,28 @@ def _shingle_index(
     return sh
 
 
-def _shared_shingle_pairs(sh: DataFrame) -> DataFrame:
+def _shared_shingle_pairs(sh: DataFrame, pair_filter=None) -> DataFrame:
     """(d1 < d2, inter) for every doc pair sharing ≥1 indexed shingle:
     the inverted-index self-join. Fans out only on SHARED shingles —
-    cost tracks similarity structure, never |docs|²."""
+    cost tracks similarity structure, never |docs|².
+
+    `pair_filter(a, b) -> Column` (optional) is AND-ed into the join
+    condition over the two aliased index sides — the hook for pushing
+    a provably-lossless pair predicate (e.g. edit_distance's length
+    band) INTO the candidate join, bounding fan-out before the
+    count aggregation ever sees the pair. The filter sees one row per
+    shared shingle of a pair and its inputs are per-document columns,
+    so a pair is kept or dropped WHOLE: `inter` counts are unchanged
+    for every surviving pair."""
     a = sh.alias("a")
     b = sh.alias("b")
+    cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.col("a.doc_id") < F.col("b.doc_id")
+    )
+    if pair_filter is not None:
+        cond = cond & pair_filter(a, b)
     return (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        a.join(b, cond)
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -272,7 +292,21 @@ def _verify_candidates_jaccard(
     full-corpus tokenizations a naive plan pays become |candidates|
     docs), count shared shingles per pair, then apply the shared
     size-join + threshold tail. Returns (left, right, *extra, jaccard)
-    for pairs with exact Jaccard ≥ threshold."""
+    for pairs with exact Jaccard ≥ threshold.
+
+    CONTRACT (ADVICE r10): `candidates` must be DISTINCT per
+    (left, right, *extra) — this emits one output row per candidate
+    row (the pre-r10 groupBy form collapsed duplicates; the
+    array_intersect form does not). Both callers .distinct() their
+    candidate frames before calling.
+
+    Scale trade-off (ADVICE r10): each candidate pair carries both
+    documents' FULL distinct-shingle arrays through the two joins —
+    O(doc shingles) bytes per pair vs the old form's O(intersection)
+    exploded rows — so a hub document in many candidate pairs
+    replicates its whole set per pair. Acceptable because LSH keeps
+    candidates sparse by design (and measured faster at sf0.1); if a
+    skewed corpus ever regresses here, this is the term to look at."""
     from mpi_word_count_spark.operators import widen
 
     cand_ids = (
@@ -1264,10 +1298,36 @@ def edit_distance_pairs(
     counts characters (the correct text semantics); the fixture corpus
     is pure ASCII, and both the parity and the divergence are locked
     by tests/test_dedup.py::test_levenshtein_parity_with_duckdb.
+
+    Optimization r11 (VERDICT r10 item 5, guide §2.3/§3): the index
+    rows carry the PREFIX length (plen = min(|text|, prefix_chars) —
+    the lengths the DP actually compares) and the candidate self-join
+    bands on |plen₁ − plen₂| ≤ max_distance. Lossless by the
+    Levenshtein lower bound lev(p₁,p₂) ≥ ||p₁| − |p₂||: every pair
+    the band drops would fail the final distance filter anyway, so
+    the output is bit-identical while candidate fan-out (and the DP
+    kernel invocations) is bounded by the length band at scale.
     """
-    sh = _shingle_index(df, n, id_col, text_col, max_shingle_freq)
+    sh = _shingle_index(
+        df,
+        n,
+        id_col,
+        text_col,
+        max_shingle_freq,
+        extra_cols={
+            "plen": F.least(
+                F.length(F.col(text_col)), F.lit(prefix_chars)
+            ).cast("int")
+        },
+    )
     candidates = (
-        _shared_shingle_pairs(sh)
+        _shared_shingle_pairs(
+            sh,
+            pair_filter=lambda a, b: F.abs(
+                F.col("a.plen") - F.col("b.plen")
+            )
+            <= max_distance,
+        )
         .withColumnRenamed("inter", "n_shared")
         .filter(F.col("n_shared") >= min_shared_shingles)
     )

@@ -109,19 +109,10 @@ def lsh_bucket_array(
         planes[b * planes_per_band : (b + 1) * planes_per_band]
         for b in range(num_bands)
     ]
-    bands_lit = F.expr(
-        "array("
-        + ",".join(
-            "array("
-            + ",".join(
-                "array(" + ",".join(repr(float(x)) + "D" for x in p) + ")"
-                for p in g
-            )
-            + ")"
-            for g in grouped
-        )
-        + ")"
-    )
+    # the 3-level literal convention lives in ONE place (ADVICE r10):
+    # _tensor_lit is the shared repr(float)+'D' encoder for every
+    # collapsed band/codebook expression
+    bands_lit = _tensor_lit(grouped)
     weights = F.lit([1 << p for p in range(planes_per_band)])
     return F.transform(
         bands_lit,

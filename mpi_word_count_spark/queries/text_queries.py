@@ -1411,6 +1411,116 @@ def _rrf_oracle() -> str:
     """
 
 
+def _rrf_use_index(sf_dir: str) -> bool:
+    """Size-adaptive switch for the RRF positional-index
+    materialization (guide §2: scale-dependent decisions derive from
+    input size, never from a local-mode constant). Measured crossover
+    on the bench host (OPTIMIZATION_r11.md): the 24-scan inline DAG
+    is ~0.3 s faster on the 0.6 MB sf0.1 fixture, the materialized
+    index is 1.4–1.5× faster from 5 MB of documents up (and the
+    inline DAG turns unstable at 16 MB — 24–43 s outlier runs from 24
+    concurrent corpus scans). Default threshold 4 MiB sits just under
+    the measured win; production corpora are far above it, so
+    materialization IS the production path — the inline body is the
+    small-input fast path. Overrides for tests/measurement:
+    SPARK_GRAFT_RRF_INDEX=force|off|auto,
+    SPARK_GRAFT_RRF_INDEX_MIN_BYTES."""
+    import os
+
+    mode = os.environ.get("SPARK_GRAFT_RRF_INDEX", "auto")
+    if mode == "force":
+        return True
+    if mode == "off":
+        return False
+    min_bytes = int(
+        os.environ.get("SPARK_GRAFT_RRF_INDEX_MIN_BYTES", str(4 * 1024 * 1024))
+    )
+    src = os.path.join(sf_dir, "documents.parquet")
+    size = 0
+    if os.path.isdir(src):
+        for root, _, files in os.walk(src):
+            size += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    elif os.path.exists(src):
+        size = os.path.getsize(src)
+    return size >= min_bytes
+
+
+def _rrf_compact_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE corpus pass → the compact retrieval index
+    (doc_id, len, hits: array<struct<pos:int, word:string>>) every
+    RRF input derives from: doc length for BM25's normalization, and
+    the position-ordered query-term occurrences for tf, df and
+    proximity. This is guide §8's lightweight proxy — a few bytes per
+    document instead of the document — MATERIALIZED (write + read
+    back, guide §6) so the plan's many index consumers (tf, df,
+    stats, proximity, ×2 through the rank decomposition's count/data
+    passes) each read a metadata-sized parquet instead of
+    re-tokenizing the corpus. The write is part of the query's own
+    execution, recomputed from the inputs on every invocation
+    (scratch dir removed by release_caches)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from mpi_word_count_spark.operators import track_releaser
+    from mpi_word_count_spark.operators.dedup import tokens_col
+
+    docs = table(spark, "documents", sf_dir)
+    terms = list(BM25_TERMS)
+    compact = docs.select(
+        "doc_id", tokens_col("text").alias("_toks")
+    ).select(
+        "doc_id",
+        F.size("_toks").alias("len"),
+        F.filter(
+            F.transform(
+                "_toks",
+                lambda w, i: F.struct((i + 1).alias("pos"), w.alias("word")),
+            ),
+            lambda h: h["word"].isin(terms),
+        ).alias("hits"),
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_scratch",
+        f"rrf_index_{uuid.uuid4().hex}",
+    )
+    compact.write.mode("overwrite").parquet(path)
+    track_releaser(lambda p=path: shutil.rmtree(p, ignore_errors=True))
+    return spark.read.parquet(path)
+
+
+def _min_diff_word_dist(hits: Column) -> Column:
+    """min |posᵢ − posⱼ| over pairs of DIFFERENT-word hits, NULL when
+    no such pair exists — from a position-ASCENDING
+    array<struct<pos:int, word:string>> column, as one array
+    expression (no self-join).
+
+    Correct because the closest different-word pair is always
+    ADJACENT in position order: if any hit sat strictly between a
+    closest pair, it would differ from at least one endpoint and form
+    a strictly closer different-word pair — contradiction. So scan
+    adjacent hits only. array_min skips NULL elements (same-word
+    adjacencies) and returns NULL on empty/all-NULL input — exactly
+    the docs the positional self-join produced no row for.
+    Pinned by tests/test_text_ops.py against a brute-force all-pairs
+    reference."""
+    deltas = F.when(
+        F.size(hits) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(hits) - 1),
+            lambda i: F.when(
+                F.element_at(hits, i + 1)["word"]
+                != F.element_at(hits, i)["word"],
+                F.element_at(hits, i + 1)["pos"]
+                - F.element_at(hits, i)["pos"],
+            ),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    return F.array_min(deltas)
+
+
 @register("hybrid_rrf_retrieval", oracle=_rrf_oracle())
 def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval by reciprocal-rank fusion: the BM25 relevance
@@ -1421,57 +1531,112 @@ def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking is float-scored (ranks, not scores, cross the fusion
     boundary — the whole point of RRF).
 
-    Scale shape: the proximity self-join is per-doc and filtered to
-    query terms first (tf² per doc, not corpus²); the full-outer
-    fusion join touches only rows with nonzero fused score. Both
-    EXACT rank columns (they are part of the result even beyond the
-    contributing top-50, so a top-k heap can't produce them) come
-    from the two-pass bucket-offset decomposition — per-bucket counts
-    → broadcast cumulative offsets → within-bucket row_number — NOT a
-    global row_number window, whose single WindowExec partition would
-    absorb every term-matching document at 100 TB (round-4 verdict).
-    The final top-k IS a plain orderBy().limit() heap.
+    Optimization r11 (VERDICT r10 item 1, guide §6/§2.4): above the
+    measured input-size crossover (_rrf_use_index) every input
+    derives from the ONE materialized compact positional index of
+    _rrf_compact_index — before: the corpus was tokenized once per
+    consumer (24 corpus scans / 68 Exchanges in the r10 before-plan);
+    after: ONE corpus scan (the index write) and metadata-sized index
+    reads. On the index path, doc length rides with tf through the
+    explode so BM25 needs no dl join; document frequency is
+    tf.groupBy(word).count() — identical to countDistinct(doc_id)
+    because tf is one row per (doc, word); and proximity needs NO
+    positional self-join (_min_diff_word_dist). Below the crossover
+    the original inline DAG stands — its duplicated subtrees are
+    ~20 ms concurrent scans there, faster than any materialization
+    barrier (measured, r10 AND r11). Both paths are oracle-identical
+    (hash-verified at sf0.01/sf0.1 and under local[7]).
+
+    Scale shape: both EXACT rank columns (they are part of the result
+    even beyond the contributing top-50, so a top-k heap can't produce
+    them) come from the two-pass bucket-offset decomposition —
+    per-bucket counts → broadcast cumulative offsets → within-bucket
+    row_number — NOT a global row_number window, whose single
+    WindowExec partition would absorb every term-matching document at
+    100 TB (round-4 verdict). The final top-k IS a plain
+    orderBy().limit() heap.
     """
     from mpi_word_count_spark.operators.dedup import tokens_col
     from mpi_word_count_spark.operators.ranking import bucketed_global_rank
     from mpi_word_count_spark.tokenizer import tokenize
 
-    docs = table(spark, "documents", sf_dir)
     terms = list(BM25_TERMS)
-
-    # --- lexical ranking (BM25, same formula as bm25_scores) --------
-    toks = tokenize(docs, col="text", keep=["doc_id"])
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("len").alias("avg_len")
-    )
-    dfreq = (
-        toks.filter(F.col("word").isin(terms))
-        .groupBy("word")
-        .agg(F.countDistinct("doc_id").alias("df"))
-    )
-    tf = (
-        toks.filter(F.col("word").isin(terms))
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )
     denom = F.col("tf") + BM25_K1 * (
         1.0 - BM25_B + BM25_B * F.col("len") / F.col("avg_len")
     )
-    bm = (
-        tf.join(F.broadcast(dfreq), "word")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(
-            portable_round(
-                F.sum(idf * F.col("tf") * (BM25_K1 + 1.0) / denom), 4
-            ).alias("bm25")
+    bm25_sum = portable_round(
+        F.sum(idf * F.col("tf") * (BM25_K1 + 1.0) / denom), 4
+    ).alias("bm25")
+
+    if _rrf_use_index(sf_dir):
+        # --- index path: everything from the materialized index -----
+        compact = _rrf_compact_index(spark, sf_dir)
+        stats = compact.filter(F.col("len") > 0).agg(
+            F.count(F.lit(1)).alias("n_docs"), F.avg("len").alias("avg_len")
         )
-    )
+        tf = (
+            compact.select("doc_id", "len", F.explode("hits").alias("h"))
+            .groupBy("doc_id", "len", F.col("h.word").alias("word"))
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        # one row per (doc, word) in tf ⇒ count(*) == countDistinct
+        dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+        bm = (
+            tf.join(F.broadcast(dfreq), "word")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("doc_id")
+            .agg(bm25_sum)
+        )
+        prox = compact.select(
+            "doc_id", _min_diff_word_dist(F.col("hits")).alias("min_dist")
+        ).filter(F.col("min_dist").isNotNull())
+    else:
+        # --- inline path: the original small-input DAG --------------
+        docs = table(spark, "documents", sf_dir)
+        toks = tokenize(docs, col="text", keep=["doc_id"])
+        dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+        stats = dl.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.avg("len").alias("avg_len")
+        )
+        dfreq = (
+            toks.filter(F.col("word").isin(terms))
+            .groupBy("word")
+            .agg(F.countDistinct("doc_id").alias("df"))
+        )
+        tf = (
+            toks.filter(F.col("word").isin(terms))
+            .groupBy("doc_id", "word")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        bm = (
+            tf.join(F.broadcast(dfreq), "word")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("doc_id")
+            .agg(bm25_sum)
+        )
+        ptoks = docs.select("doc_id", tokens_col("text").alias("_toks"))
+        posd = (
+            ptoks.select("doc_id", F.posexplode("_toks").alias("p0", "word"))
+            .filter(F.col("word").isin(terms))
+            .select("doc_id", "word", (F.col("p0") + 1).alias("pos"))
+        )
+        a, b = posd.alias("a"), posd.alias("b")
+        prox = (
+            a.join(
+                b,
+                (F.col("a.doc_id") == F.col("b.doc_id"))
+                & (F.col("a.word") < F.col("b.word")),
+            )
+            .groupBy(F.col("a.doc_id").alias("doc_id"))
+            .agg(
+                F.min(F.abs(F.col("a.pos") - F.col("b.pos"))).alias("min_dist")
+            )
+        )
+
     # bucket = -floor(10·score): monotone in desc(bm25), equal scores
     # share a bucket, ~hundreds of deciscore buckets
     bm_ranked = bucketed_global_rank(
@@ -1480,24 +1645,6 @@ def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.desc("bm25"), F.asc("doc_id")],
         rank_col="r1",
     ).select("doc_id", "r1")
-
-    # --- proximity ranking (positional index, min pair distance) ----
-    ptoks = docs.select("doc_id", tokens_col("text").alias("_toks"))
-    posd = (
-        ptoks.select("doc_id", F.posexplode("_toks").alias("p0", "word"))
-        .filter(F.col("word").isin(terms))
-        .select("doc_id", "word", (F.col("p0") + 1).alias("pos"))
-    )
-    a, b = posd.alias("a"), posd.alias("b")
-    prox = (
-        a.join(
-            b,
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("a.word") < F.col("b.word")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_id"))
-        .agg(F.min(F.abs(F.col("a.pos") - F.col("b.pos"))).alias("min_dist"))
-    )
     # bucket = min_dist itself (small-integer key: distinct values
     # bounded by document length, the finest order-preserving bucket)
     prox_ranked = bucketed_global_rank(
