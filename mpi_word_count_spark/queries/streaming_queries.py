@@ -258,12 +258,13 @@ def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     SQL. Complete mode (finite backfill); unbounded ingest would bound
     state with dropDuplicatesWithinWatermark upstream."""
     from mpi_word_count_spark.streaming.queries import streaming_incremental_dedup
+    from mpi_word_count_spark.tables import table
 
     stream = stream_table(spark, "documents", sf_dir).filter(
         F.col("doc_id") % STREAM_BATCH_MOD == 0
     )
     corpus_hashes = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        table(spark, "documents", sf_dir)
         .filter(F.col("doc_id") % STREAM_BATCH_MOD != 0)
         .select(F.md5(F.col("text")).alias("content_hash"))
         .distinct()
@@ -333,6 +334,7 @@ def q_streaming_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental_embedding_dups, verified against the identical batch
     SQL."""
     from mpi_word_count_spark.operators.dedup import embedding_band_keys
+    from mpi_word_count_spark.tables import table
     from mpi_word_count_spark.queries.dedup_queries import (
         COSINE_DUP_THRESHOLD,
     )
@@ -343,7 +345,7 @@ def q_streaming_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_table(spark, "embeddings", sf_dir).filter(
         F.col("vec_id") % STREAM_BATCH_MOD == 0
     )
-    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+    corpus = table(spark, "embeddings", sf_dir).filter(
         F.col("vec_id") % STREAM_BATCH_MOD != 0
     )
     return run_to_completion(

@@ -9,12 +9,11 @@ and dedup state here is the only design surface that needs sizing at
 
 from __future__ import annotations
 
-import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-from mpi_word_count_spark.tables import TABLES, normalize_events_ts
+from mpi_word_count_spark.tables import TABLES, normalize_events_ts, raw_table
 
 
 def stream_table(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
@@ -22,10 +21,11 @@ def stream_table(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
     from the parquet footer — streaming reads never infer)."""
     if name not in TABLES:
         raise KeyError(name)
-    # Pin the RAW on-disk schema (one footer read, no full batch scan),
-    # then apply the same ts normalization as the batch catalog so
-    # batch and stream plans see identical column types.
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")).schema
+    # Pin the RAW on-disk schema (one footer read, memoized in the
+    # batch catalog — tables.raw_table), then apply the same ts
+    # normalization as the batch catalog so batch and stream plans
+    # see identical column types.
+    raw_schema = raw_table(spark, name, sf_dir).schema
     sdf = (
         spark.readStream.schema(raw_schema)
         # file stream sources take a directory; glob-filter the table

@@ -56,10 +56,37 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
-def table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+# Resolved-relation memo, keyed (applicationId, sf_dir, name) — the
+# catalog behavior (optimization r11, guide §6 file-listing reuse).
+# Every `spark.read.parquet` call re-lists the path and re-reads
+# parquet footers for the schema: measured ~125 ms per call on the
+# driver, paid 1-3× per query BUILD (inside the bench's timed
+# region) for metadata that cannot change between runs. A real
+# deployment resolves tables through a catalog, which caches exactly
+# this (Spark's session catalog holds the resolved relation; Iceberg/
+# Delta keep manifests for the same reason — §6). NOTHING about the
+# data is cached: the memoized object is an UNEXECUTED lazy plan and
+# every execution scans parquet from storage. Keyed by applicationId
+# so a new session (tests start/stop several) never sees a stale
+# relation.
+_RESOLVED: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def raw_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """The memoized RAW relation (on-disk schema, no normalization) —
+    table()'s source, also the schema authority for stream_table."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    df = _RESOLVED.get(key)
+    if df is None:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        _RESOLVED[key] = df
+    return df
+
+
+def table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    df = raw_table(spark, name, sf_dir)
     if name == "events":
         df = normalize_events_ts(df)
     return df
