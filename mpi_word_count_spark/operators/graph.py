@@ -44,7 +44,7 @@ Scale design (100 TB / 10^10 nodes):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from mpi_word_count_spark.operators import track_releaser
 
@@ -100,7 +100,6 @@ def pagerank_fixed_point(
     """
     base = (scale * (DAMPING_DEN - DAMPING_NUM)) // DAMPING_DEN
 
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # personalized (seeded) PageRank: teleport mass restarts ONLY at
     # the seed set — base and r0 are per-node conditionals on seed
     # membership (a broadcast of the tiny seed table); ranks become
@@ -114,10 +113,22 @@ def pagerank_fixed_point(
     # adjacency with out-degree attached once: per-round work is then a
     # single equi-join on src + one aggregated shuffle on dst; this one
     # IS checkpointed eagerly — every round scans it, so materializing
-    # it once is pure win
-    adj = edges.join(deg, "src").localCheckpoint()
+    # it once is pure win. Out-degree comes from an unordered COUNT
+    # window over the same src partitioning (optimization r11): the
+    # old deg-groupBy + join form instantiated the upstream
+    # edge-building subtree TWICE inside the one materialization job
+    # (once under deg, once under the join probe) — for the trade
+    # graph that is the orders⋈lineitem+distinct chain re-run; the
+    # window needs ONE pass and one exchange. Weighted graphs
+    # (keyword_pagerank's duplicate edge rows) are unchanged: the
+    # window counts rows per src exactly as the groupBy did. At scale
+    # both forms co-locate a node's out-edges by src — the window is
+    # the SMJ shape without the second subtree evaluation.
+    adj = edges.withColumn(
+        "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+    ).localCheckpoint()
 
-    nodes = deg.select(F.col("src").alias("node"))
+    nodes = adj.select(F.col("src").alias("node")).distinct()
     if seed_set is None:
         ranks = nodes.withColumn("rank_fp", F.lit(scale).cast("long"))
     else:
@@ -373,12 +384,22 @@ def label_propagation(
     src + one (node, label) count shuffle + one argmax aggregation —
     never a window over the corpus. Lineage is truncated on the
     pagerank cadence argument (every 3 rounds; each round references
-    its predecessor once, so depth grows linearly)."""
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    its predecessor once, so depth grows linearly).
+
+    Setup (optimization r11): ONE materialization job builds
+    edges ∪ self-loops; the initial labels come from the
+    checkpoint's own self-edge rows (src == dst ⇔ node), so the
+    edge-building subtree is never re-instantiated for a separate
+    nodes table — the old three-branch form (nodes, union, labels)
+    re-ran the upstream orders⋈lineitem+distinct chain per branch.
+    Measured at sf0.1: 6.0–6.6 → 4.2–4.5 s, bit-identical labels."""
     withself = edges.union(
-        nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+        edges.select("src", "src").distinct().toDF("src", "dst")
     ).localCheckpoint()
-    labels = nodes.select("node", F.col("node").alias("label"))
+    track_releaser(lambda df=withself: _unpersist_local_ckpt(df))
+    labels = withself.filter(F.col("src") == F.col("dst")).select(
+        F.col("src").alias("node"), F.col("src").alias("label")
+    )
     for i in range(1, rounds + 1):
         counted = (
             withself.join(
