@@ -386,54 +386,29 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document: h0..h{k-1} columns.
 
-    Computed as k array minima over each document's OWN shingle
-    array — a pure projection, NO explode and NO shuffle
-    (optimization r11; the pre-r11 form exploded shingles and paid a
-    corpus-sized doc_id exchange into a groupBy for what is a per-row
-    aggregate). Values are identical: min over the same multiset in
-    any order. Documents with no shingles are dropped (no signature),
-    exactly as the groupBy form dropped docs with no exploded rows.
+    Computed as k simultaneous MIN aggregates over the exploded
+    shingle table — ONE shuffle on doc_id, no row explosion by k
+    (the naive seed-explode plan multiplies the shuffle by k).
+    Documents with no shingles are dropped (no signature).
 
     The k permutations are a universal-hash family over ONE md5 base
     hash per shingle — h_i = (a_i·x + b_i) mod (2^61−1) — instead of
     k independent md5s: same cross-engine determinism, k× less
-    hashing (the signature stage's measured hot spot). The base-hash
-    array binds in its own projection so the md5 transform is
-    evaluated once per row, never once per h_i (the shingle CSE
-    caveat; CollapseProject keeps multiply-referenced non-cheap
-    producers separate)."""
+    hashing on the corpus-sized shingle table (the signature stage's
+    measured hot spot).
+    """
     from mpi_word_count_spark.functions.hashing import MINHASH_PRIME, universal_coeffs
-    from mpi_word_count_spark.operators import widen
 
-    # the no-shingles drop happens HERE as a cheap token-count filter
-    # (≥ n tokens ⇔ ≥ 1 shingle): a filter phrased on the signature
-    # arrays gets predicate-pushed below the widen exchange and
-    # re-evaluates the whole shingle+md5 chain on the narrow
-    # single-task scan (measured 5× regression before this form)
-    pruned = df.filter(F.size(tokens_col(text_col)) >= n)
-    toks = widen(pruned, probe=df).select(
-        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("_toks")
-    )
-    sets = toks.select(
-        "doc_id", shingles_from_tokens(F.col("_toks"), n).alias("_set")
-    )
-    based = sets.select(
-        "doc_id",
-        F.transform("_set", lambda s: hash32(s, seed="mh")).alias("_xs"),
-    )
-    xs = F.col("_xs")
-    return based.select(
-        "doc_id",
-        *[
-            F.array_min(
-                F.transform(
-                    xs, lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_PRIME)
-                )
-            ).alias(f"h{i}")
-            for i, (a, b) in enumerate(universal_coeffs(num_hashes))
-        ],
-        F.size(xs).cast("bigint").alias("n_shingles"),
-    )
+    sh = doc_shingles(df, id_col, text_col, n)
+    # bind the base hash once in its own projection so the md5 isn't
+    # re-evaluated per aggregate (same CSE caveat as shingles)
+    based = sh.select("doc_id", hash32(F.col("shingle"), seed="mh").alias("_x"))
+    x = F.col("_x")
+    aggs = [
+        F.min((F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{i}")
+        for i, (a, b) in enumerate(universal_coeffs(num_hashes))
+    ] + [F.count(F.lit(1)).alias("n_shingles")]
+    return based.groupBy("doc_id").agg(*aggs)
 
 
 def band_keys(
